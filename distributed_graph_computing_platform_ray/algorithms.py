@@ -1,0 +1,230 @@
+"""Vertex programs as vectorized numpy kernels.
+
+The reference's user surface is the ``api.Vertex`` interface — one
+``Compute(msgs)`` per vertex per superstep
+(/root/reference/api/api.go:4-22, dispatched at worker/worker.go:261-264).
+Here an algorithm is three **whole-partition vectorized hooks** instead
+of a per-vertex callback:
+
+  init(ids)                  -> (values, active)        [superstep -1]
+  message_base(...)          -> per-vertex outgoing value (scatter)
+  apply(...)                 -> (new_values, new_active, changed)
+
+plus a declarative ``combine`` ('sum' | 'min' | 'vote') naming the
+message reduction — the reference's MessageIterator loop
+(worker/pagerank.go:52-66) becomes a groupby-aggregate.
+
+All vertex values are float64, like the reference (the only value type
+in the whole system, worker/pagerank.go:10-15). Labels (CC/LP) are
+integers <= N stored in float64 — exact below 2^53.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+INF = np.inf
+
+
+@dataclass
+class ScatterOut:
+    """Per-vertex outgoing message base values for the active frontier."""
+
+    base: np.ndarray  # one value per ACTIVE vertex row passed in
+    add_edge_weight: bool = False  # msg = base[row] (+ weight per edge)
+
+
+class Algorithm:
+    name: str = "base"
+    combine: str = "sum"  # 'sum' | 'min' | 'vote'
+
+    def init(
+        self,
+        ids: np.ndarray,
+        n_vertices: int,
+        keys: np.ndarray | None = None,
+        keys_numeric: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ids are dense; ``keys`` are the original vertex keys for the
+        same rows (urls / original ids as strings) when available."""
+        raise NotImplementedError
+
+    def message_base(
+        self, ids: np.ndarray, values: np.ndarray, degrees: np.ndarray, superstep: int
+    ) -> ScatterOut:
+        raise NotImplementedError
+
+    def apply(
+        self,
+        old_values: np.ndarray,
+        agg: np.ndarray,
+        has_msg: np.ndarray,
+        superstep: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (new_values, new_active, changed)."""
+        raise NotImplementedError
+
+    def max_supersteps(self) -> int | None:
+        return None
+
+    def halt_on_no_change(self) -> bool:
+        return True
+
+
+class PageRank(Algorithm):
+    """Exact reference recurrence (SURVEY.md §2.11; worker/pagerank.go:19-49).
+
+    30 synchronous applications of  x <- 0.15/N + 0.85 * A^T_deg x  on
+    the undirected multigraph, starting from x = 0 (reference inits
+    Value=0, worker/worker.go:171). Degrees count edge multiplicity.
+    No dangling handling (every vertex exists via an edge, so deg >= 1).
+    Scores intentionally do NOT sum to 1 — conformance is
+    allclose(1e-6) against this exact recurrence, not "textbook"
+    PageRank.
+    """
+
+    combine = "sum"
+
+    def __init__(self, n_vertices: int, num_iters: int = 30, damping: float = 0.85):
+        self.name = "pagerank"
+        self.n = n_vertices
+        self.num_iters = num_iters
+        self.damping = damping
+        self.teleport = (1.0 - damping) / n_vertices
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        return np.zeros(len(ids)), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep):
+        # reference: SendMessageTo(nbr, Value/len(edges)) — pagerank.go:36-43
+        return ScatterOut(base=values / np.maximum(degrees, 1))
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        new = self.teleport + self.damping * agg
+        n = len(new)
+        return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
+
+    def max_supersteps(self):
+        return self.num_iters
+
+    def halt_on_no_change(self):
+        return False
+
+
+class SSSP(Algorithm):
+    """Intended Pregel SSSP (the as-written reference is inert: its
+    zero-init bug means no vertex ever relaxes, worker/sssp.go:36 +
+    worker/worker.go:174, and it never votes to halt, worker/sssp.go:43
+    — documented deviation, SURVEY.md §2.11).
+
+    init: dist = 0 at source else +inf; active = {source}.
+    scatter: active vertices send dist + edge_weight (weight is
+    constant 1 in the reference -> hop-count BFS).
+    apply: dist' = min(dist, min inbox); active iff improved.
+    Halts when no distance changed. Unreachable stays +inf.
+    """
+
+    combine = "min"
+
+    def __init__(self, source_id: int):
+        self.name = "sssp"
+        self.source = source_id
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        values = np.where(ids == self.source, 0.0, INF)
+        return values, ids == self.source
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values, add_edge_weight=True)
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        new = np.minimum(old_values, agg)
+        changed = new < old_values
+        return new, changed.copy(), changed
+
+
+class ConnectedComponents(Algorithm):
+    """Min-label propagation to fixpoint => component id = min vertex id
+    in the component (exact on the undirected graph). Target-side
+    extension (the reference ships only PageRank+SSSP); runs on the
+    same BSP engine with a 'min' combiner.
+    """
+
+    combine = "min"
+
+    def __init__(self):
+        self.name = "cc"
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        # Labels propagate ORIGINAL numeric ids when the whole key
+        # universe is integral (conformance: component id / label =
+        # min original vertex id). URL graphs fall back to dense ids;
+        # decode with pipelines.graph.decode_label_values.
+        if keys is not None and keys_numeric:
+            return np.asarray(keys, dtype=np.float64), np.ones(len(ids), dtype=bool)
+        return ids.astype(np.float64), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values)
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        new = np.minimum(old_values, agg)
+        changed = new < old_values
+        return new, changed.copy(), changed
+
+
+class LabelPropagation(Algorithm):
+    """Synchronous majority-label propagation, fixed iteration count.
+
+    init label = vertex id; each superstep every vertex adopts the
+    label with the highest multiplicity-weighted count among its
+    neighbors' labels, ties broken by LOWEST label (FIXTURES.md §3.4).
+    Vertices receiving no messages keep their label. Community
+    detection extension — 'vote' combiner exercises the non-fold
+    message reduction path.
+    """
+
+    combine = "vote"
+
+    def __init__(self, num_iters: int = 10):
+        self.name = "lp"
+        self.num_iters = num_iters
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        # Labels propagate ORIGINAL numeric ids when the whole key
+        # universe is integral (conformance: component id / label =
+        # min original vertex id). URL graphs fall back to dense ids;
+        # decode with pipelines.graph.decode_label_values.
+        if keys is not None and keys_numeric:
+            return np.asarray(keys, dtype=np.float64), np.ones(len(ids), dtype=bool)
+        return ids.astype(np.float64), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values)
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        new = np.where(has_msg, agg, old_values)
+        changed = new != old_values
+        n = len(new)
+        return new, np.ones(n, dtype=bool), changed
+
+    def max_supersteps(self):
+        return self.num_iters
+
+    def halt_on_no_change(self):
+        return False
+
+
+def make_algorithm(name: str, **params) -> Algorithm:
+    name = name.lower()
+    if name == "pagerank":
+        return PageRank(**params)
+    if name == "sssp":
+        return SSSP(**params)
+    if name in ("cc", "connected_components"):
+        return ConnectedComponents(**params)
+    if name in ("lp", "label_propagation"):
+        return LabelPropagation(**params)
+    raise ValueError(f"unknown algorithm {name!r}")

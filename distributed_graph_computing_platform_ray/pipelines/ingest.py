@@ -1,0 +1,256 @@
+"""Edge-table ingest: string-keyed edges -> dictionary-encoded CSR graph.
+
+Replaces the reference's load path (every worker downloads the ENTIRE
+input file and filters to its partition, /root/reference/worker/worker.go:240,
+149-151 — the exact anti-pattern Ray Data's block-partitioned reads
+remove) with:
+
+  1. exact dedup of (src_key, dst_key) [optional; the reference keeps
+     duplicates — multigraph — so conformance ingest sets dedup=False]
+  2. url/key dictionary: distinct keys get dense ids deterministically —
+     keys are hash-bucketed, sorted + ranked within their bucket, and
+     bucket offsets (a tiny driver-side cumsum over n_buckets counts)
+     turn local ranks into global dense ids. Fully parallel, one
+     shuffle, independent of partition count and batch boundaries.
+  3. edge encoding: two hash-partitioned joins against the dictionary
+     (SURVEY.md §7 'Shuffles and their keys').
+  4. symmetrization: emit both directions per input edge, matching the
+     reference's load-time undirected expansion
+     (/root/reference/worker/worker.go:164-199).
+  5. per-partition CSR shard build + manifest with lineage.
+
+Scale: steps 1-3 are one shuffle each with per-group memory bounded by
+n_buckets; step 5's groupby("part") is the single all-to-all that
+co-locates each vertex range's adjacency. At 10^12 documents raise
+n_buckets / n_parts so groups stay ~10^6 rows; nothing here
+materializes the full dataset on the driver (the only driver-side data
+is the n_buckets-row count table).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.join import add_bucket, bucket_join, distinct, _BUCKET
+from ..state.csr import build_shard_arrays, write_shard
+from ..state.manifest import GraphManifest
+from ..utils import atomic_write_parquet
+
+
+def _keys_of_edges(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
+    def both(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().cast(pa.large_string())
+        d = t[dst_col].combine_chunks().cast(pa.large_string())
+        return pa.table({"key": pa.chunked_array([s, d])})
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: int):
+    """Distinct endpoint keys -> (key, id) with dense deterministic ids.
+
+    Returns (dict_ds materialized, n_vertices). Ids are: sort keys
+    within their hash bucket, then offset by the cumulative count of
+    lower-numbered buckets. Deterministic for any parallelism.
+    """
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.sort(g["key"].unique())
+        return pd.DataFrame(
+            {
+                "key": u,
+                _BUCKET: np.full(len(u), g[_BUCKET].iloc[0], dtype=np.int64),
+                "local_rank": np.arange(len(u), dtype=np.int64),
+            }
+        )
+
+    keys = _keys_of_edges(edges, src_col, dst_col)
+    ranked = (
+        add_bucket(keys, ["key"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(rank_group, batch_format="pandas")
+        .materialize()
+    )
+
+    counts = ranked.groupby(_BUCKET).count().take_all()  # <= n_buckets rows
+    offsets = np.zeros(n_buckets + 1, dtype=np.int64)
+    for row in counts:
+        offsets[int(row[_BUCKET]) + 1] = int(row["count()"])
+    np.cumsum(offsets, out=offsets)
+    n_vertices = int(offsets[-1])
+
+    def assign_id(t: pa.Table) -> pa.Table:
+        b = t[_BUCKET].to_numpy()
+        ids = offsets[b] + t["local_rank"].to_numpy()
+        return pa.table({"key": t["key"], "id": pa.array(ids, pa.int64())})
+
+    dict_ds = ranked.map_batches(assign_id, batch_format="pyarrow").materialize()
+    return dict_ds, n_vertices
+
+
+def encode_edges(
+    edges: rd.Dataset, dict_ds: rd.Dataset, src_col: str, dst_col: str, n_buckets: int
+) -> rd.Dataset:
+    """(src_key, dst_key[, weight]) -> (src, dst[, weight]) via two hash joins."""
+    src_dict = dict_ds.map_batches(
+        lambda t: pa.table({"key": t["key"], "src": t["id"]}), batch_format="pyarrow"
+    )
+    dst_dict = dict_ds.map_batches(
+        lambda t: pa.table({"key": t["key"], "dst": t["id"]}), batch_format="pyarrow"
+    )
+    step1 = bucket_join(edges, src_dict, left_on=src_col, right_on="key", n_buckets=n_buckets)
+    step2 = bucket_join(step1, dst_dict, left_on=dst_col, right_on="key", n_buckets=n_buckets)
+    weighted = "weight" in edges.schema().names
+
+    def normalize(t: pa.Table) -> pa.Table:
+        # null-padded union columns come back as float64; restore int64
+        cols = {
+            "src": t["src"].cast(pa.int64()),
+            "dst": t["dst"].cast(pa.int64()),
+        }
+        if weighted:
+            cols["weight"] = t["weight"].cast(pa.float64())
+        return pa.table(cols)
+
+    return step2.map_batches(normalize, batch_format="pyarrow")
+
+
+def symmetrize(edges: rd.Dataset) -> rd.Dataset:
+    """Emit (u,v) and (v,u) per input edge — reference load semantics."""
+
+    def both(t: pa.Table) -> pa.Table:
+        s, d = t["src"].combine_chunks(), t["dst"].combine_chunks()
+        cols = {
+            "src": pa.chunked_array([s, d]),
+            "dst": pa.chunked_array([d, s]),
+        }
+        if "weight" in t.column_names:
+            w = t["weight"].combine_chunks()
+            cols["weight"] = pa.chunked_array([w, w])
+        return pa.table(cols)
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def build_graph(
+    edges_keys: rd.Dataset,
+    graph_dir: str,
+    *,
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+    n_parts: int = 32,
+    n_buckets: int = 64,
+    dedup: bool = True,
+    symmetrize_edges: bool = True,
+    source_info: dict | None = None,
+) -> GraphManifest:
+    """Full ingest: string-keyed edge Dataset -> on-disk CSR graph.
+
+    ``dedup=False`` preserves input multiplicity (multigraph), matching
+    the reference loader; the pages pipeline dedups extracted links
+    first (SURVEY.md §2.7).
+    """
+    os.makedirs(os.path.join(graph_dir, "vertices"), exist_ok=True)
+    os.makedirs(os.path.join(graph_dir, "csr"), exist_ok=True)
+
+    weighted = "weight" in edges_keys.schema().names
+    if dedup:
+        cols = [src_col, dst_col] + (["weight"] if weighted else [])
+        edges_keys = distinct(edges_keys, cols, n_buckets=n_buckets)
+
+    dict_ds, n_vertices = build_dictionary(edges_keys, src_col, dst_col, n_buckets)
+    if n_vertices == 0:
+        raise ValueError("empty edge input — no vertices")
+
+    # Are ALL keys integers? Then CC/LP can propagate original ids as
+    # labels (matching "component id = min original vertex id").
+    n_nonnum = (
+        dict_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"bad": [int((~df["key"].str.fullmatch(r"[+-]?\d+")).sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("bad")
+        or 0
+    )
+    keys_numeric = int(n_nonnum) == 0
+
+    part_size, n_parts = GraphManifest.plan(graph_dir, n_vertices, n_parts)
+    manifest = GraphManifest(
+        graph_dir=graph_dir,
+        n_vertices=n_vertices,
+        n_edges_directed=0,
+        part_size=part_size,
+        n_parts=n_parts,
+        weighted=weighted,
+        n_buckets=n_buckets,
+        symmetrized=symmetrize_edges,
+        keys_numeric=keys_numeric,
+        source=source_info or {},
+    )
+
+    edges = encode_edges(edges_keys, dict_ds, src_col, dst_col, n_buckets)
+    if symmetrize_edges:
+        edges = symmetrize(edges)
+
+    # ---- CSR shards: ONE range-partition shuffle, side-write per part ----
+    def with_part(t: pa.Table) -> pa.Table:
+        part = pa.array(t["src"].to_numpy() // part_size, pa.int64())
+        return t.append_column("part", part)
+
+    def write_csr_group(t: pa.Table) -> pa.Table:
+        part = int(t["part"][0].as_py())
+        lo, hi = manifest.part_bounds(part)
+        w = t["weight"].to_numpy() if weighted else None
+        indptr, indices, ww = build_shard_arrays(
+            t["src"].to_numpy(), t["dst"].to_numpy(), w, lo, hi
+        )
+        row = write_shard(manifest, part, indptr, indices, ww)
+        return pa.table({k: [v] for k, v in row.items()})
+
+    part_rows = (
+        edges.map_batches(with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(write_csr_group, batch_format="pyarrow")
+        .take_all()
+    )
+
+    # Parts whose id range got no out-edges (possible only when
+    # symmetrize_edges=False) still need an (empty) shard file.
+    seen = {r["part"] for r in part_rows}
+    for p in range(n_parts):
+        if p not in seen:
+            n_local = manifest.part_n_local(p)
+            row = write_shard(
+                manifest, p, np.zeros(n_local + 1, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0) if weighted else None,
+            )
+            part_rows.append(row)
+
+    # ---- vertices/part-*.parquet: (id, key) sorted by id ----------------
+    def write_vertices_group(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        g = g.sort_values("id", kind="stable")
+        t = pa.table({"id": g["id"].to_numpy(), "key": g["key"].astype(str).to_numpy()})
+        atomic_write_parquet(manifest.vertices_path(part), t)
+        return pd.DataFrame({"part": [part], "n_rows": [len(g)]})
+
+    (
+        dict_ds.map_batches(
+            lambda t: t.append_column("part", pa.array(t["id"].to_numpy() // part_size, pa.int64())),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(write_vertices_group, batch_format="pandas")
+        .take_all()
+    )
+
+    manifest.parts = sorted(part_rows, key=lambda r: int(r["part"]))
+    manifest.n_edges_directed = int(sum(r["n_edges"] for r in manifest.parts))
+    manifest.save()
+    return manifest

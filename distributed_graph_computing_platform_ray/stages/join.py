@@ -1,0 +1,184 @@
+"""Hash-partitioned relational building blocks on top of Ray Data.
+
+The reference has no relational joins (SURVEY.md §2.4) — the target
+engine needs two: exact distinct (link/url dedup, §2.7) and a
+large-large equi-join (url->id edge encoding, §7 step 3). Both are
+expressed as ONE Ray Data shuffle each: add a deterministic hash-bucket
+column, ``groupby(bucket)``, and finish the work per bucket with
+vectorized pandas/numpy inside ``map_groups``.
+
+Scale notes (100 TB): ``n_buckets`` bounds per-group memory — size it
+so (input_rows / n_buckets) rows fit a worker heap; because the bucket
+is a pure function of the key, both distinct and join touch each row
+exactly once per shuffle. Small-side joins should instead broadcast
+(``ray.put`` the lookup once) — see ``broadcast_lookup``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..utils import bucket_of, stable_hash_rows
+
+_BUCKET = "__bucket"
+_SIDE = "__side"
+
+
+def _add_bucket_batch(t: pa.Table, cols: list[str], n_buckets: int) -> pa.Table:
+    if len(cols) == 1:
+        b = bucket_of(t[cols[0]], n_buckets)
+    else:
+        df = pd.DataFrame({c: t[c].to_pandas() for c in cols})
+        b = (stable_hash_rows(df) % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column(_BUCKET, pa.array(b, pa.int64()))
+
+
+def add_bucket(ds: rd.Dataset, cols: list[str], n_buckets: int) -> rd.Dataset:
+    return ds.map_batches(
+        lambda t: _add_bucket_batch(t, cols, n_buckets), batch_format="pyarrow"
+    )
+
+
+def distinct(ds: rd.Dataset, cols: list[str], n_buckets: int = 64) -> rd.Dataset:
+    """Exact global distinct over ``cols`` (drops other columns).
+
+    One shuffle: bucket by key hash, per-bucket ``drop_duplicates``.
+    Distinctness is global because the bucket is a function of the key.
+    """
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[cols].drop_duplicates()
+        return out.sort_values(cols).reset_index(drop=True)
+
+    return (
+        add_bucket(ds.select_columns(cols), cols, n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def distinct_keep_first(
+    ds: rd.Dataset, key_cols: list[str], order_col: str, n_buckets: int = 64
+) -> rd.Dataset:
+    """Exact dedup keeping, per key group, the row minimizing ``order_col``.
+
+    The workhorse of exact document dedup: key on a content hash, keep
+    the lowest doc id (deterministic winner).
+    """
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, order_col], kind="stable")
+        out = g.drop_duplicates(subset=key_cols, keep="first")
+        return out.drop(columns=[_BUCKET]).reset_index(drop=True)
+
+    return (
+        add_bucket(ds, key_cols, n_buckets).groupby(_BUCKET).map_groups(keep_first, batch_format="pandas")
+    )
+
+
+def bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    n_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Partitioned hash equi-join of two Datasets in one shuffle.
+
+    Tags each side, unions them (schemas are aligned with null columns),
+    buckets on the join key, and runs a pandas merge per bucket.
+    Correct because matching keys always share a bucket. For skewed
+    keys, raise ``n_buckets`` (hot key cost is bounded by its own group,
+    not the whole shuffle).
+    """
+    def _arrow_type(t) -> pa.DataType:
+        # Dataset.schema() may report numpy dtypes for pandas-block
+        # datasets; normalize everything to an Arrow type for padding.
+        if isinstance(t, pa.DataType):
+            return t
+        t = np.dtype(t)
+        if t == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names if c != right_on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"bucket_join column overlap: {overlap}")
+
+    all_cols = lcols + rcols  # join key travels in the left_on slot
+
+    def tag(side: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols, names = [], []
+            for c in all_cols:
+                names.append(c)
+                src = c
+                if side == 1 and c == left_on:
+                    src = right_on
+                if src in t.column_names:
+                    cols.append(t[src])
+                else:
+                    cols.append(pa.nulls(n, _SCHEMA_TYPES[c]))
+            names.append(_SIDE)
+            cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            return pa.table(dict(zip(names, cols)))
+
+        return fn
+
+    # Resolve column types up-front so null padding has a concrete type.
+    lschema, rschema = left.schema(), right.schema()
+    _SCHEMA_TYPES = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        _SCHEMA_TYPES[name] = _arrow_type(typ)
+    for name, typ in zip(rschema.names, rschema.types):
+        if name != right_on:
+            _SCHEMA_TYPES[name] = _arrow_type(typ)
+
+    tagged = left.map_batches(tag(0, left_on), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_on), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[_SIDE] == 0][lcols]
+        r = g[g[_SIDE] == 1][[left_on, *rcols]].rename(columns={left_on: right_on})
+        out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        if right_on != left_on and right_on in out.columns:
+            out = out.drop(columns=[right_on])
+        return out.reset_index(drop=True)
+
+    return (
+        add_bucket(tagged, [left_on], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def broadcast_lookup(
+    ds: rd.Dataset, mapping: dict | pd.DataFrame, fn: Callable[[pa.Table, object], pa.Table]
+) -> rd.Dataset:
+    """Small-side join: put the lookup in the object store ONCE and map.
+
+    ``fn(batch, lookup)`` does the per-batch work. This is the 100 TB
+    pattern for dimension tables / vocabularies / query matrices — no
+    shuffle, no per-batch reserialization of the small side.
+    """
+    ref = ray.put(mapping)
+
+    class Lookup:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return fn(t, self.lookup)
+
+    return ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 8))

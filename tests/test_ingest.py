@@ -1,0 +1,93 @@
+"""Ingest invariants: dictionary determinism, multiplicity, dedup,
+manifest lineage."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from distributed_graph_computing_platform_ray.pipelines.ingest import build_graph
+from distributed_graph_computing_platform_ray.sources.edge_list import read_edge_list
+from distributed_graph_computing_platform_ray.state.csr import load_shard
+from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
+
+TMP = "/tmp/graft_tests/ingest"
+
+
+def _build(fixtures_dir, name, out, **kw):
+    shutil.rmtree(out, ignore_errors=True)
+    return build_graph(
+        read_edge_list(os.path.join(fixtures_dir, f"{name}.txt")), out, **kw
+    )
+
+
+def test_manifest_counts(fixtures_dir):
+    man = _build(fixtures_dir, "graph_small", f"{TMP}/g1", n_parts=4, n_buckets=8, dedup=False)
+    assert man.n_vertices == 23
+    assert man.n_edges_directed == 36  # 18 undirected edges symmetrized
+    assert man.keys_numeric
+    assert sum(p["n_local"] for p in man.parts) == 23
+    # lineage rows present with checksums
+    assert all("crc_indices" in p for p in man.parts)
+
+
+def test_dictionary_ids_deterministic(fixtures_dir):
+    m1 = _build(fixtures_dir, "graph_small", f"{TMP}/d1", n_parts=4, n_buckets=8)
+    m2 = _build(fixtures_dir, "graph_small", f"{TMP}/d2", n_parts=2, n_buckets=8)
+    v1 = pads.dataset(os.path.join(m1.graph_dir, "vertices")).to_table().to_pandas()
+    v2 = pads.dataset(os.path.join(m2.graph_dir, "vertices")).to_table().to_pandas()
+    map1 = dict(zip(v1["key"], v1["id"]))
+    map2 = dict(zip(v2["key"], v2["id"]))
+    assert map1 == map2  # ids independent of partitioning/parallelism
+    assert sorted(map1.values()) == list(range(23))  # dense
+
+
+def test_multiplicity_kept_without_dedup():
+    os.makedirs(TMP, exist_ok=True)
+    path = f"{TMP}/dup.txt"
+    with open(path, "w") as f:
+        f.write("1 2\n1 2\n2 3\n")
+    out = f"{TMP}/gdup"
+    shutil.rmtree(out, ignore_errors=True)
+    man = build_graph(read_edge_list(path), out, n_parts=2, n_buckets=4, dedup=False)
+    assert man.n_edges_directed == 6  # duplicates preserved, symmetrized
+    out2 = f"{TMP}/gdedup"
+    shutil.rmtree(out2, ignore_errors=True)
+    man2 = build_graph(read_edge_list(path), out2, n_parts=2, n_buckets=4, dedup=True)
+    assert man2.n_edges_directed == 4
+
+
+def test_csr_degrees_match_adjacency(fixtures_dir):
+    man = _build(fixtures_dir, "graph_tiny", f"{TMP}/g3", n_parts=2, n_buckets=4, dedup=False)
+    # graph_tiny: 1-2 1-4 2-5 3-4 => degrees {1:2, 2:2, 4:2, 3:1, 5:1}
+    v = pads.dataset(os.path.join(man.graph_dir, "vertices")).to_table().to_pandas()
+    key_to_id = dict(zip(v["key"], v["id"]))
+    degs = {}
+    for p in range(man.n_parts):
+        shard = load_shard(man, p)
+        d = shard.degrees()
+        for local, deg in enumerate(d):
+            degs[shard.lo + local] = int(deg)
+    expected = {"1": 2, "2": 2, "3": 1, "4": 2, "5": 1}
+    for key, deg in expected.items():
+        assert degs[key_to_id[key]] == deg
+
+
+def test_weighted_edges_roundtrip():
+    rows = [
+        {"src_key": "a", "dst_key": "b", "weight": 2.5},
+        {"src_key": "b", "dst_key": "c", "weight": 1.0},
+    ]
+    out = f"{TMP}/gw"
+    shutil.rmtree(out, ignore_errors=True)
+    man = build_graph(rd.from_items(rows), out, n_parts=2, n_buckets=4, dedup=False)
+    assert man.weighted
+    total_w = 0.0
+    for p in range(man.n_parts):
+        shard = load_shard(man, p)
+        assert shard.weights is not None
+        total_w += float(np.sum(shard.weights))
+    assert total_w == 2 * (2.5 + 1.0)  # symmetrized
