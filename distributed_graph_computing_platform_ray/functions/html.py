@@ -1,0 +1,73 @@
+"""Deterministic, dependency-free HTML link & text extraction.
+
+The reference has NO html extractor — its only parser is the edge-list
+loader (/root/reference/worker/worker.go:106-144). The north_star adds
+one: link extraction from Common-Crawl-style pages with a
+byte-identical-extracted-text-per-url invariant. These are pure
+functions of the html bytes (+ base url), so the invariant holds at
+any parallelism/partitioning; goldens are pinned in
+tests/golden/extracted_text/ (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from urllib.parse import urldefrag, urljoin, urlsplit
+
+# <a ...> tags; href value quoted either way or bare
+_A_TAG = re.compile(r"<a\b[^>]*>", re.IGNORECASE | re.DOTALL)
+_HREF = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+_SCRIPT = re.compile(r"<script\b.*?</script\s*>", re.IGNORECASE | re.DOTALL)
+_STYLE = re.compile(r"<style\b.*?</style\s*>", re.IGNORECASE | re.DOTALL)
+_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG = re.compile(r"<[^>]*>")
+
+_KEEP_SCHEMES = ("http", "https")
+
+
+def decode_html(html_bytes: bytes) -> str:
+    """Pages are bytes on the wire (input_hint: html:binary); decode
+    utf-8 with replacement so one bad byte can't poison a page."""
+    return html_bytes.decode("utf-8", errors="replace")
+
+
+def extract_links(html_text: str, base_url: str) -> list[str]:
+    """All <a href> targets, resolved against base_url and normalized.
+
+    Normalization: entity-unescape the attribute, resolve relative
+    urls, drop the fragment, keep only http(s), drop self-links after
+    normalization? NO — self-links are kept (the reference keeps
+    self-loops in adjacency too); duplicates are kept here and deduped
+    by the pipeline's exact-distinct stage (SURVEY.md §2.7).
+    """
+    out: list[str] = []
+    for tag in _A_TAG.findall(html_text):
+        m = _HREF.search(tag)
+        if not m:
+            continue
+        raw = m.group(1) or m.group(2) or m.group(3) or ""
+        raw = _htmlmod.unescape(raw).strip()
+        if not raw:
+            continue
+        resolved = urljoin(base_url, raw)
+        resolved, _frag = urldefrag(resolved)
+        scheme = urlsplit(resolved).scheme.lower()
+        if scheme not in _KEEP_SCHEMES:
+            continue
+        out.append(resolved)
+    return out
+
+
+def extract_text(html_text: str) -> str:
+    """Visible text: strip comments, script/style bodies, all tags;
+    unescape entities; collapse all whitespace runs to single spaces.
+    Pure function — THE byte-identical invariant surface."""
+    s = _COMMENT.sub(" ", html_text)
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    s = _TAG.sub(" ", s)
+    s = _htmlmod.unescape(s)
+    return " ".join(s.split())

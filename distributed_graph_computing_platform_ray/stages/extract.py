@@ -1,0 +1,70 @@
+"""Extraction stages: pages table -> links table / text table.
+
+These are ACTOR-POOL stages (callable classes): regexes compile once
+per actor in ``__init__``, the per-batch ``__call__`` loops pages —
+per-row Python is unavoidable for HTML scanning without external libs,
+but the state setup is amortized and the batch size is kept small
+because html payloads are wide binary rows (bound block memory; the
+streaming executor backpressures upstream reads).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import html as H
+
+
+class ExtractLinks:
+    """pages(url, html) -> exploded links(src_url, dst_url)."""
+
+    def __init__(self):
+        # touch the compiled module-level patterns once per actor
+        self._extract = H.extract_links
+        self._decode = H.decode_html
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        htmls = t["html"].to_pylist()
+        src, dst = [], []
+        for u, hb in zip(urls, htmls):
+            for link in self._extract(self._decode(hb), u):
+                src.append(u)
+                dst.append(link)
+        return pa.table(
+            {"src_key": pa.array(src, pa.string()), "dst_key": pa.array(dst, pa.string())}
+        )
+
+
+class ExtractText:
+    """pages(url, html) -> (url, text) — the byte-identical surface."""
+
+    def __init__(self):
+        self._extract = H.extract_text
+        self._decode = H.decode_html
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"]
+        texts = [self._extract(self._decode(hb)) for hb in t["html"].to_pylist()]
+        return pa.table(
+            {"url": urls, "text": pa.array(texts, pa.large_string())}
+        )
+
+
+def extract_links(pages: rd.Dataset, concurrency=(2, 8), batch_size: int = 256) -> rd.Dataset:
+    return pages.map_batches(
+        ExtractLinks,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_text(pages: rd.Dataset, concurrency=(2, 8), batch_size: int = 256) -> rd.Dataset:
+    return pages.map_batches(
+        ExtractText,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

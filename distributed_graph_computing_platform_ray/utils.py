@@ -65,9 +65,10 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 def mix64(*parts) -> np.ndarray:
     """Combine several uint64 streams/scalars into one mixed stream."""
     acc = None
-    for p in parts:
-        p = np.asarray(p, dtype=np.uint64)
-        acc = p if acc is None else acc * np.uint64(0x100000001B3) ^ p
+    with np.errstate(over="ignore"):
+        for p in parts:
+            p = np.asarray(p, dtype=np.uint64)
+            acc = p if acc is None else acc * np.uint64(0x100000001B3) ^ p
     return splitmix64(acc)
 
 
