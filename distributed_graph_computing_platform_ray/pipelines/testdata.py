@@ -1,0 +1,405 @@
+"""Driver-facing queries over the /root/testdata tables.
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+DataFrame whose column names and types match the corresponding
+oracle SQL in ``__ray_entry__.oracle_sql`` exactly (the driver's
+compare hashes values by sorted column name).
+
+Graph queries run the FULL engine (ingest -> dictionary -> CSR -> BSP)
+over edge tables derived deterministically from the TPC-H-ish tables:
+
+  lineitem graph (bipartite):  a = l_orderkey % 2000,
+                               b = 2000 + l_partkey % 2000
+  orders graph (triangle-rich): least/greatest of
+                               (o_custkey % 500, o_orderkey % 500), a != b
+
+Both derivations are pure arithmetic so DuckDB reproduces them
+verbatim. Float-valued outputs are integer-scaled (``*_e8`` columns)
+so value hashes compare exactly across engines.
+
+Built graphs and finished algorithm runs are cached under /tmp keyed
+by sf_dir — inputs are immutable, builds are deterministic, and the
+driver calls each query separately.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..state.csr import load_shard, load_vertex_keys
+from ..state.manifest import GraphManifest
+from .graph import run_algorithm, top_k
+from .ingest import build_graph
+from .triangles import triangle_count
+
+CACHE_ROOT = os.environ.get("GRAFT_CACHE", "/tmp/graft_cache")
+
+
+def _cache(sf_dir: str, *parts: str) -> str:
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(CACHE_ROOT, h, *parts)
+
+
+def _table(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# derived edge tables (must mirror the SQL in __ray_entry__ exactly)
+
+
+def edges_lineitem(sf_dir: str) -> rd.Dataset:
+    """Distinct bipartite (src,dst): order-node -> 2000+part-node."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        a = t["l_orderkey"].to_numpy().astype(np.int64) % 2000
+        b = 2000 + t["l_partkey"].to_numpy().astype(np.int64) % 2000
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
+
+
+def edges_orders(sf_dir: str) -> rd.Dataset:
+    """Distinct same-universe pairs (least, greatest), no self-loops."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = t["o_custkey"].to_numpy().astype(np.int64) % 500
+        y = t["o_orderkey"].to_numpy().astype(np.int64) % 500
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table(
+            {"src": pa.array(np.minimum(x, y)), "dst": pa.array(np.maximum(x, y))}
+        )
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
+
+
+def _graph_for(sf_dir: str, kind: str) -> str:
+    """Build (once) the dictionary-encoded CSR graph for a derivation."""
+    gdir = _cache(sf_dir, kind, "graph")
+    if not os.path.exists(os.path.join(gdir, "manifest.json")):
+        edges = edges_lineitem(sf_dir) if kind == "lineitem" else edges_orders(sf_dir)
+
+        def stringify(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_key": t["src"].cast(pa.string()),
+                    "dst_key": t["dst"].cast(pa.string()),
+                }
+            )
+
+        build_graph(
+            edges.map_batches(stringify, batch_format="pyarrow"),
+            gdir,
+            n_parts=16,
+            n_buckets=32,
+            dedup=False,  # already distinct
+            symmetrize_edges=True,
+            source_info={"kind": kind, "sf_dir": os.path.abspath(sf_dir)},
+        )
+    return gdir
+
+
+def _run_cached(sf_dir: str, kind: str, algo: str, **params) -> rd.Dataset:
+    """run_algorithm with result reuse across queries in one driver run."""
+    import json
+
+    gdir = _graph_for(sf_dir, kind)
+    wdir = _cache(sf_dir, kind, f"run_{algo}" + (f"_{params['source_id']}" if "source_id" in params else ""))
+    man = GraphManifest.load(gdir)
+    run_json = os.path.join(wdir, "run.json")
+    if os.path.exists(run_json):
+        from .graph import result_dataset
+
+        with open(run_json) as f:
+            final = json.load(f)["final_iter"]
+        return result_dataset(man, os.path.join(wdir, "state", f"iter={final:04d}"))
+    return run_algorithm(gdir, wdir, algo, **params)
+
+
+def _as_int_vertex(ds: rd.Dataset, value_name: str, value_cast=None) -> rd.Dataset:
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        val = t["value"]
+        if value_cast is not None:
+            val = value_cast(val)
+        return pa.table({"vertex": v, value_name: val})
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+
+
+def q_edges_lineitem(sf_dir: str):
+    return edges_lineitem(sf_dir)
+
+
+def q_degrees(sf_dir: str):
+    """Symmetrized-graph degree per vertex, straight off the CSR shards."""
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+
+    def shard_degrees(t: pa.Table) -> pa.Table:
+        outs_v, outs_d = [], []
+        for p in t["id"].to_numpy():
+            shard = load_shard(man, int(p))
+            keys = load_vertex_keys(man, int(p))
+            outs_v.append(keys.astype(np.int64))
+            outs_d.append(shard.degrees().astype(np.int64))
+        return pa.table(
+            {"vertex": pa.array(np.concatenate(outs_v)), "degree": pa.array(np.concatenate(outs_d))}
+        )
+
+    return rd.range(man.n_parts).map_batches(shard_degrees, batch_format="pyarrow")
+
+
+def _score_e8(val: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.round(pc.multiply(val, 1e8)).cast(pa.int64())
+
+
+def q_pagerank(sf_dir: str):
+    res = _run_cached(sf_dir, "lineitem", "pagerank")
+    return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_pagerank_top25(sf_dir: str):
+    # rank on the integer-scaled score so tie-breaks match the oracle
+    # exactly (K1 parity: reference prints top-25, master.go:307-341)
+    ds = q_pagerank(sf_dir)
+    return ds.sort(["score_e8", "vertex"], descending=[True, False]).limit(25)
+
+
+def _min_vertex(sf_dir: str, kind: str) -> int:
+    edges = edges_lineitem(sf_dir) if kind == "lineitem" else edges_orders(sf_dir)
+    return int(edges.min("src"))
+
+
+def q_sssp(sf_dir: str):
+    from .graph import lookup_vertex_id
+
+    src = _min_vertex(sf_dir, "lineitem")
+    gdir = _graph_for(sf_dir, "lineitem")
+    sid = lookup_vertex_id(GraphManifest.load(gdir), str(src))
+    res = _run_cached(sf_dir, "lineitem", "sssp", source_id=sid)
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        val = t["value"].to_numpy()
+        dist = pa.array(
+            [None if not np.isfinite(x) else int(x) for x in val], pa.int64()
+        )
+        return pa.table({"vertex": v, "dist": dist})
+
+    return res.map_batches(conv, batch_format="pyarrow")
+
+
+def q_connected_components(sf_dir: str):
+    res = _run_cached(sf_dir, "lineitem", "cc")
+    return _as_int_vertex(res, "component", lambda v: v.cast(pa.int64()))
+
+
+def q_label_propagation(sf_dir: str):
+    res = _run_cached(sf_dir, "lineitem", "lp", num_iters=10)
+    return _as_int_vertex(res, "label", lambda v: v.cast(pa.int64()))
+
+
+def q_triangle_count(sf_dir: str):
+    total, _ = triangle_count(edges_orders(sf_dir), n_buckets=32)
+    return pd.DataFrame({"n_triangles": [int(total)]})
+
+
+def q_triangles_per_vertex(sf_dir: str):
+    _, per = triangle_count(edges_orders(sf_dir), n_buckets=32, per_vertex=True)
+    return per
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis / dedup / fingerprinting
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-doc text statistics (quality-score raw features)."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars_text": text.str.len().astype("int64"),
+                "n_tokens": text.str.split().str.len().fillna(0).astype("int64"),
+                "n_upper": text.str.count(r"[A-Z]").astype("int64"),
+                "n_digits": text.str.count(r"[0-9]").astype("int64"),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    """Exact dedup by full text: keep min doc_id per text group."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        # hash-partition on a digest, not the full text (wide rows)
+        df = df.assign(h=[hashlib.md5(t.encode()).hexdigest() for t in df["text"].astype(str)])
+        return df[["doc_id", "h"]]
+
+    hashed = ds.map_batches(pre, batch_format="pandas")
+
+    def group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return g[["doc_id", "n_copies"]].astype({"doc_id": "int64", "n_copies": "int64"})
+
+    return add_bucket(hashed, ["h"], 32).groupby(_BUCKET).map_groups(group, batch_format="pandas")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Deterministic document fingerprint (md5 of the text bytes)."""
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "fp": [hashlib.md5(t.encode()).hexdigest() for t in df["text"].astype(str)],
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
+
+
+def q_top_terms(sf_dir: str):
+    """Top-100 whitespace terms: per-batch partial counts (combiner)
+    before the one groupby — the pre-aggregation pattern."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["text"].astype(str).str.split().explode().value_counts()
+        return pd.DataFrame({"term": c.index.astype(str), "cnt": c.to_numpy().astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    ds = _table(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pandas")
+    agg = ds.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+    top = agg.sort(["cnt", "term"], descending=[True, False]).limit(100)
+    return top
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregate (streaming-shaped, SURVEY.md §2.9)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type: count + sum(value).
+
+    Ray Data has no event-time windows; a tumbling window over a batch
+    table IS a groupby on the truncated timestamp (ray_guide.md). Hour
+    is emitted as epoch seconds so the hash compare is type-exact."""
+
+    def win(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        hour = (ts // 3600) * 3600
+        return pa.table(
+            {
+                "hour_epoch": pa.array(hour, pa.int64()),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _table(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        win, batch_format="pyarrow"
+    )
+    agg = ds.groupby(["hour_epoch", "event_type"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_epoch": t["hour_epoch"],
+                "event_type": t["event_type"],
+                "n_events": t["n_events"].cast(pa.int64()),
+                "sum_value_e6": pc.round(pc.multiply(t["sum_value"], 1e6)).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: brute-force ANN (baseline; IVF variant in stages/ann.py)
+
+
+def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Exact cosine top-k of every vector vs the first n_queries
+    vectors. Query matrix is broadcast once (ray.put); each batch does
+    one matmul; per-batch partial top-k then a final merge."""
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(emb.filter(expr=f"vec_id < {n_queries}").take_all(), key=lambda r: r["vec_id"])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, Qn))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Qn = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = self.Qn @ Xn.T  # (nq, batch)
+            nq, nb = S.shape
+            keep = min(k + 32, nb)  # margin so int-scaled ties survive the partial cut
+            part = np.argpartition(-S, keep - 1, axis=1)[:, :keep]
+            out_q, out_v, out_s = [], [], []
+            for qi in range(nq):
+                out_q.append(np.full(keep, self.qids[qi], dtype=np.int64))
+                out_v.append(ids[part[qi]])
+                out_s.append(S[qi, part[qi]])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "score": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    partials = emb.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # rank on the integer-scaled score (ties by vec_id) — identical
+        # ordering to the oracle SQL's window
+        df = df.assign(score_e6=np.round(df["score"].to_numpy() * 1e6).astype("int64"))
+        df = df.sort_values(["score_e6", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64"),
+                "vec_id": df["vec_id"].astype("int64"),
+                "score_e6": df["score_e6"].to_numpy(),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

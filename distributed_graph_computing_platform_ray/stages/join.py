@@ -148,18 +148,30 @@ def bucket_join(
         right.map_batches(tag(1, right_on), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[_SIDE] == 0][lcols]
-        r = g[g[_SIDE] == 1][[left_on, *rcols]].rename(columns={left_on: right_on})
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Split sides IN ARROW first: each side's own columns are
+        # null-free, so pandas keeps exact dtypes (a mixed frame would
+        # float-cast int columns through the null padding and silently
+        # break hash agreement downstream).
+        side = t[_SIDE]
+        l = t.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        r = (
+            t.filter(pc.equal(side, 1))
+            .select([left_on, *rcols])
+            .to_pandas()
+            .rename(columns={left_on: right_on})
+        )
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         if right_on != left_on and right_on in out.columns:
             out = out.drop(columns=[right_on])
-        return out.reset_index(drop=True)
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
     return (
         add_bucket(tagged, [left_on], n_buckets)
         .groupby(_BUCKET)
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
 
 
