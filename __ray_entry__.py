@@ -85,8 +85,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
         "ann_topk": T.q_ann_topk,
-        # -- rows-only (no SQL oracle) ----------------------------------
+        # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
+        "doc_langid": T.q_doc_langid,
+        "doc_quality": T.q_doc_quality,
+        "doc_token_bpe": T.q_doc_token_bpe,
+        "doc_rolling_fingerprint": T.q_doc_rolling_fingerprint,
+        "doc_minhash_dedup": T.q_doc_minhash_dedup,
+        "doc_simhash_pairs": T.q_doc_simhash_pairs,
+        "embedding_neardup": T.q_embedding_neardup,
+        "ann_ivf": T.q_ann_ivf,
+        "multimodal_decode": T.q_multimodal_decode,
     }
 
 

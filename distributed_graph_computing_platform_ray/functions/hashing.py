@@ -1,0 +1,88 @@
+"""Sketch primitives: MinHash, SimHash, random-hyperplane LSH.
+
+All parameterized by an explicit seed; permutation/hyperplane params
+are derived with counter-based mixing so every process computes the
+same sketch for the same input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import mix64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) for h_i(x) = ((a_i * x + b_i) mod M61); a odd, nonzero."""
+    idx = np.arange(n_perm, dtype=np.uint64)
+    a = mix64(np.uint64(seed), idx) | np.uint64(1)
+    b = mix64(np.uint64(seed + 1), idx)
+    return a % _MERSENNE, b % _MERSENNE
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """uint64[n_perm] MinHash signature of a shingle-hash set."""
+    n_perm = len(a)
+    if len(shingles) == 0:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = shingles.astype(np.uint64) % _MERSENNE
+    with np.errstate(over="ignore"):
+        # (n_perm, n_shingles) — fine for per-doc shingle counts
+        h = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    return h.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """Collapse a signature into n_bands band-hashes (LSH buckets)."""
+    rows = len(sig) // n_bands
+    view = sig[: rows * n_bands].reshape(n_bands, rows)
+    out = np.zeros(n_bands, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            out = out * np.uint64(0x100000001B3) ^ view[:, r]
+    return out
+
+
+def simhash64(feature_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of (hashed) features."""
+    if len(feature_hashes) == 0:
+        return 0
+    bits = ((feature_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.float64
+    )
+    w = weights if weights is not None else np.ones(len(feature_hashes))
+    acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if acc[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out)
+
+
+def hamming64(a: np.ndarray, b) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays/scalars."""
+    x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.uint64(b) if np.isscalar(b) else np.asarray(b, dtype=np.uint64))
+    return np.array([bin(int(v)).count("1") for v in np.atleast_1d(x)], dtype=np.int64)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    """Deterministic gaussian-ish hyperplanes for embedding LSH
+    (inverse-transform of counter-based uniforms)."""
+    from ..utils import uniform01
+
+    idx = np.arange(dim * n_planes, dtype=np.uint64)
+    u = uniform01(mix64(np.uint64(seed), idx)).reshape(n_planes, dim)
+    # Box-Muller needs pairs; a scaled inverse-ish approximation is
+    # enough for LSH — any fixed continuous symmetric distribution works
+    return np.arctanh(np.clip(2 * u - 1, -0.999999, 0.999999))
+
+
+def embedding_bucket(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per row (uint64, n_planes <= 64)."""
+    signs = (X @ planes.T) > 0
+    out = np.zeros(len(X), dtype=np.uint64)
+    for j in range(planes.shape[0]):
+        out |= signs[:, j].astype(np.uint64) << np.uint64(j)
+    return out

@@ -348,6 +348,135 @@ def q_events_hourly(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle; verified in pytest)
+
+
+def q_doc_langid(sf_dir: str):
+    from ..functions.text import lang_id
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        out = [lang_id(t) for t in df["text"].astype(str)]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang_pred": [o[0] for o in out],
+                "conf_e6": (np.array([o[1] for o in out]) * 1e6).round().astype("int64"),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(run, batch_format="pandas")
+
+
+def q_doc_quality(sf_dir: str):
+    from ..functions.text import quality_score
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "quality_e6": np.round(
+                    [quality_score(t) * 1e6 for t in df["text"].astype(str)]
+                ).astype("int64"),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(run, batch_format="pandas")
+
+
+def q_doc_token_bpe(sf_dir: str):
+    from ..functions.text import token_count_bpe_ish
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_bpe_tokens": [token_count_bpe_ish(t) for t in df["text"].astype(str)],
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(run, batch_format="pandas")
+
+
+def q_doc_rolling_fingerprint(sf_dir: str):
+    from ..functions.text import rolling_fingerprint
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        fps = [rolling_fingerprint(t) for t in df["text"].astype(str)]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "fp_min": pd.Series([int(np.int64(np.uint64(f[0]))) for f in fps], dtype="int64"),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(run, batch_format="pandas")
+
+
+def q_doc_minhash_dedup(sf_dir: str):
+    from ..stages.dedup import minhash_dedup
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(ds, _cache(sf_dir, "minhash_work"), threshold=0.8)
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    return simhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..stages.ann import embedding_neardup
+
+    return embedding_neardup(_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+
+
+def q_ann_ivf(sf_dir: str):
+    from ..stages.ann import ivf_topk
+
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    res = ivf_topk(emb, Q, qids, k=10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64"),
+                "vec_id": df["vec_id"].astype("int64"),
+                "score_e6": np.round(df["score"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Documents' text bytes stand in for media payloads — exercises
+    the real Ray plumbing of the stubbed decode stage."""
+    from ..stages.multimodal import decode_media
+
+    def to_media(t: pa.Table) -> pa.Table:
+        kinds = ["image", "audio", "video"]
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": t["doc_id"].cast(pa.int64()),
+                "media_type": pa.array([kinds[int(i) % 3] for i in ids], pa.string()),
+                "payload": pa.array(
+                    [s.encode() for s in t["text"].to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    media = _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    return decode_media(media, stub=True)
+
+
+# ---------------------------------------------------------------------------
 # embeddings: brute-force ANN (baseline; IVF variant in stages/ann.py)
 
 

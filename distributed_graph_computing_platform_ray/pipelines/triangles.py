@@ -44,6 +44,9 @@ def canonical_edges(edges: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     return distinct(edges.map_batches(canon, batch_format="pyarrow"), ["src", "dst"], n_buckets)
 
 
+BROADCAST_EDGE_LIMIT = 5_000_000  # edge keys held as one sorted int64 array
+
+
 def triangle_count(
     edges: rd.Dataset, n_buckets: int = 64, per_vertex: bool = False
 ) -> tuple[int, rd.Dataset | None]:
@@ -51,6 +54,12 @@ def triangle_count(
 
     Returns (total, per_vertex_ds|None) where per_vertex_ds is
     (vertex:int64, triangles:int64) for vertices in >=1 triangle.
+
+    Wedge closure strategy: when the (simple) edge set fits comfortably
+    in memory (<= BROADCAST_EDGE_LIMIT keys, i.e. <=40 MB as int64) the
+    key set is broadcast once via ray.put and wedges are filtered with
+    a vectorized searchsorted inside map_batches — NO shuffle. Larger
+    graphs fall back to the hash-partitioned semi-join.
     """
     simple = canonical_edges(edges, n_buckets).materialize()
 
@@ -119,8 +128,34 @@ def triangle_count(
         hi = np.maximum(u, v)
         return pa.table({"k": pa.array(lo * _SHIFT + hi), "hit": pa.array(np.ones(len(u), np.int8))})
 
-    ek = oriented.map_batches(edge_keys, batch_format="pyarrow")
-    matches = bucket_join(wedges, ek, left_on="k", right_on="k", n_buckets=n_buckets)
+    n_edges = simple.count()
+    if n_edges <= BROADCAST_EDGE_LIMIT:
+        import ray
+
+        keys_arr = np.sort(
+            oriented.map_batches(edge_keys, batch_format="pyarrow")
+            .to_pandas()["k"]
+            .to_numpy()
+        )
+        ref = ray.put(keys_arr)
+
+        class Close:
+            def __init__(self):
+                self.keys = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                k = t["k"].to_numpy()
+                if len(self.keys) == 0 or len(k) == 0:
+                    return t.slice(0, 0)
+                pos = np.searchsorted(self.keys, k)
+                pos = np.minimum(pos, len(self.keys) - 1)
+                hit = self.keys[pos] == k
+                return t.filter(pa.array(hit))
+
+        matches = wedges.map_batches(Close, batch_format="pyarrow", concurrency=(1, 16))
+    else:
+        ek = oriented.map_batches(edge_keys, batch_format="pyarrow")
+        matches = bucket_join(wedges, ek, left_on="k", right_on="k", n_buckets=n_buckets)
     matches = matches.materialize() if per_vertex else matches
     total = matches.count()
 

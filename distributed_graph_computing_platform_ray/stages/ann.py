@@ -1,0 +1,214 @@
+"""Similarity search over an embedding column (list<float>).
+
+  brute_force_topk  exact cosine top-k — broadcast query matrix
+                    (ray.put once), one matmul per batch, partial
+                    top-k per batch, final per-query merge. The
+                    baseline and the verifier for the ANN variants.
+  ivf_topk          IVF: coarse k-means centroids (seeded, sampled),
+                    cluster assignment per batch, probe top-nprobe
+                    clusters at query time. The 100 TB scale path:
+                    assignment is a map, probed search touches
+                    nprobe/nlist of the data.
+  embedding_neardup hyperplane-LSH bucketed cosine near-dup pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.hashing import embedding_bucket, hyperplanes
+from ..stages.join import _BUCKET, add_bucket
+
+
+def _norm_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.maximum(n, 1e-12)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def brute_force_topk(
+    ds: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+    id_col="vec_id", emb_col="embedding",
+) -> rd.Dataset:
+    """Exact cosine top-k. Returns (query_id, vec_id, score) float."""
+    Qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), Qn))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Qn = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy()
+            S = self.Qn @ _norm_rows(_stack(t[emb_col])).T
+            keep = min(k, S.shape[1])
+            part = np.argpartition(-S, keep - 1, axis=1)[:, :keep]
+            q, v, s = [], [], []
+            for qi in range(S.shape[0]):
+                q.append(np.full(keep, self.qids[qi], dtype=np.int64))
+                v.append(ids[part[qi]])
+                s.append(S[qi, part[qi]])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(q)),
+                    "vec_id": pa.array(np.concatenate(v), pa.int64()),
+                    "score": pa.array(np.concatenate(s)),
+                }
+            )
+
+    partials = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["score", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def train_centroids(
+    ds: rd.Dataset, n_centroids: int, emb_col="embedding", sample_rows: int = 20000,
+    iters: int = 8, seed: int = 5,
+) -> np.ndarray:
+    """Seeded mini k-means on a bounded sample (driver-side numpy).
+
+    The sample is bounded (<= sample_rows); at 100 TB the centroid fit
+    still sees only this sample — training cost is independent of
+    dataset size, and assignment is fully distributed.
+    """
+    sample = ds.limit(sample_rows).to_pandas()
+    X = _norm_rows(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _norm_rows(C)
+    return C
+
+
+def ivf_topk(
+    ds: rd.Dataset, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4, id_col="vec_id", emb_col="embedding",
+) -> rd.Dataset:
+    """Approximate cosine top-k probing nprobe/n_centroids clusters."""
+    C = train_centroids(ds, n_centroids, emb_col=emb_col)
+    Qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), Qn, C, probe))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Qn, self.C, self.probe = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy()
+            Xn = _norm_rows(_stack(t[emb_col]))
+            assign = np.argmax(Xn @ self.C.T, axis=1)
+            q_out, v_out, s_out = [], [], []
+            for qi in range(len(self.qids)):
+                m = np.isin(assign, self.probe[qi])
+                if not m.any():
+                    continue
+                S = Xn[m] @ self.Qn[qi]
+                keep = min(k, len(S))
+                part = np.argpartition(-S, keep - 1)[:keep]
+                q_out.append(np.full(keep, self.qids[qi], dtype=np.int64))
+                v_out.append(ids[m][part])
+                s_out.append(S[part])
+            if not q_out:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(q_out)),
+                    "vec_id": pa.array(np.concatenate(v_out), pa.int64()),
+                    "score": pa.array(np.concatenate(s_out)),
+                }
+            )
+
+    partials = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["score", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_neardup(
+    ds: rd.Dataset, threshold: float = 0.95, n_planes: int = 12,
+    id_col="vec_id", emb_col="embedding", n_buckets: int = 64, dim: int | None = None,
+) -> rd.Dataset:
+    """(a, b, cos_e6) pairs with cosine >= threshold, found via
+    hyperplane-LSH buckets (candidates) + exact verify.
+
+    Like all LSH, recall < 1 for pairs straddling a hyperplane; raise
+    recall by lowering n_planes or unioning several plane seeds.
+    """
+    if dim is None:
+        first = ds.take(1)[0][emb_col]
+        dim = len(first)
+    P = hyperplanes(dim, n_planes)
+    ref = ray.put(P)
+
+    class Bucket:
+        def __init__(self):
+            self.P = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            Xn = _norm_rows(_stack(t[emb_col]))
+            b = embedding_bucket(Xn, self.P).astype(np.int64)
+            return pa.table(
+                {
+                    "vec_id": t[id_col].cast(pa.int64()),
+                    "lsh": pa.array(b),
+                    emb_col: t[emb_col],
+                }
+            )
+
+    bucketed = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 8))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for _, g in df.groupby("lsh"):
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            X = _norm_rows(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+            S = X @ X.T
+            i, j = np.triu_indices(len(ids), k=1)
+            keep = S[i, j] >= threshold
+            out_a.extend(ids[i][keep])
+            out_b.extend(ids[j][keep])
+            out_c.extend(np.round(S[i, j][keep] * 1e6).astype(np.int64))
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "cos_e6": pd.Series(out_c, dtype="int64"),
+            }
+        )
+
+    from ..stages.join import distinct
+
+    cand = add_bucket(bucketed, ["lsh"], n_buckets).groupby(_BUCKET).map_groups(pairs, batch_format="pandas")
+    return distinct(cand, ["a", "b", "cos_e6"], n_buckets)

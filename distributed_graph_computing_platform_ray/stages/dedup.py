@@ -1,0 +1,292 @@
+"""Deduplication pipelines over a documents table.
+
+Five flavors, each a Ray Data pipeline (SURVEY.md 'beyond the
+reference' requirements):
+
+  exact            content-hash partition + per-group min-id winner
+  minhash_lsh      shingle -> MinHash -> banded LSH buckets ->
+                   candidate pairs -> exact-Jaccard verify ->
+                   clusters via THE ENGINE'S OWN connected components
+  simhash          64-bit SimHash, 4-band exact-match candidates,
+                   Hamming<=3 verify
+  ngram_jaccard    exact Jaccard scoring for candidate pairs
+  embedding cosine near-dup lives in stages/ann.py (same shape:
+                   hyperplane-LSH buckets -> cosine verify)
+
+Scale: every stage is a map_batches or one hash-partition shuffle;
+LSH bucket fan-out bounds candidate-pair blowup (bucket size capped,
+cap logged); clustering reuses the BSP CC engine, so the pair graph
+never has to fit on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import band_hashes, hamming64, minhash_params, minhash_signature, simhash64
+from ..functions.text import jaccard, shingle_hashes
+from ..stages.join import _BUCKET, add_bucket, bucket_join
+from ..utils import stable_hash_array
+
+MAX_BUCKET_PAIRS = 2000  # cap pairs generated per LSH bucket (logged)
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 64) -> rd.Dataset:
+    """(winner_id, n_copies, content_hash) per distinct text."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "h": [hashlib.md5(t.encode()).hexdigest() for t in df[text_col].astype(str)],
+            }
+        )
+
+    hashed = ds.map_batches(pre, batch_format="pandas")
+
+    def group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False).agg(
+            winner_id=(id_col, "min"), n_copies=(id_col, "size")
+        )
+        return g[["winner_id", "n_copies", "h"]]
+
+    return add_bucket(hashed, ["h"], n_buckets).groupby(_BUCKET).map_groups(group, batch_format="pandas")
+
+
+class MinHashStage:
+    """Actor stage: text -> (doc_id, band_id, band_hash) rows."""
+
+    def __init__(self, id_col="doc_id", text_col="text", n_perm=128, n_bands=16, shingle_k=3, seed=7):
+        self.id_col, self.text_col = id_col, text_col
+        self.a, self.b = minhash_params(n_perm, seed)
+        self.n_bands = n_bands
+        self.k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy()
+        texts = t[self.text_col].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, txt in zip(ids, texts):
+            sig = minhash_signature(shingle_hashes(txt, self.k), self.a, self.b)
+            bh = band_hashes(sig, self.n_bands)
+            out_id.extend([int(i)] * self.n_bands)
+            out_band.extend(range(self.n_bands))
+            out_hash.extend(int(x) for x in bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band_id": pa.array(out_band, pa.int64()),
+                "band_hash": pa.array(np.array(out_hash, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+
+def minhash_candidates(
+    ds: rd.Dataset,
+    id_col="doc_id",
+    text_col="text",
+    n_perm=128,
+    n_bands=16,
+    shingle_k=3,
+    n_buckets=64,
+) -> rd.Dataset:
+    """Candidate near-dup pairs (a < b) from banded MinHash LSH."""
+    bands = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), g in df.groupby(["band_id", "band_hash"]):
+            ids = np.sort(g["doc_id"].unique())
+            n = len(ids)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            if len(i) > MAX_BUCKET_PAIRS:  # hot-bucket cap — log, don't hang
+                print(f"minhash_lsh: capping bucket of {n} docs to {MAX_BUCKET_PAIRS} pairs")
+                i, j = i[:MAX_BUCKET_PAIRS], j[:MAX_BUCKET_PAIRS]
+            out_a.extend(ids[i])
+            out_b.extend(ids[j])
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")})
+
+    cand = (
+        add_bucket(bands, ["band_id", "band_hash"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    from ..stages.join import distinct
+
+    return distinct(cand, ["a", "b"], n_buckets)
+
+
+def verify_jaccard(
+    pairs: rd.Dataset, docs: rd.Dataset, id_col="doc_id", text_col="text", shingle_k=3, n_buckets=64
+) -> rd.Dataset:
+    """(a, b, jaccard_e6) — exact n-gram Jaccard per candidate pair."""
+    texts = docs.map_batches(
+        lambda t: pa.table({"jid": t[id_col].cast(pa.int64()), "jtext": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    j1 = bucket_join(pairs, texts.map_batches(
+        lambda t: pa.table({"jid": t["jid"], "text_a": t["jtext"]}), batch_format="pyarrow"
+    ), left_on="a", right_on="jid", n_buckets=n_buckets)
+    j2 = bucket_join(j1, texts.map_batches(
+        lambda t: pa.table({"jid": t["jid"], "text_b": t["jtext"]}), batch_format="pyarrow"
+    ), left_on="b", right_on="jid", n_buckets=n_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        js = [
+            int(round(jaccard(shingle_hashes(x, shingle_k), shingle_hashes(y, shingle_k)) * 1e6))
+            for x, y in zip(ta, tb)
+        ]
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "jaccard_e6": pa.array(js, pa.int64())}
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_dedup(
+    ds: rd.Dataset,
+    work_dir: str,
+    id_col="doc_id",
+    text_col="text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> rd.Dataset:
+    """Full near-dup dedup: (doc_id, cluster_id) for every doc in a
+    verified near-dup cluster; cluster_id = min doc_id in cluster.
+
+    Clustering runs the ENGINE'S OWN connected-components on the
+    verified pair graph — no driver-side union-find, so the pair set
+    can be arbitrarily large.
+    """
+    cand = minhash_candidates(ds, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    verified = verify_jaccard(cand, ds, id_col=id_col, text_col=text_col,
+                              shingle_k=lsh_kwargs.get("shingle_k", 3))
+    thr = int(threshold * 1e6)
+    edges = verified.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["jaccard_e6"], thr)),
+        batch_format="pyarrow",
+    )
+    if edges.count() == 0:
+        return rd.from_items([]).map_batches(
+            lambda df: pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "cluster_id": pd.Series([], dtype="int64")}),
+            batch_format="pandas",
+        )
+
+    from ..pipelines.graph import run_algorithm
+    from ..pipelines.ingest import build_graph
+
+    gdir = os.path.join(work_dir, "pair_graph")
+    shutil.rmtree(gdir, ignore_errors=True)
+    build_graph(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"src_key": t["a"].cast(pa.string()), "dst_key": t["b"].cast(pa.string())}
+            ),
+            batch_format="pyarrow",
+        ),
+        gdir,
+        n_parts=8,
+        n_buckets=16,
+        dedup=True,
+    )
+    cc = run_algorithm(gdir, os.path.join(work_dir, "cc"), "cc")
+    return cc.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["vertex"].cast(pa.int64()),
+                "cluster_id": t["value"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+class SimHashStage:
+    """Actor stage: text -> (doc_id, simhash, 4x16-bit sub-bands)."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy()
+        sigs = []
+        for txt in t[self.text_col].to_pylist():
+            toks = np.array([w.lower() for w in str(txt).split()], dtype=object)
+            h = stable_hash_array(toks) if len(toks) else np.empty(0, dtype=np.uint64)
+            sigs.append(simhash64(h))
+        sig = np.array(sigs, dtype=np.uint64)
+        cols = {"doc_id": pa.array(ids.astype(np.int64)), "simhash": pa.array(sig.astype(np.int64))}
+        for band in range(4):  # Hamming<=3 => some 16-bit band matches exactly
+            cols[f"sb{band}"] = pa.array(((sig >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64))
+        return pa.table(cols)
+
+
+def simhash_dedup(ds: rd.Dataset, id_col="doc_id", text_col="text", max_hamming=3, n_buckets=64) -> rd.Dataset:
+    """(a, b, hamming) pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole over 4 16-bit bands: any pair within distance 3 agrees
+    exactly on >=1 band, so banding finds all such pairs.
+    """
+    sigs = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+
+    outs = []
+    for band in range(4):
+        def pairs(df: pd.DataFrame, band=band) -> pd.DataFrame:
+            out_a, out_b, out_h = [], [], []
+            for _, g in df.groupby(f"sb{band}"):
+                sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+                ids = sub["doc_id"].to_numpy()
+                sh = sub["simhash"].to_numpy().astype(np.uint64)
+                n = len(ids)
+                if n < 2:
+                    continue
+                i, j = np.triu_indices(n, k=1)
+                if len(i) > MAX_BUCKET_PAIRS:
+                    print(f"simhash: capping bucket of {n} docs")
+                    i, j = i[:MAX_BUCKET_PAIRS], j[:MAX_BUCKET_PAIRS]
+                hd = hamming64(sh[i], sh[j])
+                keep = hd <= max_hamming
+                out_a.extend(ids[i][keep])
+                out_b.extend(ids[j][keep])
+                out_h.extend(hd[keep])
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(out_a, dtype="int64"),
+                    "b": pd.Series(out_b, dtype="int64"),
+                    "hamming": pd.Series(out_h, dtype="int64"),
+                }
+            )
+
+        outs.append(
+            add_bucket(sigs, [f"sb{band}"], n_buckets).groupby(_BUCKET).map_groups(pairs, batch_format="pandas")
+        )
+    allpairs = outs[0].union(*outs[1:])
+    from ..stages.join import distinct
+
+    return distinct(allpairs, ["a", "b", "hamming"], n_buckets)

@@ -1,0 +1,193 @@
+"""Dedup family + similarity search + multimodal stubs vs oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from distributed_graph_computing_platform_ray.functions.text import (
+    jaccard,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    shingle_hashes,
+    token_count_bpe_ish,
+)
+from distributed_graph_computing_platform_ray.stages.ann import (
+    brute_force_topk,
+    embedding_neardup,
+    ivf_topk,
+)
+from distributed_graph_computing_platform_ray.stages.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_dedup,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+    "as morning light spreads slowly across the quiet village square"
+)
+
+
+def _docs():
+    """12 docs: 0-2 identical; 3,4 near-dups of 0 (1-2 word edits);
+    5..11 distinct."""
+    docs = {
+        0: BASE,
+        1: BASE,
+        2: BASE,
+        3: BASE.replace("lazy", "sleepy"),
+        4: BASE.replace("morning light", "evening glow"),
+    }
+    rng = np.random.default_rng(9)
+    vocab = BASE.split()
+    for i in range(5, 12):
+        docs[i] = " ".join(rng.choice(vocab, size=40)) + f" unique token{i}"
+    return pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+
+def test_exact_dedup():
+    out = exact_dedup(rd.from_pandas(_docs()), n_buckets=8).to_pandas()
+    row = out[out["n_copies"] == 3]
+    assert len(row) == 1 and row["winner_id"].iloc[0] == 0
+    assert out["n_copies"].sum() == 12
+
+
+def test_minhash_finds_neardups():
+    df = _docs()
+    cand = minhash_candidates(rd.from_pandas(df), n_buckets=8).to_pandas()
+    pairs = set(map(tuple, cand[["a", "b"]].to_numpy()))
+    # identical docs + close edits must be candidates
+    for expect in [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4)]:
+        assert expect in pairs, f"missing candidate {expect}"
+
+
+def test_minhash_dedup_clusters(tmp_path):
+    df = _docs()
+    out = minhash_dedup(
+        rd.from_pandas(df), str(tmp_path / "w"), threshold=0.7, n_buckets=8
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    # docs 0..4 form one near-dup cluster rooted at 0
+    for d in [0, 1, 2, 3, 4]:
+        assert got.get(d) == 0, (d, got)
+    assert all(got.get(d) is None or got[d] >= 5 for d in range(5, 12))
+
+
+def test_jaccard_exact_values():
+    a = shingle_hashes(BASE, 3)
+    b = shingle_hashes(BASE.replace("lazy", "sleepy"), 3)
+    j = jaccard(a, b)
+    assert 0.7 < j < 1.0
+    assert jaccard(a, a) == 1.0
+
+
+def test_simhash_pairs():
+    df = _docs()
+    out = simhash_dedup(rd.from_pandas(df), n_buckets=8).to_pandas()
+    pairs = {(r.a, r.b): r.hamming for r in out.itertuples()}
+    assert pairs.get((0, 1)) == 0  # identical
+    assert pairs.get((0, 3), 99) <= 3  # one-word edit
+
+
+def test_text_functions():
+    assert lang_id("the cat is on the mat and it is warm")[0] == "en"
+    assert lang_id("der hund ist nicht mit der katze und das ist gut")[0] == "de"
+    assert lang_id("")[0] == "und"
+    assert token_count_bpe_ish("hello, world 123") == 4  # hello , world 123
+    assert 0.0 <= quality_score("x") <= 1.0
+    assert rolling_fingerprint(BASE) == rolling_fingerprint(BASE)
+    # winnowing keeps the smallest k-gram hashes: robust to local edits
+    assert rolling_fingerprint(BASE) == rolling_fingerprint(BASE + " tail")
+    assert rolling_fingerprint(BASE) != rolling_fingerprint("completely different words here")
+
+
+def _emb_table(n=300, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant near-dups: 10 pairs of nearly-identical vectors
+    for i in range(10):
+        X[n - 1 - i] = X[i] + rng.normal(scale=1e-3, size=dim).astype(np.float32)
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)})
+
+
+def _brute_numpy(df, qids, k=10):
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        s = Xn @ Xn[q]
+        order = np.lexsort((df["vec_id"].to_numpy(), -s))
+        out[q] = list(df["vec_id"].to_numpy()[order][:k])
+    return out
+
+
+def test_brute_force_topk_matches_numpy():
+    df = _emb_table()
+    qids = [0, 5, 17]
+    Q = np.stack(df[df["vec_id"].isin(qids)].sort_values("vec_id")["embedding"].to_numpy())
+    got = brute_force_topk(rd.from_pandas(df), Q, np.array(sorted(qids)), k=10).to_pandas()
+    exp = _brute_numpy(df, sorted(qids))
+    for q in sorted(qids):
+        g = got[got["query_id"] == q].sort_values(["score", "vec_id"], ascending=[False, True])
+        assert list(g["vec_id"]) == exp[q]
+
+
+def test_ivf_recall_vs_brute():
+    df = _emb_table(600)
+    qids = list(range(8))
+    Q = np.stack(df[df["vec_id"].isin(qids)].sort_values("vec_id")["embedding"].to_numpy())
+    brute = _brute_numpy(df, qids, k=10)
+    got = ivf_topk(rd.from_pandas(df), Q, np.array(qids), k=10, n_centroids=12, nprobe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        g = set(got[got["query_id"] == q]["vec_id"])
+        recalls.append(len(g & set(brute[q])) / 10)
+    assert float(np.mean(recalls)) >= 0.8, recalls
+
+
+def test_embedding_neardup_finds_planted():
+    df = _emb_table()
+    n = len(df)
+    out = embedding_neardup(rd.from_pandas(df), threshold=0.99, n_planes=8, n_buckets=8).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    found = sum((i, n - 1 - i) in pairs for i in range(10))
+    assert found >= 8  # LSH recall; planted pairs are ~identical
+
+
+def test_multimodal_stub_plumbing():
+    import pyarrow as pa
+
+    from distributed_graph_computing_platform_ray.stages.multimodal import (
+        DecodeMedia,
+        decode_media,
+        frame_sample,
+        media_features,
+    )
+
+    media = rd.from_items(
+        [
+            {"media_id": i, "media_type": ["image", "audio", "video"][i % 3],
+             "payload": bytes([i]) * (100 + i)}
+            for i in range(9)
+        ]
+    )
+    dec = decode_media(media, stub=True).to_pandas()
+    assert set(dec.columns) == {"media_id", "media_type", "width", "height", "n_frames", "duration_ms", "n_bytes"}
+    assert (dec["n_bytes"].to_numpy() == np.arange(100, 109)).all()
+    # deterministic: same payload -> same fake decode
+    dec2 = decode_media(media, stub=True).to_pandas()
+    pd.testing.assert_frame_equal(dec.sort_values("media_id").reset_index(drop=True),
+                                  dec2.sort_values("media_id").reset_index(drop=True))
+
+    feats = media_features(media, dim=8, stub=True).to_pandas()
+    assert len(feats) == 9 and len(feats["feature"].iloc[0]) == 8
+
+    frames = frame_sample(media, n_samples=4, stub=True).to_pandas()
+    assert len(frames) == 36
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(deterministic_stub=False)
