@@ -1,37 +1,41 @@
-"""The BSP superstep engine: ONE message shuffle per superstep.
+"""The BSP superstep engine: ONE message shuffle per superstep, many
+supersteps per Ray execution.
 
 Reference control flow (SURVEY.md §3.1): a master broadcasts RUN each
 superstep, 7 workers run per-vertex Compute over their partition,
 exchange messages over an N x N TCP mesh, and ACK back
-(/root/reference/master/master.go:391-453, worker/worker.go:248-318).
-Correctness there rests on sleeps papering over an async flush race
-(§2.9). Here the driver loop is the master and each superstep is:
+(/root/reference/master/master.go:391-453, worker/worker.go:248-318) —
+with sleeps papering over an async flush race (§2.9). Here:
 
-  scatter: map_batches over the previous iteration's vertex-state
-           Parquet — stateless tasks against mmap'd CSR shards (state/csr.py),
-           emitting messages ALREADY combined per destination within
-           the block (a true combiner; the reference's "combiner" only
-           batches, never aggregates — worker/worker.go:397-421)
-  gather+apply: groupby(dst partition) — the ONE all-to-all — then a
-           vectorized per-partition reduce (sum/min/vote) + state
-           update, side-writing the next iteration's state Parquet.
+  scatter+carry: one map_batches over the unified state rows emits
+      the next superstep's messages (ALREADY combined per destination
+      within the block — a true combiner; the reference's "combiner"
+      only batches, never aggregates, worker/worker.go:397-421) AND
+      passes the state rows through,
+  gather+apply: groupby(destination partition) — the ONE all-to-all —
+      co-groups each partition's state with its inbox; a vectorized
+      kernel reduces (sum/min/vote) and applies the update.
 
-The shuffle is an exact barrier (no timing races), and messages are
-pre-combined per (block, dst), so a web-scale hub vertex receives at
-most one message row per upstream block instead of one per in-edge —
-the skew mitigation the north_rule asks for, without salting.
+Supersteps CHAIN LAZILY: ``checkpoint_interval`` supersteps run inside
+a single Ray Data execution (the driver never round-trips between
+them), then the state materializes, convergence is read off the active
+counts, and a Parquet checkpoint is written. The shuffle is an exact
+barrier, so no timing races; messages are pre-combined per (block,
+dst), so a web-scale hub receives at most one message row per
+upstream block — the skew mitigation the north_rule asks for, without
+salting.
 
-Checkpoint/resume: vertex state *is* the checkpoint. Every iteration
-directory ``state/iter=K`` is immutable, atomically written, completed
-by a ``_DONE.json`` marker carrying per-partition stats; ``resume=True``
-restarts from the newest complete iteration. The reference restarts the
-whole job from superstep 0 on any failure (master/master.go:431-445) —
-this engine loses at most one superstep.
+Checkpoint/resume: ``state/iter=K`` dirs are immutable, completed by a
+``_DONE.json`` marker; ``resume=True`` restarts from the newest
+complete one (the reference restarts the whole job from superstep 0 on
+any failure, master/master.go:431-445 — this engine loses at most
+``checkpoint_interval - 1`` supersteps).
 
-Scale: per-superstep driver traffic is O(n_parts) stats rows; vertex
-state streams disk -> task -> disk; only combined messages shuffle.
-At 10^12 vertices raise n_parts so each partition's state (~16 B/vertex)
-and CSR shard fit a worker heap.
+Scale: per-chunk driver traffic is one aggregate; state+combined
+messages shuffle through the object store (spill-backed); CSR shards
+are mmap'd per worker process (state/csr.py). At 10^12 vertices raise
+n_parts so each partition's state (~16 B/vertex) and CSR shard fit a
+worker heap.
 """
 
 from __future__ import annotations
@@ -43,8 +47,6 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from .algorithms import Algorithm
@@ -52,50 +54,70 @@ from .state.csr import load_shard
 from .state.manifest import GraphManifest
 from .utils import atomic_write_json, atomic_write_parquet
 
-_STATE_SCHEMA = pa.schema(
-    [("id", pa.int64()), ("value", pa.float64()), ("active", pa.bool_())]
+# unified row schema flowing through a chained superstep:
+#   kind 0 = state row  (dst = vertex id, value, count = active 0/1)
+#   kind 1 = message    (dst, value, count = votes for 'vote' combine)
+_UNIFIED = pa.schema(
+    [
+        ("part", pa.int64()),
+        ("dst", pa.int64()),
+        ("value", pa.float64()),
+        ("count", pa.int64()),
+        ("kind", pa.int8()),
+    ]
 )
 
+_STATE = pa.schema([("id", pa.int64()), ("value", pa.float64()), ("active", pa.bool_())])
 
-def _msg_schema(combine: str) -> pa.Schema:
-    fields = [("part", pa.int64()), ("dst", pa.int64()), ("value", pa.float64())]
-    if combine == "vote":
-        fields.append(("count", pa.int64()))
-    return pa.schema(fields)
+
+def _unified_table(part, dst, value, count, kind) -> pa.Table:
+    return pa.table(
+        {
+            "part": pa.array(part, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "value": pa.array(value, pa.float64()),
+            "count": pa.array(count, pa.int64()),
+            "kind": pa.array(kind, pa.int8()),
+        }
+    )
 
 
 def _combine_block(combine: str, dst: np.ndarray, val: np.ndarray):
-    """In-block message combiner — deterministic (sorted) reduction."""
+    """In-block message combiner — deterministic (sorted) reduction.
+    Returns (dst, value, count)."""
+    if len(dst) == 0:
+        return dst, val, np.zeros(0, dtype=np.int64)
     if combine == "vote":
         order = np.lexsort((val, dst))
         d, v = dst[order], val[order]
         boundary = np.ones(len(d), dtype=bool)
         boundary[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
         starts = np.flatnonzero(boundary)
-        cnt = np.add.reduceat(np.ones(len(d), dtype=np.int64), starts) if len(d) else np.empty(0, np.int64)
+        cnt = np.add.reduceat(np.ones(len(d), dtype=np.int64), starts)
         return d[starts], v[starts], cnt
     order = np.argsort(dst, kind="stable")
     d, v = dst[order], val[order]
     boundary = np.ones(len(d), dtype=bool)
     boundary[1:] = d[1:] != d[:-1]
     starts = np.flatnonzero(boundary)
-    if len(d) == 0:
-        return d, v, None
     red = np.add.reduceat if combine == "sum" else np.minimum.reduceat
-    return d[starts], red(v, starts), None
+    return d[starts], red(v, starts), np.zeros(len(starts), dtype=np.int64)
 
 
-def make_scatter(manifest: GraphManifest, algo: Algorithm, superstep: int):
-    """Batch fn: vertex-state rows -> combined outgoing message rows."""
+def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int):
+    """Unified state rows -> same rows + combined outgoing messages.
+
+    Emitting state and messages from ONE map keeps the per-superstep
+    plan linear (no dataset fan-out, which would re-execute the chain).
+    """
     part_size = manifest.part_size
     combine = algo.combine
-    schema = _msg_schema(combine)
 
     def scatter(t: pa.Table) -> pa.Table:
-        ids = t["id"].to_numpy()
+        ids = t["dst"].to_numpy()
         values = t["value"].to_numpy()
-        active = t["active"].to_numpy()
-        out_d, out_v, out_c = [], [], []
+        active = t["count"].to_numpy() != 0
+        out = [t]
         for p in np.unique(ids // part_size):
             shard = load_shard(manifest, int(p))
             sel = (ids // part_size == p) & active
@@ -112,34 +134,20 @@ def make_scatter(manifest: GraphManifest, algo: Algorithm, superstep: int):
             if so.add_edge_weight:
                 val = val + (w if w is not None else 1.0)
             d, v, c = _combine_block(combine, dst, val)
-            out_d.append(d)
-            out_v.append(v)
-            if c is not None:
-                out_c.append(c)
-        if not out_d:
-            return schema.empty_table()
-        d = np.concatenate(out_d)
-        v = np.concatenate(out_v)
-        cols = {"part": d // part_size, "dst": d, "value": v}
-        if combine == "vote":
-            cols["count"] = np.concatenate(out_c)
-        return pa.table({k: pa.array(cols[k]) for k in [f.name for f in schema]})
+            out.append(
+                _unified_table(d // part_size, d, v, c, np.ones(len(d), dtype=np.int8))
+            )
+        return pa.concat_tables(out) if len(out) > 1 else t
 
     return scatter
 
 
-def _reduce_messages(combine: str, n_local: int, lo: int, t: pa.Table):
+def _reduce_messages(combine: str, n_local: int, lo: int, dst, val, cnt):
     """Cross-block final reduction into dense per-local-vertex arrays.
-
-    Deterministic regardless of block arrival order (sorts first).
-    Returns (agg, has_msg).
-    """
-    mask = t["dst"].to_numpy() >= 0  # drop the per-part dummy row
-    dst = t["dst"].to_numpy()[mask] - lo
-    val = t["value"].to_numpy()[mask]
+    Deterministic regardless of arrival order (sorts first)."""
+    dst = dst - lo
     has = np.zeros(n_local, dtype=bool)
     if combine == "vote":
-        cnt = t["count"].to_numpy()[mask]
         if len(dst) == 0:
             return np.zeros(n_local), has
         order = np.lexsort((val, dst))
@@ -149,7 +157,6 @@ def _reduce_messages(combine: str, n_local: int, lo: int, t: pa.Table):
         starts = np.flatnonzero(boundary)
         d, v = d[starts], v[starts]
         c = np.add.reduceat(c, starts)
-        # winner per dst: max count, tie -> lowest label
         order2 = np.lexsort((v, -c, d))
         d2, v2 = d[order2], v[order2]
         first = np.ones(len(d2), dtype=bool)
@@ -172,82 +179,231 @@ def _reduce_messages(combine: str, n_local: int, lo: int, t: pa.Table):
     return agg, has
 
 
-def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int, prev_dir: str, new_dir: str):
-    """Group fn: all messages for one destination partition -> next state.
-
-    Side-writes ``new_dir/part-xxxxx.parquet`` atomically (task-retry
-    safe: a retried task rewrites identical bytes) and returns a 1-row
-    stats table. Partitions with no messages and no active vertices are
-    hard-linked from the previous iteration instead of rewritten.
-    """
-    stats_schema = pa.schema(
-        [
-            ("part", pa.int64()),
-            ("n_active", pa.int64()),
-            ("n_changed", pa.int64()),
-            ("delta", pa.float64()),
-        ]
-    )
+def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int):
+    """Group fn: one partition's state rows + inbox -> next state rows."""
 
     def apply_group(t: pa.Table) -> pa.Table:
         part = int(t["part"][0].as_py())
         lo, hi = manifest.part_bounds(part)
         n_local = hi - lo
-        prev_path = os.path.join(prev_dir, f"part-{part:05d}.parquet")
-        new_path = os.path.join(new_dir, f"part-{part:05d}.parquet")
-        n_real = int(pc.sum(pc.greater_equal(t["dst"], 0).cast(pa.int64())).as_py() or 0)
-        prev = pq.read_table(prev_path)
-        order = np.argsort(prev["id"].to_numpy(), kind="stable")
-        ids = prev["id"].to_numpy()[order]
-        old_values = prev["value"].to_numpy()[order]
-        old_active = prev["active"].to_numpy()[order]
-        if n_real == 0 and not old_active.any():
-            # quiescent partition: state is unchanged, link not rewrite
-            if not os.path.exists(new_path):
-                try:
-                    os.link(prev_path, new_path)
-                except OSError:
-                    shutil.copyfile(prev_path, new_path)
-            return pa.table(
-                {"part": [part], "n_active": [0], "n_changed": [0], "delta": [0.0]},
-                schema=stats_schema,
-            )
-        agg, has_msg = _reduce_messages(algo.combine, n_local, lo, t)
-        new_values, new_active, changed = algo.apply(old_values, agg, has_msg, superstep)
-        out = pa.table(
-            {
-                "id": pa.array(ids, pa.int64()),
-                "value": pa.array(new_values, pa.float64()),
-                "active": pa.array(new_active, pa.bool_()),
-            }
+        kind = t["kind"].to_numpy()
+        dst = t["dst"].to_numpy()
+        val = t["value"].to_numpy()
+        cnt = t["count"].to_numpy()
+
+        st = kind == 0
+        order = np.argsort(dst[st], kind="stable")
+        ids = dst[st][order]
+        old_values = val[st][order]
+        agg, has_msg = _reduce_messages(
+            algo.combine, n_local, lo, dst[~st], val[~st], cnt[~st]
         )
-        atomic_write_parquet(new_path, out)
-        both_finite = changed & np.isfinite(new_values) & np.isfinite(old_values)
-        delta = float(np.abs(new_values[both_finite] - old_values[both_finite]).sum())
-        return pa.table(
-            {
-                "part": [part],
-                "n_active": [int(new_active.sum())],
-                "n_changed": [int(changed.sum())],
-                "delta": [delta],
-            },
-            schema=stats_schema,
+        new_values, new_active, _changed = algo.apply(old_values, agg, has_msg, superstep)
+        return _unified_table(
+            np.full(n_local, part, dtype=np.int64),
+            ids,
+            np.asarray(new_values, dtype=np.float64),
+            new_active.astype(np.int64),
+            np.zeros(n_local, dtype=np.int8),
         )
 
     return apply_group
 
 
+# ---------------------------------------------------------------------------
+# core-exchange backend: the per-superstep shuffle as raw Ray tasks.
+#
+# WHY (measured, see BASELINE.md): the partition function here is pure
+# arithmetic (dst // part_size) over a KNOWN part count, but Dataset
+# groupby can only express it as a sort-based all-to-all — which ran a
+# serial sample/sort stage of ~30s per superstep at 22M message rows
+# and did not speed up 8->32 CPUs. Ray Data has no "partition by this
+# function" operator, so this is the documented drop-to-Ray-core case:
+# scatter tasks return one pre-combined message table PER DESTINATION
+# PARTITION (num_returns = n_parts), apply tasks consume exactly their
+# partition's chunks. Kernels (combine/reduce/apply) are byte-for-byte
+# the same functions the Dataset backend uses; results are identical
+# (tested). Partitioning assumption: contiguous id ranges, n_parts
+# fixed for the graph's lifetime; at P partitions a superstep creates
+# P^2 small objects — size P to O(cluster cores), not O(vertices).
+
+
+def _scatter_core(manifest, algo, superstep, ids, values, active):
+    """One partition's outgoing messages, pre-combined and split per
+    destination partition.
+
+    Returns a list with one entry per destination partition:
+      None                    no messages for that partition
+      ("dense", vec)          sum-combined DENSE vector over the whole
+                              destination id range — a single bincount,
+                              no sorts; used for the 'sum' combiner when
+                              the message count justifies it (the
+                              message-volume/memory-traffic optimization
+                              that makes PageRank bandwidth-frugal)
+      ("sparse", d, v, c)     combined sparse triples (sorted by dst)
+    """
+    part_size = manifest.part_size
+    n_parts = manifest.n_parts
+    out = [None] * n_parts
+    p = int(ids[0]) // part_size if len(ids) else 0
+    shard = load_shard(manifest, p)
+    sel = active
+    if not sel.any():
+        return out
+    sel_ids = ids[sel]
+    local = sel_ids - shard.lo
+    degs = (shard.indptr[local + 1] - shard.indptr[local]).astype(np.int64)
+    so = algo.message_base(sel_ids, values[sel], degs, superstep)
+    row_per_edge, dst, w = shard.gather(local)
+    if len(dst) == 0:
+        return out
+    val = np.asarray(so.base, dtype=np.float64)[row_per_edge]
+    if so.add_edge_weight:
+        val = val + (w if w is not None else 1.0)
+
+    if algo.combine == "sum" and len(dst) >= manifest.part_size // 4:
+        # dense path: one bincount over the destination space, then
+        # slice per destination partition; empty slices stay None
+        dense = np.bincount(dst, weights=val, minlength=n_parts * part_size)
+        touched = np.bincount(dst // part_size, minlength=n_parts)
+        for q in range(n_parts):
+            if touched[q]:
+                out[q] = ("dense", dense[q * part_size : (q + 1) * part_size])
+        return out
+
+    d, v, c = _combine_block(algo.combine, dst, val)
+    dp = d // part_size
+    # d is sorted -> destination partitions are contiguous runs
+    bounds = np.searchsorted(dp, np.arange(n_parts + 1))
+    for q in range(n_parts):
+        lo_i, hi_i = bounds[q], bounds[q + 1]
+        if hi_i > lo_i:
+            out[q] = ("sparse", d[lo_i:hi_i], v[lo_i:hi_i], c[lo_i:hi_i])
+    return out
+
+
+def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
+    """Reduce this partition's inbox chunks (dense and/or sparse) and
+    apply the update. For dense sum chunks, has_msg is approximated as
+    "aggregate != 0" — only the 'sum' combiner produces dense chunks
+    and its sole user (PageRank) ignores has_msg."""
+    p = int(ids[0]) // manifest.part_size
+    lo, hi = manifest.part_bounds(p)
+    n_local = hi - lo
+    dense_acc = None
+    sp_d, sp_v, sp_c = [], [], []
+    for m in msg_chunks:
+        if m is None:
+            continue
+        if m[0] == "dense":
+            vec = m[1][:n_local]
+            dense_acc = vec.astype(np.float64, copy=True) if dense_acc is None else dense_acc + vec
+        else:
+            sp_d.append(m[1])
+            sp_v.append(m[2])
+            sp_c.append(m[3])
+    if sp_d:
+        dst = np.concatenate(sp_d)
+        val = np.concatenate(sp_v)
+        cnt = np.concatenate(sp_c)
+    else:
+        dst = np.empty(0, dtype=np.int64)
+        val = np.empty(0)
+        cnt = np.empty(0, dtype=np.int64)
+    agg, has_msg = _reduce_messages(algo.combine, n_local, lo, dst, val, cnt)
+    if dense_acc is not None:  # only possible for 'sum'
+        agg = agg + dense_acc
+        has_msg = has_msg | (dense_acc != 0)
+    new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep)
+    return new_values, new_active.astype(bool)
+
+
+def _core_tasks():
+    """Lazily-defined Ray remote wrappers (module import must not
+    require an initialized Ray)."""
+    import ray
+
+    global _SCATTER_T, _APPLY_T, _LOAD_T, _CKPT_T
+    try:
+        return _SCATTER_T, _APPLY_T, _LOAD_T, _CKPT_T
+    except NameError:
+        pass
+
+    @ray.remote
+    def scatter_task(man, algo, superstep, part, state):
+        values, active = state
+        lo, hi = man.part_bounds(part)
+        ids = np.arange(lo, hi, dtype=np.int64)
+        return _scatter_core(man, algo, superstep, ids, values, active)
+
+    @ray.remote(num_returns=2)
+    def apply_task(man, algo, superstep, part, state, *chunks):
+        values, active = state
+        lo, hi = man.part_bounds(part)
+        ids = np.arange(lo, hi, dtype=np.int64)
+        nv, na = _apply_core(man, algo, superstep, ids, values, chunks)
+        return (nv, na), int(na.sum())
+
+    @ray.remote
+    def load_task(iter_dir, man, part):
+        import pyarrow.parquet as pq
+
+        path = os.path.join(iter_dir, f"part-{part:05d}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path)
+        else:  # checkpoint written by the dataset backend: filter
+            import pyarrow.dataset as pads
+
+            lo, hi = man.part_bounds(part)
+            t = pads.dataset(iter_dir).to_table(
+                filter=(pads.field("id") >= lo) & (pads.field("id") < hi)
+            )
+        order = np.argsort(t["id"].to_numpy(), kind="stable")
+        return (
+            t["value"].to_numpy()[order].astype(np.float64),
+            t["active"].to_numpy(zero_copy_only=False)[order].astype(bool),
+        )
+
+    @ray.remote
+    def ckpt_task(man, part, state, iter_dir):
+        values, active = state
+        lo, hi = man.part_bounds(part)
+        atomic_write_parquet(
+            os.path.join(iter_dir, f"part-{part:05d}.parquet"),
+            pa.table(
+                {
+                    "id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                    "value": pa.array(values, pa.float64()),
+                    "active": pa.array(active, pa.bool_()),
+                }
+            ),
+        )
+        return part
+
+    _SCATTER_T, _APPLY_T, _LOAD_T, _CKPT_T = scatter_task, apply_task, load_task, ckpt_task
+    return _SCATTER_T, _APPLY_T, _LOAD_T, _CKPT_T
+
+
 class BSPEngine:
     """Driver-side superstep loop — the reference master's role
-    (master/master.go:391-453) with the barrier provided by the shuffle
-    instead of ACK counting + sleeps.
+    (master/master.go:391-453) with the barrier provided by the
+    shuffle instead of ACK counting + sleeps.
+
+    Two execution backends with IDENTICAL kernels and results:
+      "dataset"  each superstep is a map_batches + groupby shuffle
+                 over a ray.data.Dataset — the canonical Ray-Data
+                 expression (good when supersteps are few or fused
+                 with other Dataset stages)
+      "core"     the exchange runs as raw Ray tasks with per-partition
+                 returns (see _scatter_core) — the measured-fast path
+                 for iteration-heavy jobs (default)
     """
 
     def __init__(self, manifest: GraphManifest, work_dir: str, keep_iters: int | None = None):
         self.manifest = manifest
         self.work_dir = work_dir
         self.state_root = os.path.join(work_dir, "state")
-        self.keep_iters = keep_iters  # None = keep every iteration
+        self.keep_iters = keep_iters  # None = keep every checkpoint
 
     def iter_dir(self, k: int) -> str:
         return os.path.join(self.state_root, f"iter={k:04d}")
@@ -294,80 +450,172 @@ class BSPEngine:
         rd.range(man.n_parts).map_batches(init_part, batch_format="pyarrow").take_all()
         atomic_write_json(
             os.path.join(d0, "_DONE.json"),
-            {"superstep": -1, "algo": algo.name, "n_active": man.n_vertices},
+            {"superstep": -1, "algo": algo.name, "n_active": int(man.n_vertices)},
         )
 
-    def _superstep(self, algo: Algorithm, s: int) -> dict:
-        man = self.manifest
-        prev_dir, new_dir = self.iter_dir(s), self.iter_dir(s + 1)
-        os.makedirs(new_dir, exist_ok=True)
+    def _load_state(self, k: int) -> rd.Dataset:
+        part_size = self.manifest.part_size
 
-        state = rd.read_parquet(prev_dir)
-        msgs = state.map_batches(
-            make_scatter(man, algo, s), batch_format="pyarrow", zero_copy_batch=True
-        )
-        # one dummy row per partition guarantees every partition applies
-        # (and deactivates / links) even with an empty inbox
-        schema = _msg_schema(algo.combine)
-        dummy_cols = {
-            "part": np.arange(man.n_parts, dtype=np.int64),
-            "dst": np.full(man.n_parts, -1, dtype=np.int64),
-            "value": np.zeros(man.n_parts),
-        }
-        if algo.combine == "vote":
-            dummy_cols["count"] = np.zeros(man.n_parts, dtype=np.int64)
-        dummy = rd.from_arrow(pa.table({f.name: pa.array(dummy_cols[f.name], f.type) for f in schema}))
+        def to_unified(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy()
+            return _unified_table(
+                ids // part_size,
+                ids,
+                t["value"].to_numpy(),
+                t["active"].to_numpy().astype(np.int64),
+                np.zeros(len(ids), dtype=np.int8),
+            )
 
-        stats_rows = (
-            msgs.union(dummy)
-            .groupby("part")
-            .map_groups(make_apply(man, algo, s, prev_dir, new_dir), batch_format="pyarrow")
-            .take_all()
+        return rd.read_parquet(self.iter_dir(k)).map_batches(to_unified, batch_format="pyarrow")
+
+    def _checkpoint(self, state: rd.Dataset, k: int, algo: Algorithm, n_active: int) -> None:
+        d = self.iter_dir(k)
+        shutil.rmtree(d, ignore_errors=True)
+
+        def to_state(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": t["dst"],
+                    "value": t["value"],
+                    "active": pa.array(t["count"].to_numpy() != 0),
+                },
+                schema=_STATE,
+            )
+
+        state.map_batches(to_state, batch_format="pyarrow").write_parquet(d)
+        atomic_write_json(
+            os.path.join(d, "_DONE.json"),
+            {"superstep": k - 1, "algo": algo.name, "n_active": int(n_active)},
         )
-        stats = {
-            "superstep": s,
-            "n_active": int(sum(r["n_active"] for r in stats_rows)),
-            "n_changed": int(sum(r["n_changed"] for r in stats_rows)),
-            "delta": float(sum(r["delta"] for r in stats_rows)),
-            "n_parts": len(stats_rows),
-        }
-        atomic_write_json(os.path.join(new_dir, "_DONE.json"), {"algo": algo.name, **stats})
         if self.keep_iters is not None:
-            victim = s + 1 - self.keep_iters
-            if victim >= 1:  # keep iter 0 (cheap, and useful lineage)
-                shutil.rmtree(self.iter_dir(victim), ignore_errors=True)
-        return stats
+            for old in self._complete_iters():
+                if 0 < old <= k - self.keep_iters:
+                    shutil.rmtree(self.iter_dir(old), ignore_errors=True)
 
     # ------------------------------------------------------------------
-    def run(self, algo: Algorithm, resume: bool = False) -> int:
+    def run(
+        self,
+        algo: Algorithm,
+        resume: bool = False,
+        checkpoint_interval: int = 1,
+        backend: str = "core",
+    ) -> int:
         """Run to termination; returns the final iteration index.
 
-        ``resume=True`` continues from the newest complete iteration
-        (the reference instead restarts from superstep 0 on failure,
-        master/master.go:431-445).
+        ``checkpoint_interval`` supersteps run per execution chunk;
+        convergence (for halting algorithms) is evaluated at chunk
+        boundaries — sound because a converged state is a fixpoint
+        (extra supersteps emit no messages and change nothing).
+        ``resume=True`` continues from the newest complete checkpoint.
         """
+        if backend == "core":
+            return self._run_core(algo, resume, checkpoint_interval)
         done = self._complete_iters() if resume else []
         if done:
-            start = done[-1]
+            s = done[-1]
         else:
             if os.path.isdir(self.state_root):
                 shutil.rmtree(self.state_root)
             self._init_state(algo)
-            start = 0
+            s = 0
 
+        state = self._load_state(s)
         max_s = algo.max_supersteps()
-        s = start
         history = []
         while True:
             if max_s is not None and s >= max_s:
                 break
-            stats = self._superstep(algo, s)
-            history.append(stats)
-            s += 1
-            if algo.halt_on_no_change() and stats["n_changed"] == 0:
+            k_steps = checkpoint_interval
+            if max_s is not None:
+                k_steps = min(k_steps, max_s - s)
+            for i in range(k_steps):
+                state = (
+                    state.map_batches(
+                        make_scatter_carry(self.manifest, algo, s + i),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                    .groupby("part")
+                    .map_groups(make_apply(self.manifest, algo, s + i), batch_format="pyarrow")
+                )
+            state = state.materialize()
+            s += k_steps
+            n_active = int(state.sum("count") or 0)
+            self._checkpoint(state, s, algo, n_active)
+            history.append({"superstep": s, "n_active": n_active})
+            if algo.halt_on_no_change() and n_active == 0:
                 break
         atomic_write_json(
             os.path.join(self.work_dir, "run.json"),
             {"algo": algo.name, "final_iter": s, "history": history[-50:]},
+        )
+        return s
+
+    # ------------------------------------------------------------------
+    def _run_core(self, algo: Algorithm, resume: bool, checkpoint_interval: int) -> int:
+        import ray
+
+        scatter_t, apply_t, load_t, ckpt_t = _core_tasks()
+        man = self.manifest
+        P = man.n_parts
+
+        done = self._complete_iters() if resume else []
+        if done:
+            s = done[-1]
+        else:
+            if os.path.isdir(self.state_root):
+                shutil.rmtree(self.state_root)
+            self._init_state(algo)
+            s = 0
+
+        man_ref = ray.put(man)
+        algo_ref = ray.put(algo)
+        state_refs = [load_t.remote(self.iter_dir(s), man_ref, p) for p in range(P)]
+
+        max_s = algo.max_supersteps()
+        history = []
+        while True:
+            if max_s is not None and s >= max_s:
+                break
+            k_steps = checkpoint_interval
+            if max_s is not None:
+                k_steps = min(k_steps, max_s - s)
+            nact_refs = []
+            for i in range(k_steps):
+                outs = []
+                for p in range(P):
+                    o = scatter_t.options(num_returns=P).remote(
+                        man_ref, algo_ref, s + i, p, state_refs[p]
+                    )
+                    outs.append([o] if P == 1 else o)
+                new_refs, nact_refs = [], []
+                for q in range(P):
+                    chunks = [outs[p][q] for p in range(P)]
+                    sref, aref = apply_t.remote(
+                        man_ref, algo_ref, s + i, q, state_refs[q], *chunks
+                    )
+                    new_refs.append(sref)
+                    nact_refs.append(aref)
+                state_refs = new_refs
+            s += k_steps
+            n_active = int(sum(ray.get(nact_refs)))
+            d = self.iter_dir(s)
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+            ray.get([ckpt_t.remote(man_ref, p, state_refs[p], d) for p in range(P)])
+            atomic_write_json(
+                os.path.join(d, "_DONE.json"),
+                {"superstep": s - 1, "algo": algo.name, "n_active": n_active},
+            )
+            if self.keep_iters is not None:
+                for old in self._complete_iters():
+                    if 0 < old <= s - self.keep_iters:
+                        shutil.rmtree(self.iter_dir(old), ignore_errors=True)
+            history.append({"superstep": s, "n_active": n_active})
+            if algo.halt_on_no_change() and n_active == 0:
+                break
+        atomic_write_json(
+            os.path.join(self.work_dir, "run.json"),
+            {"algo": algo.name, "final_iter": s, "history": history[-50:], "backend": "core"},
         )
         return s

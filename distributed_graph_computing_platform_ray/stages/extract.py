@@ -52,19 +52,31 @@ class ExtractText:
         )
 
 
-def extract_links(pages: rd.Dataset, concurrency=(2, 8), batch_size: int = 256) -> rd.Dataset:
+def _pool_size() -> int:
+    """Size the actor pool to the cluster, leaving headroom for the
+    read and downstream shuffle stages."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus - 2)
+
+
+def extract_links(pages: rd.Dataset, concurrency=None, batch_size: int = 256) -> rd.Dataset:
     return pages.map_batches(
         ExtractLinks,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or _pool_size(),
     )
 
 
-def extract_text(pages: rd.Dataset, concurrency=(2, 8), batch_size: int = 256) -> rd.Dataset:
+def extract_text(pages: rd.Dataset, concurrency=None, batch_size: int = 256) -> rd.Dataset:
     return pages.map_batches(
         ExtractText,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or _pool_size(),
     )

@@ -1,0 +1,68 @@
+"""The two engine backends (dataset groupby-shuffle vs core exchange)
+must produce equivalent results for every algorithm."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from distributed_graph_computing_platform_ray.algorithms import (
+    ConnectedComponents,
+    LabelPropagation,
+    PageRank,
+    SSSP,
+)
+from distributed_graph_computing_platform_ray.engine import BSPEngine
+from distributed_graph_computing_platform_ray.pipelines.graph import lookup_vertex_id
+from distributed_graph_computing_platform_ray.pipelines.ingest import build_graph
+from distributed_graph_computing_platform_ray.sources.edge_list import read_edge_list
+from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
+
+TMP = "/tmp/graft_tests/backends"
+
+
+@pytest.fixture(scope="module")
+def graph(fixtures_dir):
+    gdir = f"{TMP}/graph"
+    if not os.path.exists(os.path.join(gdir, "manifest.json")):
+        shutil.rmtree(gdir, ignore_errors=True)
+        build_graph(
+            read_edge_list(os.path.join(fixtures_dir, "graph_small.txt")),
+            gdir, n_parts=4, n_buckets=8, dedup=False,
+        )
+    return GraphManifest.load(gdir)
+
+
+def _final_state(man, algo, backend, tag):
+    w = f"{TMP}/{tag}_{backend}"
+    shutil.rmtree(w, ignore_errors=True)
+    eng = BSPEngine(man, w)
+    final = eng.run(algo, checkpoint_interval=3, backend=backend)
+    t = pads.dataset(eng.iter_dir(final)).to_table().to_pandas()
+    return t.sort_values("id").reset_index(drop=True), final
+
+
+@pytest.mark.parametrize(
+    "tag,make",
+    [
+        ("pr", lambda man: PageRank(man.n_vertices, num_iters=7)),
+        ("cc", lambda man: ConnectedComponents()),
+        ("lp", lambda man: LabelPropagation(num_iters=5)),
+        ("sssp", lambda man: SSSP(source_id=-1)),  # patched below
+    ],
+)
+def test_backend_equivalence(graph, tag, make):
+    algo_d = make(graph)
+    algo_c = make(graph)
+    if tag == "sssp":
+        sid = lookup_vertex_id(graph, "1")
+        algo_d.source = sid
+        algo_c.source = sid
+    d, fd = _final_state(graph, algo_d, "dataset", tag)
+    c, fc = _final_state(graph, algo_c, "core", tag)
+    assert fd == fc
+    assert (d["id"].to_numpy() == c["id"].to_numpy()).all()
+    # dense-sum reduction may differ in float addition order -> allclose
+    np.testing.assert_allclose(d["value"].to_numpy(), c["value"].to_numpy(), atol=1e-12)

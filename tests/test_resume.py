@@ -16,13 +16,16 @@ TMP = "/tmp/graft_tests/resume"
 
 
 def _state_bytes(work_dir, it):
+    """Full state content of a checkpoint, filename-independent."""
     d = os.path.join(work_dir, "state", f"iter={it:04d}")
-    out = {}
-    for name in sorted(os.listdir(d)):
-        if name.endswith(".parquet"):
-            t = pq.read_table(os.path.join(d, name))
-            out[name] = t.to_pandas().sort_values("id").to_csv(index=False)
-    return out
+    frames = [
+        pq.read_table(os.path.join(d, name)).to_pandas()
+        for name in sorted(os.listdir(d))
+        if name.endswith(".parquet")
+    ]
+    import pandas as pd
+
+    return pd.concat(frames).sort_values("id").reset_index(drop=True).to_csv(index=False)
 
 
 def test_resume_bit_identical(fixtures_dir):
