@@ -77,10 +77,22 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
         .materialize()
     )
 
-    counts = ranked.groupby(_BUCKET).count().take_all()  # <= n_buckets rows
+    # one cheap pass over the (materialized) ranked keys gathers bucket
+    # counts AND the all-keys-integral flag — no extra groupby
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(_BUCKET, as_index=False).size()
+        g["n_nonnum"] = 0
+        nonnum = int((~df["key"].astype(str).str.fullmatch(r"[+-]?\d+")).sum())
+        if len(g):
+            g.loc[g.index[0], "n_nonnum"] = nonnum
+        return g[[_BUCKET, "size", "n_nonnum"]]
+
+    rows = ranked.map_batches(stats, batch_format="pandas").take_all()
     offsets = np.zeros(n_buckets + 1, dtype=np.int64)
-    for row in counts:
-        offsets[int(row[_BUCKET]) + 1] = int(row["count()"])
+    n_nonnum = 0
+    for row in rows:
+        offsets[int(row[_BUCKET]) + 1] += int(row["size"])
+        n_nonnum += int(row["n_nonnum"])
     np.cumsum(offsets, out=offsets)
     n_vertices = int(offsets[-1])
 
@@ -90,22 +102,46 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
         return pa.table({"key": t["key"], "id": pa.array(ids, pa.int64())})
 
     dict_ds = ranked.map_batches(assign_id, batch_format="pyarrow").materialize()
-    return dict_ds, n_vertices
+    return dict_ds, n_vertices, n_nonnum == 0
 
 
 def encode_edges(
-    edges: rd.Dataset, dict_ds: rd.Dataset, src_col: str, dst_col: str, n_buckets: int
+    edges: rd.Dataset,
+    dict_ds: rd.Dataset,
+    src_col: str,
+    dst_col: str,
+    n_buckets: int,
+    weighted: bool = False,
+    dedup_pairs: bool = False,
 ) -> rd.Dataset:
-    """(src_key, dst_key[, weight]) -> (src, dst[, weight]) via two hash joins."""
+    """(src_key, dst_key[, weight]) -> (src, dst[, weight]) via two hash
+    joins. ``dedup_pairs`` fuses exact edge dedup into the first join
+    (pairs sharing src_key share a bucket), saving a whole shuffle.
+    Explicit schemas are threaded so no lazy shuffle is executed just
+    for column discovery."""
     src_dict = dict_ds.map_batches(
         lambda t: pa.table({"key": t["key"], "src": t["id"]}), batch_format="pyarrow"
     )
     dst_dict = dict_ds.map_batches(
         lambda t: pa.table({"key": t["key"], "dst": t["id"]}), batch_format="pyarrow"
     )
-    step1 = bucket_join(edges, src_dict, left_on=src_col, right_on="key", n_buckets=n_buckets)
-    step2 = bucket_join(step1, dst_dict, left_on=dst_col, right_on="key", n_buckets=n_buckets)
-    weighted = "weight" in edges.schema().names
+    wcols = [("weight", pa.float64())] if weighted else []
+    edges_schema = pa.schema(
+        [(src_col, pa.string()), (dst_col, pa.string()), *wcols]
+    )
+    dict_schema = lambda out: pa.schema([("key", pa.large_string()), (out, pa.int64())])  # noqa: E731
+    step1 = bucket_join(
+        edges, src_dict, left_on=src_col, right_on="key", n_buckets=n_buckets,
+        left_schema=edges_schema, right_schema=dict_schema("src"),
+        left_dedup_cols=[src_col, dst_col, *("weight",) * weighted] if dedup_pairs else None,
+    )
+    step1_schema = pa.schema(
+        [(src_col, pa.string()), (dst_col, pa.string()), *wcols, ("src", pa.int64())]
+    )
+    step2 = bucket_join(
+        step1, dst_dict, left_on=dst_col, right_on="key", n_buckets=n_buckets,
+        left_schema=step1_schema, right_schema=dict_schema("dst"),
+    )
 
     def normalize(t: pa.Table) -> pa.Table:
         # null-padded union columns come back as float64; restore int64
@@ -240,27 +276,22 @@ def build_graph(
     os.makedirs(os.path.join(graph_dir, "vertices"), exist_ok=True)
     os.makedirs(os.path.join(graph_dir, "csr"), exist_ok=True)
 
+    # materialize the key-edges once: they feed both the dictionary and
+    # the encode joins (a lazy chain would re-run extraction per consumer)
+    edges_keys = edges_keys.materialize()
     weighted = "weight" in edges_keys.schema().names
-    if dedup:
-        cols = [src_col, dst_col] + (["weight"] if weighted else [])
-        edges_keys = distinct(edges_keys, cols, n_buckets=n_buckets)
 
-    dict_ds, n_vertices = build_dictionary(edges_keys, src_col, dst_col, n_buckets)
+    # dedup note: exact (src,dst[,weight]) dedup is FUSED into the
+    # first encode join (same src_key => same bucket) — no extra
+    # shuffle. Duplicate keys don't affect the dictionary (it ranks
+    # distinct keys regardless). keys_numeric: CC/LP propagate original
+    # ids as labels when every key is integral ("component id = min
+    # original vertex id").
+    dict_ds, n_vertices, keys_numeric = build_dictionary(
+        edges_keys, src_col, dst_col, n_buckets
+    )
     if n_vertices == 0:
         raise ValueError("empty edge input — no vertices")
-
-    # Are ALL keys integers? Then CC/LP can propagate original ids as
-    # labels (matching "component id = min original vertex id").
-    n_nonnum = (
-        dict_ds.map_batches(
-            lambda df: pd.DataFrame(
-                {"bad": [int((~df["key"].str.fullmatch(r"[+-]?\d+")).sum())]}
-            ),
-            batch_format="pandas",
-        ).sum("bad")
-        or 0
-    )
-    keys_numeric = int(n_nonnum) == 0
 
     part_size, n_parts = GraphManifest.plan(graph_dir, n_vertices, n_parts)
     manifest = GraphManifest(
@@ -276,7 +307,10 @@ def build_graph(
         source=source_info or {},
     )
 
-    edges = encode_edges(edges_keys, dict_ds, src_col, dst_col, n_buckets)
+    edges = encode_edges(
+        edges_keys, dict_ds, src_col, dst_col, n_buckets,
+        weighted=weighted, dedup_pairs=dedup,
+    )
     if symmetrize_edges:
         edges = symmetrize(edges)
 

@@ -81,10 +81,20 @@ def triangle_count(
 
     # attach both degrees (two partitioned hash joins — the scale path;
     # a broadcast would also work when N is small)
+    deg = deg.materialize()  # reused by both joins; it's N rows
     da = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_a": t["deg"]}), batch_format="pyarrow")
     db = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_b": t["deg"]}), batch_format="pyarrow")
-    e1 = bucket_join(simple, da, left_on="src", right_on="v", n_buckets=n_buckets)
-    e2 = bucket_join(e1, db, left_on="dst", right_on="v", n_buckets=n_buckets)
+    ii = pa.int64()
+    e1 = bucket_join(
+        simple, da, left_on="src", right_on="v", n_buckets=n_buckets,
+        left_schema=pa.schema([("src", ii), ("dst", ii)]),
+        right_schema=pa.schema([("v", ii), ("deg_a", ii)]),
+    )
+    e2 = bucket_join(
+        e1, db, left_on="dst", right_on="v", n_buckets=n_buckets,
+        left_schema=pa.schema([("src", ii), ("dst", ii), ("deg_a", ii)]),
+        right_schema=pa.schema([("v", ii), ("deg_b", ii)]),
+    )
 
     def orient(t: pa.Table) -> pa.Table:
         a = t["src"].to_numpy().astype(np.int64)
@@ -155,7 +165,11 @@ def triangle_count(
         matches = wedges.map_batches(Close, batch_format="pyarrow", concurrency=(1, 16))
     else:
         ek = oriented.map_batches(edge_keys, batch_format="pyarrow")
-        matches = bucket_join(wedges, ek, left_on="k", right_on="k", n_buckets=n_buckets)
+        matches = bucket_join(
+            wedges, ek, left_on="k", right_on="k", n_buckets=n_buckets,
+            left_schema=pa.schema([("k", pa.int64()), ("w_u", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("hit", pa.int8())]),
+        )
     matches = matches.materialize() if per_vertex else matches
     total = matches.count()
 

@@ -140,12 +140,19 @@ def verify_jaccard(
         lambda t: pa.table({"jid": t[id_col].cast(pa.int64()), "jtext": t[text_col]}),
         batch_format="pyarrow",
     )
+    # explicit schemas: both join inputs are lazy shuffle outputs, and
+    # Dataset.schema() would execute them just for column discovery
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    txt_schema = lambda c: pa.schema([("jid", pa.int64()), (c, pa.large_string())])  # noqa: E731
     j1 = bucket_join(pairs, texts.map_batches(
         lambda t: pa.table({"jid": t["jid"], "text_a": t["jtext"]}), batch_format="pyarrow"
-    ), left_on="a", right_on="jid", n_buckets=n_buckets)
+    ), left_on="a", right_on="jid", n_buckets=n_buckets,
+        left_schema=pair_schema, right_schema=txt_schema("text_a"))
     j2 = bucket_join(j1, texts.map_batches(
         lambda t: pa.table({"jid": t["jid"], "text_b": t["jtext"]}), batch_format="pyarrow"
-    ), left_on="b", right_on="jid", n_buckets=n_buckets)
+    ), left_on="b", right_on="jid", n_buckets=n_buckets,
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("text_a", pa.large_string())]),
+        right_schema=txt_schema("text_b"))
 
     def score(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy().astype(np.int64)
@@ -178,14 +185,14 @@ def minhash_dedup(
     verified pair graph — no driver-side union-find, so the pair set
     can be arbitrarily large.
     """
-    cand = minhash_candidates(ds, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    cand = minhash_candidates(ds, id_col=id_col, text_col=text_col, **lsh_kwargs).materialize()
     verified = verify_jaccard(cand, ds, id_col=id_col, text_col=text_col,
                               shingle_k=lsh_kwargs.get("shingle_k", 3))
     thr = int(threshold * 1e6)
     edges = verified.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["jaccard_e6"], thr)),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed by count + graph build
     if edges.count() == 0:
         return rd.from_items([]).map_batches(
             lambda df: pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),

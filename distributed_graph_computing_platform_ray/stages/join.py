@@ -89,6 +89,9 @@ def bucket_join(
     right_on: str,
     n_buckets: int = 64,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+    left_dedup_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Partitioned hash equi-join of two Datasets in one shuffle.
 
@@ -97,6 +100,14 @@ def bucket_join(
     Correct because matching keys always share a bucket. For skewed
     keys, raise ``n_buckets`` (hot key cost is bounded by its own group,
     not the whole shuffle).
+
+    Pass ``left_schema``/``right_schema`` when the side is a lazy
+    shuffle output: ``Dataset.schema()`` would otherwise EXECUTE that
+    plan just to learn column names (a full extra shuffle).
+    ``left_dedup_cols`` drops duplicate left rows on those columns per
+    bucket — a free global dedup when the columns include the join key
+    (same key => same bucket), fusing what would be a separate
+    distinct() shuffle into this one.
     """
     def _arrow_type(t) -> pa.DataType:
         # Dataset.schema() may report numpy dtypes for pandas-block
@@ -108,8 +119,10 @@ def bucket_join(
             return pa.string()
         return pa.from_numpy_dtype(t)
 
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names if c != right_on]
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lcols = [c for c in lschema.names]
+    rcols = [c for c in rschema.names if c != right_on]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"bucket_join column overlap: {overlap}")
@@ -136,7 +149,6 @@ def bucket_join(
         return fn
 
     # Resolve column types up-front so null padding has a concrete type.
-    lschema, rschema = left.schema(), right.schema()
     _SCHEMA_TYPES = {}
     for name, typ in zip(lschema.names, lschema.types):
         _SCHEMA_TYPES[name] = _arrow_type(typ)
@@ -157,6 +169,8 @@ def bucket_join(
         # break hash agreement downstream).
         side = t[_SIDE]
         l = t.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        if left_dedup_cols:
+            l = l.drop_duplicates(left_dedup_cols)
         r = (
             t.filter(pc.equal(side, 1))
             .select([left_on, *rcols])
