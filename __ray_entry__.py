@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": T.q_top_terms,
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
+        "events_sessionize": T.q_events_sessionize,
         "ann_topk": T.q_ann_topk,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
@@ -211,6 +212,19 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*)::BIGINT AS n_events, "
             "CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_e6 "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH g AS ( "
+            "  SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "         epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 "
+            "         THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, sum(new_s) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+            "SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start_epoch, "
+            "count(*)::BIGINT AS n_events, "
+            "(epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000) AS duration_s "
+            "FROM s GROUP BY user_id, sid"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "

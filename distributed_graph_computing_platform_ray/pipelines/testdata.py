@@ -347,6 +347,50 @@ def q_events_hourly(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
+    """Gap-based sessionization per user (streaming-shaped op,
+    SURVEY.md §2.9 note): Ray Data has no event-time windows, so the
+    session window is a per-user groupby over ts-sorted events — the
+    documented ordering assumption is 'events of one user fit one
+    group and are sorted by (ts, event_id)'."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    ds = _table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            ts_us = g["ts"].astype("int64").to_numpy()  # us since epoch
+            new_s = np.ones(len(g), dtype=np.int64)
+            new_s[1:] = (np.diff(ts_us) > gap_s * 1_000_000).astype(np.int64)
+            sid = np.cumsum(new_s)
+            gg = pd.DataFrame({"sid": sid, "ts_us": ts_us})
+            agg = gg.groupby("sid").agg(start=("ts_us", "min"), end=("ts_us", "max"), n=("ts_us", "size"))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(len(agg), uid, dtype=np.int64),
+                        "session_start_epoch": (agg["start"] // 1_000_000).to_numpy(),
+                        "n_events": agg["n"].to_numpy().astype("int64"),
+                        "duration_s": ((agg["end"] // 1_000_000) - (agg["start"] // 1_000_000)).to_numpy(),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "session_start_epoch": pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "duration_s": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        add_bucket(ds, ["user_id"], 32).groupby(_BUCKET).map_groups(sessionize, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle; verified in pytest)
 

@@ -1,0 +1,85 @@
+"""Skew (star-hub) and weighted-graph correctness (FIXTURES.md §4)."""
+
+import os
+import shutil
+
+import numpy as np
+import ray.data as rd
+
+from distributed_graph_computing_platform_ray.pipelines.graph import (
+    lookup_vertex_id,
+    run_algorithm,
+)
+from distributed_graph_computing_platform_ray.pipelines.ingest import build_graph
+from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
+
+from . import oracle
+
+TMP = "/tmp/graft_tests/skew"
+
+
+def test_star_hub_pagerank_and_cc():
+    """1 hub + 10,000 spokes: every spoke's message lands on ONE
+    vertex. The per-partition combiner must keep this exact
+    (in-block pre-aggregation, no salting needed — the hub receives
+    at most one combined message per upstream block)."""
+    n = 10_000
+    edges = [(0, i) for i in range(1, n + 1)]
+    ds = rd.from_items([{"src_key": str(u), "dst_key": str(v)} for u, v in edges])
+    gdir = f"{TMP}/star/graph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    man = build_graph(ds, gdir, n_parts=8, n_buckets=16, dedup=False)
+    assert man.n_vertices == n + 1
+
+    exp = oracle.pagerank(edges)
+    got = run_algorithm(gdir, f"{TMP}/star/pr", "pagerank").to_pandas()
+    got["vertex"] = got["vertex"].astype(int)
+    g = got.set_index("vertex")["value"]
+    e = np.array([exp[v] for v in sorted(exp)])
+    np.testing.assert_allclose(g.loc[sorted(exp)].to_numpy(), e, atol=1e-6)
+    # hub concentrates rank
+    assert g.loc[0] == g.max()
+
+    cc = run_algorithm(gdir, f"{TMP}/star/cc", "cc").to_pandas()
+    assert set(cc["value"].astype(int)) == {0}
+
+
+def test_weighted_sssp_dijkstra():
+    """Weighted edges: SSSP relaxes dist + edge weight; compare to a
+    tiny Dijkstra oracle. (Reference weights are constant 1; weighted
+    support is a strict extension on the same kernels.)"""
+    edges = [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+        ("c", "d", 1.0), ("b", "d", 9.0), ("e", "f", 3.0),
+    ]
+    ds = rd.from_items(
+        [{"src_key": s, "dst_key": d, "weight": w} for s, d, w in edges]
+    )
+    gdir = f"{TMP}/weighted/graph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    man = build_graph(ds, gdir, n_parts=2, n_buckets=4, dedup=False)
+    assert man.weighted
+
+    import heapq
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {v: np.inf for v in adj}
+    dist["a"] = 0.0
+    pq = [(0.0, "a")]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist[u]:
+            continue
+        for v, w in adj[u]:
+            if du + w < dist[v]:
+                dist[v] = du + w
+                heapq.heappush(pq, (dist[v], v))
+
+    sid = lookup_vertex_id(GraphManifest.load(gdir), "a")
+    got = run_algorithm(gdir, f"{TMP}/weighted/sssp", "sssp", source_id=sid).to_pandas()
+    gmap = dict(zip(got["vertex"], got["value"]))
+    for v, d in dist.items():
+        assert gmap[v] == d, (v, gmap[v], d)
