@@ -105,6 +105,56 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
     return dict_ds, n_vertices, n_nonnum == 0
 
 
+BROADCAST_DICT_LIMIT = 2_000_000  # keys; ~150 MB as a pandas index
+
+
+def encode_edges_broadcast(
+    edges: rd.Dataset,
+    dict_ds: rd.Dataset,
+    src_col: str,
+    dst_col: str,
+    weighted: bool = False,
+    dedup_pairs: bool = False,
+) -> rd.Dataset:
+    """Small-dictionary fast path: put the url->id mapping in the
+    object store ONCE (ray.put) and encode each batch with two pandas
+    map lookups — zero shuffles (vs two hash joins). Used when the
+    dictionary fits comfortably in memory; the shuffle join remains
+    the >BROADCAST_DICT_LIMIT path."""
+    import ray
+
+    mapping = dict_ds.to_pandas().set_index("key")["id"]
+    ref = ray.put(mapping)
+
+    class Encode:
+        def __init__(self):
+            self.mapping = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            if dedup_pairs:
+                # in-batch combiner only; GLOBAL dedup happens on the
+                # encoded int pairs below (one cheap int shuffle vs two
+                # string joins)
+                cols = [src_col, dst_col] + (["weight"] if weighted else [])
+                df = df.drop_duplicates(cols)
+            out = {
+                "src": self.mapping.reindex(df[src_col]).to_numpy(dtype=np.int64),
+                "dst": self.mapping.reindex(df[dst_col]).to_numpy(dtype=np.int64),
+            }
+            if weighted:
+                out["weight"] = df["weight"].to_numpy(dtype=np.float64)
+            return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    encoded = edges.map_batches(Encode, batch_format="pyarrow", concurrency=(1, 16))
+    if dedup_pairs:
+        from ..stages.join import distinct
+
+        cols = ["src", "dst"] + (["weight"] if weighted else [])
+        encoded = distinct(encoded, cols, n_buckets=64)
+    return encoded
+
+
 def encode_edges(
     edges: rd.Dataset,
     dict_ds: rd.Dataset,
@@ -307,10 +357,16 @@ def build_graph(
         source=source_info or {},
     )
 
-    edges = encode_edges(
-        edges_keys, dict_ds, src_col, dst_col, n_buckets,
-        weighted=weighted, dedup_pairs=dedup,
-    )
+    if n_vertices <= BROADCAST_DICT_LIMIT:
+        edges = encode_edges_broadcast(
+            edges_keys, dict_ds, src_col, dst_col,
+            weighted=weighted, dedup_pairs=dedup,
+        )
+    else:
+        edges = encode_edges(
+            edges_keys, dict_ds, src_col, dst_col, n_buckets,
+            weighted=weighted, dedup_pairs=dedup,
+        )
     if symmetrize_edges:
         edges = symmetrize(edges)
 
