@@ -66,3 +66,20 @@ def test_backend_equivalence(graph, tag, make):
     assert (d["id"].to_numpy() == c["id"].to_numpy()).all()
     # dense-sum reduction may differ in float addition order -> allclose
     np.testing.assert_allclose(d["value"].to_numpy(), c["value"].to_numpy(), atol=1e-12)
+
+
+def test_cross_backend_resume(graph):
+    """A run checkpointed by the dataset backend can be RESUMED by the
+    core backend (checkpoint format is the contract, not the engine)."""
+    w = f"{TMP}/cross"
+    shutil.rmtree(w, ignore_errors=True)
+    eng = BSPEngine(graph, w)
+    eng.run(PageRank(graph.n_vertices, num_iters=4), checkpoint_interval=2, backend="dataset")
+    final = eng.run(PageRank(graph.n_vertices, num_iters=10), resume=True,
+                    checkpoint_interval=2, backend="core")
+    assert final == 10
+    ref = BSPEngine(graph, f"{TMP}/cross_ref")
+    ref.run(PageRank(graph.n_vertices, num_iters=10), checkpoint_interval=2, backend="core")
+    a = pads.dataset(eng.iter_dir(10)).to_table().to_pandas().sort_values("id")
+    b = pads.dataset(ref.iter_dir(10)).to_table().to_pandas().sort_values("id")
+    np.testing.assert_allclose(a["value"].to_numpy(), b["value"].to_numpy(), atol=1e-12)

@@ -52,6 +52,22 @@ def test_resume_bit_identical(fixtures_dir):
     assert _state_bytes(f"{TMP}/full", 12) == _state_bytes(f"{TMP}/broken", 12)
 
 
+def test_resume_ignores_incomplete_checkpoint(fixtures_dir):
+    """A checkpoint dir without its _DONE marker (crash mid-write) must
+    be ignored; resume restarts from the last COMPLETE one."""
+    man = GraphManifest.load(f"{TMP}/graph")
+    eng = BSPEngine(man, f"{TMP}/crash")
+    eng.run(PageRank(man.n_vertices, num_iters=6), checkpoint_interval=2)
+    # simulate a crash mid-checkpoint: iter 6 loses its marker
+    os.remove(os.path.join(eng.iter_dir(6), "_DONE.json"))
+    assert eng._complete_iters()[-1] == 4
+    final = eng.run(PageRank(man.n_vertices, num_iters=12), resume=True, checkpoint_interval=2)
+    assert final == 12
+    ref = BSPEngine(man, f"{TMP}/crash_ref")
+    ref.run(PageRank(man.n_vertices, num_iters=12), checkpoint_interval=2)
+    assert _state_bytes(f"{TMP}/crash", 12) == _state_bytes(f"{TMP}/crash_ref", 12)
+
+
 def test_resume_skips_complete_iterations(fixtures_dir):
     man = GraphManifest.load(f"{TMP}/graph")
     eng = BSPEngine(man, f"{TMP}/noop")
