@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_lineitem": T.q_edges_lineitem,
         "degrees": T.q_degrees,
         "pagerank": T.q_pagerank,
+        "pagerank_directed": T.q_pagerank_directed,
         "pagerank_top25": T.q_pagerank_top25,
         "sssp": T.q_sssp,
         "connected_components": T.q_connected_components,
@@ -118,6 +119,27 @@ def oracle_sql() -> dict[str, str]:
             "  FROM pr p CROSS JOIN nn JOIN es e ON e.src = p.id "
             "       JOIN deg dd ON dd.id = e.dst "
             "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.d, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 30"
+        ),
+        "pagerank_directed": (
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT l_orderkey % 200 AS src, l_partkey % 200 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM eb GROUP BY src), "
+            "v AS (SELECT DISTINCT id FROM "
+            "      (SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.id, "
+            "         0.15/nn.n + 0.85 * COALESCE(SUM(q.val / dd.d), 0.0) "
+            "  FROM pr p CROSS JOIN nn "
+            "  LEFT JOIN eb e ON e.dst = p.id "
+            "  LEFT JOIN pr q ON q.id = e.src AND q.it = p.it "
+            "  LEFT JOIN deg dd ON dd.id = e.src "
+            "  WHERE p.it < 30 GROUP BY p.it, p.id, nn.n) "
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM pr WHERE it = 30"
         ),
@@ -201,6 +223,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_token_bpe": (
+            "SELECT doc_id, length(regexp_extract_all(text, "
+            "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
+            "AS n_bpe_tokens FROM documents"
+        ),
         "top_terms": (
             "SELECT term, count(*)::BIGINT AS cnt FROM ( "
             "  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "

@@ -88,11 +88,35 @@ def edges_orders(sf_dir: str) -> rd.Dataset:
     return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
 
 
+def edges_lineitem_directed(sf_dir: str) -> rd.Dataset:
+    """Distinct DIRECTED pairs in a 200-id universe (src -> dst kept
+    as-is, so the graph has dangling and source-only vertices)."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = t["l_orderkey"].to_numpy().astype(np.int64) % 200
+        y = t["l_partkey"].to_numpy().astype(np.int64) % 200
+        keep = x != y
+        return pa.table({"src": pa.array(x[keep]), "dst": pa.array(y[keep])})
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
+
+
+_DERIVATIONS = {
+    "lineitem": (edges_lineitem, True),
+    "orders": (edges_orders, True),
+    "lineitem_directed": (edges_lineitem_directed, False),
+}
+
+
 def _graph_for(sf_dir: str, kind: str) -> str:
     """Build (once) the dictionary-encoded CSR graph for a derivation."""
     gdir = _cache(sf_dir, kind, "graph")
     if not os.path.exists(os.path.join(gdir, "manifest.json")):
-        edges = edges_lineitem(sf_dir) if kind == "lineitem" else edges_orders(sf_dir)
+        derive_fn, _sym = _DERIVATIONS[kind]
+        edges = derive_fn(sf_dir)
 
         def stringify(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -108,7 +132,7 @@ def _graph_for(sf_dir: str, kind: str) -> str:
             n_parts=16,
             n_buckets=32,
             dedup=False,  # already distinct
-            symmetrize_edges=True,
+            symmetrize_edges=_sym,
             source_info={"kind": kind, "sf_dir": os.path.abspath(sf_dir)},
         )
     return gdir
@@ -175,6 +199,15 @@ def _score_e8(val: pa.ChunkedArray) -> pa.ChunkedArray:
 
 def q_pagerank(sf_dir: str):
     res = _run_cached(sf_dir, "lineitem", "pagerank")
+    return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_pagerank_directed(sf_dir: str):
+    """Directed-graph PageRank (beyond the reference, which always
+    symmetrizes): dangling vertices send nothing; vertices without
+    in-edges hold the bare teleport term. No dangling-mass
+    redistribution, matching the reference recurrence's shape."""
+    res = _run_cached(sf_dir, "lineitem_directed", "pagerank")
     return _as_int_vertex(res, "score_e8", _score_e8)
 
 
