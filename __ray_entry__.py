@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
         "events_sessionize": T.q_events_sessionize,
+        "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
@@ -239,6 +240,12 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*)::BIGINT AS n_events, "
             "CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_e6 "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            "SELECT (epoch_us(ts) // 900000000 - k) * 900 AS win_start_epoch, "
+            "event_type, count(*)::BIGINT AS n_events "
+            "FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k) "
+            "GROUP BY 1, 2"
         ),
         "events_sessionize": (
             "WITH g AS ( "

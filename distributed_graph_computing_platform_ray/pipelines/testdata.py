@@ -380,6 +380,44 @@ def q_events_hourly(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str, window_s: int = 3600, step_s: int = 900):
+    """Sliding window (1h length, 15min step) per event_type: each
+    event lands in window_s/step_s windows; expansion happens in-batch
+    with a per-batch partial count (combiner) before the one groupby."""
+    k = window_s // step_s
+    from ray.data.aggregate import Sum
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ts_s = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        base = ts_s // step_s
+        frames = []
+        for i in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "win_start_epoch": (base - i) * step_s,
+                        "event_type": df["event_type"].to_numpy(),
+                    }
+                )
+            )
+        allw = pd.concat(frames, ignore_index=True)
+        g = allw.groupby(["win_start_epoch", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    ds = _table(sf_dir, "events", ["ts", "event_type"]).map_batches(expand, batch_format="pandas")
+    agg = ds.groupby(["win_start_epoch", "event_type"]).aggregate(Sum("n", alias_name="n_events"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "win_start_epoch": t["win_start_epoch"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "n_events": t["n_events"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
     """Gap-based sessionization per user (streaming-shaped op,
     SURVEY.md §2.9 note): Ray Data has no event-time windows, so the
