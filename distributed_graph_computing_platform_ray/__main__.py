@@ -85,7 +85,8 @@ def main(argv=None):
                 params["num_iters"] = args.iters
             res = run_algorithm(
                 args.graph, args.work, args.algo,
-                resume=args.resume, checkpoint_interval=5, **params,
+                resume=args.resume, checkpoint_interval=5,
+                backend=args.backend, **params,
             )
             if args.out:
                 res.write_parquet(args.out)

@@ -62,9 +62,12 @@ def simhash64(feature_hashes: np.ndarray, weights: np.ndarray | None = None) -> 
 
 
 def hamming64(a: np.ndarray, b) -> np.ndarray:
-    """Vectorized Hamming distance between uint64 arrays/scalars."""
+    """Vectorized Hamming distance between uint64 arrays/scalars
+    (popcount via unpackbits on the byte view — no per-element loop)."""
     x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.uint64(b) if np.isscalar(b) else np.asarray(b, dtype=np.uint64))
-    return np.array([bin(int(v)).count("1") for v in np.atleast_1d(x)], dtype=np.int64)
+    x = np.atleast_1d(x)
+    bytes_view = x.view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:

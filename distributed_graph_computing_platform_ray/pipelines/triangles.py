@@ -63,6 +63,17 @@ def triangle_count(
     """
     simple = canonical_edges(edges, n_buckets).materialize()
 
+    # wedge/edge keys pack (lo, hi) as lo*2^32 + hi in int64 — enforce
+    # the id < 2^31 precondition instead of silently overflowing (the
+    # canonical set's max endpoint is always in the `dst` column)
+    max_id = simple.max("dst") or 0
+    if max_id >= (1 << 31):
+        raise ValueError(
+            f"triangle_count packs vertex-id pairs into int64 keys; max id "
+            f"{max_id} >= 2^31 would overflow — re-encode ids densely or "
+            f"use a wider key"
+        )
+
     # degrees on the simple graph
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.table(

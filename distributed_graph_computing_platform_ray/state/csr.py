@@ -112,12 +112,16 @@ def write_shard(manifest: GraphManifest, part: int, indptr, indices, weights=Non
 # ---------------------------------------------------------------------------
 # process-level shard cache (see module docstring for why not actors)
 
-_SHARD_CACHE: dict[tuple[str, int], CSRShard] = {}
-_VERTEX_KEY_CACHE: dict[tuple[str, int], "np.ndarray"] = {}
+_SHARD_CACHE: dict[tuple[str, int, int], CSRShard] = {}
+_VERTEX_KEY_CACHE: dict[tuple[str, int, int], "np.ndarray"] = {}
 
 
 def load_shard(manifest: GraphManifest, part: int) -> CSRShard:
-    key = (manifest.graph_dir, part)
+    # keyed by the manifest's content checksum too: a graph rebuilt at
+    # the SAME path within one Ray session (e.g. minhash_dedup's
+    # rmtree+rebuild of its pair graph) must never be served stale from
+    # a long-lived worker's cache.
+    key = (manifest.graph_dir, part, manifest.part_fingerprint(part))
     shard = _SHARD_CACHE.get(key)
     if shard is None:
         lo, hi = manifest.part_bounds(part)
@@ -135,7 +139,7 @@ def load_vertex_keys(manifest: GraphManifest, part: int) -> np.ndarray:
     """Keys (urls / original ids as strings) for one partition, by local id."""
     import pyarrow.parquet as pq
 
-    key = (manifest.graph_dir, part)
+    key = (manifest.graph_dir, part, manifest.part_fingerprint(part))
     arr = _VERTEX_KEY_CACHE.get(key)
     if arr is None:
         t = pq.read_table(manifest.vertices_path(part))

@@ -66,6 +66,17 @@ class GraphManifest:
         lo, hi = self.part_bounds(part)
         return hi - lo
 
+    def part_fingerprint(self, part: int) -> int:
+        """Content checksum of a partition's CSR (crc_indices from the
+        build lineage). Used to key worker-side shard caches so a graph
+        rebuilt at the same path within one Ray session can never be
+        served stale from a long-lived worker process."""
+        m = self.__dict__.get("_crc_map")
+        if m is None:
+            m = {int(r["part"]): int(r.get("crc_indices", 0)) for r in self.parts}
+            self.__dict__["_crc_map"] = m
+        return m.get(int(part), 0)
+
     # -- persistence -------------------------------------------------------
     def save(self) -> None:
         obj = {
