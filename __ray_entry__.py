@@ -32,6 +32,216 @@ _U_ORDERS = (
 )
 
 
+def _stops_sql(lang: str) -> str:
+    """IN-list literal for a language's stopword profile, imported from
+    the engine so SQL oracle and engine can never drift."""
+    from distributed_graph_computing_platform_ray.functions.text import _LANG_STOPS
+
+    return "(" + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPS[lang])) + ")"
+
+
+def _langid_sql() -> str:
+    """Mirror functions.text.lang_id_counts + the integer half-up
+    confidence scaling in pipelines/testdata.q_doc_langid."""
+    hits = ", ".join(
+        f"count(*) FILTER (word IN {_stops_sql(lg)}) AS h_{lg}"
+        for lg in ("en", "de", "fr", "es")
+    )
+    best = "greatest(h_en, h_de, h_fr, h_es)"
+    return (
+        "WITH w AS ( "
+        "  SELECT doc_id, lower(word) AS word FROM ( "
+        "    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')[1:200]) AS word "
+        "    FROM documents WHERE trim(text) <> '')), "
+        f"h AS (SELECT doc_id, count(*)::BIGINT AS n, {hits} FROM w GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        f"CASE WHEN h.doc_id IS NULL OR {best} = 0 THEN 'und' "
+        f"     WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+        f"     WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
+        f"     WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred, "
+        f"(CASE WHEN h.doc_id IS NULL OR {best} = 0 THEN 0 "
+        f"      ELSE ({best} * 2000000 + n) // (2 * n) END)::BIGINT AS conf_e6 "
+        "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"
+    )
+
+
+def _rolling_fp_sql() -> str:
+    """Mirror functions.text.rolling_fingerprint's smallest window hash
+    (fp_min): polynomial rolling hash base 1099511628211 over byte
+    k-grams (k=8) mod 2^64 — HUGEINT arithmetic, powers precomputed
+    here so SQL needs no wraparound multiply. Text is ASCII in the
+    testdata tables, so ord(char) == byte value."""
+    B, K, M = 1099511628211, 8, 1 << 64
+    pw = [(j + 1, pow(B, K - 1 - j, M)) for j in range(K)]  # idx 1..8 -> B^7..B^0
+    pw_rows = ", ".join(f"({i}, {v}::HUGEINT)" for i, v in pw)
+    return (
+        f"WITH pw(idx, val) AS (VALUES {pw_rows}), "
+        "d AS (SELECT doc_id, text, length(text) AS L, "
+        "      least(8, length(text)) AS w FROM documents), "
+        "wh AS ( "
+        "  SELECT d.doc_id, gi.i, "
+        f"    SUM(pw.val * ord(substr(d.text, gi.i + pw.idx - (9 - d.w), 1))::HUGEINT) "
+        f"      % {M}::HUGEINT AS h "
+        "  FROM d, LATERAL unnest(generate_series(1, d.L - d.w + 1)) AS gi(i), pw "
+        "  WHERE d.L > 0 AND pw.idx >= 9 - d.w GROUP BY d.doc_id, gi.i), "
+        "mh AS (SELECT doc_id, min(h) AS m FROM wh GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        f"(CASE WHEN mh.m IS NULL THEN 0 WHEN mh.m >= {1 << 63}::HUGEINT "
+        f"      THEN mh.m - {M}::HUGEINT ELSE mh.m END)::BIGINT AS fp_min "
+        "FROM d LEFT JOIN mh ON mh.doc_id = d.doc_id"
+    )
+
+
+_M64 = 18446744073709551616  # 2^64
+_FNV_TOK = (
+    # FNV-1a 64 per distinct lowercase token, byte-at-a-time via a
+    # recursive CTE (prime < 2^41, so HUGEINT*BIGINT never overflows).
+    "tokd AS (SELECT DISTINCT tok FROM toks), "
+    "fnv AS ( "
+    "  SELECT tok, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM tokd "
+    "  UNION ALL "
+    "  SELECT tok, i + 1, "
+    "    (xor(h::UBIGINT, ord(substr(tok, i + 1, 1))::UBIGINT)::HUGEINT "
+    f"     * 1099511628211) % {_M64}::HUGEINT "
+    "  FROM fnv WHERE i < length(tok)), "
+    "tokh AS (SELECT tok, h::UBIGINT AS h FROM fnv WHERE i = length(tok))"
+)
+
+
+def _simhash_sql() -> str:
+    """Mirror stages.dedup.simhash_dedup: FNV-1a token hashes
+    (multiplicity-weighted), 64-bit SimHash (bit j set iff the signed
+    bit-sum is > 0), then every (a < b) pair at Hamming distance <= 3.
+    The engine's 4x16-bit banding is exact for Hamming <= 3
+    (pigeonhole), so the all-pairs form is the same set."""
+    return (
+        "WITH RECURSIVE "
+        "toks AS ( "
+        "  SELECT doc_id, lower(word) AS tok, count(*)::BIGINT AS cnt FROM ( "
+        "    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+        "    FROM documents WHERE trim(text) <> '') GROUP BY doc_id, lower(word)), "
+        f"{_FNV_TOK}, "
+        "acc AS ( "
+        "  SELECT t.doc_id, j.j, "
+        "    sum(t.cnt * CASE WHEN (th.h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "  FROM toks t JOIN tokh th ON th.tok = t.tok, "
+        "       LATERAL (SELECT unnest(generate_series(0, 63)) AS j) j "
+        "  GROUP BY t.doc_id, j.j), "
+        "sh AS ( "
+        "  SELECT doc_id, "
+        "    sum(CASE WHEN s > 0 THEN (1::UBIGINT << j)::HUGEINT ELSE 0::HUGEINT END) AS u "
+        "  FROM acc GROUP BY doc_id), "
+        "shi AS (SELECT doc_id, "
+        f"  (CASE WHEN u >= {1 << 63}::HUGEINT THEN u - {_M64}::HUGEINT ELSE u END)::BIGINT AS s "
+        "  FROM sh) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "  bit_count(xor(x.s, y.s))::BIGINT AS hamming "
+        "FROM shi x JOIN shi y ON x.doc_id < y.doc_id "
+        "WHERE bit_count(xor(x.s, y.s)) <= 3"
+    )
+
+
+def _minhash_dedup_sql() -> str:
+    """Oracle for stages.dedup.minhash_dedup: all (a < b) pairs whose
+    EXACT word-3-shingle Jaccard (the engine's own verify step) clears
+    the 0.8 threshold, clustered by min-label connected components.
+    The engine reaches the same pair set through banded MinHash LSH
+    candidates + exact verify; at 128 perms / 16 bands its recall at
+    J >= 0.8 covers every qualifying pair in this data (checked), so
+    the sets coincide. Cluster id = min doc_id of the component (the
+    engine's CC label for numeric keys)."""
+    return (
+        "WITH RECURSIVE "
+        "docs0 AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm "
+        "          FROM documents WHERE trim(text) <> ''), "
+        "words AS (SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS arr FROM docs0), "
+        "sh AS ( "
+        "  SELECT DISTINCT doc_id, g FROM ( "
+        "    SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g "
+        "    FROM words, LATERAL unnest(generate_series(1, len(arr) - 2)) t(i) "
+        "    WHERE len(arr) >= 3 "
+        "    UNION ALL "
+        "    SELECT doc_id, norm AS g FROM words WHERE len(arr) BETWEEN 1 AND 2)), "
+        "sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id), "
+        "inter AS ( "
+        "  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i "
+        "  FROM sh x JOIN sh y ON y.g = x.g AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        "pairs AS ( "
+        "  SELECT a, b FROM inter "
+        "  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b "
+        "  WHERE CAST(ROUND(i * 1000000.0 / (sa.n + sb.n - i)) AS BIGINT) >= 800000), "
+        "verts AS (SELECT DISTINCT v FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)), "
+        "relax AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs "
+        "          UNION ALL SELECT v, v FROM verts), "
+        "c AS ( "
+        "  SELECT 0 AS it, v AS id, v AS lab FROM verts "
+        "  UNION ALL "
+        "  SELECT c.it + 1, r.d, MIN(c.lab) FROM c JOIN relax r ON r.s = c.id "
+        "  WHERE c.it < 60 GROUP BY c.it, r.d) "
+        "SELECT id::BIGINT AS doc_id, lab::BIGINT AS cluster_id FROM c WHERE it = 60"
+    )
+
+
+def _multimodal_sql() -> str:
+    """Mirror stages.multimodal.DecodeMedia's deterministic stub over
+    the documents-as-media derivation in testdata.q_multimodal_decode:
+    payload = utf-8 text bytes, media_type = doc_id % 3 cycle, and the
+    stub dimensions derive from a sha256 hex-digest chain (one block
+    for n=4 words): block = sha256(sha256(payload)), word w = little-
+    endian uint64 of bytes [8w, 8w+8), d = (word >> 11) / 2^53."""
+
+    def word(w: int) -> str:
+        # LE: byte b of word w sits at hex chars [2*(8w+b)+1, +2)
+        parts = ", ".join(f"substr(blk, {2 * (8 * w + b) + 1}, 2)" for b in range(7, -1, -1))
+        return f"CAST(concat('0x', {parts}) AS UBIGINT)"
+
+    def dim(w: int) -> str:
+        return f"(({word(w)} >> 11) / 9007199254740992.0)"
+
+    return (
+        "WITH b AS (SELECT doc_id, text, sha256(sha256(text)) AS blk FROM documents) "
+        "SELECT doc_id AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
+        f"CAST(floor(64 + {dim(0)} * 1984) AS INTEGER) AS width, "
+        f"CAST(floor(64 + {dim(1)} * 1016) AS INTEGER) AS height, "
+        f"CAST(floor(1 + {dim(2)} * 299) AS INTEGER) AS n_frames, "
+        f"CAST(floor({dim(3)} * 600000) AS BIGINT) AS duration_ms, "
+        "octet_length(encode(text))::BIGINT AS n_bytes "
+        "FROM b"
+    )
+
+
+def _quality_sql() -> str:
+    """Mirror functions.text.quality_score: the band tests compare the
+    ROUND(...,6)-ed ratios exactly as Python does, and the composite
+    score is the exact integer product of the decimal factors."""
+    en = _stops_sql("en")
+    return (
+        "WITH f AS ( "
+        "  SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        "    (CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "     length(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_words, "
+        "    length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS sum_wlen, "
+        "    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct "
+        "  FROM documents), "
+        "sw AS ( "
+        "  SELECT doc_id, count(*) FILTER ( "
+        f"    lower(word) IN {en}) AS stop_hits "
+        "  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+        "        FROM documents WHERE trim(text) <> '') GROUP BY doc_id), "
+        "g AS ( "
+        "  SELECT f.doc_id, "
+        "    CASE WHEN n_words < 5 THEN 2 WHEN n_words < 20 THEN 7 ELSE 10 END AS f1, "
+        "    CASE WHEN n_words = 0 OR NOT (ROUND(sum_wlen / n_words::DOUBLE, 6) "
+        "         BETWEEN 2.0 AND 12.0) THEN 5 ELSE 10 END AS f2, "
+        "    CASE WHEN ROUND(n_punct / greatest(1, n_chars)::DOUBLE, 6) > 0.2 THEN 4 ELSE 10 END AS f3, "
+        "    CASE WHEN ROUND(coalesce(stop_hits, 0) / greatest(1, n_words)::DOUBLE, 6) < 0.01 "
+        "         THEN 8 ELSE 10 END AS f4 "
+        "  FROM f LEFT JOIN sw ON sw.doc_id = f.doc_id) "
+        "SELECT doc_id, (1000000::BIGINT * f1 * f2 * f3 * f4 // 10000)::BIGINT AS quality_e6 FROM g"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale synthetic pages: generate
     Common-Crawl-style pages -> extract links -> dictionary-encoded CSR
@@ -260,6 +470,12 @@ def oracle_sql() -> dict[str, str]:
             "(epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000) AS duration_s "
             "FROM s GROUP BY user_id, sid"
         ),
+        "doc_langid": _langid_sql(),
+        "doc_rolling_fingerprint": _rolling_fp_sql(),
+        "multimodal_decode": _multimodal_sql(),
+        "doc_simhash_pairs": _simhash_sql(),
+        "doc_minhash_dedup": _minhash_dedup_sql(),
+        "doc_quality": _quality_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
             "           FROM embeddings WHERE vec_id < 5) "

@@ -8,10 +8,42 @@ same sketch for the same input.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from ..utils import mix64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+_FNV_BASIS = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a64(values) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over the UTF-8 bytes of each string.
+
+    Public, fully-specified hash (offset basis 14695981039346656037,
+    prime 1099511628211, wraparound mod 2^64) chosen for the sketch
+    features so an independent SQL oracle can recompute identical
+    hashes (the prime fits in 41 bits, so DuckDB HUGEINT arithmetic
+    reproduces the wraparound multiply exactly). Vectorized across
+    strings: one pass over byte positions, no per-string Python loop.
+    """
+    arr = pa.array(list(values), pa.large_string()).cast(pa.large_binary())
+    n = len(arr)
+    h = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    if n == 0:
+        return h
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n + 1]
+    data = arr.buffers()[2]
+    buf = np.frombuffer(data, dtype=np.uint8) if data is not None else np.empty(0, np.uint8)
+    lens = off[1:] - off[:-1]
+    starts = off[:-1]
+    with np.errstate(over="ignore"):
+        for t in range(int(lens.max()) if n else 0):
+            alive = lens > t
+            c = buf[starts[alive] + t].astype(np.uint64)
+            h[alive] = (h[alive] ^ c) * _FNV_PRIME
+    return h
 
 
 def minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:

@@ -12,8 +12,6 @@ import re
 
 import numpy as np
 
-from ..utils import stable_hash_array
-
 _TOKEN_BPE = re.compile(r"[A-Za-z]+(?:'[a-z]+)?|[0-9]{1,3}|[^\sA-Za-z0-9]")
 _PUNCT = re.compile(r"[^\w\s]")
 
@@ -36,22 +34,33 @@ def token_count_bpe_ish(text: str) -> int:
     return len(_TOKEN_BPE.findall(text))
 
 
-def lang_id(text: str) -> tuple[str, float]:
-    """Stopword-profile language id over {en,de,fr,es}; returns
-    (lang, confidence). 'und' (undetermined) when nothing matches —
-    deterministic n-gram/stopword heuristic, no model."""
+def lang_id_counts(text: str) -> tuple[str, int, int]:
+    """(lang, stopword_hits, n_words_considered) over the first 200
+    whitespace tokens, lowercased. Ties break by profile order
+    (en, de, fr, es); zero hits -> 'und'. Integer outputs so callers
+    can scale confidence with exact integer arithmetic (the SQL oracle
+    reproduces the same formula)."""
     words = [w.lower() for w in text.split()[:200]]
     if not words:
-        return "und", 0.0
+        return "und", 0, 0
     best, best_hits = "und", 0
     for lang, stops in _LANG_STOPS.items():
         hits = sum(1 for w in words if w in stops)
         if hits > best_hits:
             best, best_hits = lang, hits
-    conf = best_hits / len(words)
     if best_hits == 0:
-        return "und", 0.0
-    return best, round(conf, 6)
+        return "und", 0, len(words)
+    return best, best_hits, len(words)
+
+
+def lang_id(text: str) -> tuple[str, float]:
+    """Stopword-profile language id over {en,de,fr,es}; returns
+    (lang, confidence). 'und' (undetermined) when nothing matches —
+    deterministic n-gram/stopword heuristic, no model."""
+    lang, hits, n = lang_id_counts(text)
+    if n == 0 or hits == 0:
+        return ("und", 0.0)
+    return lang, round(hits / n, 6)
 
 
 def quality_features(text: str) -> dict:
@@ -98,11 +107,17 @@ def word_ngrams(words: list[str], k: int) -> list[str]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hashes of lowercase word k-shingles (deduped)."""
+    """uint64 hashes of lowercase word k-shingles (deduped).
+
+    FNV-1a so the minhash SQL oracle can recompute identical shingle
+    hashes; collisions at 64 bits are negligible, so set Jaccard over
+    these hashes equals Jaccard over the shingle strings."""
+    from .hashing import fnv1a64
+
     grams = word_ngrams([w.lower() for w in text.split()], k)
     if not grams:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(stable_hash_array(np.array(grams, dtype=object)))
+    return np.unique(fnv1a64(grams))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -467,15 +467,21 @@ def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
 
 
 def q_doc_langid(sf_dir: str):
-    from ..functions.text import lang_id
+    from ..functions.text import lang_id_counts
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
-        out = [lang_id(t) for t in df["text"].astype(str)]
+        out = [lang_id_counts(t) for t in df["text"].astype(str)]
+        # confidence scaled with exact integer half-up rounding of
+        # hits/n * 1e6 so the SQL oracle reproduces it bit-for-bit
+        conf = [
+            0 if (h == 0 or n == 0) else (h * 2_000_000 + n) // (2 * n)
+            for (_, h, n) in out
+        ]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
                 "lang_pred": [o[0] for o in out],
-                "conf_e6": (np.array([o[1] for o in out]) * 1e6).round().astype("int64"),
+                "conf_e6": pd.Series(conf, dtype="int64"),
             }
         )
 

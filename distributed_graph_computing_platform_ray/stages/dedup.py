@@ -30,10 +30,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.hashing import band_hashes, hamming64, minhash_params, minhash_signature, simhash64
+from ..functions.hashing import band_hashes, fnv1a64, hamming64, minhash_params, minhash_signature, simhash64
 from ..functions.text import jaccard, shingle_hashes
 from ..stages.join import _BUCKET, add_bucket, bucket_join
-from ..utils import stable_hash_array
 
 MAX_BUCKET_PAIRS = 2000  # cap pairs generated per LSH bucket (logged)
 
@@ -239,8 +238,8 @@ class SimHashStage:
         ids = t[self.id_col].to_numpy()
         sigs = []
         for txt in t[self.text_col].to_pylist():
-            toks = np.array([w.lower() for w in str(txt).split()], dtype=object)
-            h = stable_hash_array(toks) if len(toks) else np.empty(0, dtype=np.uint64)
+            toks = [w.lower() for w in str(txt).split()]
+            h = fnv1a64(toks) if toks else np.empty(0, dtype=np.uint64)
             sigs.append(simhash64(h))
         sig = np.array(sigs, dtype=np.uint64)
         cols = {"doc_id": pa.array(ids.astype(np.int64)), "simhash": pa.array(sig.astype(np.int64))}

@@ -34,13 +34,17 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _digest_floats(data: bytes, n: int) -> np.ndarray:
-    """n deterministic floats in [0,1) from a payload digest."""
+    """n deterministic floats in [0,1) from a payload digest.
+
+    The chain hashes ASCII hex digests (not raw digest bytes) so an
+    independent SQL oracle can reproduce it: DuckDB's sha256() accepts
+    only VARCHAR, and hex digests are valid ASCII at every step."""
     out = np.empty(n, dtype=np.float64)
-    h = hashlib.sha256(data).digest()
+    h = hashlib.sha256(data).hexdigest()
     buf = b""
     while len(buf) < n * 8:
-        h = hashlib.sha256(h).digest()
-        buf += h
+        h = hashlib.sha256(h.encode("ascii")).hexdigest()
+        buf += bytes.fromhex(h)
     raw = np.frombuffer(buf[: n * 8], dtype="<u8")
     out[:] = (raw >> 11) / float(1 << 53)
     return out
