@@ -182,6 +182,118 @@ def _minhash_dedup_sql() -> str:
     )
 
 
+_FNV64 = 1099511628211
+_SM_K = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+
+
+def _wrap_mul(a: str, c: int) -> str:
+    """(a * c) mod 2^64 for a 64-bit constant c, via 32-bit split
+    partial products so every intermediate fits DuckDB's HUGEINT."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return f"((({a}) * {lo} + ((({a}) * {hi}) % 4294967296) * 4294967296) % {_M64}::HUGEINT)"
+
+
+def _splitmix_cols(src: str, out: str) -> str:
+    """Column chain computing splitmix64(src) as alias `out` (DuckDB
+    lateral column aliases keep the expression linear, not nested)."""
+    return (
+        f"((({src})::HUGEINT + {_SM_K}) % {_M64}::HUGEINT) AS {out}_z0, "
+        f"xor(({out}_z0)::UBIGINT, ({out}_z0)::UBIGINT >> 30) AS {out}_z1, "
+        f"{_wrap_mul(f'({out}_z1)::HUGEINT', _SM_C1)} AS {out}_z2, "
+        f"xor(({out}_z2)::UBIGINT, ({out}_z2)::UBIGINT >> 27) AS {out}_z3, "
+        f"{_wrap_mul(f'({out}_z3)::HUGEINT', _SM_C2)} AS {out}_z4, "
+        f"xor(({out}_z4)::UBIGINT, ({out}_z4)::UBIGINT >> 31) AS {out}"
+    )
+
+
+def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
+    """Fully self-contained oracle for the url-keyed flagship: rebuild
+    the deterministic page generator's link structure in SQL (splitmix64
+    / mix64 reproduced exactly with HUGEINT split multiplies — verified
+    bit-equal to utils.mix64), apply the extractor's normalization
+    semantics (self-links kept, fragments dropped, relative hrefs
+    resolved, duplicate hrefs deduped by the distinct), then run the
+    30-iteration PageRank recurrence over the symmetrized multigraph
+    and report the top-25 by integer-scaled score. Mirrors
+    sources/pages.py::_page_html + functions/html.py::extract_links +
+    pipelines/pages.py::build_link_graph at n_pages=2000 (the size
+    queries()['pages_linkgraph_pagerank'] uses at sf0.01)."""
+    c_seed = (seed * _FNV64) % _M64
+    c_seed1 = ((seed + 1) * _FNV64) % _M64
+
+    def url(x: str) -> str:
+        return f"printf('https://site-%05d.example/p/%04d', ({x}) // 16, ({x}) % 16)"
+
+    return (
+        "WITH RECURSIVE "
+        f"base AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)), "
+        f"h0c AS (SELECT i, xor({c_seed}::UBIGINT, i) AS acc0, "
+        f"        {_splitmix_cols('acc0', 'h0')} FROM base), "
+        "lk AS (SELECT i, k::UBIGINT AS k, "
+        f"        xor({c_seed1}::UBIGINT, i) AS a1, "
+        f"        xor(((a1::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT, k) AS a2, "
+        f"        {_splitmix_cols('a2', 'hk')} "
+        "        FROM h0c, LATERAL unnest(generate_series(0, (4 + h0 % 12)::BIGINT - 1)) t(k)), "
+        "tc AS (SELECT i::BIGINT AS i, k::BIGINT AS k, hk, "
+        f"        CAST(floor({n} * power((hk >> 11)::DOUBLE / 9007199254740992.0, 3)) AS BIGINT) AS tgt "
+        "       FROM lk), "
+        "hrefs AS (SELECT i, k, "
+        f"    CASE WHEN hk % 13 = 0 THEN {url('i')} "
+        "         WHEN hk % 11 = 5 THEN printf('https://offsite-%04d.example/x', (hk % 997)::BIGINT) "
+        f"         WHEN hk % 7 = 3 AND tgt // 16 = i // 16 THEN {url('tgt')} "
+        "         WHEN hk % 5 = 2 AND k > 0 THEN NULL "
+        f"         ELSE {url(f'tgt % {n}')} END AS base_href "
+        "    FROM tc), "
+        "res AS (SELECT i, last_value(base_href IGNORE NULLS) OVER "
+        "          (PARTITION BY i ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS href "
+        "        FROM hrefs), "
+        f"e AS (SELECT DISTINCT {url('i')} AS src, href AS dst FROM res), "
+        "es AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+        "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+        "pr AS ( "
+        "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+        "  UNION ALL "
+        "  SELECT p.it + 1, ee.dst, 0.15/nn.n + 0.85 * SUM(p.val / p.d), dd.d "
+        "  FROM pr p CROSS JOIN nn JOIN es ee ON ee.src = p.id "
+        "       JOIN deg dd ON dd.id = ee.dst "
+        "  WHERE p.it < 30 GROUP BY p.it, ee.dst, dd.d, nn.n) "
+        "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+        "FROM pr WHERE it = 30 ORDER BY score_e8 DESC, vertex LIMIT 25"
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    """Oracle for testdata.q_embedding_neardup: reproduce the planted
+    augmentation (x + 0.02 copies of vec_id < 16), the 12-hyperplane
+    sign-pattern LSH bucket (plane constants imported from the engine,
+    inlined as full-precision literals), and the exact cosine >= 0.9
+    verify — pairs must share a bucket, exactly like the engine."""
+    from distributed_graph_computing_platform_ray.functions.hashing import hyperplanes
+
+    P = hyperplanes(64, 12)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(v)) for v in P[j])}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(P.shape[0])
+    )
+    return (
+        "WITH aug AS ( "
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "  UNION ALL "
+        "  SELECT vec_id + 1000000, "
+        "         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02) "
+        "  FROM embeddings WHERE vec_id < 16), "
+        f"b AS (SELECT vec_id, e, ({bucket_terms}) AS lsh FROM aug) "
+        "SELECT x.vec_id AS a, y.vec_id AS b, "
+        "CAST(ROUND(list_cosine_similarity(x.e, y.e) * 1e6) AS BIGINT) AS cos_e6 "
+        "FROM b x JOIN b y ON y.lsh = x.lsh AND x.vec_id < y.vec_id "
+        "WHERE list_cosine_similarity(x.e, y.e) >= 0.9"
+    )
+
+
 def _multimodal_sql() -> str:
     """Mirror stages.multimodal.DecodeMedia's deterministic stub over
     the documents-as-media derivation in testdata.q_multimodal_decode:
@@ -260,11 +372,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from distributed_graph_computing_platform_ray.pipelines import testdata as T
 
     def pages_linkgraph_pagerank(sf_dir: str):
-        # rows-only check: the url-keyed flagship at a size tied to sf
-        from distributed_graph_computing_platform_ray.pipelines.graph import (
-            run_algorithm,
-            top_k,
-        )
+        # the url-keyed flagship at a size tied to sf; SQL-checked:
+        # _pages_pr_sql reproduces the generator + extractor + PR
+        # recurrence end-to-end (n must match the oracle's 2000 at
+        # sf0.01). Ranked on the integer-scaled score so tie-breaks
+        # are hash-exact.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from distributed_graph_computing_platform_ray.pipelines.graph import run_algorithm
         from distributed_graph_computing_platform_ray.pipelines.pages import (
             build_link_graph,
         )
@@ -274,7 +390,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         root = f"/tmp/graft_pages_{n}"
         shutil.rmtree(root, ignore_errors=True)
         build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
-        return top_k(run_algorithm(f"{root}/graph", f"{root}/pr", "pagerank"), 25)
+        res = run_algorithm(f"{root}/graph", f"{root}/pr", "pagerank")
+
+        def conv(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "score_e8": pc.round(pc.multiply(t["value"], 1e8)).cast(pa.int64()),
+                }
+            )
+
+        ds = res.map_batches(conv, batch_format="pyarrow")
+        return ds.sort(["score_e8", "vertex"], descending=[True, False]).limit(25)
 
     return {
         # -- graph engine over derived edge tables (SQL-checked) --------
@@ -313,7 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "edges_lineitem": f"WITH {_EB_LINEITEM} SELECT src, dst FROM eb",
         "degrees": (
             f"WITH {_EB_LINEITEM}, {_ES} "
@@ -475,6 +602,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_sql(),
         "doc_simhash_pairs": _simhash_sql(),
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
+        "pages_linkgraph_pagerank": _pages_pr_sql(),
         "doc_quality": _quality_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
@@ -487,3 +616,7 @@ def oracle_sql() -> dict[str, str]:
             "vec_id) <= 10"
         ),
     }
+    # IVF at full probe is exact by construction, so the brute-force
+    # cosine top-k oracle applies verbatim (see testdata.q_ann_ivf).
+    sql["ann_ivf"] = sql["ann_topk"]
+    return sql

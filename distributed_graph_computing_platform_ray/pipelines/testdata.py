@@ -547,30 +547,62 @@ def q_doc_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Near-dup pairs over the embeddings table AUGMENTED with planted
+    near-duplicates (vec_id < 16 get an affine-perturbed copy at
+    vec_id + 1_000_000), so the query exercises bucket collision +
+    verify non-vacuously — the raw synthetic table has no pairs at
+    cosine >= 0.9. The perturbation (x + 0.02 per element, float64)
+    is reproduced verbatim by the SQL oracle."""
     from ..stages.ann import embedding_neardup
 
-    return embedding_neardup(_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        sel = ids < 16
+        out_ids = np.concatenate([ids, ids[sel] + 1_000_000])
+        out_x = np.vstack([X, X[sel] + 0.02])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(list(out_x), pa.list_(pa.float64())),
+            }
+        )
+
+    aug = _table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return embedding_neardup(aug, threshold=0.9)
 
 
-def q_ann_ivf(sf_dir: str):
+def q_ann_ivf(sf_dir: str, k: int = 10):
+    """IVF search exercised at FULL probe (nprobe = n_centroids), which
+    is exact by construction — the same distributed machinery
+    (centroid train, per-batch assignment, probed scoring, per-query
+    merge) with a result the brute-force SQL oracle can check
+    hash-exactly. Approximation quality at nprobe < nlist is bounded
+    separately in pytest (tests/test_dedup_ann.py: recall >= 0.8)."""
     from ..stages.ann import ivf_topk
 
     emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = sorted(emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"])
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    res = ivf_topk(emb, Q, qids, k=10)
+    # over-fetch so integer-scaled ties at the rank-k boundary are
+    # resolved identically to the oracle's (score_e6, vec_id) window
+    res = ivf_topk(emb, Q, qids, k=k + 16, n_centroids=16, nprobe=16)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(score_e6=np.round(df["score"].to_numpy() * 1e6).astype("int64"))
+        df = df.sort_values(["score_e6", "vec_id"], ascending=[False, True]).head(k)
         return pd.DataFrame(
             {
                 "query_id": df["query_id"].astype("int64"),
                 "vec_id": df["vec_id"].astype("int64"),
-                "score_e6": np.round(df["score"].to_numpy() * 1e6).astype("int64"),
+                "score_e6": df["score_e6"].to_numpy(),
             }
         )
 
-    return res.map_batches(finish, batch_format="pandas")
+    return res.groupby("query_id").map_groups(finish, batch_format="pandas")
 
 
 def q_multimodal_decode(sf_dir: str):
