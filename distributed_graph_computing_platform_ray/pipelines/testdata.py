@@ -52,6 +52,26 @@ def _table(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _scaled_buckets(sf_dir: str, name: str, rows_per_bucket: int = 250_000, floor: int = 32) -> int:
+    """Hash-partition bucket count scaled to the input size (parquet
+    metadata row count — no data read), so one map_groups group stays
+    bounded at any scale instead of 1/32 of the whole table."""
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(os.path.join(sf_dir, f"{name}.parquet")).count_rows()
+    return max(floor, -(-n // rows_per_bucket))
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    """Epoch microseconds from a timestamp column with the unit made
+    EXPLICIT (astype('int64') on a datetime series yields whatever the
+    storage unit happens to be — ns under pandas<2 coercion — which
+    would silently skew gap/window arithmetic by 1000x)."""
+    if getattr(s.dtype, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # derived edge tables (must mirror the SQL in __ray_entry__ exactly)
 
@@ -287,23 +307,24 @@ def q_doc_stats(sf_dir: str):
 
 
 def q_doc_exact_dedup(sf_dir: str):
-    """Exact dedup by full text: keep min doc_id per text group."""
-    from ..stages.join import _BUCKET, add_bucket
+    """Exact dedup by full text: keep min doc_id per text group.
+    Delegates to the one implementation in stages.dedup.exact_dedup
+    (hash-partitioned on the content digest, never the wide text),
+    with bucket count scaled to the input size."""
+    from ..stages.dedup import exact_dedup
 
     ds = _table(sf_dir, "documents", ["doc_id", "text"])
+    dd = exact_dedup(ds, n_buckets=_scaled_buckets(sf_dir, "documents"))
 
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
-        # hash-partition on a digest, not the full text (wide rows)
-        df = df.assign(h=[hashlib.md5(t.encode()).hexdigest() for t in df["text"].astype(str)])
-        return df[["doc_id", "h"]]
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["winner_id"].astype("int64"),
+                "n_copies": df["n_copies"].astype("int64"),
+            }
+        )
 
-    hashed = ds.map_batches(pre, batch_format="pandas")
-
-    def group(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
-        return g[["doc_id", "n_copies"]].astype({"doc_id": "int64", "n_copies": "int64"})
-
-    return add_bucket(hashed, ["h"], 32).groupby(_BUCKET).map_groups(group, batch_format="pandas")
+    return dd.map_batches(finish, batch_format="pandas")
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -388,7 +409,7 @@ def q_events_sliding(sf_dir: str, window_s: int = 3600, step_s: int = 900):
     from ray.data.aggregate import Sum
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        ts_s = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        ts_s = _ts_us(df["ts"]) // 1_000_000
         base = ts_s // step_s
         frames = []
         for i in range(k):
@@ -432,7 +453,7 @@ def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
         out = []
         for uid, g in df.groupby("user_id"):
             g = g.sort_values(["ts", "event_id"], kind="stable")
-            ts_us = g["ts"].astype("int64").to_numpy()  # us since epoch
+            ts_us = _ts_us(g["ts"])
             new_s = np.ones(len(g), dtype=np.int64)
             new_s[1:] = (np.diff(ts_us) > gap_s * 1_000_000).astype(np.int64)
             sid = np.cumsum(new_s)
@@ -458,7 +479,9 @@ def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
         return pd.concat(out, ignore_index=True)
 
     return (
-        add_bucket(ds, ["user_id"], 32).groupby(_BUCKET).map_groups(sessionize, batch_format="pandas")
+        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
+        .groupby(_BUCKET)
+        .map_groups(sessionize, batch_format="pandas")
     )
 
 

@@ -68,6 +68,53 @@ def test_resume_ignores_incomplete_checkpoint(fixtures_dir):
     assert _state_bytes(f"{TMP}/crash", 12) == _state_bytes(f"{TMP}/crash_ref", 12)
 
 
+class _KillOncePageRank(PageRank):
+    """PageRank whose scatter SIGKILLs its own Ray worker process the
+    first time a given superstep runs — real mid-superstep process
+    death, not an exception. A marker file (created O_EXCL) limits the
+    kill to one task attempt, so Ray's task retry + lineage
+    reconstruction must finish the job."""
+
+    def __init__(self, n_vertices, num_iters, kill_marker, kill_superstep):
+        super().__init__(n_vertices, num_iters=num_iters)
+        self.kill_marker = kill_marker
+        self.kill_superstep = kill_superstep
+
+    def message_base(self, ids, values, degrees, superstep):
+        if superstep == self.kill_superstep:
+            try:
+                fd = os.open(self.kill_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                import signal
+
+                os.kill(os.getpid(), signal.SIGKILL)
+            except FileExistsError:
+                pass  # already killed once; retried attempt proceeds
+        return super().message_base(ids, values, degrees, superstep)
+
+
+def test_worker_kill_mid_superstep_bit_identical(fixtures_dir):
+    """The reference survives worker failures by restarting the whole
+    job from superstep 0 (master/master.go:431-445, README.md:9-10).
+    Here a SIGKILLed worker mid-scatter costs one task retry: the run
+    completes and the final state is bit-identical to an unbroken run."""
+    man = GraphManifest.load(f"{TMP}/graph")
+
+    clean = BSPEngine(man, f"{TMP}/fault_ref")
+    clean.run(PageRank(man.n_vertices, num_iters=8))
+
+    marker = f"{TMP}/killed_once"
+    if os.path.exists(marker):
+        os.remove(marker)
+    eng = BSPEngine(man, f"{TMP}/fault")
+    final = eng.run(
+        _KillOncePageRank(man.n_vertices, num_iters=8, kill_marker=marker, kill_superstep=3)
+    )
+    assert final == 8
+    assert os.path.exists(marker), "kill was never triggered"
+    assert _state_bytes(f"{TMP}/fault", 8) == _state_bytes(f"{TMP}/fault_ref", 8)
+
+
 def test_resume_skips_complete_iterations(fixtures_dir):
     man = GraphManifest.load(f"{TMP}/graph")
     eng = BSPEngine(man, f"{TMP}/noop")
