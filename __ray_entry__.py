@@ -323,6 +323,44 @@ def _multimodal_sql() -> str:
     )
 
 
+def _hex_word_le(hexcol: str, w: int) -> str:
+    """Little-endian uint64 from bytes [8w, 8w+8) of a 64-char hex
+    digest column."""
+    parts = ", ".join(f"substr({hexcol}, {2 * (8 * w + b) + 1}, 2)" for b in range(7, -1, -1))
+    return f"CAST(concat('0x', {parts}) AS UBIGINT)"
+
+
+def _media_features_sql(dim: int = 8) -> str:
+    """Mirror stages.multimodal.MediaFeatures' stub: dim digest floats
+    (hex-chain sha256 blocks), cast through REAL exactly like the
+    engine's float32 features, then integer-scaled."""
+    cols = []
+    for j in range(dim):
+        blk = f"b{j // 4 + 1}"
+        d = f"(({_hex_word_le(blk, j % 4)} >> 11) / 9007199254740992.0)"
+        cols.append(
+            f"CAST(ROUND(CAST(CAST({d} AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS f{j}_e6"
+        )
+    n_blocks = (dim * 8 + 31) // 32
+    chain = "SELECT doc_id, sha256(sha256(text)) AS b1 FROM documents"
+    for b in range(2, n_blocks + 1):
+        chain = f"SELECT doc_id, b1{''.join(f', b{k}' for k in range(2, b))}, " \
+                f"sha256(b{b - 1}) AS b{b} FROM ({chain})"
+    return f"SELECT doc_id AS media_id, {', '.join(cols)} FROM ({chain})"
+
+
+def _frame_sample_sql(n: int = 4) -> str:
+    """Mirror stages.multimodal.FrameSample's stub byte-range frames:
+    step = max(1, len//n), frame s = payload[s*step:(s+1)*step]."""
+    return (
+        "SELECT doc_id AS media_id, s::BIGINT AS frame_idx, "
+        "md5(substr(text, s * step + 1, step)) AS frame_md5, "
+        "length(substr(text, s * step + 1, step))::BIGINT AS frame_len "
+        f"FROM (SELECT doc_id, text, greatest(1, length(text) // {n}) AS step FROM documents), "
+        f"LATERAL unnest(generate_series(0, {n - 1})) t(s)"
+    )
+
+
 def _quality_sql() -> str:
     """Mirror functions.text.quality_score: the band tests compare the
     ROUND(...,6)-ed ratios exactly as Python does, and the composite
@@ -432,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_bpe": T.q_doc_token_bpe,
         "doc_rolling_fingerprint": T.q_doc_rolling_fingerprint,
         "doc_minhash_dedup": T.q_doc_minhash_dedup,
+        "media_features": T.q_media_features,
+        "media_framesample": T.q_media_framesample,
         "doc_simhash_pairs": T.q_doc_simhash_pairs,
         "embedding_neardup": T.q_embedding_neardup,
         "ann_ivf": T.q_ann_ivf,
@@ -602,6 +642,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_sql(),
         "doc_simhash_pairs": _simhash_sql(),
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "media_features": _media_features_sql(),
+        "media_framesample": _frame_sample_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "pages_linkgraph_pagerank": _pages_pr_sql(),
         "doc_quality": _quality_sql(),

@@ -628,10 +628,9 @@ def q_ann_ivf(sf_dir: str, k: int = 10):
     return res.groupby("query_id").map_groups(finish, batch_format="pandas")
 
 
-def q_multimodal_decode(sf_dir: str):
-    """Documents' text bytes stand in for media payloads — exercises
-    the real Ray plumbing of the stubbed decode stage."""
-    from ..stages.multimodal import decode_media
+def _media_table(sf_dir: str) -> rd.Dataset:
+    """Documents' text bytes standing in for media payloads (the
+    codecs are stubbed; the Ray plumbing under test is real)."""
 
     def to_media(t: pa.Table) -> pa.Table:
         kinds = ["image", "audio", "video"]
@@ -646,10 +645,56 @@ def q_multimodal_decode(sf_dir: str):
             }
         )
 
-    media = _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         to_media, batch_format="pyarrow"
     )
-    return decode_media(media, stub=True)
+
+
+def q_multimodal_decode(sf_dir: str):
+    from ..stages.multimodal import decode_media
+
+    return decode_media(_media_table(sf_dir), stub=True)
+
+
+def q_media_features(sf_dir: str, dim: int = 8):
+    """Stubbed feature-extraction actor stage (the batched-inference
+    shape); features flattened to integer-scaled columns for the
+    hash-exact SQL compare."""
+    from ..stages.multimodal import media_features
+
+    feats = media_features(_media_table(sf_dir), dim=dim, stub=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        F = np.stack(t["feature"].to_numpy(zero_copy_only=False))
+        cols = {"media_id": t["media_id"].cast(pa.int64())}
+        for j in range(dim):
+            cols[f"f{j}_e6"] = pa.array(
+                np.round(F[:, j].astype(np.float64) * 1e6).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+def q_media_framesample(sf_dir: str, n_samples: int = 4):
+    """Stubbed frame sampling: deterministic byte-range frames,
+    reported as (md5, length) so binary payloads hash-compare."""
+    from ..stages.multimodal import frame_sample
+
+    frames = frame_sample(_media_table(sf_dir), n_samples=n_samples, stub=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        fr = t["frame"].to_pylist()
+        return pa.table(
+            {
+                "media_id": t["media_id"].cast(pa.int64()),
+                "frame_idx": t["frame_idx"].cast(pa.int64()),
+                "frame_md5": pa.array([hashlib.md5(b or b"").hexdigest() for b in fr], pa.string()),
+                "frame_len": pa.array([len(b or b"") for b in fr], pa.int64()),
+            }
+        )
+
+    return frames.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
