@@ -265,6 +265,64 @@ def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+def _ngram_jaccard_sql() -> str:
+    """Oracle for stages.dedup.ngram_jaccard_join at threshold 0.5 /
+    df_cap 128: same shingles, same GLOBAL df filter, same exact
+    integer half-up jaccard_e6 — straight set algebra in SQL."""
+    return (
+        "WITH "
+        "docs0 AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm "
+        "          FROM documents WHERE trim(text) <> ''), "
+        "words AS (SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS arr FROM docs0), "
+        "sh AS ( "
+        "  SELECT DISTINCT doc_id, g FROM ( "
+        "    SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g "
+        "    FROM words, LATERAL unnest(generate_series(1, len(arr) - 2)) t(i) "
+        "    WHERE len(arr) >= 3 "
+        "    UNION ALL "
+        "    SELECT doc_id, norm AS g FROM words WHERE len(arr) BETWEEN 1 AND 2)), "
+        "sdf AS (SELECT g, count(*) AS c FROM sh GROUP BY g), "
+        "kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN sdf ON sdf.g = sh.g WHERE sdf.c <= 128), "
+        "sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id), "
+        "inter AS ( "
+        "  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i "
+        "  FROM kept x JOIN kept y ON y.g = x.g AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        "sc AS ( "
+        "  SELECT a, b, (2 * i * 1000000 + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i)) AS je "
+        "  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b) "
+        "SELECT a, b, je::BIGINT AS jaccard_e6 FROM sc WHERE je >= 500000"
+    )
+
+
+_EBW_LINEITEM = (
+    "ebw AS (SELECT DISTINCT l_orderkey % 2000 AS src, "
+    "2000 + (l_partkey % 2000) AS dst, "
+    "CAST(1 + (l_orderkey + l_partkey) % 5 AS DOUBLE) AS w FROM lineitem)"
+)
+
+
+def _sssp_weighted_sql() -> str:
+    """Weighted SSSP oracle: Bellman-Ford rounds as a recursive CTE
+    over the symmetrized weighted multigraph (same derivation as
+    testdata.edges_lineitem_weighted)."""
+    return (
+        f"WITH RECURSIVE {_EBW_LINEITEM}, "
+        "esw AS (SELECT src, dst, w FROM ebw UNION ALL SELECT dst, src, w FROM ebw), "
+        "v AS (SELECT DISTINCT src AS id FROM esw), "
+        "srcv AS (SELECT min(id) AS s FROM v), "
+        "relax AS (SELECT src, dst, w FROM esw "
+        "          UNION ALL SELECT id, id, 0 FROM v), "
+        "d AS ( "
+        "  SELECT 0 AS it, id, CASE WHEN id = (SELECT s FROM srcv) "
+        "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+        "  UNION ALL "
+        "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d p "
+        "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
+        "SELECT id AS vertex, CASE WHEN dist >= 1e17 THEN NULL "
+        "ELSE CAST(dist AS BIGINT) END AS dist FROM d WHERE it = 60"
+    )
+
+
 def _embedding_neardup_sql() -> str:
     """Oracle for testdata.q_embedding_neardup: reproduce the planted
     augmentation (x + 0.02 copies of vec_id < 16), the 12-hyperplane
@@ -449,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_directed": T.q_pagerank_directed,
         "pagerank_top25": T.q_pagerank_top25,
         "sssp": T.q_sssp,
+        "sssp_weighted": T.q_sssp_weighted,
         "connected_components": T.q_connected_components,
         "label_propagation": T.q_label_propagation,
         "triangle_count": T.q_triangle_count,
@@ -470,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_bpe": T.q_doc_token_bpe,
         "doc_rolling_fingerprint": T.q_doc_rolling_fingerprint,
         "doc_minhash_dedup": T.q_doc_minhash_dedup,
+        "doc_ngram_jaccard": T.q_doc_ngram_jaccard,
         "media_features": T.q_media_features,
         "media_framesample": T.q_media_framesample,
         "doc_simhash_pairs": T.q_doc_simhash_pairs,
@@ -642,6 +702,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_sql(),
         "doc_simhash_pairs": _simhash_sql(),
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "doc_ngram_jaccard": _ngram_jaccard_sql(),
+        "sssp_weighted": _sssp_weighted_sql(),
         "media_features": _media_features_sql(),
         "media_framesample": _frame_sample_sql(),
         "embedding_neardup": _embedding_neardup_sql(),

@@ -569,6 +569,83 @@ def q_doc_simhash_pairs(sf_dir: str):
     return simhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_doc_ngram_jaccard(sf_dir: str):
+    """Exhaustive n-gram similarity join (no LSH): every doc pair with
+    word-3-shingle Jaccard >= 0.5 via the inverted-index join."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    return ngram_jaccard_join(
+        _table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, df_cap=128
+    )
+
+
+def edges_lineitem_weighted(sf_dir: str) -> rd.Dataset:
+    """Bipartite lineitem edges with a deterministic small weight:
+    w = 1 + (l_orderkey + l_partkey) % 5, distinct (src, dst, w) —
+    a weighted multigraph (parallel edges with different weights)."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(ok % 2000),
+                "dst": pa.array(2000 + pk % 2000),
+                "weight": pa.array((1 + (ok + pk) % 5).astype(np.float64)),
+            }
+        )
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return distinct(
+        ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst", "weight"]
+    )
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Weighted SSSP (Bellman-Ford-style BSP relaxation) over the
+    weighted lineitem multigraph from the min vertex."""
+    from .graph import lookup_vertex_id
+
+    gdir = _cache(sf_dir, "lineitem_weighted", "graph")
+    if not os.path.exists(os.path.join(gdir, "manifest.json")):
+        edges = edges_lineitem_weighted(sf_dir)
+
+        def stringify(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_key": t["src"].cast(pa.string()),
+                    "dst_key": t["dst"].cast(pa.string()),
+                    "weight": t["weight"],
+                }
+            )
+
+        build_graph(
+            edges.map_batches(stringify, batch_format="pyarrow"),
+            gdir,
+            n_parts=16,
+            n_buckets=32,
+            dedup=False,
+            symmetrize_edges=True,
+            source_info={"kind": "lineitem_weighted", "sf_dir": os.path.abspath(sf_dir)},
+        )
+    man = GraphManifest.load(gdir)
+    src = _min_vertex(sf_dir, "lineitem")
+    sid = lookup_vertex_id(man, str(src))
+    res = run_algorithm(gdir, _cache(sf_dir, "lineitem_weighted", "run_sssp"), "sssp", source_id=sid)
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        val = t["value"].to_numpy()
+        dist = pa.array(
+            [None if not np.isfinite(x) else int(x) for x in val], pa.int64()
+        )
+        return pa.table({"vertex": v, "dist": dist})
+
+    return res.map_batches(conv, batch_format="pyarrow")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over the embeddings table AUGMENTED with planted
     near-duplicates (vec_id < 16 get an affine-perturbed copy at
