@@ -265,6 +265,20 @@ def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+def _doc_split_sql() -> str:
+    """Mirror testdata.q_doc_split: FNV-1a of the decimal doc_id
+    (recursive CTE), bucket = h % 10, 8/1/1 split."""
+    return (
+        "WITH RECURSIVE "
+        "toks AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS tok FROM documents), "
+        f"{_FNV_TOK} "
+        "SELECT d.doc_id, (th.h % 10)::BIGINT AS bucket10, "
+        "CASE WHEN th.h % 10 < 8 THEN 'train' WHEN th.h % 10 = 8 THEN 'val' "
+        "ELSE 'test' END AS split "
+        "FROM documents d JOIN tokh th ON th.tok = CAST(d.doc_id AS VARCHAR)"
+    )
+
+
 def _ngram_jaccard_sql() -> str:
     """Oracle for stages.dedup.ngram_jaccard_join at threshold 0.5 /
     df_cap 128: same shingles, same GLOBAL df filter, same exact
@@ -517,6 +531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": T.q_doc_exact_dedup,
         "doc_fingerprint": T.q_doc_fingerprint,
         "top_terms": T.q_top_terms,
+        "top_terms_per_lang": T.q_top_terms_per_lang,
+        "revenue_by_nation": T.q_revenue_by_nation,
+        "doc_split": T.q_doc_split,
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
         "events_sessionize": T.q_events_sessionize,
@@ -703,6 +720,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": _simhash_sql(),
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
+        "doc_split": _doc_split_sql(),
+        "revenue_by_nation": (
+            "SELECT n.n_name AS nation, count(*)::BIGINT AS n_orders, "
+            "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "top_terms_per_lang": (
+            "SELECT lang, term, cnt FROM ( "
+            "  SELECT lang, term, count(*)::BIGINT AS cnt, "
+            "    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rn "
+            "  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "        FROM documents WHERE trim(text) <> '') "
+            "  GROUP BY lang, term) WHERE rn <= 10"
+        ),
         "sssp_weighted": _sssp_weighted_sql(),
         "media_features": _media_features_sql(),
         "media_framesample": _frame_sample_sql(),

@@ -357,6 +357,97 @@ def q_top_terms(sf_dir: str):
     return top
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Relational pipeline: orders JOIN customer (hash-partitioned)
+    JOIN nation (driver-side broadcast — 25 rows, the canonical
+    small-side broadcast instead of a shuffle) -> groupby nation
+    -> Sum/Count. TPC-H-style multi-table aggregation."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import bucket_join
+
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _table(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    nation_ref = ray.put(nation)
+
+    ii = pa.int64()
+    joined = bucket_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", n_buckets=32,
+        left_schema=pa.schema([("o_custkey", ii), ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", ii), ("c_nationkey", ii)]),
+    )
+
+    class AttachNation:
+        def __init__(self):
+            self.nation = ray.get(nation_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy()
+            return pa.table(
+                {
+                    "nation": pa.array([self.nation[int(k)] for k in nk], pa.string()),
+                    "o_totalprice": t["o_totalprice"],
+                }
+            )
+
+    withn = joined.map_batches(AttachNation, batch_format="pyarrow", concurrency=(1, 8))
+    agg = withn.groupby("nation").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation": t["nation"],
+                "n_orders": t["n_orders"].cast(pa.int64()),
+                "revenue_e2": pc.round(pc.multiply(t["revenue"], 1e2)).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_terms_per_lang(sf_dir: str, k: int = 10):
+    """Partitioned top-k: top-k whitespace terms PER document language
+    — per-batch partial counts (combiner), one (lang, term) groupby,
+    then a per-lang top-k map_groups."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[["lang", "text"]].assign(term=df["text"].astype(str).str.split()).explode("term")
+        ex = ex.dropna(subset=["term"])
+        g = ex.groupby(["lang", "term"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    ds = _table(sf_dir, "documents", ["lang", "text"]).map_batches(partial, batch_format="pandas")
+    agg = ds.groupby(["lang", "term"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cnt", "term"], ascending=[False, True]).head(k)
+        return df[["lang", "term"]].assign(cnt=df["cnt"].astype("int64"))
+
+    return agg.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic train/val/test split by content-independent key
+    hash (FNV-1a of the decimal doc_id) — the standard reproducible
+    dataset-split operator; split is stable under any repartitioning."""
+    from ..functions.hashing import fnv1a64
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        h = fnv1a64([str(i) for i in ids]) % np.uint64(10)
+        name = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
+        return pd.DataFrame({"doc_id": ids, "bucket10": h.astype("int64"), "split": name})
+
+    return _table(sf_dir, "documents", ["doc_id"]).map_batches(split, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # events: tumbling-window aggregate (streaming-shaped, SURVEY.md §2.9)
 

@@ -77,6 +77,80 @@ def test_minhash_dedup_clusters(tmp_path):
     assert all(got.get(d) is None or got[d] >= 5 for d in range(5, 12))
 
 
+def test_ngram_jaccard_join_exhaustive():
+    """The inverted-index similarity join finds EVERY pair at or above
+    the threshold — compare against brute-force jaccard over all
+    pairs (no LSH recall caveat to tolerate)."""
+    from itertools import combinations
+
+    from distributed_graph_computing_platform_ray.stages.dedup import ngram_jaccard_join
+
+    df = _docs()
+    out = ngram_jaccard_join(
+        rd.from_pandas(df), threshold=0.5, df_cap=128, n_buckets=8
+    ).to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.jaccard_e6) for r in out.itertuples()}
+
+    texts = dict(zip(df["doc_id"], df["text"]))
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingle_hashes(texts[a]), shingle_hashes(texts[b])
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        je = (2 * inter * 1_000_000 + union) // (2 * union)
+        if je >= 500_000:
+            expect[(a, b)] = je
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] == 1_000_000  # identical docs
+
+
+def test_ngram_jaccard_df_cap_drops_ubiquitous_shingles():
+    """A shingle present in more docs than df_cap contributes no pairs
+    (and the pair may then fall under threshold) — deterministic."""
+    from distributed_graph_computing_platform_ray.stages.dedup import ngram_jaccard_join
+
+    common = "alpha beta gamma"
+    docs = pd.DataFrame(
+        {"doc_id": range(6), "text": [f"{common} unique{i} filler{i}" for i in range(6)]}
+    )
+    # with the shared 3-shingle capped away (df=6 > cap=4), pairs lose
+    # their only intersection and vanish
+    out = ngram_jaccard_join(
+        rd.from_pandas(docs), threshold=0.1, df_cap=4, n_buckets=4
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_fnv1a64_reference_values():
+    """Vectorized FNV-1a matches the published test vectors and a
+    byte-at-a-time reference implementation."""
+    from distributed_graph_computing_platform_ray.functions.hashing import fnv1a64
+
+    def ref(s: str) -> int:
+        h = 14695981039346656037
+        for c in s.encode("utf-8"):
+            h = ((h ^ c) * 1099511628211) % (1 << 64)
+        return h
+
+    cases = ["", "a", "foobar", "the quick brown fox", "tokén", "x" * 100]
+    got = fnv1a64(cases)
+    for s, g in zip(cases, got):
+        assert int(g) == ref(s), s
+    # published FNV-1a 64 vectors
+    assert int(fnv1a64([""])[0]) == 0xCBF29CE484222325
+    assert int(fnv1a64(["a"])[0]) == 0xAF63DC4C8601EC8C
+
+
+def test_doc_split_deterministic_and_partition_invariant():
+    from distributed_graph_computing_platform_ray.pipelines.testdata import q_doc_split
+
+    a = q_doc_split("/root/testdata/sf0.001").to_pandas().sort_values("doc_id")
+    b = q_doc_split("/root/testdata/sf0.001").to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    frac_train = (a["split"] == "train").mean()
+    assert 0.7 < frac_train < 0.9  # 8/10 expected
+
+
 def test_jaccard_exact_values():
     a = shingle_hashes(BASE, 3)
     b = shingle_hashes(BASE.replace("lazy", "sleepy"), 3)
