@@ -225,6 +225,14 @@ def full_bench(tmp: str) -> dict:
     t0 = time.time()
     T.q_ann_topk(SF_DIR).materialize()
     out["ann_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.q_doc_ngram_jaccard(SF_DIR).materialize()
+    out["similarity_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.q_revenue_by_nation(SF_DIR).materialize()
+    out["revenue_join"] = round(time.time() - t0, 3)
     return out
 
 

@@ -241,14 +241,17 @@ def ngram_jaccard_join(
     k-shingle Jaccard >= threshold, via an inverted-index join — no
     LSH, no recall loss, the exact-similarity counterpart to minhash.
 
-    Scale shape: one shuffle groups postings by shingle hash (a
+    Scale shape: ONE shuffle groups postings by shingle hash (a
     shingle's full posting list lands in one group, so the df cap is
-    GLOBAL document frequency); pair counts are pre-aggregated per
-    group (combiner) before the one (a, b) groupby; set sizes attach
-    via hash joins. Shingles with df > df_cap are dropped and logged —
-    ubiquitous shingles cost O(df^2) pairs and carry no similarity
-    signal (standard prefix/df filtering). jaccard_e6 uses exact
-    integer half-up arithmetic so a SQL oracle reproduces it.
+    GLOBAL document frequency); per-doc set sizes are DENORMALIZED
+    onto the postings (8 extra bytes/posting buys away two hash joins
+    and a sizes pass — each doc's size is known in the batch that
+    shingles it); pair counts are pre-aggregated per group (combiner)
+    before the one (a, b) groupby. Shingles with df > df_cap are
+    dropped and logged — ubiquitous shingles cost O(df^2) pairs and
+    carry no similarity signal (standard prefix/df filtering).
+    jaccard_e6 uses exact integer half-up arithmetic so a SQL oracle
+    reproduces it.
     """
     from ray.data.aggregate import Sum
 
@@ -259,67 +262,56 @@ def ngram_jaccard_join(
             sh = shingle_hashes(str(txt), shingle_k)
             out_id.append(np.full(len(sh), int(i), dtype=np.int64))
             out_sh.append(sh.astype(np.int64))
-            out_n.append((int(i), len(sh)))
+            out_n.append(np.full(len(sh), len(sh), dtype=np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
         return pa.table(
             {
-                "doc": pa.array(np.concatenate(out_id) if out_id else [], pa.int64()),
-                "sh": pa.array(np.concatenate(out_sh) if out_sh else [], pa.int64()),
+                "doc": pa.array(cat(out_id), pa.int64()),
+                "sh": pa.array(cat(out_sh), pa.int64()),
+                "n": pa.array(cat(out_n), pa.int64()),
             }
         )
 
-    posts = ds.map_batches(postings, batch_format="pyarrow").materialize()
-
-    sizes = (
-        posts.groupby("doc")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"doc": t["doc"], "n": t["count()"].cast(pa.int64())}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    posts = ds.map_batches(postings, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for sh, g in df.groupby("sh"):
-            docs = np.sort(g["doc"].unique())
-            n = len(docs)
-            if n < 2:
+            sub = g.drop_duplicates("doc").sort_values("doc")
+            docs = sub["doc"].to_numpy()
+            ns = sub["n"].to_numpy()
+            m = len(docs)
+            if m < 2:
                 continue
-            if n > df_cap:
-                print(f"ngram_jaccard: dropping shingle with df={n} > cap {df_cap}")
+            if m > df_cap:
+                print(f"ngram_jaccard: dropping shingle with df={m} > cap {df_cap}")
                 continue
-            i, j = np.triu_indices(n, k=1)
+            i, j = np.triu_indices(m, k=1)
             out_a.append(docs[i])
             out_b.append(docs[j])
+            out_na.append(ns[i])
+            out_nb.append(ns[j])
         if not out_a:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cnt": pd.Series([], dtype="int64")})
-        dfp = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
-        g = dfp.groupby(["a", "b"], as_index=False).size()  # per-group combiner
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("a", "b", "na", "nb", "cnt")}
+            )
+        dfp = pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "na": np.concatenate(out_na),
+                "nb": np.concatenate(out_nb),
+            }
+        )
+        g = dfp.groupby(["a", "b", "na", "nb"], as_index=False).size()  # combiner
         return g.rename(columns={"size": "cnt"}).astype("int64")
 
     inter = (
         add_bucket(posts, ["sh"], n_buckets)
         .groupby(_BUCKET)
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b"])
+        .groupby(["a", "b", "na", "nb"])  # na/nb functionally depend on a/b
         .aggregate(Sum("cnt", alias_name="inter"))
-    )
-
-    ii = pa.int64()
-    j1 = bucket_join(
-        inter, sizes.map_batches(lambda t: pa.table({"doc": t["doc"], "na": t["n"]}), batch_format="pyarrow"),
-        left_on="a", right_on="doc", n_buckets=n_buckets,
-        left_schema=pa.schema([("a", ii), ("b", ii), ("inter", ii)]),
-        right_schema=pa.schema([("doc", ii), ("na", ii)]),
-    )
-    j2 = bucket_join(
-        j1, sizes.map_batches(lambda t: pa.table({"doc": t["doc"], "nb": t["n"]}), batch_format="pyarrow"),
-        left_on="b", right_on="doc", n_buckets=n_buckets,
-        left_schema=pa.schema([("a", ii), ("b", ii), ("inter", ii), ("na", ii)]),
-        right_schema=pa.schema([("doc", ii), ("nb", ii)]),
     )
 
     thr = int(threshold * 1e6)
@@ -340,7 +332,7 @@ def ngram_jaccard_join(
             }
         )
 
-    return j2.map_batches(score, batch_format="pyarrow")
+    return inter.map_batches(score, batch_format="pyarrow")
 
 
 class SimHashStage:
