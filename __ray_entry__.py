@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
         "events_sessionize": T.q_events_sessionize,
+        "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -741,6 +742,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(),
         "pages_linkgraph_pagerank": _pages_pr_sql(),
         "doc_quality": _quality_sql(),
+        "events_quantiles": (
+            "WITH r AS (SELECT event_type, value, "
+            "  row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn, "
+            "  count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, max(n)::BIGINT AS n_events, "
+            + ", ".join(
+                f"CAST(ROUND(max(CASE WHEN rn = CAST(floor({q} * (n - 1)) AS BIGINT) "
+                f"THEN value END) * 1e6) AS BIGINT) AS p{int(q * 100)}_e6"
+                for q in (0.5, 0.9, 0.99)
+            )
+            + " FROM r GROUP BY event_type"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
             "           FROM embeddings WHERE vec_id < 5) "

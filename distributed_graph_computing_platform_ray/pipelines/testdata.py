@@ -530,6 +530,34 @@ def q_events_sliding(sf_dir: str, window_s: int = 3600, step_s: int = 900):
     )
 
 
+def q_events_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """Exact per-group quantiles (rank = floor(q*(n-1)) of the sorted
+    values): groupby event_type -> per-group vectorized sort. Groups
+    here fit a worker; at 100 TB swap the per-group sort for a
+    mergeable sketch (t-digest) computed per batch + merged — the
+    exact version buys a hash-exact SQL oracle."""
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        out = {
+            "event_type": [df["event_type"].iloc[0]],
+            "n_events": pd.Series([n], dtype="int64"),
+        }
+        for q in qs:
+            idx = int(np.floor(q * (n - 1)))
+            out[f"p{int(q * 100)}_e6"] = pd.Series(
+                [int(np.round(v[idx] * 1e6))], dtype="int64"
+            )
+        return pd.DataFrame(out)
+
+    return (
+        _table(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(quant, batch_format="pandas")
+    )
+
+
 def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
     """Gap-based sessionization per user (streaming-shaped op,
     SURVEY.md §2.9 note): Ray Data has no event-time windows, so the
