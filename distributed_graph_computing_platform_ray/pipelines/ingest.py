@@ -44,9 +44,15 @@ from ..utils import atomic_write_parquet
 
 def _keys_of_edges(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
     def both(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         s = t[src_col].combine_chunks().cast(pa.large_string())
         d = t[dst_col].combine_chunks().cast(pa.large_string())
-        return pa.table({"key": pa.chunked_array([s, d])})
+        # per-batch distinct BEFORE the shuffle (combiner): endpoint
+        # keys repeat heavily (hubs), so this cuts the dictionary
+        # shuffle from 2x|edges| rows to near the unique-key count
+        u = pc.unique(pa.chunked_array([s, d]))
+        return pa.table({"key": u})
 
     return edges.map_batches(both, batch_format="pyarrow")
 

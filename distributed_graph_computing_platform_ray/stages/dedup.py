@@ -131,10 +131,58 @@ def minhash_candidates(
     return distinct(cand, ["a", "b"], n_buckets)
 
 
+BROADCAST_SHINGLE_DOCS = 20_000  # docs; ~50 MB of shingle sets
+
+
 def verify_jaccard(
-    pairs: rd.Dataset, docs: rd.Dataset, id_col="doc_id", text_col="text", shingle_k=3, n_buckets=64
+    pairs: rd.Dataset, docs: rd.Dataset, id_col="doc_id", text_col="text", shingle_k=3,
+    n_buckets=64, broadcast_limit: int = BROADCAST_SHINGLE_DOCS,
 ) -> rd.Dataset:
-    """(a, b, jaccard_e6) — exact n-gram Jaccard per candidate pair."""
+    """(a, b, jaccard_e6) — exact n-gram Jaccard per candidate pair.
+
+    Small-side fast path: when the doc count fits ``broadcast_limit``,
+    the per-doc shingle sets are broadcast once (ray.put) and pairs are
+    scored in a single map — no join shuffles. Larger inputs fall back
+    to two hash-partitioned joins on the text table.
+    """
+    import ray
+
+    if docs.count() <= broadcast_limit:
+        def shingle_batch(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy()
+            sets = [
+                shingle_hashes(str(x), shingle_k).astype(np.int64)
+                for x in t[text_col].to_pylist()
+            ]
+            return pa.table(
+                {"jid": pa.array(ids.astype(np.int64)), "sh": pa.array(sets, pa.list_(pa.int64()))}
+            )
+
+        lookup: dict[int, np.ndarray] = {}
+        for b in docs.map_batches(shingle_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for i, lst in zip(b["jid"].to_pylist(), b["sh"].to_pylist()):
+                lookup[int(i)] = np.asarray(lst, dtype=np.int64).astype(np.uint64)
+        ref = ray.put(lookup)
+
+        class ScorePairs:
+            def __init__(self):
+                self.sets = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                a = t["a"].to_numpy().astype(np.int64)
+                b2 = t["b"].to_numpy().astype(np.int64)
+                js = [
+                    int(round(jaccard(self.sets[int(x)], self.sets[int(y)]) * 1e6))
+                    for x, y in zip(a, b2)
+                ]
+                return pa.table(
+                    {"a": pa.array(a), "b": pa.array(b2), "jaccard_e6": pa.array(js, pa.int64())}
+                )
+
+        return pairs.map_batches(ScorePairs, batch_format="pyarrow", concurrency=(1, 8))
+
     texts = docs.map_batches(
         lambda t: pa.table({"jid": t[id_col].cast(pa.int64()), "jtext": t[text_col]}),
         batch_format="pyarrow",
