@@ -45,6 +45,7 @@ def canonical_edges(edges: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
 
 
 BROADCAST_EDGE_LIMIT = 5_000_000  # edge keys held as one sorted int64 array
+BROADCAST_DEG_LIMIT = 5_000_000  # vertices; 2 int64 arrays ~80 MB
 
 
 def triangle_count(
@@ -90,36 +91,149 @@ def triangle_count(
         )
     )
 
-    # attach both degrees (two partitioned hash joins — the scale path;
-    # a broadcast would also work when N is small)
-    deg = deg.materialize()  # reused by both joins; it's N rows
-    da = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_a": t["deg"]}), batch_format="pyarrow")
-    db = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_b": t["deg"]}), batch_format="pyarrow")
+    # attach both degrees. Small-side fast path: the degree table is
+    # |V| rows — when it fits BROADCAST_DEG_LIMIT it ships once via
+    # ray.put (two sorted int64 arrays, searchsorted lookup per batch)
+    # instead of TWO partitioned hash joins; larger vertex sets fall
+    # back to the shuffle joins.
+    deg = deg.materialize()  # reused by both paths; it's N rows
     ii = pa.int64()
-    e1 = bucket_join(
-        simple, da, left_on="src", right_on="v", n_buckets=n_buckets,
-        left_schema=pa.schema([("src", ii), ("dst", ii)]),
-        right_schema=pa.schema([("v", ii), ("deg_a", ii)]),
-    )
-    e2 = bucket_join(
-        e1, db, left_on="dst", right_on="v", n_buckets=n_buckets,
-        left_schema=pa.schema([("src", ii), ("dst", ii), ("deg_a", ii)]),
-        right_schema=pa.schema([("v", ii), ("deg_b", ii)]),
-    )
+    if deg.count() <= BROADCAST_DEG_LIMIT:
+        import ray
 
-    def orient(t: pa.Table) -> pa.Table:
-        a = t["src"].to_numpy().astype(np.int64)
-        b = t["dst"].to_numpy().astype(np.int64)
-        da_ = t["deg_a"].to_numpy().astype(np.int64)
-        db_ = t["deg_b"].to_numpy().astype(np.int64)
-        a_first = (da_ < db_) | ((da_ == db_) & (a < b))
-        u = np.where(a_first, a, b)
-        v = np.where(a_first, b, a)
-        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+        dp = deg.to_pandas()
+        order = np.argsort(dp["v"].to_numpy())
+        ref = ray.put((dp["v"].to_numpy()[order], dp["deg"].to_numpy()[order]))
 
-    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+        class OrientB:
+            def __init__(self):
+                self.vs, self.ds = ray.get(ref)
 
-    # wedges: all out-neighbor pairs per source, key-packed
+            def __call__(self, t: pa.Table) -> pa.Table:
+                a = t["src"].to_numpy().astype(np.int64)
+                b = t["dst"].to_numpy().astype(np.int64)
+                da_ = self.ds[np.searchsorted(self.vs, a)]
+                db_ = self.ds[np.searchsorted(self.vs, b)]
+                a_first = (da_ < db_) | ((da_ == db_) & (a < b))
+                return pa.table(
+                    {"u": pa.array(np.where(a_first, a, b)), "v": pa.array(np.where(a_first, b, a))}
+                )
+
+        oriented = simple.map_batches(OrientB, batch_format="pyarrow", concurrency=(1, 16)).materialize()
+    else:
+        da = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_a": t["deg"]}), batch_format="pyarrow")
+        db = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_b": t["deg"]}), batch_format="pyarrow")
+        e1 = bucket_join(
+            simple, da, left_on="src", right_on="v", n_buckets=n_buckets,
+            left_schema=pa.schema([("src", ii), ("dst", ii)]),
+            right_schema=pa.schema([("v", ii), ("deg_a", ii)]),
+        )
+        e2 = bucket_join(
+            e1, db, left_on="dst", right_on="v", n_buckets=n_buckets,
+            left_schema=pa.schema([("src", ii), ("dst", ii), ("deg_a", ii)]),
+            right_schema=pa.schema([("v", ii), ("deg_b", ii)]),
+        )
+
+        def orient(t: pa.Table) -> pa.Table:
+            a = t["src"].to_numpy().astype(np.int64)
+            b = t["dst"].to_numpy().astype(np.int64)
+            da_ = t["deg_a"].to_numpy().astype(np.int64)
+            db_ = t["deg_b"].to_numpy().astype(np.int64)
+            a_first = (da_ < db_) | ((da_ == db_) & (a < b))
+            u = np.where(a_first, a, b)
+            v = np.where(a_first, b, a)
+            return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+        oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges per oriented source (groupby co-locates each u's
+    # out-neighborhood). Wedge (v,w) is a triangle iff v-w is an edge;
+    # wedge endpoints are emitted sorted, edges may be oriented either
+    # way — canonical edges are keyed by sorted ids.
+    def edge_keys(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        return pa.table({"k": pa.array(lo * _SHIFT + hi), "hit": pa.array(np.ones(len(u), np.int8))})
+
+    n_edges = simple.count()
+    if n_edges <= BROADCAST_EDGE_LIMIT:
+        # closure FUSED into the wedge stage: the sorted edge-key array
+        # is broadcast once, each group tests its wedges immediately
+        # and emits only per-vertex partial counts — the wedge set
+        # (which can be orders of magnitude larger than the graph)
+        # never enters the object store.
+        import ray
+
+        keys_arr = np.sort(
+            oriented.map_batches(edge_keys, batch_format="pyarrow")
+            .to_pandas()["k"]
+            .to_numpy()
+        )
+        ref = ray.put(keys_arr)
+
+        def wedge_close_group(t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            u = t["u"].to_numpy()
+            vcol = t["v"].to_numpy()
+            n_hits = 0
+            out_v, out_c = [], []
+            for uu in np.unique(u):
+                nbrs = np.sort(vcol[u == uu])
+                n = len(nbrs)
+                if n < 2 or len(keys) == 0:
+                    continue
+                i, j = np.triu_indices(n, k=1)
+                k = nbrs[i] * _SHIFT + nbrs[j]
+                pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+                hit = keys[pos] == k
+                h = int(hit.sum())
+                if h == 0:
+                    continue
+                n_hits += h
+                if per_vertex:
+                    # per-group partial triangle counts for all 3 corners
+                    corners = np.concatenate(
+                        [np.full(h, uu, dtype=np.int64), nbrs[i][hit], nbrs[j][hit]]
+                    )
+                    cv, cc = np.unique(corners, return_counts=True)
+                    out_v.append(cv)
+                    out_c.append(cc.astype(np.int64))
+            if not per_vertex:
+                return pa.table({"vertex": pa.array([-1], pa.int64()),
+                                 "cnt": pa.array([n_hits], pa.int64())})
+            if not out_v:
+                return pa.table(
+                    {"vertex": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"vertex": pa.array(np.concatenate(out_v)), "cnt": pa.array(np.concatenate(out_c))}
+            )
+
+        fused = oriented.groupby("u").map_groups(wedge_close_group, batch_format="pyarrow")
+        if not per_vertex:
+            # one scalar per group — the wedge set never leaves the task
+            return int(fused.sum("cnt") or 0), None
+
+        from ray.data.aggregate import Sum
+
+        per_all = (
+            fused.groupby("vertex")
+            .aggregate(Sum("cnt", alias_name="triangles"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"vertex": t["vertex"], "triangles": t["triangles"].cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # every triangle contributes exactly 3 corner counts
+        total3 = per_all.sum("triangles") or 0
+        return int(total3) // 3, per_all
+
+    # shuffle path: wedges as rows, hash-join closure against edge keys
     def wedge_group(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy()
         out_k, out_u = [], []
@@ -138,49 +252,12 @@ def triangle_count(
         )
 
     wedges = oriented.groupby("u").map_groups(wedge_group, batch_format="pyarrow")
-
-    # edge keys for closure: wedge (v,w) is a triangle iff v-w is an
-    # edge; wedge endpoints are sorted by id, edges may be oriented
-    # either way — key canonical edges by sorted ids
-    def edge_keys(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy()
-        v = t["v"].to_numpy()
-        lo = np.minimum(u, v)
-        hi = np.maximum(u, v)
-        return pa.table({"k": pa.array(lo * _SHIFT + hi), "hit": pa.array(np.ones(len(u), np.int8))})
-
-    n_edges = simple.count()
-    if n_edges <= BROADCAST_EDGE_LIMIT:
-        import ray
-
-        keys_arr = np.sort(
-            oriented.map_batches(edge_keys, batch_format="pyarrow")
-            .to_pandas()["k"]
-            .to_numpy()
-        )
-        ref = ray.put(keys_arr)
-
-        class Close:
-            def __init__(self):
-                self.keys = ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                k = t["k"].to_numpy()
-                if len(self.keys) == 0 or len(k) == 0:
-                    return t.slice(0, 0)
-                pos = np.searchsorted(self.keys, k)
-                pos = np.minimum(pos, len(self.keys) - 1)
-                hit = self.keys[pos] == k
-                return t.filter(pa.array(hit))
-
-        matches = wedges.map_batches(Close, batch_format="pyarrow", concurrency=(1, 16))
-    else:
-        ek = oriented.map_batches(edge_keys, batch_format="pyarrow")
-        matches = bucket_join(
-            wedges, ek, left_on="k", right_on="k", n_buckets=n_buckets,
-            left_schema=pa.schema([("k", pa.int64()), ("w_u", pa.int64())]),
-            right_schema=pa.schema([("k", pa.int64()), ("hit", pa.int8())]),
-        )
+    ek = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    matches = bucket_join(
+        wedges, ek, left_on="k", right_on="k", n_buckets=n_buckets,
+        left_schema=pa.schema([("k", pa.int64()), ("w_u", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("hit", pa.int8())]),
+    )
     matches = matches.materialize() if per_vertex else matches
     total = matches.count()
 
