@@ -362,7 +362,7 @@ def q_revenue_by_nation(sf_dir: str):
     JOIN nation (driver-side broadcast — 25 rows, the canonical
     small-side broadcast instead of a shuffle) -> groupby nation
     -> Sum/Count. TPC-H-style multi-table aggregation."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from ..stages.join import bucket_join
 
@@ -381,22 +381,35 @@ def q_revenue_by_nation(sf_dir: str):
         right_schema=pa.schema([("c_custkey", ii), ("c_nationkey", ii)]),
     )
 
-    class AttachNation:
+    class AttachNationPartial:
+        """Attach the broadcast nation name AND pre-aggregate per batch
+        (combiner): the global groupby then reduces ~25 rows per block
+        instead of every joined order row."""
+
         def __init__(self):
             self.nation = ray.get(nation_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             nk = t["c_nationkey"].to_numpy()
+            tp = t["o_totalprice"].to_numpy()
+            order = np.argsort(nk, kind="stable")
+            nks, tps = nk[order], tp[order]
+            starts = np.flatnonzero(np.concatenate([[True], nks[1:] != nks[:-1]]))
+            cnts = np.diff(np.concatenate([starts, [len(nks)]]))
+            sums = np.add.reduceat(tps, starts) if len(starts) else np.empty(0)
             return pa.table(
                 {
-                    "nation": pa.array([self.nation[int(k)] for k in nk], pa.string()),
-                    "o_totalprice": t["o_totalprice"],
+                    "nation": pa.array(
+                        [self.nation[int(k)] for k in nks[starts]], pa.string()
+                    ),
+                    "n": pa.array(cnts.astype(np.int64)),
+                    "rev": pa.array(sums, pa.float64()),
                 }
             )
 
-    withn = joined.map_batches(AttachNation, batch_format="pyarrow", concurrency=(1, 8))
-    agg = withn.groupby("nation").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    partial = joined.map_batches(AttachNationPartial, batch_format="pyarrow", concurrency=(1, 8))
+    agg = partial.groupby("nation").aggregate(
+        Sum("n", alias_name="n_orders"), Sum("rev", alias_name="revenue")
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -301,7 +301,6 @@ def ngram_jaccard_join(
     jaccard_e6 uses exact integer half-up arithmetic so a SQL oracle
     reproduces it.
     """
-    from ray.data.aggregate import Sum
 
     def postings(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
@@ -323,26 +322,45 @@ def ngram_jaccard_join(
     posts = ds.map_batches(postings, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized all-pairs within each shingle's posting list: no
+        per-shingle Python loop — groups are batched by DISTINCT SIZE
+        (few distinct sizes, bounded by df_cap) and expanded with one
+        triu per size over a (groups, size) matrix."""
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("a", "b", "na", "nb", "cnt")}
+        )
+        if not len(df):
+            return empty
+        sh = df["sh"].to_numpy()
+        doc = df["doc"].to_numpy()
+        nn = df["n"].to_numpy()
+        order = np.lexsort((doc, sh))  # group by shingle, docs sorted (a < b)
+        sh, doc, nn = sh[order], doc[order], nn[order]
+        change = np.ones(len(sh), dtype=bool)
+        change[1:] = sh[1:] != sh[:-1]
+        gid = np.cumsum(change) - 1
+        sizes = np.bincount(gid)
+        n_big = int((sizes > df_cap).sum())
+        if n_big:
+            print(f"ngram_jaccard: dropping {n_big} shingles with df > cap {df_cap}")
+        keep_g = (sizes >= 2) & (sizes <= df_cap)
+        keep_row = keep_g[gid]
+        if not keep_row.any():
+            return empty
+        doc, nn = doc[keep_row], nn[keep_row]
+        gid = np.unique(gid[keep_row], return_inverse=True)[1]
+        sizes = np.bincount(gid)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         out_a, out_b, out_na, out_nb = [], [], [], []
-        for sh, g in df.groupby("sh"):
-            sub = g.drop_duplicates("doc").sort_values("doc")
-            docs = sub["doc"].to_numpy()
-            ns = sub["n"].to_numpy()
-            m = len(docs)
-            if m < 2:
-                continue
-            if m > df_cap:
-                print(f"ngram_jaccard: dropping shingle with df={m} > cap {df_cap}")
-                continue
-            i, j = np.triu_indices(m, k=1)
-            out_a.append(docs[i])
-            out_b.append(docs[j])
-            out_na.append(ns[i])
-            out_nb.append(ns[j])
-        if not out_a:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="int64") for c in ("a", "b", "na", "nb", "cnt")}
-            )
+        for m in np.unique(sizes):
+            gsel = np.flatnonzero(sizes == m)
+            rows = starts[gsel][:, None] + np.arange(m)[None, :]
+            D, N = doc[rows], nn[rows]
+            i, j = np.triu_indices(int(m), k=1)
+            out_a.append(D[:, i].ravel())
+            out_b.append(D[:, j].ravel())
+            out_na.append(N[:, i].ravel())
+            out_nb.append(N[:, j].ravel())
         dfp = pd.DataFrame(
             {
                 "a": np.concatenate(out_a),
@@ -354,12 +372,24 @@ def ngram_jaccard_join(
         g = dfp.groupby(["a", "b", "na", "nb"], as_index=False).size()  # combiner
         return g.rename(columns={"size": "cnt"}).astype("int64")
 
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b", "na", "nb"], as_index=False)["cnt"].sum()
+        return g.rename(columns={"cnt": "inter"}).astype("int64")
+
+    # cross-block combine via the bucket pattern (hash of (a,b) -> one
+    # int key, pandas does the vectorized aggregation per bucket) —
+    # Dataset.groupby's multi-key sample/sort path is orders of
+    # magnitude slower at millions of pair rows (measured; NOTES.md)
     inter = (
-        add_bucket(posts, ["sh"], n_buckets)
+        add_bucket(
+            add_bucket(posts, ["sh"], n_buckets)
+            .groupby(_BUCKET)
+            .map_groups(pairs, batch_format="pandas"),
+            ["a", "b"],
+            n_buckets,
+        )
         .groupby(_BUCKET)
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b", "na", "nb"])  # na/nb functionally depend on a/b
-        .aggregate(Sum("cnt", alias_name="inter"))
+        .map_groups(sum_pairs, batch_format="pandas")
     )
 
     thr = int(threshold * 1e6)

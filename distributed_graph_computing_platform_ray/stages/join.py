@@ -52,12 +52,22 @@ def distinct(ds: rd.Dataset, cols: list[str], n_buckets: int = 64) -> rd.Dataset
     Distinctness is global because the bucket is a function of the key.
     """
 
+    def predrop(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch dedup BEFORE the shuffle (combiner): repeated keys
+        # are collapsed where they are produced, so the one all-to-all
+        # moves near-unique rows only
+        return df[cols].drop_duplicates()
+
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         out = g[cols].drop_duplicates()
         return out.sort_values(cols).reset_index(drop=True)
 
     return (
-        add_bucket(ds.select_columns(cols), cols, n_buckets)
+        add_bucket(
+            ds.select_columns(cols).map_batches(predrop, batch_format="pandas"),
+            cols,
+            n_buckets,
+        )
         .groupby(_BUCKET)
         .map_groups(dedup, batch_format="pandas")
     )
