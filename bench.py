@@ -231,6 +231,10 @@ def full_bench(tmp: str) -> dict:
     out["similarity_join"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    T.q_doc_minhash_dedup(SF_DIR).materialize()
+    out["minhash_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     T.q_revenue_by_nation(SF_DIR).materialize()
     out["revenue_join"] = round(time.time() - t0, 3)
     return out
