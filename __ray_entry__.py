@@ -265,6 +265,30 @@ def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+def _kcore_sql(k: int = 20) -> str:
+    """k-core oracle as a recursive CTE with ONE reference to the
+    working table per round: the edge set is kept symmetric (both
+    directions), per-row degree comes from a window over u, and the
+    partner endpoint's degree is read off the MIRROR row via a second
+    window over the undirected pair (least,greatest) — min of the two
+    mirror degrees = min(deg(u), deg(v)). 60 rounds; the fixpoint is
+    stable so extra rounds are no-ops."""
+    return (
+        f"WITH RECURSIVE {_EB_LINEITEM}, "
+        "r AS ( "
+        "  SELECT 0 AS it, u, v FROM "
+        "    (SELECT src AS u, dst AS v FROM eb UNION ALL SELECT dst, src FROM eb) "
+        "  UNION ALL "
+        "  SELECT it + 1, u, v FROM ( "
+        "    SELECT it, u, v, "
+        "      min(du) OVER (PARTITION BY it, least(u, v), greatest(u, v)) AS mindeg "
+        "    FROM (SELECT it, u, v, count(*) OVER (PARTITION BY it, u) AS du FROM r "
+        "          WHERE it < 60)) "
+        f"  WHERE mindeg >= {k}) "
+        "SELECT DISTINCT u AS vertex FROM r WHERE it = 60"
+    )
+
+
 def _doc_split_sql() -> str:
     """Mirror testdata.q_doc_split: FNV-1a of the decimal doc_id
     (recursive CTE), bucket = h % 10, 8/1/1 split."""
@@ -523,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
         "connected_components": T.q_connected_components,
+        "kcore": T.q_kcore,
         "label_propagation": T.q_label_propagation,
         "triangle_count": T.q_triangle_count,
         "triangles_per_vertex": T.q_triangles_per_vertex,
@@ -722,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_split": _doc_split_sql(),
+        "kcore": _kcore_sql(),
         "revenue_by_nation": (
             "SELECT n.n_name AS nation, count(*)::BIGINT AS n_orders, "
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "

@@ -357,6 +357,64 @@ def q_top_terms(sf_dir: str):
     return top
 
 
+def q_kcore(sf_dir: str, k: int = 20):
+    """k-core decomposition by iterative peeling: repeatedly delete
+    edges incident to a vertex of degree < k until fixpoint; emit the
+    surviving vertex set. Driver loop = the peeling rounds; each round
+    is one single-key degree groupby + a broadcast filter of the
+    round's PEELED vertex set (ray.put — the frontier is the small
+    side; at web scale with a huge frontier, swap the broadcast for a
+    hash semi-join on u and v). Runs on the simple undirected lineitem
+    graph held as symmetric directed rows."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count
+
+    edges = edges_lineitem(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table(
+            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
+        )
+
+    cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    while True:
+        deg = cur.groupby("u").aggregate(Count(alias_name="d"))
+        bad = deg.filter(expr=f"d < {k}")
+        bad_ids = np.sort(np.array([r["u"] for r in bad.take_all()], dtype=np.int64))
+        if len(bad_ids) == 0:
+            break
+        ref = _ray.put(bad_ids)
+
+        class Peel:
+            def __init__(self):
+                self.bad = _ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy()
+                v = t["v"].to_numpy()
+                drop = np.isin(u, self.bad) | np.isin(v, self.bad)
+                return t.filter(pa.array(~drop))
+
+        cur = cur.map_batches(Peel, batch_format="pyarrow", concurrency=(1, 8)).materialize()
+        if cur.count() == 0:
+            break
+
+    if cur.count() == 0:
+        # empty core: hand back a typed pandas frame — an empty Ray
+        # Dataset loses its schema through to_pandas()
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64")})
+
+    def verts(t: pa.Table) -> pa.Table:
+        return pa.table({"vertex": t["u"]})
+
+    from ..stages.join import distinct
+
+    return distinct(cur.map_batches(verts, batch_format="pyarrow"), ["vertex"])
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Relational pipeline: orders JOIN customer (hash-partitioned)
     JOIN nation (driver-side broadcast — 25 rows, the canonical
