@@ -265,6 +265,25 @@ def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+def _user_hll_sql(p: int = 8) -> str:
+    """Mirror testdata.q_user_hll: FNV-1a of the decimal user_id,
+    register = top p bits, rho = leading zeros of the low 64-p bits +1
+    (exact bit length via length(bin(x))), max per register."""
+    w = 64 - p
+    return (
+        "WITH RECURSIVE "
+        "toks AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS tok FROM events), "
+        f"{_FNV_TOK}, "
+        f"mixed AS (SELECT tok, {_splitmix_cols('h', 'hs')} FROM tokh), "
+        "regs AS (SELECT "
+        f"  (hs >> {w})::BIGINT AS reg, "
+        f"  (CASE WHEN (hs & ((1::UBIGINT << {w}) - 1)) = 0 THEN {w + 1} "
+        f"   ELSE {w} - length(bin(hs & ((1::UBIGINT << {w}) - 1))) + 1 END)::BIGINT AS rho "
+        "  FROM mixed) "
+        "SELECT reg, max(rho)::BIGINT AS rho FROM regs GROUP BY reg"
+    )
+
+
 def _kcore_sql(k: int = 20) -> str:
     """k-core oracle as a recursive CTE with ONE reference to the
     working table per round: the edge set is kept symmetric (both
@@ -548,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted": T.q_sssp_weighted,
         "connected_components": T.q_connected_components,
         "kcore": T.q_kcore,
+        "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
         "triangle_count": T.q_triangle_count,
         "triangles_per_vertex": T.q_triangles_per_vertex,
@@ -748,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_split": _doc_split_sql(),
         "kcore": _kcore_sql(),
+        "user_distinct_hll": _user_hll_sql(),
         "revenue_by_nation": (
             "SELECT n.n_name AS nation, count(*)::BIGINT AS n_orders, "
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "

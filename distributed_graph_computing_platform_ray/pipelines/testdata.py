@@ -357,6 +357,51 @@ def q_top_terms(sf_dir: str):
     return top
 
 
+_HLL_P = 8  # 2^8 = 256 registers
+
+
+def q_user_hll(sf_dir: str):
+    """HyperLogLog registers for distinct-user counting: FNV-1a hash of
+    the decimal user_id, top-8 bits pick the register, rho = leading
+    zeros of the remaining 56 bits + 1, register = max rho. Per-batch
+    partial registers (<= 256 rows/block — the mergeable-sketch
+    combiner) before one tiny groupby-max. The checked output is the
+    REGISTER TABLE (integers, hash-exact vs SQL); the cardinality
+    estimate derived from it is sketch-standard and tested against the
+    exact distinct count in pytest."""
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import fnv1a64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..utils import splitmix64
+
+        ids = df["user_id"].astype("int64").unique()
+        # splitmix64 finalizer: FNV-1a alone has weak avalanche into
+        # the TOP bits on short strings (register selection would
+        # collapse); the mix is reproduced in SQL too
+        h = splitmix64(fnv1a64([str(i) for i in ids]))
+        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+        # exact bit length via vectorized binary search (log2 on
+        # float64 is wrong above 2^53)
+        bl = np.zeros(len(rem), dtype=np.uint64)
+        for s in (32, 16, 8, 4, 2, 1):
+            m = rem >= np.left_shift(np.uint64(1), bl + np.uint64(s))
+            bl[m] += np.uint64(s)
+        bitlen = np.where(rem == 0, 0, bl + 1).astype(np.int64)
+        rho = np.where(rem == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+        g = pd.DataFrame({"reg": reg, "rho": rho}).groupby("reg", as_index=False).max()
+        return g.astype("int64")
+
+    ds = _table(sf_dir, "events", ["user_id"]).map_batches(partial, batch_format="pandas")
+    agg = ds.groupby("reg").aggregate(Max("rho", alias_name="rho"))
+    return agg.map_batches(
+        lambda t: pa.table({"reg": t["reg"].cast(pa.int64()), "rho": t["rho"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_kcore(sf_dir: str, k: int = 20):
     """k-core decomposition by iterative peeling: repeatedly delete
     edges incident to a vertex of degree < k until fixpoint; emit the

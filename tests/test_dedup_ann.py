@@ -151,6 +151,28 @@ def test_doc_split_deterministic_and_partition_invariant():
     assert 0.7 < frac_train < 0.9  # 8/10 expected
 
 
+def test_hll_estimate_close_to_exact():
+    """The register table yields a standard HLL estimate within the
+    expected error band (~1.04/sqrt(256) ≈ 6.5%) of the true distinct
+    user count."""
+    import duckdb
+
+    from distributed_graph_computing_platform_ray.pipelines.testdata import _HLL_P, q_user_hll
+
+    sf = "/root/testdata/sf0.01"
+    regs = q_user_hll(sf).to_pandas()
+    m = 1 << _HLL_P
+    rho = np.zeros(m)
+    rho[regs["reg"].to_numpy()] = regs["rho"].to_numpy()
+    raw = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(2.0 ** -rho)
+    zeros = m - len(regs)
+    est = m * np.log(m / zeros) if (raw < 2.5 * m and zeros > 0) else raw
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.2, (est, exact)
+
+
 def test_jaccard_exact_values():
     a = shingle_hashes(BASE, 3)
     b = shingle_hashes(BASE.replace("lazy", "sleepy"), 3)
