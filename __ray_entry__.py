@@ -358,6 +358,28 @@ _EBW_LINEITEM = (
 )
 
 
+def _pagerank_weighted_sql() -> str:
+    """Weighted PageRank oracle: the reference recurrence with
+    weight-proportional distribution — contribution of u to v per edge
+    is val(u) * w / wdeg(u), wdeg = sum of incident weights on the
+    symmetrized multigraph (same derivation as q_pagerank_weighted)."""
+    return (
+        f"WITH RECURSIVE {_EBW_LINEITEM}, "
+        "esw AS (SELECT src, dst, w FROM ebw UNION ALL SELECT dst, src, w FROM ebw), "
+        "deg AS (SELECT src AS id, sum(w) AS wd FROM esw GROUP BY src), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+        "pr AS ( "
+        "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, wd FROM deg "
+        "  UNION ALL "
+        "  SELECT p.it + 1, e.dst, 0.15/nn.n + 0.85 * SUM(p.val * e.w / p.wd), dd.wd "
+        "  FROM pr p CROSS JOIN nn JOIN esw e ON e.src = p.id "
+        "       JOIN deg dd ON dd.id = e.dst "
+        "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.wd, nn.n) "
+        "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+        "FROM pr WHERE it = 30"
+    )
+
+
 def _sssp_weighted_sql() -> str:
     """Weighted SSSP oracle: Bellman-Ford rounds as a recursive CTE
     over the symmetrized weighted multigraph (same derivation as
@@ -565,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top25": T.q_pagerank_top25,
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
+        "pagerank_weighted": T.q_pagerank_weighted,
         "connected_components": T.q_connected_components,
         "kcore": T.q_kcore,
         "user_distinct_hll": T.q_user_hll,
@@ -784,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY lang, term) WHERE rn <= 10"
         ),
         "sssp_weighted": _sssp_weighted_sql(),
+        "pagerank_weighted": _pagerank_weighted_sql(),
         "media_features": _media_features_sql(),
         "media_framesample": _frame_sample_sql(),
         "embedding_neardup": _embedding_neardup_sql(),

@@ -34,6 +34,7 @@ class ScatterOut:
 
     base: np.ndarray  # one value per ACTIVE vertex row passed in
     add_edge_weight: bool = False  # msg = base[row] (+ weight per edge)
+    mul_edge_weight: bool = False  # msg = base[row] (* weight per edge)
 
 
 class Algorithm:
@@ -111,6 +112,28 @@ class PageRank(Algorithm):
 
     def halt_on_no_change(self):
         return False
+
+
+class PageRankWeighted(PageRank):
+    """PageRank with edge-weight-proportional rank distribution:
+    vertex v sends value(v) * w_e / wdeg(v) along each edge, where
+    wdeg(v) = sum of v's incident edge weights (multiplicity counted).
+    Beyond the reference (which has only unit weights); degenerates to
+    exact reference PageRank on an all-1.0 graph. The engine supplies
+    WEIGHTED degrees to message_base when use_weighted_degrees is set,
+    and multiplies each per-edge message by its weight."""
+
+    use_weighted_degrees = True
+
+    def __init__(self, n_vertices: int, num_iters: int = 30, damping: float = 0.85):
+        super().__init__(n_vertices, num_iters=num_iters, damping=damping)
+        self.name = "pagerank_weighted"
+
+    def message_base(self, ids, values, degrees, superstep):
+        # degrees here are WEIGHTED sums (floats, >= smallest weight)
+        return ScatterOut(
+            base=values / np.where(degrees > 0, degrees, 1.0), mul_edge_weight=True
+        )
 
 
 class SSSP(Algorithm):
@@ -221,6 +244,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
     name = name.lower()
     if name == "pagerank":
         return PageRank(**params)
+    if name == "pagerank_weighted":
+        return PageRankWeighted(**params)
     if name == "sssp":
         return SSSP(**params)
     if name in ("cc", "connected_components"):

@@ -125,7 +125,10 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
                 continue
             sel_ids = ids[sel]
             local = sel_ids - shard.lo
-            degs = (shard.indptr[local + 1] - shard.indptr[local]).astype(np.int64)
+            if getattr(algo, "use_weighted_degrees", False):
+                degs = shard.weighted_degrees()[local]
+            else:
+                degs = (shard.indptr[local + 1] - shard.indptr[local]).astype(np.int64)
             so = algo.message_base(sel_ids, values[sel], degs, superstep)
             row_per_edge, dst, w = shard.gather(local)
             if len(dst) == 0:
@@ -133,6 +136,8 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
             val = np.asarray(so.base, dtype=np.float64)[row_per_edge]
             if so.add_edge_weight:
                 val = val + (w if w is not None else 1.0)
+            elif so.mul_edge_weight and w is not None:
+                val = val * w
             d, v, c = _combine_block(combine, dst, val)
             out.append(
                 _unified_table(d // part_size, d, v, c, np.ones(len(d), dtype=np.int8))
@@ -255,7 +260,10 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
         return out
     sel_ids = ids[sel]
     local = sel_ids - shard.lo
-    degs = (shard.indptr[local + 1] - shard.indptr[local]).astype(np.int64)
+    if getattr(algo, "use_weighted_degrees", False):
+        degs = shard.weighted_degrees()[local]
+    else:
+        degs = (shard.indptr[local + 1] - shard.indptr[local]).astype(np.int64)
     so = algo.message_base(sel_ids, values[sel], degs, superstep)
     row_per_edge, dst, w = shard.gather(local)
     if len(dst) == 0:
@@ -263,6 +271,8 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
     val = np.asarray(so.base, dtype=np.float64)[row_per_edge]
     if so.add_edge_weight:
         val = val + (w if w is not None else 1.0)
+    elif so.mul_edge_weight and w is not None:
+        val = val * w
 
     # one global sort by dst -> destination partitions are contiguous
     # runs; each run independently picks dense vs sparse based on ITS

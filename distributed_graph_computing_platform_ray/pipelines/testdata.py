@@ -838,11 +838,7 @@ def edges_lineitem_weighted(sf_dir: str) -> rd.Dataset:
     )
 
 
-def q_sssp_weighted(sf_dir: str):
-    """Weighted SSSP (Bellman-Ford-style BSP relaxation) over the
-    weighted lineitem multigraph from the min vertex."""
-    from .graph import lookup_vertex_id
-
+def _weighted_graph_for(sf_dir: str) -> str:
     gdir = _cache(sf_dir, "lineitem_weighted", "graph")
     if not os.path.exists(os.path.join(gdir, "manifest.json")):
         edges = edges_lineitem_weighted(sf_dir)
@@ -865,6 +861,15 @@ def q_sssp_weighted(sf_dir: str):
             symmetrize_edges=True,
             source_info={"kind": "lineitem_weighted", "sf_dir": os.path.abspath(sf_dir)},
         )
+    return gdir
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Weighted SSSP (Bellman-Ford-style BSP relaxation) over the
+    weighted lineitem multigraph from the min vertex."""
+    from .graph import lookup_vertex_id
+
+    gdir = _weighted_graph_for(sf_dir)
     man = GraphManifest.load(gdir)
     src = _min_vertex(sf_dir, "lineitem")
     sid = lookup_vertex_id(man, str(src))
@@ -879,6 +884,17 @@ def q_sssp_weighted(sf_dir: str):
         return pa.table({"vertex": v, "dist": dist})
 
     return res.map_batches(conv, batch_format="pyarrow")
+
+
+def q_pagerank_weighted(sf_dir: str):
+    """Edge-weight-proportional PageRank over the weighted lineitem
+    multigraph: rank flows along edges in proportion to their weight
+    (beyond the reference's unit-weight recurrence)."""
+    gdir = _weighted_graph_for(sf_dir)
+    res = run_algorithm(
+        gdir, _cache(sf_dir, "lineitem_weighted", "run_prw"), "pagerank_weighted"
+    )
+    return _as_int_vertex(res, "score_e8", _score_e8)
 
 
 def q_embedding_neardup(sf_dir: str):

@@ -35,7 +35,7 @@ class CSRShard:
     weight is the constant 1 (/root/reference/worker/worker.go:165,199).
     """
 
-    __slots__ = ("part", "lo", "hi", "indptr", "indices", "weights")
+    __slots__ = ("part", "lo", "hi", "indptr", "indices", "weights", "_wdeg")
 
     def __init__(self, part, lo, hi, indptr, indices, weights=None):
         self.part = part
@@ -44,6 +44,7 @@ class CSRShard:
         self.indptr = indptr
         self.indices = indices
         self.weights = weights
+        self._wdeg = None
 
     @property
     def n_local(self) -> int:
@@ -51,6 +52,23 @@ class CSRShard:
 
     def degrees(self) -> np.ndarray:
         return np.diff(self.indptr)
+
+    def weighted_degrees(self) -> np.ndarray:
+        """Per-local-vertex sum of incident edge weights (== degrees()
+        when unweighted). Computed once per shard and cached — shards
+        are immutable."""
+        if self._wdeg is None:
+            if self.weights is None:
+                self._wdeg = np.diff(self.indptr).astype(np.float64)
+            else:
+                ind = np.asarray(self.indptr)
+                out = np.zeros(self.n_local, dtype=np.float64)
+                nonempty = np.flatnonzero(np.diff(ind) > 0)
+                if len(nonempty):
+                    sums = np.add.reduceat(np.asarray(self.weights), ind[nonempty])
+                    out[nonempty] = sums
+                self._wdeg = out
+        return self._wdeg
 
     def gather(self, local_ids: np.ndarray):
         """Vectorized neighbor expansion for a set of local ids.

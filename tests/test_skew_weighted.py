@@ -83,3 +83,41 @@ def test_weighted_sssp_dijkstra():
     gmap = dict(zip(got["vertex"], got["value"]))
     for v, d in dist.items():
         assert gmap[v] == d, (v, gmap[v], d)
+
+
+def test_weighted_pagerank_vs_numpy_oracle():
+    """Weighted PageRank (rank flows proportionally to edge weight)
+    matches 30 applications of x <- 0.15/N + 0.85 * W_norm^T x from
+    zero init, on both backends."""
+    edges = [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+        ("c", "d", 1.0), ("b", "d", 9.0), ("d", "a", 2.5),
+    ]
+    ds = rd.from_items(
+        [{"src_key": s, "dst_key": d, "weight": w} for s, d, w in edges]
+    )
+    gdir = f"{TMP}/wpr/graph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    build_graph(ds, gdir, n_parts=2, n_buckets=4, dedup=False)
+
+    verts = sorted({v for e in edges for v in e[:2]})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros((n, n))
+    for s, d, w in edges:  # symmetrized weighted multigraph
+        W[idx[s], idx[d]] += w
+        W[idx[d], idx[s]] += w
+    wdeg = W.sum(axis=1)
+    P = W / wdeg[:, None]
+    x = np.zeros(n)
+    for _ in range(30):
+        x = 0.15 / n + 0.85 * (P.T @ x)
+
+    for backend, wd in [("core", "pr_core"), ("dataset", "pr_ds")]:
+        got = run_algorithm(
+            gdir, f"{TMP}/wpr/{wd}", "pagerank_weighted", backend=backend
+        ).to_pandas()
+        g = got.set_index("vertex")["value"]
+        np.testing.assert_allclose(
+            g.loc[verts].to_numpy(), x, atol=1e-9, err_msg=backend
+        )
