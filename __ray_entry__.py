@@ -547,10 +547,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from distributed_graph_computing_platform_ray.pipelines import testdata as T
 
     def pages_linkgraph_pagerank(sf_dir: str):
-        # the url-keyed flagship at a size tied to sf; SQL-checked:
-        # _pages_pr_sql reproduces the generator + extractor + PR
-        # recurrence end-to-end (n must match the oracle's 2000 at
-        # sf0.01). Ranked on the integer-scaled score so tie-breaks
+        # the url-keyed flagship; SQL-checked: _pages_pr_sql reproduces
+        # the generator + extractor + PR recurrence end-to-end. n is
+        # PINNED to the oracle's 2000 (the query generates its own
+        # pages and reads nothing from sf_dir, and oracle_sql() is one
+        # fixed string — an sf-dependent n would desync them at
+        # sf0.001). Ranked on the integer-scaled score so tie-breaks
         # are hash-exact.
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -561,7 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         from distributed_graph_computing_platform_ray.sources.pages import generate_pages
 
-        n = 2000 if "0.01" in sf_dir else 500
+        n = 2000
         root = f"/tmp/graft_pages_{n}"
         shutil.rmtree(root, ignore_errors=True)
         build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
