@@ -590,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
         "pagerank_weighted": T.q_pagerank_weighted,
+        "pagerank_personalized": T.q_pagerank_personalized,
         "connected_components": T.q_connected_components,
         "kcore": T.q_kcore,
         "user_distinct_hll": T.q_user_hll,
@@ -603,6 +604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": T.q_top_terms,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
+        "revenue_rollup": T.q_revenue_rollup,
+        "lineitem_semijoin": T.q_lineitem_semijoin,
         "doc_split": T.q_doc_split,
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
@@ -645,6 +648,21 @@ def oracle_sql() -> dict[str, str]:
             "  FROM pr p CROSS JOIN nn JOIN es e ON e.src = p.id "
             "       JOIN deg dd ON dd.id = e.dst "
             "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.d, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 30"
+        ),
+        "pagerank_personalized": (
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM deg WHERE id < 10), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+            "  UNION ALL "
+            "  SELECT p.it + 1, e.dst, "
+            "    CASE WHEN e.dst < 10 THEN 0.15/ns.s ELSE 0.0 END + 0.85 * SUM(p.val / p.d), dd.d "
+            "  FROM pr p CROSS JOIN ns JOIN es e ON e.src = p.id "
+            "       JOIN deg dd ON dd.id = e.dst "
+            "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.d, ns.s) "
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM pr WHERE it = 30"
         ),
@@ -799,6 +817,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "revenue_rollup": (
+            "WITH nat AS ( "
+            "  SELECT r.r_name AS region_name, n.n_name AS nation_name, "
+            "    count(*)::BIGINT AS n_orders, "
+            "    CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
+            "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "  JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "  JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1, 2) "
+            "SELECT COALESCE(region_name, '') AS region_name, "
+            "  COALESCE(nation_name, '') AS nation_name, "
+            "  sum(n_orders)::BIGINT AS n_orders, sum(revenue_e2)::BIGINT AS revenue_e2 "
+            "FROM nat GROUP BY ROLLUP(region_name, nation_name)"
+        ),
+        "lineitem_semijoin": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n_items, "
+            "sum(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS sum_qty, "
+            "sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "    (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_e4 "
+            "FROM lineitem WHERE l_suppkey IN "
+            "  (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000) GROUP BY 1"
         ),
         "top_terms_per_lang": (
             "SELECT lang, term, cnt FROM ( "

@@ -114,6 +114,41 @@ class PageRank(Algorithm):
         return False
 
 
+class PersonalizedPageRank(PageRank):
+    """Random-walk-with-restart scores toward a seed set: the teleport
+    mass lands only on the seeds instead of uniformly —
+    x <- (1-d)·1_{v∈S}/|S| + d·A^T_deg x, zero init, fixed iteration
+    count, same multigraph scatter as PageRank. Beyond the reference
+    (whose teleport is always uniform, worker/pagerank.go:29); the
+    per-vertex teleport needs the partition's dense ids, so this is
+    the first consumer of the engine's opt-in ``wants_ids`` apply
+    extension (works identically on both backends).
+    """
+
+    wants_ids = True
+
+    def __init__(
+        self,
+        seed_ids,
+        n_vertices: int | None = None,
+        num_iters: int = 30,
+        damping: float = 0.85,
+    ):
+        seeds = np.asarray(sorted({int(s) for s in seed_ids}), dtype=np.int64)
+        if len(seeds) == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        super().__init__(n_vertices=max(int(n_vertices or 1), 1), num_iters=num_iters, damping=damping)
+        self.name = "ppr"
+        self.seeds = seeds
+        self.teleport_each = (1.0 - damping) / len(seeds)
+
+    def apply(self, old_values, agg, has_msg, superstep, ids=None):
+        tele = np.where(np.isin(ids, self.seeds), self.teleport_each, 0.0)
+        new = tele + self.damping * agg
+        n = len(new)
+        return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
+
+
 class PageRankWeighted(PageRank):
     """PageRank with edge-weight-proportional rank distribution:
     vertex v sends value(v) * w_e / wdeg(v) along each edge, where
@@ -246,6 +281,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return PageRank(**params)
     if name == "pagerank_weighted":
         return PageRankWeighted(**params)
+    if name in ("ppr", "personalized_pagerank"):
+        return PersonalizedPageRank(**params)
     if name == "sssp":
         return SSSP(**params)
     if name in ("cc", "connected_components"):

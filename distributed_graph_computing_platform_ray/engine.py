@@ -203,7 +203,14 @@ def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int):
         agg, has_msg = _reduce_messages(
             algo.combine, n_local, lo, dst[~st], val[~st], cnt[~st]
         )
-        new_values, new_active, _changed = algo.apply(old_values, agg, has_msg, superstep)
+        if getattr(algo, "wants_ids", False):
+            new_values, new_active, _changed = algo.apply(
+                old_values, agg, has_msg, superstep, ids=ids
+            )
+        else:
+            new_values, new_active, _changed = algo.apply(
+                old_values, agg, has_msg, superstep
+            )
         return _unified_table(
             np.full(n_local, part, dtype=np.int64),
             ids,
@@ -337,7 +344,10 @@ def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
     if dense_acc is not None:  # only possible for 'sum'
         agg = agg + dense_acc
         has_msg = has_msg | dense_has
-    new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep)
+    if getattr(algo, "wants_ids", False):
+        new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep, ids=ids)
+    else:
+        new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep)
     return new_values, new_active.astype(bool)
 
 

@@ -163,7 +163,10 @@ def _run_cached(sf_dir: str, kind: str, algo: str, **params) -> rd.Dataset:
     import json
 
     gdir = _graph_for(sf_dir, kind)
-    wdir = _cache(sf_dir, kind, f"run_{algo}" + (f"_{params['source_id']}" if "source_id" in params else ""))
+    suffix = ""
+    if params:
+        suffix = "_" + hashlib.md5(repr(sorted(params.items())).encode()).hexdigest()[:8]
+    wdir = _cache(sf_dir, kind, f"run_{algo}{suffix}")
     man = GraphManifest.load(gdir)
     run_json = os.path.join(wdir, "run.json")
     if os.path.exists(run_json):
@@ -895,6 +898,111 @@ def q_pagerank_weighted(sf_dir: str):
         gdir, _cache(sf_dir, "lineitem_weighted", "run_prw"), "pagerank_weighted"
     )
     return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_pagerank_personalized(sf_dir: str, seed_max: int = 10):
+    """Personalized PageRank (random-walk-with-restart) toward the
+    seed set {original vertex id < seed_max} on the symmetrized
+    lineitem graph: teleport mass 0.15/|S| lands only on seeds, zero
+    init, 30 iterations. Seeds absent from the graph (small sf) are
+    dropped on BOTH sides (SQL filters deg.id < seed_max)."""
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    seeds = []
+    for k in range(seed_max):
+        try:
+            seeds.append(lookup_vertex_id(man, str(k)))
+        except KeyError:
+            pass
+    res = _run_cached(sf_dir, "lineitem", "ppr", seed_ids=tuple(sorted(seeds)))
+    return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_lineitem_semijoin(sf_dir: str, min_acctbal: float = 5000.0):
+    """Broadcast semi-join filter + aggregate: lineitem rows whose
+    supplier has s_acctbal > min_acctbal (the supplier key set is tiny
+    — ray.put once, np.isin per batch; at 100 TB the key set is a
+    Bloom/hash side input, never a shuffle), then revenue per
+    returnflag. Per-row revenue is integerized EXACTLY before summing
+    (price cents x (100 - discount bps) -> 1e-4 dollar units), so the
+    sum is order-independent and hash-exact vs SQL."""
+    from ray.data.aggregate import Sum
+
+    supp = _table(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    keep_keys = np.sort(supp.loc[supp["s_acctbal"] > min_acctbal, "s_suppkey"].to_numpy())
+    keys_ref = ray.put(keep_keys)
+
+    class FilterAgg:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy()
+            m = np.isin(sk, self.keys)
+            flag = t["l_returnflag"].to_numpy(zero_copy_only=False)[m]
+            qty = t["l_quantity"].to_numpy()[m]
+            price_c = np.rint(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+            disc_b = np.rint(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+            rev = price_c * (100 - disc_b)
+            df = pd.DataFrame(
+                {"l_returnflag": flag, "n_items": 1, "sum_qty": np.rint(qty).astype(np.int64), "revenue_e4": rev}
+            )
+            g = df.groupby("l_returnflag", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _table(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(FilterAgg, batch_format="pyarrow", concurrency=(1, 8))
+    agg = ds.groupby("l_returnflag").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("revenue_e4", alias_name="revenue_e4"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_items": t["n_items"].cast(pa.int64()),
+                "sum_qty": t["sum_qty"].cast(pa.int64()),
+                "revenue_e4": t["revenue_e4"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_revenue_rollup(sf_dir: str):
+    """Hierarchical rollup (nation -> region -> grand total) in ONE
+    aggregation pass: the nation-level totals are integerized first
+    (revenue cents, the hash-proven q_revenue_by_nation aggregate),
+    then region and total levels are EXACT integer sums of the ~25
+    nation rows on the driver — no second shuffle. Empty-string
+    region/nation mark the rolled-up levels (SQL: ROLLUP +
+    COALESCE)."""
+    nat_rev = q_revenue_by_nation(sf_dir).to_pandas()
+
+    nation = _table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _table(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nat_rev = nat_rev.merge(
+        n2r[["n_name", "r_name"]], left_on="nation", right_on="n_name"
+    )
+
+    rows = []
+    for _, r in nat_rev.iterrows():
+        rows.append((r["r_name"], r["nation"], int(r["n_orders"]), int(r["revenue_e2"])))
+    reg = nat_rev.groupby("r_name", as_index=False)[["n_orders", "revenue_e2"]].sum()
+    for _, r in reg.iterrows():
+        rows.append((r["r_name"], "", int(r["n_orders"]), int(r["revenue_e2"])))
+    rows.append(("", "", int(nat_rev["n_orders"].sum()), int(nat_rev["revenue_e2"].sum())))
+    return pd.DataFrame(
+        rows, columns=["region_name", "nation_name", "n_orders", "revenue_e2"]
+    )
 
 
 def q_embedding_neardup(sf_dir: str):

@@ -58,6 +58,25 @@ def pagerank(edges, num_iters: int = 30, damping: float = 0.85) -> dict[int, flo
     return x
 
 
+def personalized_pagerank(
+    edges, seeds, num_iters: int = 30, damping: float = 0.85
+) -> dict[int, float]:
+    """x <- (1-d)·1_{v∈S}/|S| + d * sum x_u/deg(u), from x=0."""
+    adj = adjacency(edges)
+    vs = sorted(adj)
+    seeds = set(seeds)
+    tele = (1.0 - damping) / len(seeds)
+    x = {v: 0.0 for v in vs}
+    for _ in range(num_iters):
+        msgs = {v: 0.0 for v in vs}
+        for u in vs:
+            out = x[u] / len(adj[u])
+            for nb in adj[u]:
+                msgs[nb] += out
+        x = {v: (tele if v in seeds else 0.0) + damping * msgs[v] for v in vs}
+    return x
+
+
 def sssp(edges, source: int) -> dict[int, float]:
     """Hop-count BFS (intended Pregel semantics); unreachable = +inf."""
     adj = adjacency(edges)

@@ -12,6 +12,7 @@ from distributed_graph_computing_platform_ray.algorithms import (
     ConnectedComponents,
     LabelPropagation,
     PageRank,
+    PersonalizedPageRank,
     SSSP,
 )
 from distributed_graph_computing_platform_ray.engine import BSPEngine
@@ -51,6 +52,7 @@ def _final_state(man, algo, backend, tag):
         ("cc", lambda man: ConnectedComponents()),
         ("lp", lambda man: LabelPropagation(num_iters=5)),
         ("sssp", lambda man: SSSP(source_id=-1)),  # patched below
+        ("ppr", lambda man: PersonalizedPageRank(seed_ids=[0], num_iters=6)),  # patched below
     ],
 )
 def test_backend_equivalence(graph, tag, make):
@@ -60,6 +62,12 @@ def test_backend_equivalence(graph, tag, make):
         sid = lookup_vertex_id(graph, "1")
         algo_d.source = sid
         algo_c.source = sid
+    if tag == "ppr":
+        # wants_ids apply extension must behave identically on both backends
+        seeds = np.array(sorted(lookup_vertex_id(graph, k) for k in ("1", "5")))
+        algo_d.seeds = seeds
+        algo_c.seeds = seeds
+        algo_d.teleport_each = algo_c.teleport_each = 0.15 / len(seeds)
     d, fd = _final_state(graph, algo_d, "dataset", tag)
     c, fc = _final_state(graph, algo_c, "core", tag)
     assert fd == fc

@@ -112,3 +112,26 @@ def test_top25_report(fixtures_dir):
     exp = oracle.pagerank(edges)
     best = max(exp, key=lambda v: exp[v])
     assert int(rows[0]["vertex"]) == best
+
+
+def test_personalized_pagerank_matches_oracle(fixtures_dir):
+    """PPR teleports only to the seed set; engine (dense-id seeds via
+    the dictionary) must match the original-id oracle recurrence."""
+    gdir = build(fixtures_dir, "graph_small")
+    man = GraphManifest.load(gdir)
+    seeds_orig = [1, 9]
+    sids = [lookup_vertex_id(man, str(s)) for s in seeds_orig]
+    edges = oracle.parse_edge_file(os.path.join(fixtures_dir, "graph_small.txt"))
+    exp = oracle.personalized_pagerank(edges, seeds_orig, num_iters=20)
+    got = result_map(
+        run_algorithm(
+            gdir, f"{TMP}/graph_small/ppr", "ppr",
+            seed_ids=tuple(sorted(sids)), num_iters=20,
+        )
+    )
+    assert set(got) == set(exp)
+    g = np.array([got[v] for v in sorted(exp)])
+    e = np.array([exp[v] for v in sorted(exp)])
+    np.testing.assert_allclose(g, e, atol=1e-6)
+    # the teleport mass concentrates around the seeds
+    assert got[1] > np.median(g) and got[9] > np.median(g)
