@@ -613,6 +613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
+        "kmeans_embeddings": T.q_kmeans,
+        "events_asof_orders": T.q_events_asof_orders,
+        "doc_pii_scrub": T.q_doc_pii_scrub,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -817,6 +820,63 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "doc_pii_scrub": (
+            # patterns must stay in sync with functions/pii.py
+            "WITH aug AS (SELECT doc_id, text || ' Contact: user' || doc_id || "
+            "  '@mail.example or call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+            "  ', ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) || ' end.' AS t "
+            "  FROM documents), "
+            "red AS (SELECT doc_id, "
+            "  length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails, "
+            "  length(regexp_extract_all(t, '\\b555-[0-9]{4}\\b'))::BIGINT AS n_phones, "
+            "  length(regexp_extract_all(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))::BIGINT AS n_ips, "
+            "  regexp_replace(regexp_replace(regexp_replace(t, "
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "    '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'), "
+            "    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS rt "
+            "  FROM aug) "
+            "SELECT doc_id, n_emails, n_phones, n_ips, sha256(rt) AS digest FROM red"
+        ),
+        "events_asof_orders": (
+            "WITH ord AS ( "
+            "  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders "
+            "  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate "
+            "                             ORDER BY o_orderkey) = 1) "
+            "SELECT e.event_id, o.o_orderkey, "
+            "  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_e2 "
+            "FROM events e ASOF JOIN ord o "
+            "  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "kmeans_embeddings": (
+            # Integer-quantized Lloyd recursion: q = FLOOR(1e6*x), exact
+            # int64 distances, trunc-div centroid means (DuckDB `//`),
+            # ties -> lowest cluster. Mirrors stages/kmeans.py exactly.
+            "WITH RECURSIVE "
+            "vexp AS ( "
+            "  SELECT vec_id, d AS dim, "
+            "    CAST(FLOOR(CAST(embedding[d+1] AS DOUBLE) * 1e6) AS BIGINT) AS q "
+            "  FROM embeddings, LATERAL unnest(generate_series(0, 63)) t(d)), "
+            "r AS ( "
+            "  SELECT 0 AS it, vec_id, cluster, dd FROM ( "
+            "    SELECT v.vec_id, c.vec_id AS cluster, "
+            "      SUM((v.q - c.q)*(v.q - c.q)) AS dd "
+            "    FROM vexp v JOIN vexp c ON c.dim = v.dim AND c.vec_id < 8 "
+            "    GROUP BY 1, 2 "
+            "    QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY dd, cluster) = 1) "
+            "  UNION ALL "
+            "  SELECT it, vec_id, cluster, dd FROM ( "
+            "    SELECT c.it + 1 AS it, v.vec_id, c.cluster, "
+            "      SUM((v.q - c.cq)*(v.q - c.cq)) AS dd "
+            "    FROM (SELECT r.it, r.cluster, v2.dim, SUM(v2.q) // COUNT(*) AS cq "
+            "          FROM r JOIN vexp v2 USING (vec_id) "
+            "          WHERE r.it < 4 "
+            "          GROUP BY r.it, r.cluster, v2.dim) c "
+            "    JOIN vexp v ON v.dim = c.dim "
+            "    GROUP BY 1, 2, 3 "
+            "    QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY dd, c.cluster) = 1)) "
+            "SELECT vec_id, cluster::BIGINT AS cluster, dd::BIGINT AS dist "
+            "FROM r WHERE it = 4"
         ),
         "revenue_rollup": (
             "WITH nat AS ( "

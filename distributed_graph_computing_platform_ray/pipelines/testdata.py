@@ -1005,6 +1005,95 @@ def q_revenue_rollup(sf_dir: str):
     )
 
 
+def q_doc_pii_scrub(sf_dir: str):
+    """PII redaction over documents AUGMENTED with a deterministic
+    contact line (the synthetic corpus contains no PII, so both
+    engines append 'user<id>@mail.example / 555-NNNN / 10.x.0.y'
+    constructed identically from doc_id — making the scrub
+    non-vacuous and still hash-exact)."""
+    from ..functions.pii import scrub_frame
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        contact = (
+            " Contact: user"
+            + ids.astype(str)
+            + "@mail.example or call 555-"
+            + (ids % 10000).astype(str).str.zfill(4)
+            + ", ip 10."
+            + (ids % 256).astype(str)
+            + ".0."
+            + ((ids * 7) % 256).astype(str)
+            + " end."
+        )
+        aug = df.assign(text=df["text"].astype(str) + contact)
+        return scrub_frame(aug)
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pandas"
+    )
+
+
+def q_events_asof_orders(sf_dir: str):
+    """Point-in-time enrichment: each event joined to the user's most
+    recent order at-or-before the event time (backward as-of join;
+    events.user_id keys into orders.o_custkey). The orders side is
+    first deduped to one row per (custkey, orderdate) keeping the min
+    orderkey, so the as-of match is deterministic; order price is
+    integerized to cents."""
+    from ..stages.asof import asof_join
+    from ..stages.join import distinct_keep_first
+
+    ev = _table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _table(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    od = distinct_keep_first(od, ["o_custkey", "o_orderdate"], "o_orderkey")
+    ts_t = pa.timestamp("us")
+    joined = asof_join(
+        ev,
+        od,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", ts_t)]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", ts_t),
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "o_orderkey": t["o_orderkey"],
+                "price_e2": pc.round(pc.multiply(t["o_totalprice"], 1e2)).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_kmeans(sf_dir: str, k: int = 8, num_iters: int = 4):
+    """Distributed integer-quantized Lloyd k-means over the embeddings
+    table: init centroids = vectors with vec_id < k, 4 update rounds,
+    exact int64 distances, truncating-integer-division centroid means
+    — bit-reproducible vs the recursive-CTE oracle."""
+    from ..stages.kmeans import kmeans, seed_centroids
+
+    vecs = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent0 = seed_centroids(vecs, k)
+    return kmeans(vecs, cent0, num_iters=num_iters)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over the embeddings table AUGMENTED with planted
     near-duplicates (vec_id < 16 get an affine-perturbed copy at

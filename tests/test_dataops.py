@@ -1,0 +1,108 @@
+"""Unit tests for the round-2 data operators: as-of join, integer
+k-means, PII scrub, and the rollup/semi-join helpers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from distributed_graph_computing_platform_ray.functions.pii import scrub_frame
+from distributed_graph_computing_platform_ray.stages.asof import asof_join
+from distributed_graph_computing_platform_ray.stages.kmeans import (
+    _trunc_div,
+    kmeans,
+    seed_centroids,
+)
+
+
+def _ts(*days):
+    return pd.to_datetime([f"2024-01-{d:02d}" for d in days]).astype("datetime64[us]")
+
+
+def test_asof_join_backward_semantics():
+    left = pd.DataFrame(
+        {"eid": [1, 2, 3, 4, 5], "k": [10, 10, 10, 20, 30], "lts": _ts(5, 2, 1, 9, 4)}
+    )
+    right = pd.DataFrame(
+        {"k2": [10, 10, 20], "rts": _ts(2, 4, 7), "payload": [100, 200, 300]}
+    )
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        left_on="k",
+        right_on="k2",
+        left_ts="lts",
+        right_ts="rts",
+        n_buckets=4,
+    ).to_pandas()
+    got = dict(zip(out["eid"], out["payload"]))
+    # eid1 (day5,k10) -> rts day4 => 200; eid2 (day2) exact match day2 => 100
+    # eid3 (day1) no prior row -> dropped; eid4 (day9,k20) -> 300
+    # eid5 (k30) no right rows -> dropped
+    assert got == {1: 200, 2: 100, 4: 300}
+    assert out["payload"].dtype == np.int64
+
+
+def test_trunc_div_matches_duckdb():
+    s = np.array([7, -7, 9, -9, 0])
+    c = np.array([2, 2, 3, 3, 5])
+    # DuckDB `//` truncates toward zero: -7//2 = -3
+    assert _trunc_div(s, c).tolist() == [3, -3, 3, -3, 0]
+
+
+def test_kmeans_recovers_planted_clusters():
+    rng = np.random.RandomState(7)
+    centers = np.array([[5.0] * 4, [-5.0] * 4, [0.0, 5.0, -5.0, 0.0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append(centers[c] + rng.normal(0, 0.05, 4))
+    # put one point of each cluster first so seed ids 0..2 hit all three
+    vecs = pd.DataFrame(
+        {
+            "vec_id": np.arange(90, dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in rows],
+        }
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(vecs["vec_id"]),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs["embedding"]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    cent0 = seed_centroids(ds, 3)
+    out = kmeans(ds, cent0, num_iters=3).to_pandas().sort_values("vec_id")
+    lab = out["cluster"].to_numpy()
+    # every planted cluster maps to exactly one k-means cluster
+    for c in range(3):
+        assert len(set(lab[np.arange(90) % 3 == c])) == 1
+    assert len(set(lab)) == 3
+    # deterministic re-run
+    out2 = kmeans(ds, cent0, num_iters=3).to_pandas().sort_values("vec_id")
+    assert (out2["cluster"].to_numpy() == lab).all()
+    assert (out2["dist"].to_numpy() == out["dist"].to_numpy()).all()
+
+
+def test_pii_scrub_counts_and_redacts():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail a.b+c@x-site.org and d@e.io, call 555-1234, from 10.0.0.7 ok",
+                "no pii here",
+            ],
+        }
+    )
+    out = scrub_frame(df)
+    assert out.loc[0, ["n_emails", "n_phones", "n_ips"]].tolist() == [2, 1, 1]
+    assert out.loc[1, ["n_emails", "n_phones", "n_ips"]].tolist() == [0, 0, 0]
+    # digests: stable sha256 of the redacted text
+    import hashlib
+
+    red = "mail <EMAIL> and <EMAIL>, call <PHONE>, from <IP> ok"
+    assert out.loc[0, "digest"] == hashlib.sha256(red.encode()).hexdigest()
