@@ -529,6 +529,33 @@ def _quality_sql() -> str:
     )
 
 
+def _random_walks_sql(num_steps: int = 8, walker_mod: int = 5) -> str:
+    """Replay stages/walks.py exactly: step choice =
+    splitmix64(((walker*FNV)^step)*FNV ^ cur) % deg(cur), neighbor
+    rank in ascending-id order (utils.mix64 reproduced with the same
+    HUGEINT split multiplies verified bit-equal for the generator)."""
+    return (
+        f"WITH RECURSIVE {_U_ORDERS}, "
+        "es2 AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b, a FROM u), "
+        "adj AS (SELECT src, dst, "
+        "        row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk FROM es2), "
+        "deg AS (SELECT src AS id, count(*) AS d FROM es2 GROUP BY src), "
+        "walk AS ( "
+        f"  SELECT 0 AS step, id AS walker, id AS cur FROM deg WHERE id % {walker_mod} = 0 "
+        "  UNION ALL "
+        "  SELECT t.step + 1, t.walker, a.dst "
+        f"  FROM (SELECT step, walker, cur, {_wrap_mul('walker::HUGEINT', _FNV64)} AS m1, "
+        "          xor((m1)::UBIGINT, step::UBIGINT) AS m2, "
+        f"         {_wrap_mul('(m2)::HUGEINT', _FNV64)} AS m3, "
+        "          xor((m3)::UBIGINT, cur::UBIGINT) AS m4, "
+        f"         {_splitmix_cols('m4', 'h')} "
+        f"        FROM walk WHERE step < {num_steps}) t "
+        "  JOIN deg d ON d.id = t.cur "
+        "  JOIN adj a ON a.src = t.cur AND a.rnk = (t.h % d.d::UBIGINT)::BIGINT) "
+        "SELECT walker::BIGINT AS walker, step::BIGINT AS step, cur::BIGINT AS vertex FROM walk"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale synthetic pages: generate
     Common-Crawl-style pages -> extract links -> dictionary-encoded CSR
@@ -616,6 +643,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": T.q_kmeans,
         "events_asof_orders": T.q_events_asof_orders,
         "doc_pii_scrub": T.q_doc_pii_scrub,
+        "doc_dup_ngrams": T.q_doc_dup_ngrams,
+        "doc_tfidf_top": T.q_doc_tfidf_top,
+        "random_walks": T.q_random_walks,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -821,6 +851,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
         ),
+        "doc_dup_ngrams": (
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "
+            "              FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram "
+            "      FROM toks, LATERAL unnest(generate_series(1, len(ts)-4)) t(i) "
+            "      WHERE len(ts) >= 5), "
+            "d AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram), "
+            "per AS (SELECT g.doc_id, count(*) AS n_grams, "
+            "        sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_dup "
+            "        FROM g JOIN d USING (gram) GROUP BY 1) "
+            "SELECT doc_id, n_grams::BIGINT AS n_grams, n_dup::BIGINT AS n_dup FROM per"
+        ),
+        "doc_tfidf_top": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "              FROM documents WHERE trim(text) <> ''), "
+            "tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT doc_id, term, (tf.c * ((n.n * 1000000) // df.df))::BIGINT AS score "
+            "FROM tf JOIN df USING (term) CROSS JOIN n "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3"
+        ),
+        "random_walks": _random_walks_sql(),
         "doc_pii_scrub": (
             # patterns must stay in sync with functions/pii.py
             "WITH aug AS (SELECT doc_id, text || ' Contact: user' || doc_id || "

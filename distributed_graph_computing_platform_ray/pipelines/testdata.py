@@ -1005,6 +1005,124 @@ def q_revenue_rollup(sf_dir: str):
     )
 
 
+def q_doc_dup_ngrams(sf_dir: str, n: int = 5, n_buckets: int = 64):
+    """Cross-document duplicate-n-gram statistics (a Gopher-style
+    repetition signal): per doc, the number of word 5-gram positions
+    whose 5-gram also occurs in at least one OTHER document. Two
+    shuffles: gram-hash buckets (distinct-doc counts + per-doc partial
+    sums computed in-bucket), then a doc_id sum. At 100 TB the gram
+    strings would be fingerprinted to u64 before the shuffle (the
+    minhash machinery); strings are shuffled here so the oracle can
+    group on them verbatim."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import _BUCKET, add_bucket
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_g = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].astype(str)):
+            ts = text.split()
+            if len(ts) < n:
+                continue
+            out_g.extend(" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1))
+            out_d.extend([doc_id] * (len(ts) - n + 1))
+        g = pd.DataFrame({"doc_id": np.asarray(out_d, dtype=np.int64), "gram": out_g})
+        return g.groupby(["doc_id", "gram"], as_index=False).size().rename(columns={"size": "c"})
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        grams, batch_format="pandas"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["doc_id", "gram"], as_index=False)["c"].sum()
+        nd = g.groupby("gram")["doc_id"].transform("nunique")
+        g = g.assign(dup=np.where(nd >= 2, g["c"], 0))
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("c", "sum"), n_dup=("dup", "sum")
+        )
+        return out.astype({"n_grams": "int64", "n_dup": "int64"})
+
+    part = (
+        add_bucket(ds, ["gram"], n_buckets).groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+    )
+    agg = part.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"), Sum("n_dup", alias_name="n_dup")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": t["n_grams"].cast(pa.int64()),
+                "n_dup": t["n_dup"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_doc_tfidf_top(sf_dir: str, k: int = 3, n_buckets: int = 64):
+    """Per-document top-k terms by integer TF-IDF (rational idf:
+    (N * 1e6) // df — exact integer arithmetic, no libm divergence).
+    Shuffle 1 buckets terms (document frequency + scores in-bucket);
+    shuffle 2 groups by doc for the top-k; ties break term-ascending."""
+    import pyarrow.dataset as pads
+
+    from ..stages.join import _BUCKET, add_bucket
+
+    n_docs = pads.dataset(os.path.join(sf_dir, "documents.parquet")).count_rows()
+
+    def tf(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[["doc_id", "text"]].assign(term=df["text"].astype(str).str.split()).explode("term")
+        ex = ex.dropna(subset=["term"])
+        g = ex.groupby(["doc_id", "term"], as_index=False).size()
+        return g.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(tf, batch_format="pandas")
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["doc_id", "term"], as_index=False)["c"].sum()
+        df_t = g.groupby("term")["doc_id"].transform("nunique").to_numpy()
+        idf = (np.int64(n_docs) * np.int64(1_000_000)) // df_t
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "term": g["term"], "score": g["c"].to_numpy() * idf}
+        )
+
+    scored = (
+        add_bucket(ds, ["term"], n_buckets).groupby(_BUCKET).map_groups(score_bucket, batch_format="pandas")
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "term"], ascending=[False, True]).head(k)
+        return df[["doc_id", "term", "score"]].astype({"score": "int64"})
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
+def q_random_walks(sf_dir: str, num_steps: int = 8, walker_mod: int = 5):
+    """Deterministic counter-based random walks over the symmetrized
+    orders graph: one walker per vertex v % 5 == 0, 8 steps, step =
+    splitmix64(mix(walker, step, cur)) % deg(cur) indexing neighbors
+    in ascending-id order — bit-reproducible and replayed exactly by
+    the recursive-CTE oracle."""
+    from ..stages.walks import random_walks
+
+    und = edges_orders(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    sym = und.map_batches(both, batch_format="pyarrow")
+    return random_walks(sym, num_steps=num_steps, walker_mod=walker_mod)
+
+
 def q_doc_pii_scrub(sf_dir: str):
     """PII redaction over documents AUGMENTED with a deterministic
     contact line (the synthetic corpus contains no PII, so both

@@ -106,3 +106,38 @@ def test_pii_scrub_counts_and_redacts():
 
     red = "mail <EMAIL> and <EMAIL>, call <PHONE>, from <IP> ok"
     assert out.loc[0, "digest"] == hashlib.sha256(red.encode()).hexdigest()
+
+
+def test_random_walks_deterministic_and_valid():
+    from distributed_graph_computing_platform_ray.stages.walks import random_walks
+    from distributed_graph_computing_platform_ray.utils import mix64
+
+    # small symmetric graph: 6-cycle + chord
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (0, 3)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    out = random_walks(ds, num_steps=6, walker_mod=2).to_pandas()
+    # walkers 0,2,4; 7 rows each (step 0..6)
+    assert sorted(out["walker"].unique()) == [0, 2, 4]
+    assert len(out) == 3 * 7
+    # replay walker 0 by hand
+    adj = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(a, []).append(b)
+    for a in adj:
+        adj[a].sort()
+    cur = 0
+    for s in range(6):
+        h = int(mix64(np.uint64(0), np.uint64(s), np.uint64(cur)))
+        cur = adj[cur][h % len(adj[cur])]
+        got = out[(out.walker == 0) & (out.step == s + 1)]["vertex"].iloc[0]
+        assert got == cur
+    # every step follows an existing edge
+    m = out.sort_values(["walker", "step"])
+    for w in [0, 2, 4]:
+        seq = m[m.walker == w]["vertex"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            assert b in adj[a]
