@@ -235,8 +235,27 @@ def full_bench(tmp: str) -> dict:
     out["minhash_dedup"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    T.q_revenue_by_nation(SF_DIR).materialize()
+    T.q_revenue_by_nation(SF_DIR)  # driver-reduced: returns a DataFrame
     out["revenue_join"] = round(time.time() - t0, 3)
+
+    # round-2 second-wave data operators
+    t0 = time.time()
+    T.q_kmeans(SF_DIR).materialize()
+    out["kmeans"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.q_events_asof_orders(SF_DIR).materialize()
+    out["asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.q_doc_dup_ngrams(SF_DIR).materialize()
+    T.q_doc_tfidf_top(SF_DIR).materialize()
+    T.q_doc_pii_scrub(SF_DIR).materialize()
+    out["text_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.q_random_walks(SF_DIR).materialize()
+    out["random_walks"] = round(time.time() - t0, 3)
     return out
 
 

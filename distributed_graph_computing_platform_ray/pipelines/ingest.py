@@ -311,6 +311,100 @@ def build_graph_encoded(
     return manifest
 
 
+def build_graph_local(
+    edges_df: pd.DataFrame,
+    graph_dir: str,
+    *,
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+    n_parts: int = 32,
+    n_buckets: int = 64,
+    dedup: bool = True,
+    symmetrize_edges: bool = True,
+    source_info: dict | None = None,
+) -> GraphManifest:
+    """Driver-side replica of ``build_graph`` for SMALL edge sets.
+
+    Produces a BIT-IDENTICAL graph dir (same hash-bucket dictionary
+    ranking, partition plan, shard bytes — asserted by
+    tests/test_ingest.py::test_small_graph_fast_path): every chained
+    Dataset execution costs ~1 s of fixed orchestration, so building a
+    few-hundred-edge pair graph distributed pays ~5 s to move kBs.
+    Opt in via ``build_graph(small_graph_edges=...)``; the distributed
+    path remains the default and the only path above the threshold.
+    """
+    from ..utils import stable_hash_array
+
+    os.makedirs(os.path.join(graph_dir, "vertices"), exist_ok=True)
+    os.makedirs(os.path.join(graph_dir, "csr"), exist_ok=True)
+    weighted = "weight" in edges_df.columns
+
+    sk = edges_df[src_col].astype(str)
+    dk = edges_df[dst_col].astype(str)
+    keys = pd.unique(pd.concat([sk, dk], ignore_index=True))
+    if len(keys) == 0:
+        raise ValueError("empty edge input — no vertices")
+    # dictionary: EXACT replica of build_dictionary's ranking — sort
+    # within hash bucket, offset by cumulative lower-bucket counts
+    kb = (stable_hash_array(keys) % np.uint64(n_buckets)).astype(np.int64)
+    kdf = pd.DataFrame({"key": keys, "b": kb}).sort_values(
+        ["b", "key"], kind="stable"
+    )  # bucket-major, key-sorted within = the distributed dense-id order
+    keys_sorted = kdf["key"].to_numpy()
+    ids = np.arange(len(keys), dtype=np.int64)
+    mapping = pd.Series(ids, index=keys_sorted)
+    n_vertices = len(keys)
+    keys_numeric = bool(
+        pd.Series(keys).astype(str).str.fullmatch(r"[+-]?\d+").all()
+    )
+
+    cols = [src_col, dst_col] + (["weight"] if weighted else [])
+    df = edges_df[cols]
+    if dedup:
+        df = df.drop_duplicates(cols)
+    src = mapping.reindex(sk.loc[df.index]).to_numpy(dtype=np.int64)
+    dst = mapping.reindex(dk.loc[df.index]).to_numpy(dtype=np.int64)
+    w = df["weight"].to_numpy(dtype=np.float64) if weighted else None
+    if symmetrize_edges:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        if weighted:
+            w = np.concatenate([w, w])
+
+    part_size, n_parts = GraphManifest.plan(graph_dir, n_vertices, n_parts)
+    manifest = GraphManifest(
+        graph_dir=graph_dir,
+        n_vertices=n_vertices,
+        n_edges_directed=0,
+        part_size=part_size,
+        n_parts=n_parts,
+        weighted=weighted,
+        n_buckets=n_buckets,
+        symmetrized=symmetrize_edges,
+        keys_numeric=keys_numeric,
+        source=source_info or {},
+    )
+    part_of = src // part_size
+    part_rows = []
+    for p in range(n_parts):
+        lo, hi = manifest.part_bounds(p)
+        m = part_of == p
+        indptr, indices, ww = build_shard_arrays(
+            src[m], dst[m], (w[m] if weighted else None), lo, hi
+        )
+        part_rows.append(write_shard(manifest, p, indptr, indices, ww))
+        vt = pa.table(
+            {
+                "id": pa.array(np.arange(lo, min(hi, n_vertices), dtype=np.int64)),
+                "key": pa.array(keys_sorted[lo : min(hi, n_vertices)].astype(str), pa.string()),
+            }
+        )
+        atomic_write_parquet(manifest.vertices_path(p), vt)
+    manifest.parts = sorted(part_rows, key=lambda r: int(r["part"]))
+    manifest.n_edges_directed = int(sum(r["n_edges"] for r in manifest.parts))
+    manifest.save()
+    return manifest
+
+
 def build_graph(
     edges_keys: rd.Dataset,
     graph_dir: str,
@@ -322,6 +416,7 @@ def build_graph(
     dedup: bool = True,
     symmetrize_edges: bool = True,
     source_info: dict | None = None,
+    small_graph_edges: int = 0,
 ) -> GraphManifest:
     """Full ingest: string-keyed edge Dataset -> on-disk CSR graph.
 
@@ -335,6 +430,18 @@ def build_graph(
     # materialize the key-edges once: they feed both the dictionary and
     # the encode joins (a lazy chain would re-run extraction per consumer)
     edges_keys = edges_keys.materialize()
+    if small_graph_edges and edges_keys.count() <= small_graph_edges:
+        return build_graph_local(
+            edges_keys.to_pandas(),
+            graph_dir,
+            src_col=src_col,
+            dst_col=dst_col,
+            n_parts=n_parts,
+            n_buckets=n_buckets,
+            dedup=dedup,
+            symmetrize_edges=symmetrize_edges,
+            source_info=source_info,
+        )
     weighted = "weight" in edges_keys.schema().names
 
     # dedup note: exact (src,dst[,weight]) dedup is FUSED into the

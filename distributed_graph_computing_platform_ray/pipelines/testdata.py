@@ -62,6 +62,19 @@ def _scaled_buckets(sf_dir: str, name: str, rows_per_bucket: int = 250_000, floo
     return max(floor, -(-n // rows_per_bucket))
 
 
+def _dim_table(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
+    """Driver-side pyarrow read of a SMALL dimension table (region /
+    nation / supplier / customer-at-test-scale): no Ray execution —
+    each Dataset execution costs ~1 s of fixed orchestration, which
+    dwarfs reading a kB..MB parquet in-process. Big tables must go
+    through ``_table`` (distributed, streaming)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    ).to_pandas()
+
+
 def _ts_us(s: pd.Series) -> np.ndarray:
     """Epoch microseconds from a timestamp column with the unit made
     EXPLICIT (astype('int64') on a datetime series yields whatever the
@@ -463,23 +476,82 @@ def q_kcore(sf_dir: str, k: int = 20):
     return distinct(cur.map_batches(verts, batch_format="pyarrow"), ["vertex"])
 
 
+BROADCAST_DIM_ROWS = 2_000_000  # same threshold family as the dictionary encode
+
+
 def q_revenue_by_nation(sf_dir: str):
-    """Relational pipeline: orders JOIN customer (hash-partitioned)
-    JOIN nation (driver-side broadcast — 25 rows, the canonical
-    small-side broadcast instead of a shuffle) -> groupby nation
-    -> Sum/Count. TPC-H-style multi-table aggregation."""
+    """Relational pipeline: orders JOIN customer JOIN nation ->
+    groupby nation -> Sum/Count (TPC-H-style multi-table aggregation).
+
+    The customer->nation mapping is a DIMENSION lookup: when customer
+    fits the broadcast budget (<= 2M keys) it is shipped ONCE via
+    ray.put and the whole query is a single map_batches + a ~25-row
+    groupby — zero shuffles. Above the budget it falls back to the
+    hash-partitioned bucket_join (one shuffle)."""
+    import pyarrow.dataset as pads
     from ray.data.aggregate import Sum
 
     from ..stages.join import bucket_join
 
-    cust = _table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    nation = {
-        r["n_nationkey"]: r["n_name"]
-        for r in _table(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    }
+    nat_df = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = dict(zip(nat_df["n_nationkey"].astype(int), nat_df["n_name"]))
     nation_ref = ray.put(nation)
 
+    n_cust = pads.dataset(os.path.join(sf_dir, "customer.parquet")).count_rows()
+    if n_cust <= BROADCAST_DIM_ROWS:
+        cust_df = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        c2n = pd.Series(
+            cust_df["c_nationkey"].to_numpy(), index=cust_df["c_custkey"].to_numpy()
+        )
+        c2n_ref = ray.put(c2n)
+
+        def broadcast_join_partial(t: pa.Table) -> pa.Table:
+            """custkey -> nationkey lookup + per-batch pre-aggregation
+            in one pass: each block emits <= 25 rows. Stateless task
+            (no actor-pool startup for a sub-second stage); the
+            lookups come from the object store via the captured refs
+            — fetched zero-copy per task, never re-shipped per row."""
+            c2n = ray.get(c2n_ref)
+            nation_l = ray.get(nation_ref)
+            ck = t["o_custkey"].to_numpy()
+            nk = c2n.reindex(ck).to_numpy()
+            keep = ~pd.isna(nk)
+            nk = nk[keep].astype(np.int64)
+            tp = t["o_totalprice"].to_numpy()[keep]
+            order = np.argsort(nk, kind="stable")
+            nks, tps = nk[order], tp[order]
+            starts = np.flatnonzero(np.concatenate([[True], nks[1:] != nks[:-1]]))
+            cnts = np.diff(np.concatenate([starts, [len(nks)]]))
+            sums = np.add.reduceat(tps, starts) if len(starts) else np.empty(0)
+            return pa.table(
+                {
+                    "nation": pa.array(
+                        [nation_l[int(k)] for k in nks[starts]], pa.string()
+                    ),
+                    "n": pa.array(cnts.astype(np.int64)),
+                    "rev": pa.array(sums, pa.float64()),
+                }
+            )
+
+        partial = orders.map_batches(broadcast_join_partial, batch_format="pyarrow")
+        # final reduce on the driver: each block emits <= 25 rows, so
+        # the collected partials are (n_blocks x 25) — bounded at any
+        # scale, and a Dataset sort-aggregate costs seconds of fixed
+        # orchestration to reduce what pandas does in microseconds
+        pdf = partial.to_pandas()
+        agg = pdf.groupby("nation", as_index=False).agg(
+            n_orders=("n", "sum"), revenue=("rev", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "nation": agg["nation"],
+                "n_orders": agg["n_orders"].astype("int64"),
+                "revenue_e2": (agg["revenue"] * 100).round().astype("int64"),
+            }
+        )
+
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     ii = pa.int64()
     joined = bucket_join(
         orders, cust, left_on="o_custkey", right_on="c_custkey", n_buckets=32,
@@ -928,52 +1000,40 @@ def q_lineitem_semijoin(sf_dir: str, min_acctbal: float = 5000.0):
     returnflag. Per-row revenue is integerized EXACTLY before summing
     (price cents x (100 - discount bps) -> 1e-4 dollar units), so the
     sum is order-independent and hash-exact vs SQL."""
-    from ray.data.aggregate import Sum
-
-    supp = _table(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    supp = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
     keep_keys = np.sort(supp.loc[supp["s_acctbal"] > min_acctbal, "s_suppkey"].to_numpy())
     keys_ref = ray.put(keep_keys)
 
-    class FilterAgg:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            sk = t["l_suppkey"].to_numpy()
-            m = np.isin(sk, self.keys)
-            flag = t["l_returnflag"].to_numpy(zero_copy_only=False)[m]
-            qty = t["l_quantity"].to_numpy()[m]
-            price_c = np.rint(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
-            disc_b = np.rint(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
-            rev = price_c * (100 - disc_b)
-            df = pd.DataFrame(
-                {"l_returnflag": flag, "n_items": 1, "sum_qty": np.rint(qty).astype(np.int64), "revenue_e4": rev}
-            )
-            g = df.groupby("l_returnflag", as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+    def filter_agg(t: pa.Table) -> pa.Table:
+        # stateless task; the key set comes from the object store once
+        keys = ray.get(keys_ref)
+        sk = t["l_suppkey"].to_numpy()
+        m = np.isin(sk, keys)
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)[m]
+        qty = t["l_quantity"].to_numpy()[m]
+        price_c = np.rint(t["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc_b = np.rint(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        rev = price_c * (100 - disc_b)
+        df = pd.DataFrame(
+            {"l_returnflag": flag, "n_items": 1, "sum_qty": np.rint(qty).astype(np.int64), "revenue_e4": rev}
+        )
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _table(
         sf_dir,
         "lineitem",
         ["l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(FilterAgg, batch_format="pyarrow", concurrency=(1, 8))
-    agg = ds.groupby("l_returnflag").aggregate(
-        Sum("n_items", alias_name="n_items"),
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("revenue_e4", alias_name="revenue_e4"),
+    ).map_batches(filter_agg, batch_format="pyarrow")
+    # driver reduce of the <= (n_blocks x n_flags) integer partials
+    # (see q_revenue_by_nation) — exact integer sums, order-free
+    pdf = ds.to_pandas()
+    agg = pdf.groupby("l_returnflag", as_index=False)[
+        ["n_items", "sum_qty", "revenue_e4"]
+    ].sum()
+    return agg.astype(
+        {"n_items": "int64", "sum_qty": "int64", "revenue_e4": "int64"}
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "n_items": t["n_items"].cast(pa.int64()),
-                "sum_qty": t["sum_qty"].cast(pa.int64()),
-                "revenue_e4": t["revenue_e4"].cast(pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_revenue_rollup(sf_dir: str):
@@ -984,10 +1044,12 @@ def q_revenue_rollup(sf_dir: str):
     nation rows on the driver — no second shuffle. Empty-string
     region/nation mark the rolled-up levels (SQL: ROLLUP +
     COALESCE)."""
-    nat_rev = q_revenue_by_nation(sf_dir).to_pandas()
+    nat_rev = q_revenue_by_nation(sf_dir)
+    if not isinstance(nat_rev, pd.DataFrame):  # bucket-join fallback path
+        nat_rev = nat_rev.to_pandas()
 
-    nation = _table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = _table(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _dim_table(sf_dir, "region", ["r_regionkey", "r_name"])
     n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     nat_rev = nat_rev.merge(
         n2r[["n_name", "r_name"]], left_on="nation", right_on="n_name"

@@ -95,8 +95,15 @@ def minhash_candidates(
     n_bands=16,
     shingle_k=3,
     n_buckets=64,
+    dedup: bool = True,
 ) -> rd.Dataset:
-    """Candidate near-dup pairs (a < b) from banded MinHash LSH."""
+    """Candidate near-dup pairs (a < b) from banded MinHash LSH.
+
+    ``dedup=False`` skips the global pair-distinct shuffle: a pair
+    surfacing in several bands is emitted once per band. Callers that
+    dedup downstream anyway (minhash_dedup: the graph build dedups
+    edges; the join-mode verify fuses dedup into its first shuffle)
+    save a whole all-to-all this way."""
     bands = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(
@@ -126,6 +133,8 @@ def minhash_candidates(
         .groupby(_BUCKET)
         .map_groups(pairs, batch_format="pandas")
     )
+    if not dedup:
+        return cand
     from ..stages.join import distinct
 
     return distinct(cand, ["a", "b"], n_buckets)
@@ -194,7 +203,8 @@ def verify_jaccard(
     j1 = bucket_join(pairs, texts.map_batches(
         lambda t: pa.table({"jid": t["jid"], "text_a": t["jtext"]}), batch_format="pyarrow"
     ), left_on="a", right_on="jid", n_buckets=n_buckets,
-        left_schema=pair_schema, right_schema=txt_schema("text_a"))
+        left_schema=pair_schema, right_schema=txt_schema("text_a"),
+        left_dedup_cols=["a", "b"])  # free global pair dedup (bucket = f(a))
     j2 = bucket_join(j1, texts.map_batches(
         lambda t: pa.table({"jid": t["jid"], "text_b": t["jtext"]}), batch_format="pyarrow"
     ), left_on="b", right_on="jid", n_buckets=n_buckets,
@@ -232,6 +242,10 @@ def minhash_dedup(
     verified pair graph — no driver-side union-find, so the pair set
     can be arbitrarily large.
     """
+    # keep dedup=True: true near-dups collide in MOST of the 16 bands,
+    # so skipping the distinct multiplies verify work ~band-fold
+    # (measured 15 -> 40 s at sf0.1) — the one distinct shuffle is the
+    # cheaper side of that trade at every scale where LSH makes sense
     cand = minhash_candidates(ds, id_col=id_col, text_col=text_col, **lsh_kwargs).materialize()
     verified = verify_jaccard(cand, ds, id_col=id_col, text_col=text_col,
                               shingle_k=lsh_kwargs.get("shingle_k", 3))
@@ -240,7 +254,8 @@ def minhash_dedup(
         lambda t: t.filter(pa.compute.greater_equal(t["jaccard_e6"], thr)),
         batch_format="pyarrow",
     ).materialize()  # consumed by count + graph build
-    if edges.count() == 0:
+    n_pair_edges = edges.count()
+    if n_pair_edges == 0:
         return rd.from_items([]).map_batches(
             lambda df: pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                      "cluster_id": pd.Series([], dtype="int64")}),
@@ -252,6 +267,10 @@ def minhash_dedup(
 
     gdir = os.path.join(work_dir, "pair_graph")
     shutil.rmtree(gdir, ignore_errors=True)
+    # size the pair graph to the surviving edge count — near-dup pair
+    # graphs are collapse residue (usually tiny), and a fixed 8-part
+    # build pays ~4x its useful task overhead at small counts
+    n_parts = max(2, min(64, -(-n_pair_edges // 250_000)))
     build_graph(
         edges.map_batches(
             lambda t: pa.table(
@@ -260,9 +279,10 @@ def minhash_dedup(
             batch_format="pyarrow",
         ),
         gdir,
-        n_parts=8,
-        n_buckets=16,
+        n_parts=n_parts,
+        n_buckets=2 * n_parts,
         dedup=True,
+        small_graph_edges=2_000_000,  # pair graphs are collapse residue
     )
     cc = run_algorithm(gdir, os.path.join(work_dir, "cc"), "cc")
     return cc.map_batches(

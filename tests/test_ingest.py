@@ -91,3 +91,37 @@ def test_weighted_edges_roundtrip():
         assert shard.weights is not None
         total_w += float(np.sum(shard.weights))
     assert total_w == 2 * (2.5 + 1.0)  # symmetrized
+
+
+def test_small_graph_fast_path_bit_identical(fixtures_dir):
+    """build_graph(small_graph_edges=...) must produce a BIT-IDENTICAL
+    graph dir to the distributed build: same dictionary ranking, same
+    partition plan, same shard checksums, same vertex files."""
+    import pyarrow.dataset as pads
+
+    from distributed_graph_computing_platform_ray.pipelines.ingest import build_graph
+    from distributed_graph_computing_platform_ray.sources.edge_list import read_edge_list
+    from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
+
+    path = os.path.join(fixtures_dir, "graph_small.txt")
+    d_dist = "/tmp/graft_tests/fastpath/dist"
+    d_loc = "/tmp/graft_tests/fastpath/local"
+    for d in (d_dist, d_loc):
+        shutil.rmtree(d, ignore_errors=True)
+    kw = dict(n_parts=4, n_buckets=8, dedup=True, symmetrize_edges=True)
+    build_graph(read_edge_list(path), d_dist, **kw)
+    build_graph(read_edge_list(path), d_loc, small_graph_edges=10**6, **kw)
+
+    a = GraphManifest.load(d_dist)
+    b = GraphManifest.load(d_loc)
+    assert (a.n_vertices, a.part_size, a.n_parts, a.keys_numeric, a.weighted) == (
+        b.n_vertices, b.part_size, b.n_parts, b.keys_numeric, b.weighted
+    )
+    assert a.n_edges_directed == b.n_edges_directed
+    ra = {int(r["part"]): (r["crc_indptr"], r["crc_indices"], r["n_edges"]) for r in a.parts}
+    rb = {int(r["part"]): (r["crc_indptr"], r["crc_indices"], r["n_edges"]) for r in b.parts}
+    assert ra == rb
+    for p in range(a.n_parts):
+        ta = pads.dataset(a.vertices_path(p)).to_table().to_pandas()
+        tb = pads.dataset(b.vertices_path(p)).to_table().to_pandas()
+        assert ta.equals(tb), f"vertices part {p} differ"
