@@ -63,7 +63,43 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
     Returns (dict_ds materialized, n_vertices). Ids are: sort keys
     within their hash bucket, then offset by the cumulative count of
     lower-numbered buckets. Deterministic for any parallelism.
+
+    Key-universe fast path: when the (per-batch-deduped) key stream
+    fits ``BROADCAST_DICT_LIMIT`` the ranking happens ON THE DRIVER in
+    one pandas sort — the dictionary is about to be ray.put-broadcast
+    anyway, so if it fits the object store it fits the driver; this
+    replaces a sort-shuffle + stats pass + assign map (~2.5 s of fixed
+    orchestration at ANY size) with milliseconds. The distributed
+    rank-in-bucket path (identical ordering) remains for key universes
+    beyond the broadcast budget.
     """
+    from ..utils import stable_hash_array
+
+    keys_ds = _keys_of_edges(edges, src_col, dst_col).materialize()
+    if keys_ds.count() <= BROADCAST_DICT_LIMIT:
+        kpdf = keys_ds.to_pandas()
+        # an empty dataset has no blocks and so no 'key' column at all
+        u = pd.unique(kpdf["key"].astype(str)) if "key" in kpdf.columns else np.array([], dtype=object)
+        if len(u) == 0:
+            return (
+                rd.from_arrow(
+                    pa.table({"key": pa.array([], pa.large_string()), "id": pa.array([], pa.int64())})
+                ).materialize(),
+                0,
+                True,
+            )
+        kb = (stable_hash_array(u) % np.uint64(n_buckets)).astype(np.int64)
+        sdf = pd.DataFrame({"key": u, "b": kb}).sort_values(["b", "key"], kind="stable")
+        keys_numeric = bool(pd.Series(u).astype(str).str.fullmatch(r"[+-]?\d+").all())
+        dict_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array(sdf["key"].to_numpy(), pa.large_string()),
+                    "id": pa.array(np.arange(len(u), dtype=np.int64)),
+                }
+            )
+        ).materialize()
+        return dict_ds, len(u), keys_numeric
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         u = np.sort(g["key"].unique())
@@ -75,7 +111,7 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
             }
         )
 
-    keys = _keys_of_edges(edges, src_col, dst_col)
+    keys = keys_ds
     ranked = (
         add_bucket(keys, ["key"], n_buckets)
         .groupby(_BUCKET)
