@@ -113,16 +113,17 @@ def kmeans(
     Chain per round: assign(cent_t) -> integer mean -> cent_{t+1};
     the returned assignment uses cent_{num_iters} (i.e. num_iters
     update rounds after the initial assignment)."""
-    from ray.data.aggregate import Sum
-
     cent = np.asarray(init_centroids, dtype=np.int64)
     k, dim = cent.shape
     for _ in range(num_iters):
         partial = vectors.map_batches(_make_partial(cent), batch_format="pyarrow")
-        agg = partial.groupby(["cluster", "dim"]).aggregate(
-            Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt")
-        )
-        df = agg.to_pandas()  # k*dim rows — bounded
+        # reduce the (n_blocks x k x dim) integer partials ON THE
+        # DRIVER: a Dataset multi-key sort-aggregate costs ~1 s of
+        # fixed orchestration per round to sum 512 keys (NOTES.md
+        # multi-key-groupby trap); the partial rows are bounded by
+        # blocks*k*dim at any data scale
+        df = partial.to_pandas()
+        df = df.groupby(["cluster", "dim"], as_index=False)[["s", "cnt"]].sum()
         df = df.sort_values(["cluster", "dim"])
         cnts = df["cnt"].to_numpy().reshape(k, dim)
         if (cnts[:, 0] == 0).any():
