@@ -644,6 +644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": T.q_events_asof_orders,
         "doc_pii_scrub": T.q_doc_pii_scrub,
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
+        "cms_user_counts": T.q_cms_user_counts,
+        "bloom_doc_positions": T.q_bloom_doc_positions,
+        "events_sample": T.q_events_sample,
+        "degree_histogram": T.q_degree_histogram,
         "doc_tfidf_top": T.q_doc_tfidf_top,
         "random_walks": T.q_random_walks,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -850,6 +854,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "cms_user_counts": (
+            "WITH rr AS (SELECT r FROM unnest(generate_series(0, 3)) t(r)), "
+            f"hh AS (SELECT {_wrap_mul('user_id::HUGEINT', _FNV64)} AS base, "
+            "        xor((base)::UBIGINT, r::UBIGINT) AS x, "
+            f"       {_splitmix_cols('x', 'h')}, r "
+            "        FROM events CROSS JOIN rr) "
+            "SELECT r::BIGINT AS r, (h % 1024)::BIGINT AS reg, count(*)::BIGINT AS cnt "
+            "FROM hh GROUP BY 1, 2"
+        ),
+        "bloom_doc_positions": (
+            "WITH it AS (SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS item "
+            "            FROM documents), "
+            "jj AS (SELECT j FROM unnest(generate_series(0, 2)) t(j)), "
+            f"hh AS (SELECT xor(item, j::UBIGINT) AS x, {_splitmix_cols('x', 'h')} "
+            "        FROM it CROSS JOIN jj) "
+            "SELECT DISTINCT (h % 4096)::BIGINT AS pos FROM hh"
+        ),
+        "events_sample": (
+            f"WITH ss AS (SELECT event_type, value, {_splitmix_cols('event_id::UBIGINT', 'h')} "
+            "            FROM events), "
+            "f AS (SELECT event_type, CAST(FLOOR(value * 1e6) AS BIGINT) AS v6 "
+            "      FROM ss WHERE h % 100 < 5) "
+            "SELECT event_type, count(*)::BIGINT AS n, sum(v6)::BIGINT AS sum_value_e6 "
+            "FROM f GROUP BY 1"
+        ),
+        "degree_histogram": (
+            f"WITH {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src) "
+            "SELECT d::BIGINT AS degree, count(*)::BIGINT AS n FROM deg GROUP BY 1"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

@@ -1213,6 +1213,128 @@ def q_random_walks(sf_dir: str, num_steps: int = 8, walker_mod: int = 5):
     return random_walks(sym, num_steps=num_steps, walker_mod=walker_mod)
 
 
+_CMS_D, _CMS_W = 4, 1024
+
+
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min sketch over event user_id multiplicities: d=4 hash
+    rows x w=1024 registers, register (r, h_r(uid) % w) += 1. The
+    sketch is a mergeable combiner: each batch emits its partial
+    registers (<= d*w rows), one bucket_sum merges them — the classic
+    sublinear heavy-hitter structure for 100 TB streams. Registers are
+    hash-exact vs SQL (splitmix64 replayed in the oracle)."""
+    from ..stages.join import bucket_sum
+    from ..utils import splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        rows_r, rows_reg, rows_c = [], [], []
+        with np.errstate(over="ignore"):
+            base = uid * np.uint64(1099511628211)
+        for r in range(_CMS_D):
+            h = splitmix64(base ^ np.uint64(r))
+            reg = (h % np.uint64(_CMS_W)).astype(np.int64)
+            cnt = np.bincount(reg, minlength=_CMS_W)
+            nz = np.flatnonzero(cnt)
+            rows_r.append(np.full(len(nz), r, dtype=np.int64))
+            rows_reg.append(nz.astype(np.int64))
+            rows_c.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rows_r)),
+                "reg": pa.array(np.concatenate(rows_reg)),
+                "cnt": pa.array(np.concatenate(rows_c)),
+            }
+        )
+
+    ds = _table(sf_dir, "events", ["user_id"]).map_batches(partial, batch_format="pyarrow")
+    agg = bucket_sum(ds, ["r", "reg"], ["cnt"], n_buckets=32)
+    return agg.map_batches(
+        lambda df: df.astype({"r": "int64", "reg": "int64", "cnt": "int64"}),
+        batch_format="pandas",
+    )
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def q_bloom_doc_positions(sf_dir: str):
+    """Bloom-filter build over document content fingerprints: item =
+    first 64 bits of md5(text), k=3 positions splitmix64(item ^ j) % m
+    (m=4096). Output = the DISTINCT set bit positions — the structure
+    a 100 TB pipeline broadcasts to prune joins/dedup candidates.
+    Position set is hash-exact vs SQL (md5 + '0x..'::UBIGINT cast)."""
+    import hashlib as _hl
+
+    from ..stages.join import distinct
+    from ..utils import splitmix64
+
+    def positions(df: pd.DataFrame) -> pd.DataFrame:
+        items = np.array(
+            [int(_hl.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in df["text"].astype(str)],
+            dtype=np.uint64,
+        )
+        out = []
+        for j in range(_BLOOM_K):
+            h = splitmix64(items ^ np.uint64(j))
+            out.append((h % np.uint64(_BLOOM_M)).astype(np.int64))
+        return pd.DataFrame({"pos": np.unique(np.concatenate(out))})
+
+    ds = _table(sf_dir, "documents", ["text"]).map_batches(positions, batch_format="pandas")
+    return distinct(ds, ["pos"], n_buckets=16)
+
+
+def q_events_sample(sf_dir: str, pct: int = 5):
+    """Deterministic counter-based sampling (splitmix64(event_id) %
+    100 < pct — reproducible at any parallelism, no RNG state) +
+    per-type aggregate of the sample. value is floor-integerized
+    (1e-6 units) so sums are order-free and hash-exact."""
+    from ..stages.join import bucket_sum
+    from ..utils import splitmix64
+
+    def samp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy().astype(np.uint64)
+        keep = (splitmix64(eid) % np.uint64(100)) < np.uint64(pct)
+        et = t["event_type"].to_numpy(zero_copy_only=False)[keep]
+        val = t["value"].to_numpy()[keep]
+        v6 = np.floor(val * 1e6).astype(np.int64)
+        df = pd.DataFrame({"event_type": et, "n": 1, "sum_value_e6": v6})
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    ds = _table(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        samp, batch_format="pyarrow"
+    )
+    agg = bucket_sum(ds, ["event_type"], ["n", "sum_value_e6"], n_buckets=8)
+    return agg.map_batches(
+        lambda df: df.astype({"n": "int64", "sum_value_e6": "int64"}),
+        batch_format="pandas",
+    )
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the symmetrized lineitem graph straight
+    off the CSR shards: per-shard partial histogram (combiner), one
+    bucket_sum merge. The canonical first look at any web graph."""
+    from ..stages.join import bucket_sum
+
+    degs = q_degrees(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {"degree": pa.array(u.astype(np.int64)), "n": pa.array(c.astype(np.int64))}
+        )
+
+    ds = degs.map_batches(partial, batch_format="pyarrow")
+    agg = bucket_sum(ds, ["degree"], ["n"], n_buckets=8)
+    return agg.map_batches(
+        lambda df: df.astype({"degree": "int64", "n": "int64"}), batch_format="pandas"
+    )
+
+
 def q_doc_pii_scrub(sf_dir: str):
     """PII redaction over documents AUGMENTED with a deterministic
     contact line (the synthetic corpus contains no PII, so both

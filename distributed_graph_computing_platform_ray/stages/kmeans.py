@@ -113,6 +113,10 @@ def kmeans(
     Chain per round: assign(cent_t) -> integer mean -> cent_{t+1};
     the returned assignment uses cent_{num_iters} (i.e. num_iters
     update rounds after the initial assignment)."""
+    # pin the vector table in the object store once: every Lloyd round
+    # re-reads it, and object-store reads (spillable) beat re-decoding
+    # parquet num_iters+1 times at any scale
+    vectors = vectors.materialize()
     cent = np.asarray(init_centroids, dtype=np.int64)
     k, dim = cent.shape
     for _ in range(num_iters):
