@@ -644,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": T.q_events_asof_orders,
         "doc_pii_scrub": T.q_doc_pii_scrub,
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
+        "doc_classify": T.q_doc_classify,
         "cms_user_counts": T.q_cms_user_counts,
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
@@ -854,6 +855,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "doc_classify": (
+            "WITH RECURSIVE "
+            "toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+            "         FROM documents WHERE trim(text) <> ''), "
+            "cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+            f"{_FNV_TOK}, "
+            "cc AS (SELECT cl FROM unnest(generate_series(0, 3)) t(cl)), "
+            "w AS (SELECT tokh.tok, cc.cl, xor(tokh.h, cl::UBIGINT) AS x, "
+            f"      {_splitmix_cols('x', 'hw')}, (hw % 1001)::BIGINT - 500 AS wt "
+            "      FROM tokh CROSS JOIN cc), "
+            "sc AS (SELECT cnt.doc_id, w.cl, sum(cnt.c * w.wt) AS s "
+            "       FROM cnt JOIN w ON w.tok = cnt.tok GROUP BY 1, 2) "
+            "SELECT doc_id, cl::BIGINT AS label, s::BIGINT AS score FROM sc "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cl) = 1"
         ),
         "cms_user_counts": (
             "WITH rr AS (SELECT r FROM unnest(generate_series(0, 3)) t(r)), "

@@ -1335,6 +1335,18 @@ def q_degree_histogram(sf_dir: str):
     )
 
 
+def q_doc_classify(sf_dir: str):
+    """Batched 'model inference' over documents: actor-pool stage,
+    deterministic hashed-bag-of-words integer classifier (see
+    stages/classify.py) — the plumbing of a real quality/toxicity
+    classifier with a hash-exact SQL oracle."""
+    from ..stages.classify import HashClassifier
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        HashClassifier, batch_format="pyarrow", concurrency=(1, 8), batch_size=256
+    )
+
+
 def q_doc_pii_scrub(sf_dir: str):
     """PII redaction over documents AUGMENTED with a deterministic
     contact line (the synthetic corpus contains no PII, so both

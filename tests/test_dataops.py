@@ -141,3 +141,24 @@ def test_random_walks_deterministic_and_valid():
         seq = m[m.walker == w]["vertex"].tolist()
         for a, b in zip(seq, seq[1:]):
             assert b in adj[a]
+
+
+def test_hash_classifier_deterministic_and_exact():
+    from distributed_graph_computing_platform_ray.functions.hashing import fnv1a64
+    from distributed_graph_computing_platform_ray.stages.classify import HashClassifier
+    from distributed_graph_computing_platform_ray.utils import splitmix64
+
+    df = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                   "text": pa.array(["alpha beta alpha", ""], pa.string())})
+    out = HashClassifier()(df)
+    # empty doc drops
+    assert out["doc_id"].to_pylist() == [7]
+    # replay by hand: 2x alpha + 1x beta
+    score = {}
+    for c in range(4):
+        w = {tok: int((splitmix64(fnv1a64([tok]) ^ np.uint64(c)) % np.uint64(1001))[0]) - 500
+             for tok in ("alpha", "beta")}
+        score[c] = 2 * w["alpha"] + w["beta"]
+    best = max(range(4), key=lambda c: (score[c], -c))
+    assert out["label"].to_pylist() == [best]
+    assert out["score"].to_pylist() == [score[best]]
