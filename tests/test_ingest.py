@@ -125,3 +125,37 @@ def test_small_graph_fast_path_bit_identical(fixtures_dir):
         ta = pads.dataset(a.vertices_path(p)).to_table().to_pandas()
         tb = pads.dataset(b.vertices_path(p)).to_table().to_pandas()
         assert ta.equals(tb), f"vertices part {p} differ"
+
+
+def test_small_graph_fast_path_weighted_bit_identical():
+    """Weighted variant of the fast-path bit-identity check."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from distributed_graph_computing_platform_ray.pipelines.ingest import build_graph
+    from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
+
+    edges = pd.DataFrame(
+        {
+            "src_key": ["1", "2", "3", "1", "4", "2"],
+            "dst_key": ["2", "3", "4", "3", "1", "3"],
+            "weight": [1.5, 2.0, 0.5, 3.0, 1.0, 2.0],  # (2,3) dup w/ same weight
+        }
+    )
+    d_dist = "/tmp/graft_tests/fastpath/wdist"
+    d_loc = "/tmp/graft_tests/fastpath/wlocal"
+    for d in (d_dist, d_loc):
+        shutil.rmtree(d, ignore_errors=True)
+    kw = dict(n_parts=2, n_buckets=4, dedup=True, symmetrize_edges=True)
+    build_graph(rd.from_pandas(edges), d_dist, **kw)
+    build_graph(rd.from_pandas(edges), d_loc, small_graph_edges=10**6, **kw)
+    a, b = GraphManifest.load(d_dist), GraphManifest.load(d_loc)
+    assert a.weighted and b.weighted
+    assert a.n_edges_directed == b.n_edges_directed == 10  # 5 distinct x2
+    ra = {int(r["part"]): (r["crc_indptr"], r["crc_indices"]) for r in a.parts}
+    rb = {int(r["part"]): (r["crc_indptr"], r["crc_indices"]) for r in b.parts}
+    assert ra == rb
+    for p in range(a.n_parts):
+        wa = np.load(a.csr_path(p, "weights"))
+        wb = np.load(b.csr_path(p, "weights"))
+        assert (wa == wb).all()
