@@ -34,6 +34,14 @@ def main(argv=None):
     pp.add_argument("--graph", required=True)
     pp.add_argument("--parts", type=int, default=32)
 
+    pe = sub.add_parser(
+        "extract",
+        help="pages parquet dir -> resumable partitioned (url, text) parquet",
+    )
+    pe.add_argument("--pages", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--partitions", type=int, default=64)
+
     pr = sub.add_parser("run", help="run an algorithm on a built graph")
     pr.add_argument("--graph", required=True)
     pr.add_argument("--work", required=True)
@@ -71,6 +79,28 @@ def main(argv=None):
             man = build_link_graph(args.pages, args.graph, n_parts=args.parts)
             print(f"built link graph: {man.n_vertices} vertices, "
                   f"{man.n_edges_directed} directed edges")
+        elif args.cmd == "extract":
+            import numpy as np
+            import pyarrow as pa
+
+            from .pipelines.pages import extract_text_table
+            from .stages.sink import write_partitioned
+            from .utils import stable_hash_array
+
+            nparts = args.partitions
+
+            def with_part(t: pa.Table) -> pa.Table:
+                b = (stable_hash_array(t["url"]) % np.uint64(nparts)).astype(np.int64)
+                return t.append_column("part", pa.array(b))
+
+            ds = extract_text_table(args.pages).map_batches(
+                with_part, batch_format="pyarrow"
+            )
+            r = write_partitioned(ds, args.out)
+            print(
+                f"extracted text: wrote partitions {r['written']}, "
+                f"skipped finished {r['skipped']}"
+            )
         else:
             from .pipelines.graph import lookup_vertex_id, run_algorithm, top_k
             from .state.manifest import GraphManifest

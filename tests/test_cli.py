@@ -61,3 +61,31 @@ def test_cli_run_dataset_backend_same_top25(fixtures_dir):
         return [ln for ln in out.splitlines() if "\t" in ln]
 
     assert report(r_core.stdout) == report(r_ds.stdout)
+
+
+def test_cli_extract_resumable(tmp_path):
+    """extract subcommand: resumable partitioned (url, text) sink."""
+    import ray
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "text")
+    # generate a small pages parquet in-process (fresh subprocesses own
+    # their Ray sessions; this fixture write uses ours)
+    from distributed_graph_computing_platform_ray.sources.pages import write_pages
+
+    write_pages(200, pages_dir)
+
+    r = _run("extract", "--pages", pages_dir, "--out", out_dir, "--partitions", "8")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "extracted text" in r.stdout and "skipped finished []" in r.stdout
+
+    # second run: everything already done
+    r2 = _run("extract", "--pages", pages_dir, "--out", out_dir, "--partitions", "8")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "wrote partitions []" in r2.stdout, r2.stdout
+    assert "skipped finished [0, 1, 2, 3, 4, 5, 6, 7]" in r2.stdout, r2.stdout
+
+    from distributed_graph_computing_platform_ray.stages.sink import read_partitioned
+
+    back = read_partitioned(out_dir).to_pandas()
+    assert len(back) == 200 and set(back.columns) >= {"url", "text"}

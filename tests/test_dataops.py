@@ -162,3 +162,39 @@ def test_hash_classifier_deterministic_and_exact():
     best = max(range(4), key=lambda c: (score[c], -c))
     assert out["label"].to_pylist() == [best]
     assert out["score"].to_pylist() == [score[best]]
+
+
+def test_partitioned_sink_resumes_skipping_done():
+    import json, os, shutil
+
+    from distributed_graph_computing_platform_ray.stages.sink import (
+        finished_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = "/tmp/graft_tests/sink"
+    shutil.rmtree(out, ignore_errors=True)
+    df = pd.DataFrame(
+        {"part": np.arange(1000) % 7, "v": np.arange(1000, dtype=np.int64)}
+    )
+    ds = rd.from_pandas(df)
+    r1 = write_partitioned(ds, out)
+    assert r1["written"] == list(range(7)) and r1["skipped"] == []
+    assert finished_partitions(out) == set(range(7))
+
+    # simulate a crashed partition: marker + file gone
+    shutil.rmtree(os.path.join(out, "part=00003"))
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, f"part={p:05d}", "data.parquet"))
+        for p in [0, 1, 2, 4, 5, 6]
+    }
+    r2 = write_partitioned(ds, out)
+    assert r2["written"] == [3] and r2["skipped"] == [0, 1, 2, 4, 5, 6]
+    # untouched partitions were not rewritten
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f"part={p:05d}", "data.parquet")) == m
+
+    back = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+    assert len(back) == 1000
+    assert (back["v"].to_numpy() == np.arange(1000)).all()
