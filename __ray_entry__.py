@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": T.q_doc_pii_scrub,
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
         "doc_classify": T.q_doc_classify,
+        "part_cooccurrence": T.q_part_cooccurrence,
         "cms_user_counts": T.q_cms_user_counts,
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
@@ -855,6 +856,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "part_cooccurrence": (
+            f"WITH {_EB_LINEITEM}, "
+            "p AS (SELECT e1.dst AS a, e2.dst AS b FROM eb e1 "
+            "      JOIN eb e2 ON e1.src = e2.src AND e1.dst < e2.dst), "
+            "c AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY 1, 2) "
+            "SELECT a AS part_a, b AS part_b, cnt::BIGINT AS cnt FROM c "
+            "ORDER BY cnt DESC, a, b LIMIT 100"
         ),
         "doc_classify": (
             "WITH RECURSIVE "

@@ -1335,6 +1335,66 @@ def q_degree_histogram(sf_dir: str):
     )
 
 
+def q_part_cooccurrence(sf_dir: str, k: int = 100, n_buckets: int = 64):
+    """Bipartite co-occurrence projection (market-basket): two part
+    nodes are linked when they share an order node in the lineitem
+    graph; weight = number of shared orders; output = global top-k
+    pairs. Shape: bucket by order so each order's neighbor set lands
+    whole (pairs generated + combined per bucket), one bucket_sum on
+    the pair key, then per-block partial top-k merged on the driver
+    (exact: the global top-k is contained in the union of block
+    top-ks). At web scale add a neighbor-count cap like the
+    similarity join's df cap (hub orders cost deg^2)."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    eb = edges_lineitem(sf_dir)
+    b = add_bucket(eb, ["src"], n_buckets)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["src", "dst"], kind="stable")
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        ends = np.concatenate([starts[1:], [len(s)]])
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            n = en - st
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            out_a.append(d[st:en][i])
+            out_b.append(d[st:en][j])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        pdf = pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b), "cnt": 1}
+        )
+        return pdf.groupby(["a", "b"], as_index=False, sort=False)["cnt"].sum()
+
+    part = b.groupby(_BUCKET).map_groups(pairs, batch_format="pandas")
+    agg = bucket_sum(part, ["a", "b"], ["cnt"], n_buckets)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "a", "b"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+
+    cand = agg.map_batches(local_top, batch_format="pandas").to_pandas()
+    top = cand.sort_values(
+        ["cnt", "a", "b"], ascending=[False, True, True], kind="stable"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "part_a": top["a"].astype("int64").to_numpy(),
+            "part_b": top["b"].astype("int64").to_numpy(),
+            "cnt": top["cnt"].astype("int64").to_numpy(),
+        }
+    )
+
+
 def q_doc_classify(sf_dir: str):
     """Batched 'model inference' over documents: actor-pool stage,
     deterministic hashed-bag-of-words integer classifier (see
