@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
         "doc_classify": T.q_doc_classify,
         "part_cooccurrence": T.q_part_cooccurrence,
+        "events_hourly_users": T.q_events_hourly_users,
         "cms_user_counts": T.q_cms_user_counts,
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
@@ -856,6 +857,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "events_hourly_users": (
+            "SELECT (epoch_us(date_trunc('hour', ts)))::BIGINT AS hour_e, "
+            "count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1"
         ),
         "part_cooccurrence": (
             f"WITH {_EB_LINEITEM}, "

@@ -1395,6 +1395,31 @@ def q_part_cooccurrence(sf_dir: str, k: int = 100, n_buckets: int = 64):
     )
 
 
+def q_events_hourly_users(sf_dir: str):
+    """Windowed exact COUNT DISTINCT: unique users per hourly window.
+    Per-batch (hour, user) dedup (combiner) -> one global distinct on
+    the pair -> per-hour counts via bucket_sum. The exact counterpart
+    of the HLL sketch (q_user_hll) for when the distinct cardinality
+    per window is small enough to shuffle."""
+    from ..stages.join import bucket_sum, distinct
+
+    HOUR_US = 3_600_000_000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        hour_e = (_ts_us(df["ts"]) // HOUR_US) * HOUR_US
+        out = pd.DataFrame({"hour_e": hour_e, "user_id": df["user_id"].astype("int64")})
+        return out.drop_duplicates()
+
+    ds = _table(sf_dir, "events", ["ts", "user_id"]).map_batches(prep, batch_format="pandas")
+    d = distinct(ds, ["hour_e", "user_id"], n_buckets=32)
+    withn = d.map_batches(lambda df: df.assign(n_users=1), batch_format="pandas")
+    agg = bucket_sum(withn, ["hour_e"], ["n_users"], n_buckets=8)
+    return agg.map_batches(
+        lambda df: df[["hour_e", "n_users"]].astype({"hour_e": "int64", "n_users": "int64"}),
+        batch_format="pandas",
+    )
+
+
 def q_doc_classify(sf_dir: str):
     """Batched 'model inference' over documents: actor-pool stage,
     deterministic hashed-bag-of-words integer classifier (see
