@@ -72,6 +72,11 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
     orchestration at ANY size) with milliseconds. The distributed
     rank-in-bucket path (identical ordering) remains for key universes
     beyond the broadcast budget.
+
+    Returns (dict_ds, n_vertices, keys_numeric, driver_keys) where
+    ``driver_keys`` is the id-ordered key array when the driver fast
+    path ran (callers can then also write vertices files driver-side,
+    saving the vertices shuffle), else None.
     """
     from ..utils import stable_hash_array
 
@@ -87,19 +92,21 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
                 ).materialize(),
                 0,
                 True,
+                np.array([], dtype=object),
             )
         kb = (stable_hash_array(u) % np.uint64(n_buckets)).astype(np.int64)
         sdf = pd.DataFrame({"key": u, "b": kb}).sort_values(["b", "key"], kind="stable")
         keys_numeric = bool(pd.Series(u).astype(str).str.fullmatch(r"[+-]?\d+").all())
+        keys_sorted = sdf["key"].to_numpy()
         dict_ds = rd.from_arrow(
             pa.table(
                 {
-                    "key": pa.array(sdf["key"].to_numpy(), pa.large_string()),
+                    "key": pa.array(keys_sorted, pa.large_string()),
                     "id": pa.array(np.arange(len(u), dtype=np.int64)),
                 }
             )
         ).materialize()
-        return dict_ds, len(u), keys_numeric
+        return dict_ds, len(u), keys_numeric, keys_sorted
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         u = np.sort(g["key"].unique())
@@ -144,7 +151,7 @@ def build_dictionary(edges: rd.Dataset, src_col: str, dst_col: str, n_buckets: i
         return pa.table({"key": t["key"], "id": pa.array(ids, pa.int64())})
 
     dict_ds = ranked.map_batches(assign_id, batch_format="pyarrow").materialize()
-    return dict_ds, n_vertices, n_nonnum == 0
+    return dict_ds, n_vertices, n_nonnum == 0, None
 
 
 BROADCAST_DICT_LIMIT = 2_000_000  # keys; ~150 MB as a pandas index
@@ -486,7 +493,7 @@ def build_graph(
     # distinct keys regardless). keys_numeric: CC/LP propagate original
     # ids as labels when every key is integral ("component id = min
     # original vertex id").
-    dict_ds, n_vertices, keys_numeric = build_dictionary(
+    dict_ds, n_vertices, keys_numeric, driver_keys = build_dictionary(
         edges_keys, src_col, dst_col, n_buckets
     )
     if n_vertices == 0:
@@ -554,22 +561,38 @@ def build_graph(
             part_rows.append(row)
 
     # ---- vertices/part-*.parquet: (id, key) sorted by id ----------------
-    def write_vertices_group(g: pd.DataFrame) -> pd.DataFrame:
-        part = int(g["part"].iloc[0])
-        g = g.sort_values("id", kind="stable")
-        t = pa.table({"id": g["id"].to_numpy(), "key": g["key"].astype(str).to_numpy()})
-        atomic_write_parquet(manifest.vertices_path(part), t)
-        return pd.DataFrame({"part": [part], "n_rows": [len(g)]})
+    if driver_keys is not None:
+        # the dictionary was ranked on the driver — the id-ordered key
+        # array is in hand, so the 64 small vertices files are plain
+        # writes (saves the vertices shuffle, ~1 s fixed)
+        for p in range(n_parts):
+            lo, hi = manifest.part_bounds(p)
+            hi = min(hi, n_vertices)
+            t = pa.table(
+                {
+                    "id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                    "key": pa.array(driver_keys[lo:hi].astype(str), pa.string()),
+                }
+            )
+            atomic_write_parquet(manifest.vertices_path(p), t)
+    else:
 
-    (
-        dict_ds.map_batches(
-            lambda t: t.append_column("part", pa.array(t["id"].to_numpy() // part_size, pa.int64())),
-            batch_format="pyarrow",
+        def write_vertices_group(g: pd.DataFrame) -> pd.DataFrame:
+            part = int(g["part"].iloc[0])
+            g = g.sort_values("id", kind="stable")
+            t = pa.table({"id": g["id"].to_numpy(), "key": g["key"].astype(str).to_numpy()})
+            atomic_write_parquet(manifest.vertices_path(part), t)
+            return pd.DataFrame({"part": [part], "n_rows": [len(g)]})
+
+        (
+            dict_ds.map_batches(
+                lambda t: t.append_column("part", pa.array(t["id"].to_numpy() // part_size, pa.int64())),
+                batch_format="pyarrow",
+            )
+            .groupby("part")
+            .map_groups(write_vertices_group, batch_format="pandas")
+            .take_all()
         )
-        .groupby("part")
-        .map_groups(write_vertices_group, batch_format="pandas")
-        .take_all()
-    )
 
     manifest.parts = sorted(part_rows, key=lambda r: int(r["part"]))
     manifest.n_edges_directed = int(sum(r["n_edges"] for r in manifest.parts))

@@ -1469,13 +1469,11 @@ def q_events_asof_orders(sf_dir: str):
     orderkey, so the as-of match is deterministic; order price is
     integerized to cents."""
     from ..stages.asof import asof_join
-    from ..stages.join import distinct_keep_first
 
     ev = _table(sf_dir, "events", ["event_id", "user_id", "ts"])
     od = _table(
         sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
     )
-    od = distinct_keep_first(od, ["o_custkey", "o_orderdate"], "o_orderkey")
     ts_t = pa.timestamp("us")
     joined = asof_join(
         ev,
@@ -1484,6 +1482,7 @@ def q_events_asof_orders(sf_dir: str):
         right_on="o_custkey",
         left_ts="ts",
         right_ts="o_orderdate",
+        right_dedup_order="o_orderkey",  # fused (custkey, date) keep-min dedup
         left_schema=pa.schema(
             [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", ts_t)]
         ),

@@ -39,12 +39,18 @@ def asof_join(
     n_buckets: int = 64,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    right_dedup_order: str | None = None,
 ) -> rd.Dataset:
     """Backward as-of equi-join; returns left columns + right columns
     (minus the right key) for every matched left row.
 
     Pass ``left_schema``/``right_schema`` when a side is a lazy
-    shuffle output (``Dataset.schema()`` would EXECUTE that plan)."""
+    shuffle output (``Dataset.schema()`` would EXECUTE that plan).
+
+    ``right_dedup_order`` fuses the right-side (key, ts) dedup into
+    this join's one shuffle (keep the row minimizing that column per
+    (key, ts) — all rows of a key share a bucket, so the dedup is
+    global), replacing a separate distinct_keep_first shuffle."""
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
@@ -94,6 +100,10 @@ def asof_join(
         rsel = t.filter(pc.equal(side, 1))
         r = rsel.select(rcols).to_pandas()
         r[right_on] = rsel["__asof_key"].to_numpy()
+        if right_dedup_order is not None and len(r):
+            r = r.sort_values(
+                [right_on, right_ts, right_dedup_order], kind="stable"
+            ).drop_duplicates([right_on, right_ts], keep="first")
         if len(l) == 0 or len(r) == 0:
             return pa.table({c: pa.array([], types[c]) for c in all_cols})
         l = l.sort_values(left_ts, kind="stable")
