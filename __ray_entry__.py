@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top25": T.q_pagerank_top25,
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
+        "sssp_multi": T.q_sssp_multi,
         "pagerank_weighted": T.q_pagerank_weighted,
         "pagerank_personalized": T.q_pagerank_personalized,
         "connected_components": T.q_connected_components,
@@ -749,6 +750,20 @@ def oracle_sql() -> dict[str, str]:
             "          UNION ALL SELECT id, id, 0 FROM v), "
             "d AS ( "
             "  SELECT 0 AS it, id, CASE WHEN id = (SELECT s FROM srcv) "
+            "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
+            "SELECT id AS vertex, CASE WHEN dist >= 1e17 THEN NULL "
+            "ELSE CAST(dist AS BIGINT) END AS dist FROM d WHERE it = 60"
+        ),
+        "sssp_multi": (
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+            "srcv AS (SELECT id AS s FROM v ORDER BY id LIMIT 3), "
+            "relax AS (SELECT src, dst, 1 AS w FROM es "
+            "          UNION ALL SELECT id, id, 0 FROM v), "
+            "d AS ( "
+            "  SELECT 0 AS it, id, CASE WHEN id IN (SELECT s FROM srcv) "
             "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
             "  UNION ALL "
             "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d p "

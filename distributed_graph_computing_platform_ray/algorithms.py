@@ -203,6 +203,25 @@ class SSSP(Algorithm):
         return new, changed.copy(), changed
 
 
+class MultiSourceSSSP(SSSP):
+    """Distance to the NEAREST of a seed set (multi-source BFS /
+    Dijkstra): init dist = 0 on every seed, the same min-combiner
+    relaxation thereafter. Target-side extension (seed-distance
+    features, e.g. hops-from-trusted-sites in web curation)."""
+
+    def __init__(self, source_ids):
+        srcs = np.asarray(sorted({int(s) for s in source_ids}), dtype=np.int64)
+        if len(srcs) == 0:
+            raise ValueError("multi-source sssp needs a non-empty seed set")
+        super().__init__(source_id=int(srcs[0]))
+        self.name = "sssp_multi"
+        self.sources = srcs
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        seed = np.isin(ids, self.sources)
+        return np.where(seed, 0.0, INF), seed
+
+
 class ConnectedComponents(Algorithm):
     """Min-label propagation to fixpoint => component id = min vertex id
     in the component (exact on the undirected graph). Target-side
@@ -285,6 +304,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return PersonalizedPageRank(**params)
     if name == "sssp":
         return SSSP(**params)
+    if name in ("sssp_multi", "multi_source_sssp"):
+        return MultiSourceSSSP(**params)
     if name in ("cc", "connected_components"):
         return ConnectedComponents(**params)
     if name in ("lp", "label_propagation"):

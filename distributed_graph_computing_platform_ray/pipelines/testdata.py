@@ -278,6 +278,31 @@ def q_sssp(sf_dir: str):
     return res.map_batches(conv, batch_format="pyarrow")
 
 
+def q_sssp_multi(sf_dir: str, n_seeds: int = 3):
+    """Multi-source BFS: hop distance to the NEAREST of the n_seeds
+    smallest vertices (seed-distance features — e.g. hops from trusted
+    seed sites in web curation). Same min-combiner engine run, seeds
+    all start at 0."""
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    degs = q_degrees(sf_dir).to_pandas()
+    seeds_orig = np.sort(degs["vertex"].to_numpy())[:n_seeds]
+    sids = tuple(sorted(lookup_vertex_id(man, str(int(s))) for s in seeds_orig))
+    res = _run_cached(sf_dir, "lineitem", "sssp_multi", source_ids=sids)
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        val = t["value"].to_numpy()
+        dist = pa.array(
+            [None if not np.isfinite(x) else int(x) for x in val], pa.int64()
+        )
+        return pa.table({"vertex": v, "dist": dist})
+
+    return res.map_batches(conv, batch_format="pyarrow")
+
+
 def q_connected_components(sf_dir: str):
     res = _run_cached(sf_dir, "lineitem", "cc")
     return _as_int_vertex(res, "component", lambda v: v.cast(pa.int64()))

@@ -135,3 +135,18 @@ def test_personalized_pagerank_matches_oracle(fixtures_dir):
     np.testing.assert_allclose(g, e, atol=1e-6)
     # the teleport mass concentrates around the seeds
     assert got[1] > np.median(g) and got[9] > np.median(g)
+
+
+def test_multi_source_sssp_is_min_over_sources(fixtures_dir):
+    """dist-to-nearest-seed == elementwise min of per-seed SSSP."""
+    gdir = build(fixtures_dir, "graph_small")
+    man = GraphManifest.load(gdir)
+    seeds = [1, 12]
+    sids = tuple(sorted(lookup_vertex_id(man, str(s)) for s in seeds))
+    edges = oracle.parse_edge_file(os.path.join(fixtures_dir, "graph_small.txt"))
+    per = [oracle.sssp(edges, s) for s in seeds]
+    exp = {v: min(d[v] for d in per) for v in per[0]}
+    got = result_map(
+        run_algorithm(gdir, f"{TMP}/graph_small/msssp", "sssp_multi", source_ids=sids)
+    )
+    assert got == exp
