@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
         "sssp_multi": T.q_sssp_multi,
+        "closeness_sampled": T.q_closeness_sampled,
         "pagerank_weighted": T.q_pagerank_weighted,
         "pagerank_personalized": T.q_pagerank_personalized,
         "connected_components": T.q_connected_components,
@@ -756,6 +757,23 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
             "SELECT id AS vertex, CASE WHEN dist >= 1e17 THEN NULL "
             "ELSE CAST(dist AS BIGINT) END AS dist FROM d WHERE it = 60"
+        ),
+        "closeness_sampled": (
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+            "srcv AS (SELECT id AS s FROM v ORDER BY id LIMIT 4), "
+            "relax AS (SELECT src, dst, 1 AS w FROM es "
+            "          UNION ALL SELECT id, id, 0 FROM v), "
+            "d AS ( "
+            "  SELECT 0 AS it, sv.s AS seed, v.id, "
+            "    CASE WHEN v.id = sv.s THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist "
+            "  FROM v CROSS JOIN srcv sv "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.seed, r.dst, MIN(p.dist + r.w) FROM d p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, p.seed, r.dst) "
+            "SELECT id AS vertex, "
+            "  sum(CASE WHEN dist >= 1e17 THEN 0 "
+            "      ELSE 1000000 // (1 + CAST(dist AS BIGINT)) END)::BIGINT AS closeness_e6 "
+            "FROM d WHERE it = 60 GROUP BY 1"
         ),
         "sssp_multi": (
             f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "

@@ -303,6 +303,46 @@ def q_sssp_multi(sf_dir: str, n_seeds: int = 3):
     return res.map_batches(conv, batch_format="pyarrow")
 
 
+def q_closeness_sampled(sf_dir: str, n_seeds: int = 4):
+    """Sampled harmonic closeness centrality: score(v) = sum over the
+    n_seeds smallest seed vertices of 1e6 // (1 + hops(seed, v))
+    (integer-exact harmonic kernel; unreachable contributes 0). The
+    standard landmark approximation — per-seed BFS on the engine, the
+    per-seed distance tables union-ed and reduced by one bucket_sum,
+    never joined driver-side."""
+    from ..stages.join import bucket_sum
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    degs = q_degrees(sf_dir).to_pandas()
+    seeds_orig = np.sort(degs["vertex"].to_numpy())[:n_seeds]
+
+    parts = []
+    for s in seeds_orig:
+        sid = lookup_vertex_id(man, str(int(s)))
+        res = _run_cached(sf_dir, "lineitem", "sssp", source_id=sid)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            v = t["vertex"].cast(pa.int64())
+            d = t["value"].to_numpy()
+            fin = np.isfinite(d)
+            sc = np.zeros(len(d), dtype=np.int64)
+            sc[fin] = 1_000_000 // (1 + d[fin].astype(np.int64))
+            return pa.table({"vertex": v, "closeness_e6": pa.array(sc)})
+
+        parts.append(res.map_batches(contrib, batch_format="pyarrow"))
+
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.union(p)
+    agg = bucket_sum(uni, ["vertex"], ["closeness_e6"], n_buckets=16)
+    return agg.map_batches(
+        lambda df: df.astype({"vertex": "int64", "closeness_e6": "int64"}),
+        batch_format="pandas",
+    )
+
+
 def q_connected_components(sf_dir: str):
     res = _run_cached(sf_dir, "lineitem", "cc")
     return _as_int_vertex(res, "component", lambda v: v.cast(pa.int64()))
