@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classify": T.q_doc_classify,
         "part_cooccurrence": T.q_part_cooccurrence,
         "events_hourly_users": T.q_events_hourly_users,
+        "events_range_join": T.q_events_range_join,
         "cms_user_counts": T.q_cms_user_counts,
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
@@ -890,6 +891,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "events_range_join": (
+            "SELECT e1.user_id, count(*)::BIGINT AS n_pairs "
+            "FROM events e1 JOIN events e2 "
+            "  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id "
+            " AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 300000000 "
+            "GROUP BY 1"
         ),
         "events_hourly_users": (
             "SELECT (epoch_us(date_trunc('hour', ts)))::BIGINT AS hour_e, "

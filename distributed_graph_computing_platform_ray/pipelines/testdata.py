@@ -1485,6 +1485,51 @@ def q_events_hourly_users(sf_dir: str):
     )
 
 
+def q_events_range_join(sf_dir: str, window_s: int = 300, n_buckets: int = 32):
+    """Range (interval) self-join: per user, the number of unordered
+    event pairs within `window_s` seconds of each other. One hash
+    shuffle on the key (all of a user's events share a bucket), then a
+    sorted-array searchsorted count per user — no quadratic pair
+    materialization (count = sum of window occupancy / 2). The
+    canonical bounded-inequality join a sort-merge engine gives you;
+    Ray Data lacks it natively."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    W = window_s * 1_000_000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "ts_us": _ts_us(df["ts"])}
+        )
+
+    ds = _table(sf_dir, "events", ["user_id", "ts"]).map_batches(prep, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(u)]])
+        out_u, out_n = [], []
+        for s, e in zip(starts, ends):
+            seg = t[s:e]
+            lo = np.searchsorted(seg, seg - W, side="left")
+            hi = np.searchsorted(seg, seg + W, side="right")
+            n_pairs = int((hi - lo - 1).sum()) // 2
+            if n_pairs:
+                out_u.append(int(u[s]))
+                out_n.append(n_pairs)
+        return pd.DataFrame(
+            {"user_id": pd.Series(out_u, dtype="int64"), "n_pairs": pd.Series(out_n, dtype="int64")}
+        )
+
+    return (
+        add_bucket(ds, ["user_id"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def q_doc_classify(sf_dir: str):
     """Batched 'model inference' over documents: actor-pool stage,
     deterministic hashed-bag-of-words integer classifier (see
