@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cooccurrence": T.q_part_cooccurrence,
         "events_hourly_users": T.q_events_hourly_users,
         "events_range_join": T.q_events_range_join,
+        "order_quartiles": T.q_order_quartiles,
         "cms_user_counts": T.q_cms_user_counts,
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
@@ -891,6 +892,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "order_quartiles": (
+            "WITH j AS (SELECT o.o_orderkey, n.n_name AS nation, "
+            "  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS pc "
+            "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "  JOIN nation n ON n.n_nationkey = c.c_nationkey) "
+            "SELECT o_orderkey, "
+            "  NTILE(4) OVER (PARTITION BY nation ORDER BY pc, o_orderkey)::BIGINT AS quartile "
+            "FROM j"
         ),
         "events_range_join": (
             "SELECT e1.user_id, count(*)::BIGINT AS n_pairs "

@@ -1530,6 +1530,74 @@ def q_events_range_join(sf_dir: str, window_s: int = 300, n_buckets: int = 32):
     )
 
 
+def q_order_quartiles(sf_dir: str, k: int = 4, n_buckets: int = 16):
+    """Windowed RANKING: NTILE(4) of order price within each nation
+    (the rank/ntile member of the window family — the aggregate
+    members are q_events_hourly/sliding/sessionize). Total order =
+    (price cents, orderkey) so ties are exact; NTILE's first-groups-
+    get-the-remainder sizing is replicated bit-exactly. One hash
+    shuffle on nation (a nation's orders land whole; per-group memory
+    bounded by the partition key's cardinality design)."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    cust_df = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat_df = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    c2n = pd.Series(cust_df["c_nationkey"].to_numpy(), index=cust_df["c_custkey"].to_numpy())
+    nk2name = dict(zip(nat_df["n_nationkey"].astype(int), nat_df["n_name"]))
+    c2n_ref = ray.put(c2n)
+    n2n_ref = ray.put(nk2name)
+
+    def attach(t: pa.Table) -> pa.Table:
+        c2n_l = ray.get(c2n_ref)
+        names = ray.get(n2n_ref)
+        nk = c2n_l.reindex(t["o_custkey"].to_numpy()).to_numpy()
+        keep = ~pd.isna(nk)
+        nk = nk[keep].astype(np.int64)
+        pc_ = np.rint(t["o_totalprice"].to_numpy()[keep] * 100).astype(np.int64)
+        ok = t["o_orderkey"].to_numpy()[keep]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "nation": pa.array([names[int(x)] for x in nk], pa.string()),
+                "pc": pa.array(pc_),
+            }
+        )
+
+    ds = _table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+    def ntile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_q = [], []
+        for _, grp in g.groupby("nation", sort=False):
+            grp = grp.sort_values(["pc", "o_orderkey"], kind="stable")
+            n = len(grp)
+            big = n % k
+            sb = n // k + 1
+            r = np.arange(1, n + 1)
+            with np.errstate(divide="ignore"):
+                q = np.where(
+                    r <= big * sb,
+                    (r - 1) // sb,
+                    big + (r - big * sb - 1) // max(n // k, 1),
+                )
+            out_k.append(grp["o_orderkey"].to_numpy())
+            out_q.append((q + 1).astype(np.int64))
+        if not out_k:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series([], dtype="int64"), "quartile": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"o_orderkey": np.concatenate(out_k), "quartile": np.concatenate(out_q)}
+        )
+
+    return (
+        add_bucket(ds, ["nation"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(ntile_bucket, batch_format="pandas")
+    )
+
+
 def q_doc_classify(sf_dir: str):
     """Batched 'model inference' over documents: actor-pool stage,
     deterministic hashed-bag-of-words integer classifier (see
