@@ -59,11 +59,21 @@ def asof_join(
     if overlap:
         raise ValueError(f"asof_join column overlap: {overlap}")
 
+    def _arrow_type(t) -> pa.DataType:
+        # pandas-block datasets report numpy dtypes from schema();
+        # normalize so null padding / casts get a real Arrow type
+        if isinstance(t, pa.DataType):
+            return t
+        t = np.dtype(t)
+        if t == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
     types: dict[str, pa.DataType] = {}
     for name, typ in zip(lschema.names, lschema.types):
-        types[name] = typ
+        types[name] = _arrow_type(typ)
     for name, typ in zip(rschema.names, rschema.types):
-        types[name] = typ
+        types[name] = _arrow_type(typ)
     # the join key travels in one shared slot so both sides bucket
     # identically; sides are split back out null-free inside the group
     all_cols = [*lcols, *rcols]
@@ -79,7 +89,9 @@ def asof_join(
                 else:
                     cols.append(pa.nulls(n, types[c]))
             names.append("__asof_key")
-            cols.append(t[key_src].cast(pa.int64()))
+            # both sides share the LEFT key's type so the union and the
+            # bucket hash see one consistent column
+            cols.append(t[key_src].cast(types[left_on]))
             names.append(_SIDE)
             cols.append(pa.array(np.full(n, side, dtype=np.int8)))
             return pa.table(dict(zip(names, cols)))

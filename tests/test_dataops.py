@@ -198,3 +198,14 @@ def test_partitioned_sink_resumes_skipping_done():
     back = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
     assert len(back) == 1000
     assert (back["v"].to_numpy() == np.arange(1000)).all()
+
+
+def test_asof_join_string_keys():
+    left = pd.DataFrame({"eid": [1, 2], "k": ["x", "y"], "lts": _ts(5, 5)})
+    right = pd.DataFrame({"k2": ["x", "y"], "rts": _ts(2, 8), "payload": [10, 20]})
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="k2", left_ts="lts", right_ts="rts", n_buckets=2,
+    ).to_pandas()
+    # y's only right row is AFTER the left ts -> dropped
+    assert dict(zip(out["eid"], out["payload"])) == {1: 10}
