@@ -209,3 +209,55 @@ def test_asof_join_string_keys():
     ).to_pandas()
     # y's only right row is AFTER the left ts -> dropped
     assert dict(zip(out["eid"], out["payload"])) == {1: 10}
+
+
+def test_bucket_sum_survives_worker_kill():
+    """Data-path fault tolerance: a task that SIGKILLs its own worker
+    process mid-shuffle is retried by Ray lineage and the reduction
+    still produces the exact result (the reference restarts the whole
+    job from scratch on any worker death)."""
+    import os, signal
+
+    from distributed_graph_computing_platform_ray.stages.join import bucket_sum
+
+    marker = "/tmp/graft_tests/killed_bucket_sum"
+    if os.path.exists(marker):
+        os.remove(marker)
+
+    df = pd.DataFrame({"k": np.arange(5000) % 97, "v": np.ones(5000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    def maybe_kill(t: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os.kill(os.getpid(), signal.SIGKILL)
+        return t
+
+    out = (
+        bucket_sum(
+            ds.map_batches(maybe_kill, batch_format="pyarrow"), ["k"], ["v"], n_buckets=8
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert os.path.exists(marker), "kill was never triggered"
+    exp = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
+
+
+def test_bucket_sum_hot_key_bounded():
+    """Skew: one key holding 50% of all rows still reduces exactly —
+    the hot key costs its own bucket only (documented skew contract)."""
+    from distributed_graph_computing_platform_ray.stages.join import bucket_sum
+
+    n = 200_000
+    k = np.where(np.arange(n) % 2 == 0, 7, np.arange(n) % 1000)
+    df = pd.DataFrame({"k": k.astype(np.int64), "v": np.ones(n, dtype=np.int64)})
+    out = bucket_sum(rd.from_pandas(df).repartition(16), ["k"], ["v"], n_buckets=32).to_pandas()
+    exp = df.groupby("k", as_index=False)["v"].sum()
+    m = out.merge(exp, on="k", suffixes=("_got", "_exp"))
+    assert len(m) == len(exp) == len(out)
+    assert (m["v_got"] == m["v_exp"]).all()
+    assert int(out.loc[out["k"] == 7, "v"].iloc[0]) == int(exp.loc[exp["k"] == 7, "v"].iloc[0])
