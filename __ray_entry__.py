@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": T.q_events_hourly_users,
         "events_range_join": T.q_events_range_join,
         "order_quartiles": T.q_order_quartiles,
+        "doc_pack": T.q_doc_pack,
         "cms_user_counts": T.q_cms_user_counts,
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
@@ -892,6 +893,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+        ),
+        "doc_pack": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok "
+            "  FROM documents), "
+            "s AS (SELECT doc_id, COALESCE(SUM(ntok) OVER "
+            "  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st "
+            "  FROM t) "
+            "SELECT doc_id, st::BIGINT AS start_tok, (st // 512)::BIGINT AS bin_id FROM s"
         ),
         "order_quartiles": (
             "WITH j AS (SELECT o.o_orderkey, n.n_name AS nation, "

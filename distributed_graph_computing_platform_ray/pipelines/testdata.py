@@ -1598,6 +1598,66 @@ def q_order_quartiles(sf_dir: str, k: int = 4, n_buckets: int = 16):
     )
 
 
+def q_doc_pack(sf_dir: str, cap: int = 512, range_size: int = 64):
+    """Sequence packing for LLM training: lay documents out in doc_id
+    order into fixed `cap`-token bins (docs may straddle bins), i.e. a
+    DISTRIBUTED EXCLUSIVE PREFIX SUM over token counts. Two passes:
+    (1) per-range token totals (range = doc_id // range_size, an
+    order-preserving arithmetic partition) reduced small and cumsum-ed
+    on the driver, (2) one range shuffle where each range sorts
+    locally and adds its global offset. Driver traffic is one row per
+    range — size range_size so n_docs/range_size stays driver-safe."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        ntok = df["text"].astype(str).str.split().str.len().astype("int64")
+        return pd.DataFrame({"doc_id": ids, "ntok": ntok, "rb": ids // range_size})
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    ).materialize()  # feeds both passes
+
+    totals = bucket_sum(
+        ds.map_batches(lambda df: df[["rb", "ntok"]], batch_format="pandas"),
+        ["rb"],
+        ["ntok"],
+        n_buckets=8,
+    ).to_pandas().sort_values("rb")
+    offs = dict(
+        zip(
+            totals["rb"].astype(int),
+            np.concatenate([[0], np.cumsum(totals["ntok"].to_numpy())[:-1]]),
+        )
+    )
+    offs_ref = ray.put(offs)
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(offs_ref)
+        outs = []
+        for rb, grp in g.groupby("rb", sort=False):
+            grp = grp.sort_values("doc_id", kind="stable")
+            ex = np.concatenate([[0], np.cumsum(grp["ntok"].to_numpy())[:-1]])
+            start = ex + int(o[int(rb)])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": grp["doc_id"].to_numpy(),
+                        "start_tok": start.astype(np.int64),
+                        "bin_id": (start // cap).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "start_tok": pd.Series([], dtype="int64"),
+             "bin_id": pd.Series([], dtype="int64")}
+        )
+
+    return (
+        add_bucket(ds, ["rb"], 16).groupby(_BUCKET).map_groups(place, batch_format="pandas")
+    )
+
+
 def q_doc_classify(sf_dir: str):
     """Batched 'model inference' over documents: actor-pool stage,
     deterministic hashed-bag-of-words integer classifier (see
