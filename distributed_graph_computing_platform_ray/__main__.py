@@ -45,8 +45,17 @@ def main(argv=None):
     pr = sub.add_parser("run", help="run an algorithm on a built graph")
     pr.add_argument("--graph", required=True)
     pr.add_argument("--work", required=True)
-    pr.add_argument("--algo", required=True, choices=["pagerank", "sssp", "cc", "lp"])
+    pr.add_argument(
+        "--algo",
+        required=True,
+        choices=[
+            "pagerank", "pagerank_weighted", "ppr", "sssp", "sssp_multi", "cc", "lp",
+        ],
+    )
     pr.add_argument("--source", help="SSSP source vertex key")
+    pr.add_argument(
+        "--seeds", help="comma-separated vertex keys (ppr teleport set / sssp_multi sources)"
+    )
     pr.add_argument("--iters", type=int)
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--out", help="write full (vertex,value) result parquet here")
@@ -111,8 +120,18 @@ def main(argv=None):
                     p.error("--source is required for sssp")
                 man = GraphManifest.load(args.graph)
                 params["source_id"] = lookup_vertex_id(man, args.source)
+            if args.algo in ("ppr", "sssp_multi"):
+                if not args.seeds:
+                    p.error(f"--seeds is required for {args.algo}")
+                man = GraphManifest.load(args.graph)
+                sids = tuple(
+                    sorted(lookup_vertex_id(man, k.strip()) for k in args.seeds.split(","))
+                )
+                params["seed_ids" if args.algo == "ppr" else "source_ids"] = sids
             if args.iters:
                 params["num_iters"] = args.iters
+            if args.algo == "sssp_multi" and "num_iters" in params:
+                params.pop("num_iters")  # runs to fixpoint
             res = run_algorithm(
                 args.graph, args.work, args.algo,
                 resume=args.resume, checkpoint_interval=5,

@@ -89,3 +89,16 @@ def test_cli_extract_resumable(tmp_path):
 
     back = read_partitioned(out_dir).to_pandas()
     assert len(back) == 200 and set(back.columns) >= {"url", "text"}
+
+
+def test_cli_ppr_with_seeds(fixtures_dir):
+    """ppr + --seeds through the job-submission surface."""
+    d = f"{TMP}/pprcli"
+    shutil.rmtree(d, ignore_errors=True)
+    r = _run("ingest", "--edges", os.path.join(fixtures_dir, "graph_tiny.txt"),
+             "--graph", f"{d}/graph", "--parts", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("run", "--graph", f"{d}/graph", "--work", f"{d}/ppr",
+             "--algo", "ppr", "--seeds", "1,2", "--iters", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "top-25 by value:" in r.stdout
