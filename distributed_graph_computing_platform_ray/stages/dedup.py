@@ -245,8 +245,10 @@ def minhash_dedup(
     # keep dedup=True: true near-dups collide in MOST of the 16 bands,
     # so skipping the distinct multiplies verify work ~band-fold
     # (measured 15 -> 40 s at sf0.1) — the one distinct shuffle is the
-    # cheaper side of that trade at every scale where LSH makes sense
-    cand = minhash_candidates(ds, id_col=id_col, text_col=text_col, **lsh_kwargs).materialize()
+    # cheaper side of that trade at every scale where LSH makes sense.
+    # No materialize: the candidate chain has exactly one consumer
+    # (verify -> threshold filter), which materializes downstream.
+    cand = minhash_candidates(ds, id_col=id_col, text_col=text_col, **lsh_kwargs)
     verified = verify_jaccard(cand, ds, id_col=id_col, text_col=text_col,
                               shingle_k=lsh_kwargs.get("shingle_k", 3))
     thr = int(threshold * 1e6)
