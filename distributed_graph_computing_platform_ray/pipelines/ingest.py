@@ -164,12 +164,18 @@ def encode_edges_broadcast(
     dst_col: str,
     weighted: bool = False,
     dedup_pairs: bool = False,
+    global_dedup: bool = True,
 ) -> rd.Dataset:
     """Small-dictionary fast path: put the url->id mapping in the
     object store ONCE (ray.put) and encode each batch with two pandas
     map lookups — zero shuffles (vs two hash joins). Used when the
     dictionary fits comfortably in memory; the shuffle join remains
-    the >BROADCAST_DICT_LIMIT path."""
+    the >BROADCAST_DICT_LIMIT path.
+
+    ``global_dedup=False`` keeps only the per-batch dedup combiner and
+    leaves the GLOBAL distinct to a downstream stage that already
+    shuffles by src (build_graph fuses it into the CSR partition
+    write — same result, one less all-to-all)."""
     import ray
 
     mapping = dict_ds.to_pandas().set_index("key")["id"]
@@ -196,7 +202,7 @@ def encode_edges_broadcast(
             return pa.table({k: pa.array(v) for k, v in out.items()})
 
     encoded = edges.map_batches(Encode, batch_format="pyarrow", concurrency=(1, 16))
-    if dedup_pairs:
+    if dedup_pairs and global_dedup:
         from ..stages.join import distinct
 
         cols = ["src", "dst"] + (["weight"] if weighted else [])
@@ -513,10 +519,15 @@ def build_graph(
         source=source_info or {},
     )
 
+    # The broadcast-encode path defers the GLOBAL pair dedup into the
+    # CSR partition write below: the CSR shuffle keys on src, so every
+    # duplicate of a pair lands in one group — one less all-to-all.
+    # (The join-encode path fuses dedup into its first join already.)
+    csr_dedup = dedup and n_vertices <= BROADCAST_DICT_LIMIT
     if n_vertices <= BROADCAST_DICT_LIMIT:
         edges = encode_edges_broadcast(
             edges_keys, dict_ds, src_col, dst_col,
-            weighted=weighted, dedup_pairs=dedup,
+            weighted=weighted, dedup_pairs=dedup, global_dedup=False,
         )
     else:
         edges = encode_edges(
@@ -524,7 +535,34 @@ def build_graph(
             weighted=weighted, dedup_pairs=dedup,
         )
     if symmetrize_edges:
-        edges = symmetrize(edges)
+        if csr_dedup:
+            # tag each copy with its ORIGIN direction: the fused
+            # dedup must equal dedup-BEFORE-symmetrize, and only the
+            # flag distinguishes "mutual input links (u,v)+(v,u)"
+            # (each direction legitimately at multiplicity 2 after
+            # symmetrize — the reference loader's behavior) from
+            # "duplicate input rows" (collapse). Self-loops fall out
+            # naturally: (u,u) dedupes to one forward + one mirror.
+            def symmetrize_tag(t: pa.Table) -> pa.Table:
+                s_, d_ = t["src"].combine_chunks(), t["dst"].combine_chunks()
+                n = len(s_)
+                cols = {
+                    "src": pa.chunked_array([s_, d_]),
+                    "dst": pa.chunked_array([d_, s_]),
+                    "fwd": pa.array(
+                        np.concatenate(
+                            [np.ones(n, dtype=np.int8), np.zeros(n, dtype=np.int8)]
+                        )
+                    ),
+                }
+                if "weight" in t.column_names:
+                    w_ = t["weight"].combine_chunks()
+                    cols["weight"] = pa.chunked_array([w_, w_])
+                return pa.table(cols)
+
+            edges = edges.map_batches(symmetrize_tag, batch_format="pyarrow")
+        else:
+            edges = symmetrize(edges)
 
     # ---- CSR shards: ONE range-partition shuffle, side-write per part ----
     def with_part(t: pa.Table) -> pa.Table:
@@ -534,10 +572,30 @@ def build_graph(
     def write_csr_group(t: pa.Table) -> pa.Table:
         part = int(t["part"][0].as_py())
         lo, hi = manifest.part_bounds(part)
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
         w = t["weight"].to_numpy() if weighted else None
-        indptr, indices, ww = build_shard_arrays(
-            t["src"].to_numpy(), t["dst"].to_numpy(), w, lo, hi
-        )
+        if csr_dedup:
+            # fused global dedup on (src, dst, origin-direction[,w]) —
+            # every duplicate of a directed copy shares this group
+            # (the shuffle keys on src)
+            f = (
+                t["fwd"].to_numpy()
+                if "fwd" in t.column_names
+                else np.ones(len(s), dtype=np.int8)
+            )
+            keys = [d, f] if not weighted else [w, d, f]
+            order = np.lexsort((*keys, s))
+            ss, dd, ff = s[order], d[order], f[order]
+            keep = np.concatenate(
+                [[True], (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1]) | (ff[1:] != ff[:-1])]
+            )
+            if weighted:
+                ws_ = w[order]
+                keep[1:] |= ws_[1:] != ws_[:-1]
+            s, d = ss[keep], dd[keep]
+            w = ws_[keep] if weighted else None
+        indptr, indices, ww = build_shard_arrays(s, d, w, lo, hi)
         row = write_shard(manifest, part, indptr, indices, ww)
         return pa.table({k: [v] for k, v in row.items()})
 

@@ -159,3 +159,47 @@ def test_small_graph_fast_path_weighted_bit_identical():
         wa = np.load(a.csr_path(p, "weights"))
         wb = np.load(b.csr_path(p, "weights"))
         assert (wa == wb).all()
+
+
+def test_csr_dedup_fusion_selfloops_and_dups_bit_identical():
+    """dedup=True with duplicate edges AND self-loops: the fused
+    in-CSR global dedup must equal dedup-before-symmetrize (local
+    fast path) — in particular a deduped self-loop keeps BOTH
+    symmetrized copies (degree 2), matching the reference loader."""
+    import pandas as pd
+    import numpy as np
+
+    from distributed_graph_computing_platform_ray.pipelines.ingest import build_graph
+    from distributed_graph_computing_platform_ray.state.csr import load_shard, load_vertex_keys
+    from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
+
+    edges = pd.DataFrame(
+        {
+            "src_key": ["1", "1", "2", "3", "3", "3", "4", "1", "4"],
+            "dst_key": ["2", "2", "3", "3", "3", "1", "4", "4", "1"],
+        }
+    )  # dup (1,2); self-loop 3 twice; self-loop 4; MUTUAL pair (1,4)+(4,1)
+    d_dist = "/tmp/graft_tests/fastpath/sl_dist"
+    d_loc = "/tmp/graft_tests/fastpath/sl_local"
+    for d in (d_dist, d_loc):
+        shutil.rmtree(d, ignore_errors=True)
+    kw = dict(n_parts=2, n_buckets=4, dedup=True, symmetrize_edges=True)
+    build_graph(rd.from_pandas(edges), d_dist, **kw)
+    build_graph(rd.from_pandas(edges), d_loc, small_graph_edges=10**6, **kw)
+    a, b = GraphManifest.load(d_dist), GraphManifest.load(d_loc)
+    # distinct directed copies: (1,2),(2,1),(2,3),(3,2),(3,1),(1,3)
+    # + self 3 x2 + self 4 x2 + mutual (1,4)/(4,1) at multiplicity 2 each
+    assert a.n_edges_directed == b.n_edges_directed == 14
+    ra = {int(r["part"]): (r["crc_indptr"], r["crc_indices"]) for r in a.parts}
+    rb = {int(r["part"]): (r["crc_indptr"], r["crc_indices"]) for r in b.parts}
+    assert ra == rb
+    # self-loop vertices have degree 2 from their loop
+    for man in (a, b):
+        degs = {}
+        for p in range(man.n_parts):
+            keys = load_vertex_keys(man, p)
+            sh = load_shard(man, p)
+            for k, dg in zip(keys, sh.degrees()):
+                degs[str(k)] = int(dg)
+        assert degs["4"] == 4  # doubled self-loop + mutual (4,1) x2
+        assert degs["3"] == 4  # (3,2),(3,1) + doubled self-loop
