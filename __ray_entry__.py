@@ -529,6 +529,46 @@ def _quality_sql() -> str:
     )
 
 
+def _classify_sql(src: str = "documents") -> str:
+    """Mirror stages/classify.py::HashClassifier over ``src``."""
+    return (
+        "WITH RECURSIVE "
+        "toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        f"         FROM {src} WHERE trim(text) <> ''), "
+        "cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+        f"{_FNV_TOK}, "
+        "cc AS (SELECT cl FROM unnest(generate_series(0, 3)) t(cl)), "
+        "w AS (SELECT tokh.tok, cc.cl, xor(tokh.h, cl::UBIGINT) AS x, "
+        f"      {_splitmix_cols('x', 'hw')}, (hw % 1001)::BIGINT - 500 AS wt "
+        "      FROM tokh CROSS JOIN cc), "
+        "sc AS (SELECT cnt.doc_id, w.cl, sum(cnt.c * w.wt) AS s "
+        "       FROM cnt JOIN w ON w.tok = cnt.tok GROUP BY 1, 2) "
+        "SELECT doc_id, cl::BIGINT AS label, s::BIGINT AS score FROM sc "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cl) = 1"
+    )
+
+
+def _corpus_curation_sql(thr: int = 700_000, cap: int = 512) -> str:
+    """Composed end-to-end oracle: quality filter -> md5 keep-min
+    dedup -> classifier -> prefix-sum packing, mirroring
+    pipelines/testdata.q_corpus_curation stage for stage."""
+    return (
+        f"WITH q AS ({_quality_sql()}), "
+        "ded AS ( "
+        "  SELECT d.doc_id, d.text FROM documents d JOIN q ON q.doc_id = d.doc_id "
+        f"  WHERE q.quality_e6 >= {thr} "
+        "  QUALIFY row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1), "
+        f"cls AS ({_classify_sql('ded')}), "
+        "tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+        "       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok FROM ded), "
+        "s AS (SELECT doc_id, COALESCE(SUM(ntok) OVER (ORDER BY doc_id "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM tk) "
+        "SELECT s.doc_id, cls.label, s.st::BIGINT AS start_tok, "
+        f"(s.st // {cap})::BIGINT AS bin_id "
+        "FROM s JOIN cls ON cls.doc_id = s.doc_id"
+    )
+
+
 def _random_walks_sql(num_steps: int = 8, walker_mod: int = 5) -> str:
     """Replay stages/walks.py exactly: step choice =
     splitmix64(((walker*FNV)^step)*FNV ^ cur) % deg(cur), neighbor
@@ -652,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": T.q_events_range_join,
         "order_quartiles": T.q_order_quartiles,
         "doc_pack": T.q_doc_pack,
+        "corpus_curation": T.q_corpus_curation,
         "cms_user_counts": T.q_cms_user_counts,
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
@@ -894,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1"
         ),
+        "corpus_curation": _corpus_curation_sql(),
         "doc_pack": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok "
@@ -931,21 +973,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS part_a, b AS part_b, cnt::BIGINT AS cnt FROM c "
             "ORDER BY cnt DESC, a, b LIMIT 100"
         ),
-        "doc_classify": (
-            "WITH RECURSIVE "
-            "toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
-            "         FROM documents WHERE trim(text) <> ''), "
-            "cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
-            f"{_FNV_TOK}, "
-            "cc AS (SELECT cl FROM unnest(generate_series(0, 3)) t(cl)), "
-            "w AS (SELECT tokh.tok, cc.cl, xor(tokh.h, cl::UBIGINT) AS x, "
-            f"      {_splitmix_cols('x', 'hw')}, (hw % 1001)::BIGINT - 500 AS wt "
-            "      FROM tokh CROSS JOIN cc), "
-            "sc AS (SELECT cnt.doc_id, w.cl, sum(cnt.c * w.wt) AS s "
-            "       FROM cnt JOIN w ON w.tok = cnt.tok GROUP BY 1, 2) "
-            "SELECT doc_id, cl::BIGINT AS label, s::BIGINT AS score FROM sc "
-            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cl) = 1"
-        ),
+        "doc_classify": _classify_sql(),
         "cms_user_counts": (
             "WITH rr AS (SELECT r FROM unnest(generate_series(0, 3)) t(r)), "
             f"hh AS (SELECT {_wrap_mul('user_id::HUGEINT', _FNV64)} AS base, "

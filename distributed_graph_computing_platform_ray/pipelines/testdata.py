@@ -1658,6 +1658,104 @@ def q_doc_pack(sf_dir: str, cap: int = 512, range_size: int = 64):
     )
 
 
+def q_corpus_curation(
+    sf_dir: str, thr: int = 700_000, cap: int = 512, range_size: int = 64
+):
+    """END-TO-END LLM corpus curation in ONE streaming chain:
+    quality filter (score >= 0.7) -> exact content dedup (md5,
+    keep-min doc_id) -> batched classifier (actor pool) -> sequence
+    packing (distributed prefix sum into 512-token bins). One bucket
+    shuffle for the dedup, one range shuffle for the packing —
+    everything else is map_batches. Output: (doc_id, label,
+    start_tok, bin_id) per surviving document, hash-exact vs the
+    composed SQL oracle."""
+    import hashlib as _hl
+
+    from ..functions.text import quality_score
+    from ..stages.classify import HashClassifier
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum, distinct_keep_first
+
+    def qual_filter(df: pd.DataFrame) -> pd.DataFrame:
+        qe6 = np.round(
+            [quality_score(t) * 1e6 for t in df["text"].astype(str)]
+        ).astype("int64")
+        out = df.loc[qe6 >= thr, ["doc_id", "text"]].copy()
+        out["fp"] = [
+            _hl.md5(t.encode("utf-8")).hexdigest() for t in out["text"].astype(str)
+        ]
+        return out.astype({"doc_id": "int64"})
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        qual_filter, batch_format="pandas"
+    )
+    ded = distinct_keep_first(ds, ["fp"], "doc_id")
+
+    def with_ntok(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            ntok=df["text"].astype(str).str.split().str.len().astype("int64")
+        )[["doc_id", "text", "ntok"]]
+
+    ded2 = ded.map_batches(with_ntok, batch_format="pandas")
+    cls = ded2.map_batches(
+        HashClassifier,
+        fn_constructor_kwargs={"keep_cols": ("ntok",)},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=256,
+    ).materialize()  # feeds the totals pass AND the placement pass
+
+    def add_rb(t: pa.Table) -> pa.Table:
+        rb = pa.array(t["doc_id"].to_numpy() // range_size, pa.int64())
+        return t.append_column("rb", rb)
+
+    tagged = cls.map_batches(add_rb, batch_format="pyarrow")
+    totals = bucket_sum(
+        tagged.map_batches(
+            lambda df: df[["rb", "ntok"]], batch_format="pandas"
+        ),
+        ["rb"],
+        ["ntok"],
+        n_buckets=8,
+    ).to_pandas().sort_values("rb")
+    offs = dict(
+        zip(
+            totals["rb"].astype(int),
+            np.concatenate([[0], np.cumsum(totals["ntok"].to_numpy())[:-1]]),
+        )
+    )
+    offs_ref = ray.put(offs)
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(offs_ref)
+        outs = []
+        for rb, grp in g.groupby("rb", sort=False):
+            grp = grp.sort_values("doc_id", kind="stable")
+            ex = np.concatenate([[0], np.cumsum(grp["ntok"].to_numpy())[:-1]])
+            start = ex + int(o[int(rb)])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": grp["doc_id"].to_numpy(),
+                        "label": grp["label"].to_numpy(),
+                        "start_tok": start.astype(np.int64),
+                        "bin_id": (start // cap).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+                "start_tok": pd.Series([], dtype="int64"),
+                "bin_id": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return (
+        add_bucket(tagged, ["rb"], 16).groupby(_BUCKET).map_groups(place, batch_format="pandas")
+    )
+
+
 def q_doc_classify(sf_dir: str):
     """Batched 'model inference' over documents: actor-pool stage,
     deterministic hashed-bag-of-words integer classifier (see

@@ -31,12 +31,19 @@ from ..utils import splitmix64
 class HashClassifier:
     """Callable class for ``map_batches(HashClassifier, concurrency=N)``."""
 
-    def __init__(self, n_classes: int = 4, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(
+        self,
+        n_classes: int = 4,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        keep_cols: tuple = (),
+    ):
         # "model load": for a real model this is the expensive part,
         # paid once per actor — not per batch
         self.n_classes = n_classes
         self.id_col = id_col
         self.text_col = text_col
+        self.keep_cols = tuple(keep_cols)  # passed through aligned to output rows
         self.class_ids = np.arange(n_classes, dtype=np.uint64)
 
     def _weights(self, h: np.ndarray) -> np.ndarray:
@@ -57,13 +64,14 @@ class HashClassifier:
             doc_idx.extend([i] * len(ts))
         keep = [i for i, txt in enumerate(texts) if str(txt).split()]
         if not tokens:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "label": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                "doc_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            }
+            for c in self.keep_cols:
+                cols[c] = t[c].slice(0, 0)
+            return pa.table(cols)
         doc_idx = np.asarray(doc_idx, dtype=np.int64)
         h = fnv1a64(tokens)
         w = self._weights(h)  # (n_tok, k)
@@ -72,10 +80,11 @@ class HashClassifier:
         labels = np.argmax(scores, axis=1)  # first max = lowest class
         best = scores[np.arange(len(texts)), labels]
         keep = np.asarray(keep, dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[keep].astype(np.int64)),
-                "label": pa.array(labels[keep].astype(np.int64)),
-                "score": pa.array(best[keep]),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(ids[keep].astype(np.int64)),
+            "label": pa.array(labels[keep].astype(np.int64)),
+            "score": pa.array(best[keep]),
+        }
+        for c in self.keep_cols:
+            cols[c] = t[c].take(pa.array(keep))
+        return pa.table(cols)
