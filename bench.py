@@ -256,6 +256,10 @@ def full_bench(tmp: str) -> dict:
     t0 = time.time()
     T.q_random_walks(SF_DIR).materialize()
     out["random_walks"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.q_corpus_curation(SF_DIR).materialize()
+    out["corpus_curation"] = round(time.time() - t0, 3)
     return out
 
 
