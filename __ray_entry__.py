@@ -698,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample": T.q_events_sample,
         "degree_histogram": T.q_degree_histogram,
         "doc_tfidf_top": T.q_doc_tfidf_top,
+        "doc_decontaminate": T.q_doc_decontaminate,
         "random_walks": T.q_random_walks,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
@@ -1015,6 +1016,21 @@ def oracle_sql() -> dict[str, str]:
             "        sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_dup "
             "        FROM g JOIN d USING (gram) GROUP BY 1) "
             "SELECT doc_id, n_grams::BIGINT AS n_grams, n_dup::BIGINT AS n_dup FROM per"
+        ),
+        "doc_decontaminate": (
+            # benchmark = docs with doc_id % 7 == 0; word 4-grams
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "
+            "              FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS gram "
+            "      FROM toks, LATERAL unnest(generate_series(1, len(ts)-3)) t(i) "
+            "      WHERE len(ts) >= 4), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0), "
+            "per AS (SELECT g.doc_id, count(*) AS n_grams, "
+            "        sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits "
+            "        FROM g LEFT JOIN bench b USING (gram) "
+            "        WHERE g.doc_id % 7 <> 0 GROUP BY 1) "
+            "SELECT doc_id, n_grams::BIGINT AS n_grams, n_hits::BIGINT AS n_hits "
+            "FROM per WHERE n_hits > 0"
         ),
         "doc_tfidf_top": (
             "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "

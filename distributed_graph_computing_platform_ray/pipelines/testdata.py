@@ -2040,3 +2040,41 @@ def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a broadcast eval set)
+
+
+def q_doc_decontaminate(sf_dir: str, n: int = 4):
+    """Benchmark decontamination: corpus docs (doc_id % 7 != 0) that
+    share a word 4-gram with the 'benchmark' subset (doc_id % 7 == 0,
+    standing in for an external eval set — small by construction, as
+    real eval sets are). Benchmark grams are collected in one bounded
+    distributed pass and broadcast; the corpus side then streams
+    through a single shuffle-free membership pass. Output: contaminated
+    docs with their position count and hit count."""
+    from ..stages.decontaminate import benchmark_ngrams, decontaminate
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % 7 == 0]
+        return pd.DataFrame(
+            {"gram": sorted(benchmark_ngrams(sub["text"].astype(str), n))}
+        )
+
+    # bounded driver collect: the benchmark side is eval-set-sized
+    bench = frozenset(
+        docs.map_batches(bench_grams, batch_format="pandas").to_pandas()["gram"]
+    )
+
+    corpus = docs.map_batches(
+        lambda df: df[df["doc_id"] % 7 != 0], batch_format="pandas"
+    )
+    stats = decontaminate(corpus, bench, n=n)
+    return stats.map_batches(
+        lambda df: df[df["n_hits"] > 0].astype(
+            {"doc_id": "int64", "n_grams": "int64", "n_hits": "int64"}
+        ),
+        batch_format="pandas",
+    )

@@ -287,3 +287,34 @@ def test_multimodal_stub_plumbing():
 
     with pytest.raises(NotImplementedError):
         DecodeMedia(deterministic_stub=False)
+
+
+def test_decontaminate_counts_exact():
+    # 3 docs: doc 1 fully shares a 4-gram window with the benchmark
+    # doc 0, doc 2 shares nothing, doc 3 is too short for any 4-gram.
+    from distributed_graph_computing_platform_ray.stages.decontaminate import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    bench = benchmark_ngrams(["the quick brown fox jumps"], n=4)
+    assert bench == {"the quick brown fox", "quick brown fox jumps"}
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "see the quick brown fox jumps high",  # 4 positions, 2 hits
+                "a totally different sentence with words",  # 3 positions, 0 hits
+                "too short",  # no positions -> dropped
+            ],
+        }
+    )
+    out = (
+        decontaminate(rd.from_pandas(corpus), bench, n=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_grams"].tolist() == [4, 3]
+    assert out["n_hits"].tolist() == [2, 0]
