@@ -208,18 +208,16 @@ def _splitmix_cols(src: str, out: str) -> str:
     )
 
 
-def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
-    """Fully self-contained oracle for the url-keyed flagship: rebuild
-    the deterministic page generator's link structure in SQL (splitmix64
-    / mix64 reproduced exactly with HUGEINT split multiplies — verified
-    bit-equal to utils.mix64), apply the extractor's normalization
-    semantics (self-links kept, fragments dropped, relative hrefs
-    resolved, duplicate hrefs deduped by the distinct), then run the
-    30-iteration PageRank recurrence over the symmetrized multigraph
-    and report the top-25 by integer-scaled score. Mirrors
-    sources/pages.py::_page_html + functions/html.py::extract_links +
-    pipelines/pages.py::build_link_graph at n_pages=2000 (the size
-    queries()['pages_linkgraph_pagerank'] uses at sf0.01)."""
+def _pages_edges_cte(n: int = 2000, seed: int = 42) -> str:
+    """Shared CTE chain ending at ``e(src, dst)``: the deterministic
+    page generator's DISTINCT page-level link edges, rebuilt in SQL
+    (splitmix64 / mix64 reproduced exactly with HUGEINT split
+    multiplies — verified bit-equal to utils.mix64), with the
+    extractor's normalization semantics (self-links kept, fragments
+    dropped, relative hrefs resolved, duplicate hrefs deduped by the
+    distinct). Mirrors sources/pages.py::_page_html +
+    functions/html.py::extract_links. Shared by the pages-PageRank and
+    domain-graph oracles."""
     c_seed = (seed * _FNV64) % _M64
     c_seed1 = ((seed + 1) * _FNV64) % _M64
 
@@ -227,7 +225,6 @@ def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
         return f"printf('https://site-%05d.example/p/%04d', ({x}) // 16, ({x}) % 16)"
 
     return (
-        "WITH RECURSIVE "
         f"base AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)), "
         f"h0c AS (SELECT i, xor({c_seed}::UBIGINT, i) AS acc0, "
         f"        {_splitmix_cols('acc0', 'h0')} FROM base), "
@@ -249,7 +246,18 @@ def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
         "res AS (SELECT i, last_value(base_href IGNORE NULLS) OVER "
         "          (PARTITION BY i ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS href "
         "        FROM hrefs), "
-        f"e AS (SELECT DISTINCT {url('i')} AS src, href AS dst FROM res), "
+        f"e AS (SELECT DISTINCT {url('i')} AS src, href AS dst FROM res)"
+    )
+
+
+def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for the url-keyed flagship: generator edges (shared CTE)
+    -> 30-iteration PageRank over the symmetrized multigraph -> top-25
+    by integer-scaled score. Mirrors pipelines/pages.py::
+    build_link_graph at n_pages=2000 (the size
+    queries()['pages_linkgraph_pagerank'] uses at every sf)."""
+    return (
+        f"WITH RECURSIVE {_pages_edges_cte(n, seed)}, "
         "es AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
         "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
@@ -260,6 +268,31 @@ def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
         "  FROM pr p CROSS JOIN nn JOIN es ee ON ee.src = p.id "
         "       JOIN deg dd ON dd.id = ee.dst "
         "  WHERE p.it < 30 GROUP BY p.it, ee.dst, dd.d, nn.n) "
+        "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+        "FROM pr WHERE it = 30 ORDER BY score_e8 DESC, vertex LIMIT 25"
+    )
+
+
+def _domain_pr_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for the domain-graph contraction: generator edges (shared
+    CTE) -> contract endpoints to their host (split_part '/' 3) ->
+    parallel page links become integer edge weight -> 30-iteration
+    weight-proportional PageRank over the symmetrized weighted graph ->
+    top-25 domains. Mirrors testdata.q_domain_pagerank."""
+    return (
+        f"WITH RECURSIVE {_pages_edges_cte(n, seed)}, "
+        "de AS (SELECT split_part(src, '/', 3) AS s, split_part(dst, '/', 3) AS d, "
+        "       count(*)::BIGINT AS w FROM e GROUP BY 1, 2), "
+        "esw AS (SELECT s AS src, d AS dst, w FROM de UNION ALL SELECT d, s, w FROM de), "
+        "deg AS (SELECT src AS id, sum(w) AS wd FROM esw GROUP BY src), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+        "pr AS ( "
+        "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, wd FROM deg "
+        "  UNION ALL "
+        "  SELECT p.it + 1, e2.dst, 0.15/nn.n + 0.85 * SUM(p.val * e2.w / p.wd), dd.wd "
+        "  FROM pr p CROSS JOIN nn JOIN esw e2 ON e2.src = p.id "
+        "       JOIN deg dd ON dd.id = e2.dst "
+        "  WHERE p.it < 30 GROUP BY p.it, e2.dst, dd.wd, nn.n) "
         "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
         "FROM pr WHERE it = 30 ORDER BY score_e8 DESC, vertex LIMIT 25"
     )
@@ -699,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": T.q_degree_histogram,
         "doc_tfidf_top": T.q_doc_tfidf_top,
         "doc_decontaminate": T.q_doc_decontaminate,
+        "domain_pagerank": T.q_domain_pagerank,
         "random_walks": T.q_random_walks,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
@@ -1135,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "media_framesample": _frame_sample_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "pages_linkgraph_pagerank": _pages_pr_sql(),
+        "domain_pagerank": _domain_pr_sql(),
         "doc_quality": _quality_sql(),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

@@ -48,6 +48,43 @@ def build_link_graph(
     )
 
 
+def contract_link_graph(links: rd.Dataset, n_buckets: int = 32) -> rd.Dataset:
+    """Page-level links -> weighted domain-level edges.
+
+    Globally exact-dedups (src_url, dst_url) pairs in hash buckets
+    (same-pair rows always share a bucket, so per-bucket
+    drop_duplicates is globally exact), contracts both endpoints to
+    their host (third '/'-separated segment of the absolute url), and
+    sums parallel page links into an integer ``weight`` with one
+    domain-pair reduce. Returns (src_key, dst_key, weight). The 100 TB
+    shape: two bucketed shuffles, partials computed in-bucket, and the
+    output is domain-cardinality (tiny relative to the input)."""
+    import pandas as pd
+
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["src_key", "dst_key"])
+        dom = pd.DataFrame(
+            {
+                "src_key": df["src_key"].str.split("/").str[2],
+                "dst_key": df["dst_key"].str.split("/").str[2],
+            }
+        )
+        return (
+            dom.groupby(["src_key", "dst_key"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "weight"})
+        )
+
+    partial = (
+        add_bucket(links, ["src_key", "dst_key"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucket_sum(partial, ["src_key", "dst_key"], ["weight"], 16)
+
+
 def extract_text_table(pages: rd.Dataset | str, out_dir: str | None = None) -> rd.Dataset:
     """(url, text) with the byte-identical-per-url invariant."""
     if isinstance(pages, str):

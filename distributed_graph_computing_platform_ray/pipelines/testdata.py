@@ -2078,3 +2078,55 @@ def q_doc_decontaminate(sf_dir: str, n: int = 4):
         ),
         batch_format="pandas",
     )
+
+# ---------------------------------------------------------------------------
+# domain-graph contraction (page link graph -> weighted domain graph)
+
+
+def q_domain_pagerank(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """Link-graph contraction: page-level links from the deterministic
+    page generator, globally exact-deduped in hash buckets (same-pair
+    rows share a bucket), endpoints contracted to their host domain,
+    parallel page links summed into an integer edge weight, then
+    30-iteration weight-proportional PageRank ranks domains (top-25).
+
+    n is PINNED to the fixed oracle's 2000 (the query generates its own
+    pages and reads nothing from sf_dir, like pages_linkgraph_pagerank).
+    The contraction is the 100 TB shape — dedup and weight partials per
+    hash bucket, then ONE domain-pair reduce; the contracted graph is
+    small by construction (that is the point of contraction), so the
+    build takes the bit-identical driver-local path while the
+    contraction itself stays distributed."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .ingest import build_graph as _bg
+    from .pages import contract_link_graph
+
+    root = f"/tmp/graft_domains_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    links = extract_links(generate_pages(n))
+    dom_edges = contract_link_graph(links, n_buckets)
+    _bg(
+        dom_edges,
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=True,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "domain_graph", "n": n},
+    )
+    res = run_algorithm(f"{root}/graph", f"{root}/pr", "pagerank_weighted")
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": t["vertex"], "score_e8": _score_e8(t["value"])}
+        )
+
+    return (
+        res.map_batches(conv, batch_format="pyarrow")
+        .sort(["score_e8", "vertex"], descending=[True, False])
+        .limit(25)
+    )

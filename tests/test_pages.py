@@ -89,3 +89,45 @@ def test_build_link_graph_counts():
     assert not man.keys_numeric
     assert man.n_edges_directed % 2 == 0  # symmetrized
     assert man.symmetrized
+
+
+def test_contract_link_graph_weights():
+    # Hand-computed contraction: duplicates dedup first, then parallel
+    # page links between the same domain pair sum into the weight.
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_graph_computing_platform_ray.pipelines.pages import contract_link_graph
+
+    links = pd.DataFrame(
+        {
+            "src_key": [
+                "https://a.example/p/1",
+                "https://a.example/p/1",  # exact duplicate pair -> deduped
+                "https://a.example/p/2",
+                "https://b.example/p/1",
+                "https://a.example/p/1",
+            ],
+            "dst_key": [
+                "https://b.example/p/9",
+                "https://b.example/p/9",
+                "https://b.example/p/9",  # distinct page pair, same domains
+                "https://a.example/p/1",
+                "https://a.example/p/7",  # intra-domain -> self edge
+            ],
+        }
+    )
+    out = (
+        contract_link_graph(rd.from_pandas(links), n_buckets=4)
+        .to_pandas()
+        .sort_values(["src_key", "dst_key"])
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "src_key": ["a.example", "a.example", "b.example"],
+            "dst_key": ["a.example", "b.example", "a.example"],
+            "weight": [1, 2, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(out.astype({"weight": "int64"}), exp)
