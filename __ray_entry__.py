@@ -686,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees": T.q_degrees,
         "pagerank": T.q_pagerank,
         "pagerank_directed": T.q_pagerank_directed,
+        "hits": T.q_hits,
         "pagerank_top25": T.q_pagerank_top25,
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
@@ -807,6 +808,39 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE p.it < 30 GROUP BY p.it, p.id, nn.n) "
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM pr WHERE it = 30"
+        ),
+        "hits": (
+            # HITS via the doubled bipartite graph (exactly the engine's
+            # construction): 6 supersteps of integer-exact sum
+            # propagation, then one half-up integer-scaled normalization
+            # per score family (HUGEINT keeps 2*val*1e8 exact).
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT l_orderkey % 200 AS src, l_partkey % 200 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "d AS (SELECT 2*src AS s, 2*dst+1 AS t FROM eb "
+            "      UNION ALL SELECT 2*dst+1, 2*src FROM eb), "
+            "it AS ( "
+            "  SELECT 0 AS i, v, CAST(1 AS DOUBLE) AS val "
+            "  FROM (SELECT DISTINCT s AS v FROM d) "
+            "  UNION ALL "
+            "  SELECT p.i + 1, d.t, SUM(p.val) FROM it p JOIN d ON d.s = p.v "
+            "  WHERE p.i < 6 GROUP BY p.i, d.t), "
+            "fin AS (SELECT v, CAST(val AS HUGEINT) AS val FROM it WHERE i = 6), "
+            "hub AS (SELECT v // 2 AS vertex, val AS h FROM fin WHERE v % 2 = 0), "
+            "aut AS (SELECT v // 2 AS vertex, val AS a FROM fin WHERE v % 2 = 1), "
+            # NOT `x UNION y` at CTE top level: inside WITH RECURSIVE,
+            # DuckDB 1.0 gives any UNION-shaped CTE recursive-CTE
+            # evaluation (no cross-term dedup) — wrap in a subquery.
+            "verts AS (SELECT DISTINCT vertex FROM "
+            "          (SELECT src AS vertex FROM eb "
+            "           UNION ALL SELECT dst FROM eb)), "
+            "tot AS (SELECT (SELECT SUM(h) FROM hub) AS ht, "
+            "               (SELECT SUM(a) FROM aut) AS at2) "
+            "SELECT verts.vertex, "
+            "  CAST((2 * COALESCE(h, 0) * 100000000 + ht) // (2 * ht) AS BIGINT) AS hub_e8, "
+            "  CAST((2 * COALESCE(a, 0) * 100000000 + at2) // (2 * at2) AS BIGINT) AS auth_e8 "
+            "FROM verts LEFT JOIN hub USING (vertex) LEFT JOIN aut USING (vertex) "
+            "CROSS JOIN tot"
         ),
         "pagerank_top25": (
             f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "

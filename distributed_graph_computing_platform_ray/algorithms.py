@@ -294,6 +294,46 @@ class LabelPropagation(Algorithm):
         return False
 
 
+class SumPropagation(Algorithm):
+    """Identity-scatter sum propagation for a fixed superstep count:
+    x_t(v) = sum over in-edges (u,v) of x_{t-1}(u), x_0 = 1; vertices
+    with an empty inbox drop to 0.
+
+    This is the building block for HITS hubs/authorities (Kleinberg
+    1999) on the DOUBLED bipartite graph: each original edge (u,v)
+    becomes hub-node(u) -> auth-node(v) and auth-node(v) -> hub-node(u),
+    so one superstep simultaneously advances hub <- A·auth and
+    auth <- Aᵀ·hub (power iteration on [[0,A],[Aᵀ,0]], whose square is
+    block-diag(AAᵀ, AᵀA) — the HITS operators). Values are left
+    UNNORMALIZED so every iterate is an exact integer; below 2^53 both
+    float64 bincount sums and a SQL recursive CTE reproduce them
+    bit-equal regardless of summation order. Normalize once at the end.
+    """
+
+    combine = "sum"
+
+    def __init__(self, num_iters: int = 6):
+        self.name = "sumprop"
+        self.num_iters = num_iters
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        return np.ones(len(ids)), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values)
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        new = np.where(has_msg, agg, 0.0)
+        n = len(new)
+        return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
+
+    def max_supersteps(self):
+        return self.num_iters
+
+    def halt_on_no_change(self):
+        return False
+
+
 def make_algorithm(name: str, **params) -> Algorithm:
     name = name.lower()
     if name == "pagerank":
@@ -310,4 +350,6 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return ConnectedComponents(**params)
     if name in ("lp", "label_propagation"):
         return LabelPropagation(**params)
+    if name in ("sumprop", "sum_propagation"):
+        return SumPropagation(**params)
     raise ValueError(f"unknown algorithm {name!r}")

@@ -137,10 +137,31 @@ def edges_lineitem_directed(sf_dir: str) -> rd.Dataset:
     return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
 
 
+def edges_lineitem_hits(sf_dir: str) -> rd.Dataset:
+    """Doubled bipartite HITS graph over the directed lineitem edges:
+    edge (u,v) becomes hub-node 2u -> auth-node 2v+1 AND 2v+1 -> 2u, so
+    one identity-scatter sum superstep advances hub and auth together
+    (see algorithms.SumPropagation). Input is distinct and the doubling
+    is injective per direction, so no dedup is needed."""
+
+    def double(t: pa.Table) -> pa.Table:
+        x = t["src"].to_numpy().astype(np.int64)
+        y = t["dst"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([2 * x, 2 * y + 1])),
+                "dst": pa.array(np.concatenate([2 * y + 1, 2 * x])),
+            }
+        )
+
+    return edges_lineitem_directed(sf_dir).map_batches(double, batch_format="pyarrow")
+
+
 _DERIVATIONS = {
     "lineitem": (edges_lineitem, True),
     "orders": (edges_orders, True),
     "lineitem_directed": (edges_lineitem_directed, False),
+    "lineitem_hits": (edges_lineitem_hits, False),
 }
 
 
@@ -245,6 +266,60 @@ def q_pagerank_directed(sf_dir: str):
     redistribution, matching the reference recurrence's shape."""
     res = _run_cached(sf_dir, "lineitem_directed", "pagerank")
     return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_hits(sf_dir: str, num_iters: int = 6):
+    """HITS hubs & authorities (Kleinberg 1999) on the directed
+    lineitem graph: ``num_iters`` supersteps of simultaneous
+    hub <- A·auth / auth <- Aᵀ·hub power iteration (run as identity-sum
+    propagation on the doubled bipartite graph — see
+    algorithms.SumPropagation), then ONE final normalization of each
+    score family by its sum. Iterates stay exact integers (< 2^53 for
+    this 200-vertex universe at any sf: max in-degree 199, 199^6 ≈
+    6e13), so engine and SQL agree bit-for-bit and the half-up integer
+    scaling is exact. Vertices missing a role (no out-edges -> hub 0,
+    no in-edges -> auth 0) report 0."""
+    from ..stages.join import bucket_sum
+
+    res = _run_cached(sf_dir, "lineitem_hits", "sumprop", num_iters=num_iters)
+
+    def pivot(t: pa.Table) -> pa.Table:
+        dv = t["vertex"].cast(pa.int64()).to_numpy()
+        val = t["value"].to_numpy()
+        is_hub = dv % 2 == 0
+        return pa.table(
+            {
+                "vertex": pa.array(dv // 2),
+                "hub": pa.array(np.where(is_hub, val, 0.0)),
+                "auth": pa.array(np.where(is_hub, 0.0, val)),
+            }
+        )
+
+    piv = bucket_sum(
+        res.map_batches(pivot, batch_format="pyarrow"), ["vertex"], ["hub", "auth"],
+        n_buckets=16,
+    ).materialize()
+    totals = piv.sum(["hub", "auth"])
+    hub_tot = int(totals["sum(hub)"])
+    auth_tot = int(totals["sum(auth)"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        # bounded final reporting stage (one row per vertex): exact
+        # half-up needs > int64 intermediates, so Python ints per row
+        hub = t["hub"].to_numpy()
+        auth = t["auth"].to_numpy()
+        s = 100_000_000
+        hub_e8 = [(2 * int(h) * s + hub_tot) // (2 * hub_tot) for h in hub]
+        auth_e8 = [(2 * int(a) * s + auth_tot) // (2 * auth_tot) for a in auth]
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "hub_e8": pa.array(hub_e8, pa.int64()),
+                "auth_e8": pa.array(auth_e8, pa.int64()),
+            }
+        )
+
+    return piv.map_batches(scale, batch_format="pyarrow")
 
 
 def q_pagerank_top25(sf_dir: str):
