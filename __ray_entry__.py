@@ -341,6 +341,53 @@ def _kcore_sql(k: int = 20) -> str:
     )
 
 
+def _mis_sql(seed: int = 7, max_rounds: int = 50) -> str:
+    """Luby MIS oracle mirroring algorithms.MaximalIndependentSet on
+    the lineitem graph: the recursive working table holds the directed
+    edges among STILL-UNDECIDED vertices (both directions, like
+    kcore's); per round each row computes both endpoints' 53-bit
+    splitmix priorities directly from (round, id), a window over the
+    first endpoint gives the strict-min join test, and a second window
+    layer propagates "a neighbor joined" (the out test) — ONE
+    reference to the working table per round. A vertex that vanishes
+    from the table without an out-mark joined (possibly as an
+    isolated leftover), so MIS = all vertices minus the out-set,
+    recomputed from the retained per-round history."""
+    acc = f"((({seed} + it)::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT"
+    prio_cols = (
+        f"xor({acc}, a::UBIGINT) AS acc_a, {_splitmix_cols('acc_a', 'sma')}, "
+        f"xor({acc}, b::UBIGINT) AS acc_b, {_splitmix_cols('acc_b', 'smb')}, "
+        "(sma >> 11)::BIGINT AS pr_a, (smb >> 11)::BIGINT AS pr_b"
+    )
+    join_flags = (
+        "pr_a < min(pr_b) OVER (PARTITION BY it, a) AS j_a, "
+        "pr_b < min(pr_a) OVER (PARTITION BY it, b) AS j_b"
+    )
+    return (
+        f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+        "r AS ( "
+        "  SELECT 0 AS it, src AS a, dst AS b FROM es "
+        "  UNION ALL "
+        "  SELECT it + 1, a, b FROM ( "
+        "    SELECT it, a, b, j_a, j_b, "
+        "      bool_or(j_b) OVER (PARTITION BY it, a) AS out_a, "
+        "      bool_or(j_a) OVER (PARTITION BY it, b) AS out_b "
+        f"    FROM (SELECT it, a, b, {join_flags} "
+        f"          FROM (SELECT it, a, b, {prio_cols} FROM r "
+        f"                WHERE it < {max_rounds}))) "
+        "  WHERE NOT j_a AND NOT j_b AND NOT out_a AND NOT out_b), "
+        "outs AS ( "
+        "  SELECT DISTINCT a AS vertex FROM ( "
+        "    SELECT it, a, j_a, bool_or(j_b) OVER (PARTITION BY it, a) AS out_a "
+        f"    FROM (SELECT it, a, b, {join_flags} "
+        f"          FROM (SELECT it, a, b, {prio_cols} FROM r))) "
+        "  WHERE NOT j_a AND out_a) "
+        "SELECT v.id AS vertex, "
+        "  (CASE WHEN o.vertex IS NULL THEN 1 ELSE 0 END)::BIGINT AS in_mis "
+        "FROM v LEFT JOIN outs o ON o.vertex = v.id"
+    )
+
+
 def _doc_split_sql() -> str:
     """Mirror testdata.q_doc_split: FNV-1a of the decimal doc_id
     (recursive CTE), bucket = h % 10, 8/1/1 split."""
@@ -695,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": T.q_pagerank_weighted,
         "pagerank_personalized": T.q_pagerank_personalized,
         "connected_components": T.q_connected_components,
+        "mis": T.q_mis,
         "kcore": T.q_kcore,
         "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
@@ -996,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_split": _doc_split_sql(),
+        "mis": _mis_sql(),
         "kcore": _kcore_sql(),
         "user_distinct_hll": _user_hll_sql(),
         "revenue_by_nation": (

@@ -334,6 +334,79 @@ class SumPropagation(Algorithm):
         return False
 
 
+class MaximalIndependentSet(Algorithm):
+    """Luby's maximal independent set (Luby 1986), two supersteps per
+    round on the undirected graph. Values encode vertex state:
+    0 = undecided, 1 = in the MIS, 2 = out (a neighbor joined).
+
+    Round r (phase A = superstep 2r, phase B = superstep 2r+1):
+      A: every undecided vertex sends its 53-bit priority
+         p(v, r) = mix64(seed + r, key(v)) >> 11 (exact in float64),
+         computed from the ORIGINAL numeric vertex key (via the
+         engine's wants_keys extension) so the result is independent
+         of the dictionary's dense-id assignment; an undecided vertex
+         joins iff p(v) < min over undecided-neighbor priorities — or
+         it has no undecided neighbors at all.
+      B: just-joined vertices notify neighbors with a -1 sentinel;
+         undecided vertices also send (+inf, a no-op under the min
+         combiner) so the active set only empties when every vertex is
+         decided — a rare all-ties round then simply retries with
+         fresh priorities instead of halting early. An undecided
+         vertex whose aggregate is negative goes out.
+
+    Deterministic for a given seed (counter-based priorities, strict
+    comparisons) and independent of partitioning/parallelism; the
+    per-round priority reshuffle is what bounds rounds to O(log n)
+    w.h.p. Self-loops are rejected by q_mis's edge derivations (a
+    self-adjacent vertex could never join and would livelock).
+    Target-side extension (the reference has no set algorithms);
+    exercises the engine's multi-phase superstep pattern.
+    """
+
+    combine = "min"
+    wants_keys = True
+
+    def __init__(self, seed: int = 7, max_rounds: int = 64):
+        self.name = "mis"
+        self.seed = seed
+        self.max_rounds = max_rounds
+
+    def _priority(self, round_idx: int, keys: np.ndarray) -> np.ndarray:
+        from .utils import mix64
+
+        return (
+            mix64(np.uint64(self.seed + round_idx), keys.astype(np.uint64))
+            >> np.uint64(11)
+        ).astype(np.float64)
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        return np.zeros(len(ids)), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep, keys=None):
+        if superstep % 2 == 0:  # phase A: undecided send priorities
+            return ScatterOut(base=self._priority(superstep // 2, keys))
+        # phase B: just-joined send the -1 sentinel; undecided send +inf
+        return ScatterOut(base=np.where(values == 1.0, -1.0, INF))
+
+    def apply(self, old_values, agg, has_msg, superstep, keys=None):
+        und = old_values == 0.0
+        if superstep % 2 == 0:
+            p = self._priority(superstep // 2, keys)
+            joined = und & (~has_msg | (p < agg))
+            new = np.where(joined, 1.0, old_values)
+            # joined must notify in phase B; undecided stay active so
+            # the run only halts when everyone is decided
+            active = joined | (new == 0.0)
+            return new, active, joined
+        out = und & has_msg & (agg < 0.0)
+        new = np.where(out, 2.0, old_values)
+        still = new == 0.0
+        return new, still, out
+
+    def max_supersteps(self):
+        return 2 * self.max_rounds
+
+
 def make_algorithm(name: str, **params) -> Algorithm:
     name = name.lower()
     if name == "pagerank":
@@ -352,4 +425,6 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return LabelPropagation(**params)
     if name in ("sumprop", "sum_propagation"):
         return SumPropagation(**params)
+    if name in ("mis", "maximal_independent_set"):
+        return MaximalIndependentSet(**params)
     raise ValueError(f"unknown algorithm {name!r}")

@@ -50,7 +50,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .algorithms import Algorithm
-from .state.csr import load_shard
+from .state.csr import load_shard, load_vertex_keys_numeric
 from .state.manifest import GraphManifest
 from .utils import atomic_write_json, atomic_write_parquet
 
@@ -129,7 +129,11 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
                 degs = shard.weighted_degrees()[local]
             else:
                 degs = (shard.indptr[local + 1] - shard.indptr[local]).astype(np.int64)
-            so = algo.message_base(sel_ids, values[sel], degs, superstep)
+            if getattr(algo, "wants_keys", False):
+                keys = load_vertex_keys_numeric(manifest, int(p))[local]
+                so = algo.message_base(sel_ids, values[sel], degs, superstep, keys=keys)
+            else:
+                so = algo.message_base(sel_ids, values[sel], degs, superstep)
             row_per_edge, dst, w = shard.gather(local)
             if len(dst) == 0:
                 continue
@@ -203,14 +207,14 @@ def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int):
         agg, has_msg = _reduce_messages(
             algo.combine, n_local, lo, dst[~st], val[~st], cnt[~st]
         )
+        kw = {}
         if getattr(algo, "wants_ids", False):
-            new_values, new_active, _changed = algo.apply(
-                old_values, agg, has_msg, superstep, ids=ids
-            )
-        else:
-            new_values, new_active, _changed = algo.apply(
-                old_values, agg, has_msg, superstep
-            )
+            kw["ids"] = ids
+        if getattr(algo, "wants_keys", False):
+            kw["keys"] = load_vertex_keys_numeric(manifest, part)[ids - lo]
+        new_values, new_active, _changed = algo.apply(
+            old_values, agg, has_msg, superstep, **kw
+        )
         return _unified_table(
             np.full(n_local, part, dtype=np.int64),
             ids,
@@ -271,7 +275,11 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
         degs = shard.weighted_degrees()[local]
     else:
         degs = (shard.indptr[local + 1] - shard.indptr[local]).astype(np.int64)
-    so = algo.message_base(sel_ids, values[sel], degs, superstep)
+    if getattr(algo, "wants_keys", False):
+        keys = load_vertex_keys_numeric(manifest, p)[local]
+        so = algo.message_base(sel_ids, values[sel], degs, superstep, keys=keys)
+    else:
+        so = algo.message_base(sel_ids, values[sel], degs, superstep)
     row_per_edge, dst, w = shard.gather(local)
     if len(dst) == 0:
         return out
@@ -344,10 +352,12 @@ def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
     if dense_acc is not None:  # only possible for 'sum'
         agg = agg + dense_acc
         has_msg = has_msg | dense_has
+    kw = {}
     if getattr(algo, "wants_ids", False):
-        new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep, ids=ids)
-    else:
-        new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep)
+        kw["ids"] = ids
+    if getattr(algo, "wants_keys", False):
+        kw["keys"] = load_vertex_keys_numeric(manifest, p)[ids - lo]
+    new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep, **kw)
     return new_values, new_active.astype(bool)
 
 

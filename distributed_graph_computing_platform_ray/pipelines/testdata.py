@@ -428,6 +428,24 @@ def q_label_propagation(sf_dir: str):
     return _as_int_vertex(res, "label", lambda v: v.cast(pa.int64()))
 
 
+def q_mis(sf_dir: str, seed: int = 7):
+    """Luby maximal independent set on the (self-loop-free, bipartite)
+    lineitem graph — see algorithms.MaximalIndependentSet. Output is
+    every vertex with an in_mis 0/1 flag; deterministic for the seed,
+    so the DuckDB recursive-CTE oracle (same mirror-window trick as
+    kcore) reproduces it exactly."""
+    res = _run_cached(sf_dir, "lineitem", "mis", seed=seed)
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        st = t["value"].to_numpy()
+        return pa.table(
+            {"vertex": v, "in_mis": pa.array((st == 1.0).astype(np.int64))}
+        )
+
+    return res.map_batches(conv, batch_format="pyarrow")
+
+
 def q_triangle_count(sf_dir: str):
     total, _ = triangle_count(edges_orders(sf_dir), n_buckets=32)
     return pd.DataFrame({"n_triangles": [int(total)]})

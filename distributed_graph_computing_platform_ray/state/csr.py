@@ -165,3 +165,27 @@ def load_vertex_keys(manifest: GraphManifest, part: int) -> np.ndarray:
         arr = t["key"].to_numpy(zero_copy_only=False)[order]
         _VERTEX_KEY_CACHE[key] = arr
     return arr
+
+
+_NUMERIC_KEY_CACHE: dict[tuple[str, int, int], "np.ndarray"] = {}
+
+
+def load_vertex_keys_numeric(manifest: GraphManifest, part: int) -> np.ndarray:
+    """Original vertex keys as int64, by local id (cached per process —
+    the string->int conversion runs once per (graph, partition), not
+    once per superstep). For algorithms whose semantics depend on the
+    ORIGINAL ids (e.g. MIS priorities) rather than the dense
+    dictionary ranks, which order by (key-hash bucket, string sort)."""
+    key = (manifest.graph_dir, part, manifest.part_fingerprint(part))
+    arr = _NUMERIC_KEY_CACHE.get(key)
+    if arr is None:
+        keys = load_vertex_keys(manifest, part)
+        try:
+            arr = keys.astype(np.int64)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                "algorithm requires a numeric vertex-key universe; this "
+                "graph's keys are not all integers"
+            ) from e
+        _NUMERIC_KEY_CACHE[key] = arr
+    return arr
