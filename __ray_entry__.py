@@ -768,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": T.q_events_asof_orders,
         "doc_pii_scrub": T.q_doc_pii_scrub,
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
+        "doc_strip_spans": T.q_doc_strip_spans,
         "doc_classify": T.q_doc_classify,
         "part_cooccurrence": T.q_part_cooccurrence,
         "events_hourly_users": T.q_events_hourly_users,
@@ -1133,6 +1134,33 @@ def oracle_sql() -> dict[str, str]:
             "        sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_dup "
             "        FROM g JOIN d USING (gram) GROUP BY 1) "
             "SELECT doc_id, n_grams::BIGINT AS n_grams, n_dup::BIGINT AS n_dup FROM per"
+        ),
+        "doc_strip_spans": (
+            # duplicate-span removal: same gram universe as
+            # doc_dup_ngrams, but positions covered by a >=2-distinct-
+            # doc gram are dropped and the text rebuilt verbatim
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "
+            "              FROM documents WHERE trim(text) <> ''), "
+            "tok AS (SELECT doc_id, i::BIGINT AS pos, ts[i] AS tok, len(ts)::BIGINT AS ntok "
+            "        FROM toks, LATERAL unnest(generate_series(1, len(ts))) t(i)), "
+            "g AS (SELECT doc_id, i::BIGINT AS pos, array_to_string(ts[i:i+4], ' ') AS gram "
+            "      FROM toks, LATERAL unnest(generate_series(1, len(ts)-4)) t(i) "
+            "      WHERE len(ts) >= 5), "
+            "dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), "
+            "cov AS (SELECT DISTINCT g.doc_id, g.pos + o AS pos "
+            "        FROM g JOIN dupg USING (gram), LATERAL unnest(generate_series(0, 4)) s(o)), "
+            "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t "
+            "         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos "
+            "         WHERE c.pos IS NULL), "
+            "stats AS (SELECT doc_id, max(ntok) AS n_tokens FROM tok GROUP BY doc_id), "
+            "rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id), "
+            "cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text "
+            "       FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens, "
+            "  COALESCE(r.n_removed, 0)::BIGINT AS n_removed, "
+            "  COALESCE(cl.clean_text, '') AS clean_text "
+            "FROM documents d LEFT JOIN stats s USING (doc_id) "
+            "LEFT JOIN rem r USING (doc_id) LEFT JOIN cl USING (doc_id)"
         ),
         "doc_decontaminate": (
             # benchmark = docs with doc_id % 7 == 0; word 4-grams

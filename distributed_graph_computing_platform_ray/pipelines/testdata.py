@@ -1289,6 +1289,19 @@ def q_doc_dup_ngrams(sf_dir: str, n: int = 5, n_buckets: int = 64):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_doc_strip_spans(sf_dir: str, n: int = 5, n_buckets: int = 64):
+    """Corpus-level duplicate-span REMOVAL (the transform counterpart
+    of q_doc_dup_ngrams's statistic): tokens covered by any word
+    5-gram occurring in >= 2 distinct documents are dropped and the
+    text rebuilt — stages.dedup.strip_dup_spans. Every doc appears in
+    the output; the cleaned strings compare verbatim against the SQL
+    oracle (no hashing needed)."""
+    from ..stages.dedup import strip_dup_spans
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"])
+    return strip_dup_spans(ds, n=n, n_buckets=n_buckets)
+
+
 def q_doc_tfidf_top(sf_dir: str, k: int = 3, n_buckets: int = 64):
     """Per-document top-k terms by integer TF-IDF (rational idf:
     (N * 1e6) // df — exact integer arithmetic, no libm divergence).

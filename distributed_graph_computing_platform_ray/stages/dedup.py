@@ -503,3 +503,143 @@ def simhash_dedup(ds: rd.Dataset, id_col="doc_id", text_col="text", max_hamming=
     from ..stages.join import distinct
 
     return distinct(allpairs, ["a", "b", "hamming"], n_buckets)
+
+
+def strip_dup_spans(
+    docs: rd.Dataset,
+    n: int = 5,
+    df_min: int = 2,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Corpus-level duplicate-SPAN removal (exact substring dedup at
+    word n-gram granularity, a la Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): every token position
+    covered by a word n-gram that occurs in >= ``df_min`` DISTINCT
+    documents is removed; the cleaned text is the surviving tokens
+    joined by single spaces.
+
+    Shape (100 TB): two bucketed shuffles, no all-pairs work —
+      1. flat-map docs -> (gram, doc_id, pos) occurrences;
+      2. gram-hash buckets: per bucket, grams with >= df_min distinct
+         docs select their occurrence positions (factorize + bincount,
+         no string groupby);
+      3. ONE doc-bucket shuffle of the tagged union (documents +
+         duplicate positions); per bucket the covered mask is a
+         vectorized scatter and the text is rebuilt per doc.
+    At 100 TB the gram strings would be FNV-fingerprinted to u64
+    before shuffle 2 (as minhash does); strings are shuffled here so
+    the SQL oracle can group on them verbatim.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    document (empty/short docs pass through unchanged).
+    """
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_p, out_g = [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col].astype(str)):
+            ts = text.split()
+            m = len(ts) - n + 1
+            if m <= 0:
+                continue
+            out_g.extend(" ".join(ts[i : i + n]) for i in range(m))
+            out_d.extend([doc_id] * m)
+            out_p.extend(range(m))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "pos": pd.Series(out_p, dtype="int64"),
+                "gram": out_g,
+            }
+        )
+
+    occ = docs.map_batches(grams, batch_format="pandas")
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["gram"], sort=False)
+        pairs = pd.DataFrame({"c": codes, "d": g["doc_id"].to_numpy()}).drop_duplicates()
+        ndocs = np.bincount(pairs["c"].to_numpy(), minlength=len(np.unique(codes)))
+        keep = ndocs[codes] >= df_min
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "pos": g["pos"].to_numpy()[keep],
+            }
+        )
+
+    dup = (
+        add_bucket(occ, ["gram"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(dup_positions, batch_format="pandas")
+    )
+
+    # tagged union in ARROW (null padding through pandas would float-cast
+    # the int columns — NOTES.md gotcha), bucketed by doc id
+    def tag_docs(t: pa.Table) -> pa.Table:
+        m = len(t)
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "pos": pa.nulls(m, pa.int64()),
+                "text": t[text_col].cast(pa.large_string()),
+                "tag": pa.array(np.zeros(m, dtype=np.int8)),
+            }
+        )
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        m = len(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "pos": t["pos"].cast(pa.int64()),
+                "text": pa.nulls(m, pa.large_string()),
+                "tag": pa.array(np.ones(m, dtype=np.int8)),
+            }
+        )
+
+    uni = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        dup.map_batches(tag_dup, batch_format="pyarrow")
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        tag = t["tag"].to_numpy()
+        dt = t.filter(pa.array(tag == 0))
+        pt = t.filter(pa.array(tag == 1))
+        pos_by_doc: dict[int, list] = {}
+        if len(pt):
+            # the union's null padding can surface these as float/object
+            pdoc = pt["doc_id"].to_numpy().astype(np.int64)
+            ppos = pt["pos"].to_numpy().astype(np.int64)
+            order = np.argsort(pdoc, kind="stable")
+            pdoc, ppos = pdoc[order], ppos[order]
+            bounds = np.flatnonzero(np.r_[True, pdoc[1:] != pdoc[:-1], True])
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                pos_by_doc[int(pdoc[lo])] = ppos[lo:hi]
+        out_id, out_nt, out_nr, out_tx = [], [], [], []
+        offs = np.arange(n)
+        for doc_id, text in zip(dt["doc_id"].to_numpy(), dt["text"].to_pylist()):
+            ts = str(text).split()
+            mask = np.ones(len(ts), dtype=bool)
+            hits = pos_by_doc.get(int(doc_id))
+            if hits is not None and len(ts):
+                mask[(hits[:, None] + offs).ravel()] = False
+            out_id.append(int(doc_id))
+            out_nt.append(len(ts))
+            out_nr.append(int((~mask).sum()))
+            out_tx.append(" ".join(np.asarray(ts, dtype=object)[mask]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_tokens": pa.array(out_nt, pa.int64()),
+                "n_removed": pa.array(out_nr, pa.int64()),
+                "clean_text": pa.array(out_tx, pa.large_string()),
+            }
+        )
+
+    return (
+        add_bucket(uni, ["doc_id"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

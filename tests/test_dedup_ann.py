@@ -318,3 +318,36 @@ def test_decontaminate_counts_exact():
     assert out["doc_id"].tolist() == [1, 2]
     assert out["n_grams"].tolist() == [4, 3]
     assert out["n_hits"].tolist() == [2, 0]
+
+
+def test_strip_dup_spans_removes_planted_spans():
+    """A 5-gram shared by two docs is removed from BOTH (all covered
+    positions, including overlapping occurrences); unique text and
+    short/empty docs pass through untouched."""
+    import ray.data as rd
+
+    from distributed_graph_computing_platform_ray.stages.dedup import strip_dup_spans
+
+    span = "alpha beta gamma delta epsilon"
+    docs = [
+        {"doc_id": 0, "text": f"intro {span} outro"},
+        {"doc_id": 1, "text": f"{span} tail words here now"},
+        {"doc_id": 2, "text": "totally unique text with enough tokens"},
+        {"doc_id": 3, "text": "tiny doc"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (
+        strip_dup_spans(rd.from_items(docs), n=5, n_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 5
+    assert out.loc[0, "clean_text"] == "intro outro"
+    assert out.loc[0, "n_removed"] == 5 and out.loc[0, "n_tokens"] == 7
+    assert out.loc[1, "clean_text"] == "tail words here now"
+    assert out.loc[1, "n_removed"] == 5
+    assert out.loc[2, "clean_text"] == docs[2]["text"]
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "clean_text"] == "tiny doc"
+    assert out.loc[4, "clean_text"] == "" and out.loc[4, "n_tokens"] == 0
