@@ -738,6 +738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
         "sssp_multi": T.q_sssp_multi,
+        "graph_diameter": T.q_graph_diameter,
+        "reciprocity": T.q_reciprocity,
+        "community_stats": T.q_community_stats,
         "closeness_sampled": T.q_closeness_sampled,
         "pagerank_weighted": T.q_pagerank_weighted,
         "pagerank_personalized": T.q_pagerank_personalized,
@@ -950,6 +953,80 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
             "SELECT id AS vertex, CASE WHEN dist >= 1e17 THEN NULL "
             "ELSE CAST(dist AS BIGINT) END AS dist FROM d WHERE it = 60"
+        ),
+        "graph_diameter": (
+            # double-sweep BFS: two chained recursive BFS CTEs; sweep-2
+            # source = min id among sweep-1's farthest finite vertices
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+            "srcv AS (SELECT min(id) AS s FROM v), "
+            "relax AS (SELECT src, dst, 1 AS w FROM es "
+            "          UNION ALL SELECT id, id, 0 FROM v), "
+            "d1 AS ( "
+            "  SELECT 0 AS it, id, CASE WHEN id = (SELECT s FROM srcv) "
+            "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d1 p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst), "
+            "e1 AS (SELECT id, CAST(dist AS BIGINT) AS dist FROM d1 "
+            "       WHERE it = 60 AND dist < 1e17), "
+            "f1 AS (SELECT min(id) AS s2 FROM e1 "
+            "       WHERE dist = (SELECT max(dist) FROM e1)), "
+            "d2 AS ( "
+            "  SELECT 0 AS it, id, CASE WHEN id = (SELECT s2 FROM f1) "
+            "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d2 p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst), "
+            "e2 AS (SELECT id, CAST(dist AS BIGINT) AS dist FROM d2 "
+            "       WHERE it = 60 AND dist < 1e17), "
+            "f2 AS (SELECT min(id) AS s3 FROM e2 "
+            "       WHERE dist = (SELECT max(dist) FROM e2)) "
+            "SELECT (SELECT s FROM srcv)::BIGINT AS start_vertex, "
+            "  (SELECT s2 FROM f1)::BIGINT AS sweep1_vertex, "
+            "  (SELECT s3 FROM f2)::BIGINT AS sweep2_vertex, "
+            "  (SELECT max(dist) FROM e1)::BIGINT AS ecc1, "
+            "  (SELECT max(dist) FROM e2)::BIGINT AS diameter_lb"
+        ),
+        "reciprocity": (
+            "WITH ed AS (SELECT DISTINCT l_orderkey % 200 AS src, "
+            "            l_partkey % 200 AS dst FROM lineitem "
+            "            WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "m AS (SELECT count(*) AS n, "
+            "      sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS nm "
+            "      FROM ed LEFT JOIN ed r ON r.src = ed.dst AND r.dst = ed.src) "
+            "SELECT n::BIGINT AS n_edges, nm::BIGINT AS n_mutual, "
+            "  ((2 * nm * 1000000 + n) // (2 * n))::BIGINT AS reciprocity_e6 FROM m"
+        ),
+        "community_stats": (
+            # LP labels (same 10-iteration recurrence as the
+            # label_propagation oracle) -> per-community size, degree
+            # mass, internal edges, exact integer modularity numerator
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+            "l AS ( "
+            "  SELECT 0 AS it, id, id AS lab FROM v "
+            "  UNION ALL "
+            "  SELECT it + 1, id, lab FROM ( "
+            "    SELECT p.it AS it, e.dst AS id, p.lab AS lab, count(*) AS c "
+            "    FROM l p JOIN es e ON e.src = p.id WHERE p.it < 10 "
+            "    GROUP BY p.it, e.dst, p.lab "
+            "    QUALIFY row_number() OVER (PARTITION BY p.it, e.dst "
+            "            ORDER BY count(*) DESC, p.lab ASC) = 1)), "
+            "labs AS (SELECT id, lab FROM l WHERE it = 10), "
+            "mm AS (SELECT count(*) AS m FROM eb), "
+            "deg AS (SELECT la.lab AS label, count(*) AS degree_sum "
+            "        FROM es JOIN labs la ON la.id = es.src GROUP BY 1), "
+            "intr AS (SELECT la.lab AS label, count(*) AS internal_edges "
+            "         FROM eb JOIN labs la ON la.id = eb.src "
+            "         JOIN labs lb ON lb.id = eb.dst "
+            "         WHERE la.lab = lb.lab GROUP BY 1), "
+            "sz AS (SELECT lab AS label, count(*) AS n_members FROM labs GROUP BY 1) "
+            "SELECT sz.label::BIGINT AS label, sz.n_members::BIGINT AS n_members, "
+            "  deg.degree_sum::BIGINT AS degree_sum, "
+            "  COALESCE(intr.internal_edges, 0)::BIGINT AS internal_edges, "
+            "  (2 * (SELECT m FROM mm) * 2 * COALESCE(intr.internal_edges, 0) "
+            "   - deg.degree_sum * deg.degree_sum)::BIGINT AS q_num "
+            "FROM sz JOIN deg ON deg.label = sz.label "
+            "LEFT JOIN intr ON intr.label = sz.label"
         ),
         "connected_components": (
             f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "

@@ -378,6 +378,177 @@ def q_sssp_multi(sf_dir: str, n_seeds: int = 3):
     return res.map_batches(conv, batch_format="pyarrow")
 
 
+def _far_vertex(res: rd.Dataset) -> tuple[int, int]:
+    """(argmax-dist vertex, max finite dist) of an SSSP result —
+    bounded driver reduce of one (vertex, dist) candidate per block."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64()).to_numpy()
+        d = t["value"].to_numpy()
+        fin = np.isfinite(d)
+        if not fin.any():
+            return pa.table(
+                {"vertex": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+            )
+        dd = d[fin].astype(np.int64)
+        vv = v[fin]
+        mx = int(dd.max())
+        return pa.table(
+            {
+                "vertex": pa.array([int(vv[dd == mx].min())], pa.int64()),
+                "dist": pa.array([mx], pa.int64()),
+            }
+        )
+
+    rows = res.map_batches(partial, batch_format="pyarrow").take_all()
+    mx = max(r["dist"] for r in rows)
+    return min(r["vertex"] for r in rows if r["dist"] == mx), mx
+
+
+def q_graph_diameter(sf_dir: str):
+    """Double-sweep BFS diameter lower bound (Magnien-Latapy-Habib):
+    BFS from the minimum vertex, re-BFS from its farthest reachable
+    vertex (ties -> lowest id), report that sweep's eccentricity —
+    within the first BFS's component this equals the diameter on trees
+    and is a strong lower bound generally. Two engine SSSP runs (the
+    first shared with q_sssp's cache) + bounded per-block argmax
+    reduces; nothing large touches the driver."""
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    s0 = _min_vertex(sf_dir, "lineitem")
+    res1 = _run_cached(
+        sf_dir, "lineitem", "sssp", source_id=lookup_vertex_id(man, str(s0))
+    )
+    far1, ecc1 = _far_vertex(res1)
+    res2 = _run_cached(
+        sf_dir, "lineitem", "sssp", source_id=lookup_vertex_id(man, str(far1))
+    )
+    far2, diam = _far_vertex(res2)
+    return pd.DataFrame(
+        {
+            "start_vertex": [s0],
+            "sweep1_vertex": [far1],
+            "sweep2_vertex": [far2],
+            "ecc1": [ecc1],
+            "diameter_lb": [diam],
+        }
+    )
+
+
+def q_reciprocity(sf_dir: str, n_buckets: int = 16):
+    """Link reciprocity of the DIRECTED lineitem graph: the fraction
+    of directed edges whose reverse edge also exists (a standard web
+    link-graph statistic). Edges bucket by their UNDIRECTED pair key,
+    so both directions land in one bucket and the mutual test is a
+    per-bucket merge; global counts driver-reduce from per-bucket
+    partials; exact half-up e6 ratio."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    eb = edges_lineitem_directed(sf_dir)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        lo = np.minimum(s, d).astype(np.int64)
+        hi = np.maximum(s, d).astype(np.int64)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "pk": pa.array(lo * 200 + hi)}
+        )
+
+    keyed = eb.map_batches(pair_key, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fwd = set(zip(g["src"].to_numpy(), g["dst"].to_numpy()))
+        n_mut = sum((b, a) in fwd for a, b in fwd)
+        return pd.DataFrame({"n_edges": [len(fwd)], "n_mutual": [n_mut]})
+
+    parts = (
+        add_bucket(keyed, ["pk"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas")
+        .take_all()
+    )
+    n = sum(r["n_edges"] for r in parts)
+    m = sum(r["n_mutual"] for r in parts)
+    return pd.DataFrame(
+        {
+            "n_edges": [int(n)],
+            "n_mutual": [int(m)],
+            "reciprocity_e6": [(2 * m * 1_000_000 + n) // (2 * n)],
+        }
+    )
+
+
+def q_community_stats(sf_dir: str, num_iters: int = 10, n_buckets: int = 16):
+    """Community-quality statistics for the label-propagation
+    communities (shared cached LP run): per community its size, degree
+    mass, internal-edge count and the exact integer modularity
+    contribution  q_num = 2m * 2*e_c - d_c^2  (global modularity
+    Q = sum(q_num) / (2m)^2 — left rational so everything is
+    hash-exact). Labels broadcast under the dictionary limit
+    (ray.put once, read per batch); above it this becomes two bucket
+    joins on the endpoints."""
+    import ray
+
+    from ..stages.join import bucket_sum
+
+    lab_df = q_label_propagation(sf_dir).to_pandas()
+    n_vertices = len(lab_df)
+    lab_map = pd.Series(
+        lab_df["label"].to_numpy(), index=lab_df["vertex"].to_numpy()
+    )
+    lab_ref = ray.put(lab_map)
+    eb = edges_lineitem(sf_dir)
+    m_edges = eb.count()
+
+    def edge_stats(t: pa.Table) -> pa.Table:
+        lm = ray.get(lab_ref)
+        s = lm.loc[t["src"].to_numpy()].to_numpy()
+        d = lm.loc[t["dst"].to_numpy()].to_numpy()
+        lab = np.concatenate([s, d])
+        # one degree unit per endpoint; internal edge iff labels agree
+        internal = np.concatenate([(s == d).astype(np.int64), np.zeros(len(d), np.int64)])
+        return pa.table(
+            {
+                "label": pa.array(lab.astype(np.int64)),
+                "degree_sum": pa.array(np.ones(len(lab), dtype=np.int64)),
+                "internal_edges": pa.array(internal),
+            }
+        )
+
+    per = bucket_sum(
+        eb.map_batches(edge_stats, batch_format="pyarrow"),
+        ["label"],
+        ["degree_sum", "internal_edges"],
+        n_buckets,
+    )
+    sizes = (
+        lab_df.groupby("label", as_index=False)
+        .size()
+        .rename(columns={"size": "n_members"})
+    )
+    sz_ref = ray.put(pd.Series(sizes["n_members"].to_numpy(), index=sizes["label"].to_numpy()))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sz_ref)
+        lab = df["label"].astype("int64")
+        d_c = df["degree_sum"].astype("int64")
+        e_c = df["internal_edges"].astype("int64")
+        return pd.DataFrame(
+            {
+                "label": lab,
+                "n_members": sz.loc[lab.to_numpy()].to_numpy().astype(np.int64),
+                "degree_sum": d_c,
+                "internal_edges": e_c,
+                "q_num": 2 * int(m_edges) * 2 * e_c - d_c * d_c,
+            }
+        )
+
+    return per.map_batches(finish, batch_format="pandas")
+
+
 def q_closeness_sampled(sf_dir: str, n_seeds: int = 4):
     """Sampled harmonic closeness centrality: score(v) = sum over the
     n_seeds smallest seed vertices of 1e6 // (1 + hops(seed, v))
