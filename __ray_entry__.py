@@ -738,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
         "sssp_multi": T.q_sssp_multi,
+        "scc": T.q_scc,
         "graph_diameter": T.q_graph_diameter,
         "reciprocity": T.q_reciprocity,
         "community_stats": T.q_community_stats,
@@ -953,6 +954,23 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
             "SELECT id AS vertex, CASE WHEN dist >= 1e17 THEN NULL "
             "ELSE CAST(dist AS BIGINT) END AS dist FROM d WHERE it = 60"
+        ),
+        "scc": (
+            # algorithm-independent SCC semantics: scc_id(v) = min w with
+            # v ~> w and w ~> v (mutual reachability via transitive
+            # closure; UNION-recursion dedups, so it reaches fixpoint)
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT l_orderkey % 200 AS src, l_partkey % 200 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "v AS (SELECT DISTINCT id FROM "
+            "      (SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)), "
+            "r AS ( "
+            "  SELECT id AS s, id AS d FROM v "
+            "  UNION "
+            "  SELECT r.s, e.dst FROM r JOIN eb e ON e.src = r.d) "
+            "SELECT a.s::BIGINT AS vertex, min(a.d)::BIGINT AS scc_id "
+            "FROM r a JOIN r b ON b.s = a.d AND b.d = a.s "
+            "GROUP BY a.s"
         ),
         "graph_diameter": (
             # double-sweep BFS: two chained recursive BFS CTEs; sweep-2

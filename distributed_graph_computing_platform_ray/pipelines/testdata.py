@@ -405,6 +405,20 @@ def _far_vertex(res: rd.Dataset) -> tuple[int, int]:
     return min(r["vertex"] for r in rows if r["dist"] == mx), mx
 
 
+def q_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED lineitem graph
+    (scc_id = min vertex id in the component) — the web bow-tie
+    building block. Iterated forward/backward min-label intersection,
+    each round one engine CC run on the doubled two-plane graph; see
+    pipelines/scc.py."""
+    from .scc import strongly_connected_components
+
+    res = strongly_connected_components(
+        edges_lineitem_directed(sf_dir), _cache(sf_dir, "scc_work")
+    )
+    return res
+
+
 def q_graph_diameter(sf_dir: str):
     """Double-sweep BFS diameter lower bound (Magnien-Latapy-Habib):
     BFS from the minimum vertex, re-BFS from its farthest reachable
