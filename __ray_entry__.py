@@ -739,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted": T.q_sssp_weighted,
         "sssp_multi": T.q_sssp_multi,
         "scc": T.q_scc,
+        "bowtie": T.q_bowtie,
         "graph_diameter": T.q_graph_diameter,
         "reciprocity": T.q_reciprocity,
         "community_stats": T.q_community_stats,
@@ -960,8 +961,9 @@ def oracle_sql() -> dict[str, str]:
             # v ~> w and w ~> v (mutual reachability via transitive
             # closure; UNION-recursion dedups, so it reaches fixpoint)
             "WITH RECURSIVE "
-            "eb AS (SELECT DISTINCT l_orderkey % 200 AS src, l_partkey % 200 AS dst "
-            "       FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "eb AS (SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000 "
+            "       AND (l_orderkey // 2000) % 29 = 0), "
             "v AS (SELECT DISTINCT id FROM "
             "      (SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)), "
             "r AS ( "
@@ -971,6 +973,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.s::BIGINT AS vertex, min(a.d)::BIGINT AS scc_id "
             "FROM r a JOIN r b ON b.s = a.d AND b.d = a.s "
             "GROUP BY a.s"
+        ),
+        "bowtie": (
+            # Broder bow-tie from the reachability closure: core =
+            # largest SCC (ties -> min id); IN reaches core member c
+            # (= core scc_id, itself in the core); OUT reached from c
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000 "
+            "       AND (l_orderkey // 2000) % 29 = 0), "
+            "v AS (SELECT DISTINCT id FROM "
+            "      (SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)), "
+            "r AS ( "
+            "  SELECT id AS s, id AS d FROM v "
+            "  UNION "
+            "  SELECT r.s, e.dst FROM r JOIN eb e ON e.src = r.d), "
+            "scc AS (SELECT a.s AS vertex, min(a.d) AS scc_id "
+            "        FROM r a JOIN r b ON b.s = a.d AND b.d = a.s GROUP BY a.s), "
+            "core AS (SELECT scc_id FROM (SELECT scc_id, count(*) AS n FROM scc "
+            "         GROUP BY 1) ORDER BY n DESC, scc_id ASC LIMIT 1) "
+            "SELECT s.vertex::BIGINT AS vertex, "
+            "  (CASE WHEN s.scc_id = (SELECT scc_id FROM core) THEN 0 "
+            "        WHEN EXISTS (SELECT 1 FROM r WHERE r.s = s.vertex "
+            "             AND r.d = (SELECT scc_id FROM core)) THEN 1 "
+            "        WHEN EXISTS (SELECT 1 FROM r WHERE r.d = s.vertex "
+            "             AND r.s = (SELECT scc_id FROM core)) THEN 2 "
+            "        ELSE 3 END)::BIGINT AS cls "
+            "FROM scc s"
         ),
         "graph_diameter": (
             # double-sweep BFS: two chained recursive BFS CTEs; sweep-2

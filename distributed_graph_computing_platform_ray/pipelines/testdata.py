@@ -157,10 +157,42 @@ def edges_lineitem_hits(sf_dir: str) -> rd.Dataset:
     return edges_lineitem_directed(sf_dir).map_batches(double, batch_format="pyarrow")
 
 
+def edges_sparse_directed(sf_dir: str) -> rd.Dataset:
+    """A SPARSE directed graph (2000-id universe, rows thinned by a
+    deterministic orderkey predicate) whose SCC structure is
+    non-degenerate at every test sf — many non-trivial SCCs plus
+    IN/OUT periphery — unlike the dense mod-200 graph, which collapses
+    into one giant SCC (a vacuous check for scc/bowtie)."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        x = ok % 2000
+        y = t["l_partkey"].to_numpy().astype(np.int64) % 2000
+        keep = (x != y) & ((ok // 2000) % 29 == 0)
+        return pa.table({"src": pa.array(x[keep]), "dst": pa.array(y[keep])})
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
+
+
+def edges_sparse_directed_rev(sf_dir: str) -> rd.Dataset:
+    """The sparse directed graph with every edge reversed (backward
+    reachability runs — bow-tie IN side)."""
+
+    def flip(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    return edges_sparse_directed(sf_dir).map_batches(flip, batch_format="pyarrow")
+
+
 _DERIVATIONS = {
     "lineitem": (edges_lineitem, True),
     "orders": (edges_orders, True),
     "lineitem_directed": (edges_lineitem_directed, False),
+    "sparse_directed": (edges_sparse_directed, False),
+    "sparse_directed_rev": (edges_sparse_directed_rev, False),
     "lineitem_hits": (edges_lineitem_hits, False),
 }
 
@@ -414,9 +446,114 @@ def q_scc(sf_dir: str):
     from .scc import strongly_connected_components
 
     res = strongly_connected_components(
-        edges_lineitem_directed(sf_dir), _cache(sf_dir, "scc_work")
+        edges_sparse_directed(sf_dir), _cache(sf_dir, "scc_work")
     )
     return res
+
+
+def q_bowtie(sf_dir: str):
+    """Web bow-tie decomposition (Broder et al. 2000) of the directed
+    lineitem graph: cls 0 = CORE (largest SCC, ties -> min scc_id),
+    1 = IN (reaches the core), 2 = OUT (reached from the core),
+    3 = OTHER (tendrils/disconnected).
+
+    Because scc_id = min member id, the single vertex c = core's
+    scc_id stands in for the whole core: v reaches the core iff v
+    reaches c, so IN/OUT need just TWO single-source BFS runs (forward
+    + reversed graph) instead of a giant-seed multi-source broadcast.
+    Class merge is a tagged union + one bucket_sum — per-vertex rows
+    never sit on the driver; only the per-block argmax candidates do."""
+    from ..stages.join import bucket_sum
+    from .graph import lookup_vertex_id
+
+    scc_ds = q_scc(sf_dir).materialize()
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"scc_id": t["scc_id"], "n": pa.array(np.ones(len(t), np.int64))}
+        )
+
+    sizes = bucket_sum(
+        scc_ds.map_batches(size_rows, batch_format="pyarrow"), ["scc_id"], ["n"], 16
+    )
+
+    def best(t: pa.Table) -> pa.Table:
+        sid = t["scc_id"].to_numpy()
+        n = t["n"].to_numpy()
+        if len(n) == 0:
+            return pa.table(
+                {"scc_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        mx = n.max()
+        return pa.table(
+            {
+                "scc_id": pa.array([int(sid[n == mx].min())], pa.int64()),
+                "n": pa.array([int(mx)], pa.int64()),
+            }
+        )
+
+    cands = sizes.map_batches(best, batch_format="pyarrow").take_all()
+    mx = max(r["n"] for r in cands)
+    core_id = min(r["scc_id"] for r in cands if r["n"] == mx)
+
+    man_f = GraphManifest.load(_graph_for(sf_dir, "sparse_directed"))
+    fwd = _run_cached(
+        sf_dir, "sparse_directed", "sssp",
+        source_id=lookup_vertex_id(man_f, str(core_id)),
+    )
+    man_r = GraphManifest.load(_graph_for(sf_dir, "sparse_directed_rev"))
+    rev = _run_cached(
+        sf_dir, "sparse_directed_rev", "sssp",
+        source_id=lookup_vertex_id(man_r, str(core_id)),
+    )
+
+    def tag_scc(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64()).to_numpy()
+        z = np.zeros(len(v), np.int64)
+        return pa.table(
+            {
+                "vertex": pa.array(v),
+                "is_core": pa.array(
+                    (t["scc_id"].to_numpy() == core_id).astype(np.int64)
+                ),
+                "fin_fwd": pa.array(z),
+                "fin_rev": pa.array(z),
+            }
+        )
+
+    def tag_bfs(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            v = t["vertex"].cast(pa.int64()).to_numpy()
+            fin = np.isfinite(t["value"].to_numpy()).astype(np.int64)
+            z = np.zeros(len(v), np.int64)
+            return pa.table(
+                {
+                    "vertex": pa.array(v),
+                    "is_core": pa.array(z),
+                    "fin_fwd": pa.array(fin if col == "fin_fwd" else z),
+                    "fin_rev": pa.array(fin if col == "fin_rev" else z),
+                }
+            )
+
+        return f
+
+    tagged = (
+        scc_ds.map_batches(tag_scc, batch_format="pyarrow")
+        .union(fwd.map_batches(tag_bfs("fin_fwd"), batch_format="pyarrow"))
+        .union(rev.map_batches(tag_bfs("fin_rev"), batch_format="pyarrow"))
+    )
+    merged = bucket_sum(tagged, ["vertex"], ["is_core", "fin_fwd", "fin_rev"], 16)
+
+    def classify(t: pa.Table) -> pa.Table:
+        core = t["is_core"].to_numpy() > 0
+        fin_f = t["fin_fwd"].to_numpy() > 0
+        fin_r = t["fin_rev"].to_numpy() > 0
+        cls = np.where(core, 0, np.where(fin_r, 1, np.where(fin_f, 2, 3)))
+        return pa.table(
+            {"vertex": t["vertex"], "cls": pa.array(cls.astype(np.int64))}
+        )
+
+    return merged.map_batches(classify, batch_format="pyarrow")
 
 
 def q_graph_diameter(sf_dir: str):
