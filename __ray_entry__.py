@@ -766,6 +766,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
         "events_sessionize": T.q_events_sessionize,
+        "events_latest": T.q_events_latest,
+        "events_deltas": T.q_events_deltas,
+        "orders_left_join": T.q_orders_left_join,
+        "lineitem_antijoin": T.q_lineitem_antijoin,
+        "doc_sample_stratified": T.q_doc_sample_stratified,
+        "clustering_coeff": T.q_clustering_coeff,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1233,6 +1239,58 @@ def oracle_sql() -> dict[str, str]:
             f"hh AS (SELECT xor(item, j::UBIGINT) AS x, {_splitmix_cols('x', 'h')} "
             "        FROM it CROSS JOIN jj) "
             "SELECT DISTINCT (h % 4096)::BIGINT AS pos FROM hh"
+        ),
+        "events_latest": (
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type "
+            "FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "        ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "events_deltas": (
+            "WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) "
+            "SELECT event_id, user_id, "
+            "COALESCE(ts_us - LAG(ts_us) OVER (PARTITION BY user_id "
+            "         ORDER BY ts_us, event_id), -1) AS delta_us FROM t"
+        ),
+        "orders_left_join": (
+            "SELECT o.o_orderkey, o.o_custkey, "
+            "COALESCE(c.c_nationkey, -1)::BIGINT AS nation "
+            "FROM orders o LEFT JOIN "
+            "(SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000) c "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+        "lineitem_antijoin": (
+            "SELECT l_orderkey, count(*)::BIGINT AS n_items FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders "
+            "                         WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY 1"
+        ),
+        "doc_sample_stratified": (
+            f"WITH ss AS (SELECT lang, n_chars, {_splitmix_cols('doc_id::UBIGINT', 'h')} "
+            "            FROM documents), "
+            "f AS (SELECT lang, n_chars FROM ss WHERE h % 1000 < "
+            "      CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 "
+            "           WHEN 'es' THEN 250 WHEN 'zh' THEN 125 ELSE 125 END) "
+            "SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars "
+            "FROM f GROUP BY 1"
+        ),
+        "clustering_coeff": (
+            f"WITH {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT src AS vertex, count(*) AS d FROM es2 GROUP BY 1), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "        FROM u e1 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "        JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "tv AS (SELECT vertex, count(*) AS t FROM ( "
+            "       SELECT x AS vertex FROM tri UNION ALL SELECT y FROM tri "
+            "       UNION ALL SELECT z FROM tri) GROUP BY vertex) "
+            "SELECT deg.vertex::BIGINT AS vertex, deg.d::BIGINT AS degree, "
+            "COALESCE(tv.t, 0)::BIGINT AS triangles, "
+            "(CASE WHEN deg.d >= 2 THEN "
+            " (4 * COALESCE(tv.t, 0) * 1000000 + deg.d * (deg.d - 1)) "
+            " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
+            "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
         ),
         "events_sample": (
             f"WITH ss AS (SELECT event_type, value, {_splitmix_cols('event_id::UBIGINT', 'h')} "

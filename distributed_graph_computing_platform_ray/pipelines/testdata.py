@@ -1275,6 +1275,256 @@ def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
     )
 
 
+def q_events_latest(sf_dir: str):
+    """Keep-newest-per-key dedup (the CDX-style 'latest crawl of each
+    url' primitive): per user the single most recent event, ties on ts
+    broken by highest event_id. One user-bucket shuffle, vectorized
+    per-bucket tail-of-sorted — a key's rows all share a bucket, so
+    the argmax never crosses workers."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": _ts_us(df["ts"]),
+                "event_type": df["event_type"],
+            }
+        )
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        out = g.groupby("user_id", as_index=False).tail(1)
+        return out[["user_id", "event_id", "ts_us", "event_type"]]
+
+    ds = _table(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    return (
+        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
+        .groupby(_BUCKET)
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
+def q_events_deltas(sf_dir: str):
+    """Per-user inter-arrival deltas (LAG window): events ordered by
+    (ts, event_id) within each user; delta_us to the previous event,
+    -1 for each user's first. Same user-bucket shuffle as sessionize;
+    the shift is one vectorized groupby-shift per bucket."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": _ts_us(df["ts"]),
+            }
+        )
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        prev = g.groupby("user_id")["ts_us"].shift(1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "delta_us": (g["ts_us"] - prev).fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+
+    ds = _table(sf_dir, "events", ["user_id", "event_id", "ts"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    return (
+        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
+        .groupby(_BUCKET)
+        .map_groups(deltas, batch_format="pandas")
+    )
+
+
+def q_orders_left_join(sf_dir: str, min_acctbal: float = 5000.0):
+    """Broadcast LEFT OUTER join: every order, annotated with its
+    customer's nation when the customer is 'rich' (acctbal above the
+    threshold), else -1. The build side (filtered customer key->nation
+    map) ships once via ray.put as two sorted arrays; probe is a
+    vectorized searchsorted per batch — no shuffle. Above the
+    broadcast limit this becomes stages.join.bucket_join with a
+    fill-null finish."""
+    cust = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    rich = cust[cust["c_acctbal"] > min_acctbal].sort_values("c_custkey")
+    keys = rich["c_custkey"].to_numpy().astype(np.int64)
+    vals = rich["c_nationkey"].to_numpy().astype(np.int64)
+    side = ray.put((keys, vals))
+
+    def probe(t: pa.Table) -> pa.Table:
+        k, v = ray.get(side)
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        nation = np.full(len(ck), -1, dtype=np.int64)
+        if len(k):
+            pos_c = np.minimum(np.searchsorted(k, ck), len(k) - 1)
+            hit = k[pos_c] == ck
+            nation[hit] = v[pos_c[hit]]
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_custkey": pa.array(ck),
+                "nation": pa.array(nation),
+            }
+        )
+
+    return _table(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
+def q_lineitem_antijoin(sf_dir: str):
+    """Broadcast ANTI join + aggregate: items per order for orders
+    that are NOT urgent. The exclusion key set is collected from
+    per-block distinct partials (bounded by priority selectivity; at
+    100 TB the broadcast side becomes a Bloom filter with a verify
+    pass); probe is ~np.isin per batch, then one bucket_sum."""
+    from ..stages.join import bucket_sum
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        m = pc2.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"k": pc2.unique(t.filter(m)["o_orderkey"].cast(pa.int64()))})
+
+    parts = (
+        _table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(urgent_keys, batch_format="pyarrow")
+        .take_all()
+    )
+    excl = np.unique(np.array([r["k"] for r in parts], dtype=np.int64))
+    excl_ref = ray.put(excl)
+
+    def anti_count(t: pa.Table) -> pa.Table:
+        ex = ray.get(excl_ref)
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        keep = ok[~np.isin(ok, ex)]
+        u, c = np.unique(keep, return_counts=True)
+        return pa.table(
+            {"l_orderkey": pa.array(u), "n_items": pa.array(c.astype(np.int64))}
+        )
+
+    ds = _table(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        anti_count, batch_format="pyarrow"
+    )
+    agg = bucket_sum(ds, ["l_orderkey"], ["n_items"], n_buckets=16)
+    return agg.map_batches(
+        lambda df: df.astype({"l_orderkey": "int64", "n_items": "int64"}),
+        batch_format="pandas",
+    )
+
+
+_STRATA_PERMILLE = {"en": 500, "fr": 250, "es": 250, "zh": 125}  # else 125
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling: per-language keep rates
+    (splitmix64(doc_id) % 1000 under the language's permille
+    threshold — counter-based, parallelism-independent), verified by
+    the per-stratum count + char mass of the sample. The shape of
+    'downsample English, keep the tail languages' in corpus curation."""
+    from ..stages.join import bucket_sum
+    from ..utils import splitmix64
+
+    def samp(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.uint64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        thr = np.array(
+            [_STRATA_PERMILLE.get(lg, 125) for lg in lang], dtype=np.uint64
+        )
+        keep = (splitmix64(did) % np.uint64(1000)) < thr
+        df = pd.DataFrame(
+            {
+                "lang": lang[keep],
+                "n": 1,
+                "sum_chars": t["n_chars"].to_numpy()[keep],
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    ds = _table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        samp, batch_format="pyarrow"
+    )
+    agg = bucket_sum(ds, ["lang"], ["n", "sum_chars"], n_buckets=8)
+    return agg.map_batches(
+        lambda df: df.astype({"n": "int64", "sum_chars": "int64"}),
+        batch_format="pandas",
+    )
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Per-vertex local clustering coefficient of the orders graph:
+    cc(v) = 2*T(v) / (d(v)*(d(v)-1)), exact half-up e6 integers.
+    Reuses the degree-oriented triangle counter and the CSR shard
+    degrees; the (degree, triangles) families merge by tagged union +
+    one bucket_sum — no per-vertex driver rows."""
+    from ..stages.join import bucket_sum
+
+    _, per = triangle_count(edges_orders(sf_dir), n_buckets=32, per_vertex=True)
+    gdir = _graph_for(sf_dir, "orders")
+    man = GraphManifest.load(gdir)
+
+    def shard_degrees(t: pa.Table) -> pa.Table:
+        outs_v, outs_d = [], []
+        for p in t["id"].to_numpy():
+            shard = load_shard(man, int(p))
+            keys = load_vertex_keys(man, int(p))
+            outs_v.append(keys.astype(np.int64))
+            outs_d.append(shard.degrees().astype(np.int64))
+        v = np.concatenate(outs_v) if outs_v else np.array([], np.int64)
+        d = np.concatenate(outs_d) if outs_d else np.array([], np.int64)
+        return pa.table(
+            {
+                "vertex": pa.array(v),
+                "degree": pa.array(d),
+                "triangles": pa.array(np.zeros(len(v), np.int64)),
+            }
+        )
+
+    degs = rd.range(man.n_parts).map_batches(shard_degrees, batch_format="pyarrow")
+
+    def tag_tri(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": t["vertex"].cast(pa.int64()),
+                "degree": pa.array(np.zeros(len(t), np.int64)),
+                "triangles": t["triangles"].cast(pa.int64()),
+            }
+        )
+
+    merged = bucket_sum(
+        degs.union(per.map_batches(tag_tri, batch_format="pyarrow")),
+        ["vertex"],
+        ["degree", "triangles"],
+        n_buckets=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy().astype(np.int64)
+        tr = t["triangles"].to_numpy().astype(np.int64)
+        dd = d * (d - 1)
+        cc = np.where(dd > 0, (2 * (2 * tr) * 1_000_000 + dd) // np.maximum(2 * dd, 1), 0)
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "degree": pa.array(d),
+                "triangles": pa.array(tr),
+                "cc_e6": pa.array(cc.astype(np.int64)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle; verified in pytest)
 
