@@ -772,6 +772,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_antijoin": T.q_lineitem_antijoin,
         "doc_sample_stratified": T.q_doc_sample_stratified,
         "clustering_coeff": T.q_clustering_coeff,
+        "events_pivot": T.q_events_pivot,
+        "orders_full_join": T.q_orders_full_join,
+        "vocab_build": T.q_vocab_build,
+        "doc_bigram_lm": T.q_doc_bigram_lm,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1291,6 +1295,49 @@ def oracle_sql() -> dict[str, str]:
             " (4 * COALESCE(tv.t, 0) * 1000000 + deg.d * (deg.d - 1)) "
             " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "orders_full_join": (
+            "SELECT COALESCE(o.o_custkey, c.c_custkey)::BIGINT AS custkey, "
+            "COALESCE(o.o_orderkey, -1)::BIGINT AS o_orderkey, "
+            "COALESCE(CAST(ROUND(c.c_acctbal * 100) AS BIGINT), -1) AS acctbal_e2 "
+            "FROM (SELECT o_orderkey, o_custkey FROM orders "
+            "      WHERE o_orderpriority = '1-URGENT') o "
+            "FULL OUTER JOIN "
+            "(SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+        "vocab_build": (
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            "             unnest(string_split(text, ' ')) AS term FROM documents), "
+            "dfs AS (SELECT term, count(*) AS df FROM tok "
+            "        WHERE term <> '' GROUP BY 1) "
+            "SELECT term, df::BIGINT AS df, "
+            "row_number() OVER (ORDER BY df DESC, term)::BIGINT AS id FROM dfs"
+        ),
+        "doc_bigram_lm": (
+            "WITH tok AS (SELECT doc_id, "
+            "             unnest(string_split(text, ' ')) AS term, "
+            "             generate_subscripts(string_split(text, ' '), 1) AS pos "
+            "             FROM documents), "
+            "bg AS (SELECT a.doc_id, a.term AS x, b.term AS y FROM tok a "
+            "       JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+            "c2 AS (SELECT x, y, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+            "c1 AS (SELECT x, sum(c2) AS c1 FROM c2 GROUP BY 1), "
+            "p AS (SELECT c2.x, c2.y, (c2.c2 * 1000000) // c1.c1 AS p_e6 "
+            "      FROM c2 JOIN c1 ON c1.x = c2.x) "
+            "SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams, "
+            "sum(p.p_e6)::BIGINT AS lm_e6 "
+            "FROM bg JOIN p ON p.x = bg.x AND p.y = bg.y "
+            "GROUP BY bg.doc_id"
         ),
         "events_sample": (
             f"WITH ss AS (SELECT event_type, value, {_splitmix_cols('event_id::UBIGINT', 'h')} "

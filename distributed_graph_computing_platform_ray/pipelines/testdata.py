@@ -2808,3 +2808,243 @@ def q_domain_pagerank(sf_dir: str, n: int = 2000, n_buckets: int = 32):
         .sort(["score_e8", "vertex"], descending=[True, False])
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / full-outer-join / vocabulary / n-gram LM family
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT: per-user event counts spread into one column per event
+    type (the fixed-domain crosstab every feature-engineering pipeline
+    ends with). Per-batch partial pivot (vectorized crosstab — the
+    combiner) then ONE bucket_sum on user_id: shuffle traffic is
+    n_users x n_types ints, never the raw events."""
+    from ..stages.join import bucket_sum
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.crosstab(df["user_id"].astype("int64"), df["event_type"])
+        d = d.reindex(columns=list(_EVENT_TYPES), fill_value=0).reset_index()
+        d.columns = ["user_id"] + cols
+        return d
+
+    ds = _table(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = bucket_sum(ds, ["user_id"], cols, n_buckets=16)
+    return agg.map_batches(
+        lambda df: df.astype({c: "int64" for c in ["user_id", *cols]}),
+        batch_format="pandas",
+    )
+
+
+def q_orders_full_join(sf_dir: str, min_acctbal: float = 5000.0):
+    """FULL OUTER shuffle join (completes the join family: inner /
+    left / semi / anti / asof / range are elsewhere): urgent orders vs
+    rich customers on custkey, keeping unmatched rows from BOTH sides
+    (-1 fills). Tagged-union one-shuffle hash join — same plan as
+    stages.join.bucket_join, written with explicit int fills because
+    outer-merge NaN padding would silently float-cast the keys."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        t = t.filter(pc2.equal(t["o_orderpriority"], "1-URGENT"))
+        n = t.num_rows
+        return pa.table(
+            {
+                "custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "acctbal_e2": pa.array(np.zeros(n, np.int64)),
+                "__side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        t = t.filter(pc2.greater(t["c_acctbal"], min_acctbal))
+        n = t.num_rows
+        return pa.table(
+            {
+                "custkey": t["c_custkey"].cast(pa.int64()),
+                "o_orderkey": pa.array(np.zeros(n, np.int64)),
+                "acctbal_e2": pc.round(pc.multiply(t["c_acctbal"], 1e2)).cast(pa.int64()),
+                "__side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"]).map_batches(
+        ord_side, batch_format="pyarrow"
+    )
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        cust_side, batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][["custkey", "o_orderkey"]]
+        r = g[g["__side"] == 1][["custkey", "acctbal_e2"]]
+        out = l.merge(r, on="custkey", how="outer")
+        return pd.DataFrame(
+            {
+                "custkey": out["custkey"].astype("int64"),
+                "o_orderkey": out["o_orderkey"].fillna(-1).astype("int64"),
+                "acctbal_e2": out["acctbal_e2"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return (
+        add_bucket(orders.union(cust), ["custkey"], 32)
+        .groupby(_BUCKET)
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def q_vocab_build(sf_dir: str, min_df: int = 1):
+    """Vocabulary construction with GLOBAL frequency-ranked ids (the
+    word->id dictionary step of classic tokenizer training): term df
+    (documents containing the term), id = dense rank by (df desc,
+    term asc). Rank is distributed doc_pack-style: partition the df
+    table BY df VALUE, drive an exclusive cumsum over the (tiny)
+    per-df-value counts, then each df-group sorts its own terms and
+    adds its offset — no global sort materialization, driver traffic
+    is one row per DISTINCT df value."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    def doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        # one row per doc => per-row unique() IS the per-doc distinct
+        ex = df["text"].astype(str).str.split().apply(lambda xs: sorted(set(xs)))
+        c = ex.explode().value_counts()
+        return pd.DataFrame({"term": c.index.astype(str), "df": c.to_numpy().astype("int64")})
+
+    dfs = bucket_sum(
+        _table(sf_dir, "documents", ["text"]).map_batches(doc_terms, batch_format="pandas"),
+        ["term"],
+        ["df"],
+        n_buckets=16,
+    ).materialize()  # feeds the per-df histogram AND the rank pass
+
+    hist = (
+        bucket_sum(
+            dfs.map_batches(
+                lambda d: pd.DataFrame({"df": d["df"].astype("int64"), "n": 1}),
+                batch_format="pandas",
+            ),
+            ["df"],
+            ["n"],
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("df", ascending=False)
+    )
+    offs = dict(
+        zip(
+            hist["df"].astype(int),
+            np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]]).astype(np.int64),
+        )
+    )
+    offs_ref = ray.put(offs)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(offs_ref)
+        outs = []
+        for dfv, grp in g.groupby("df", sort=False):
+            grp = grp.sort_values("term", kind="stable")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term": grp["term"].to_numpy(),
+                        "df": grp["df"].astype("int64").to_numpy(),
+                        "id": (np.arange(len(grp), dtype=np.int64) + 1 + int(o[int(dfv)])),
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {"term": pd.Series([], dtype="str"), "df": pd.Series([], dtype="int64"),
+             "id": pd.Series([], dtype="int64")}
+        )
+
+    vocab = (
+        add_bucket(dfs, ["df"], 8).groupby(_BUCKET).map_groups(rank, batch_format="pandas")
+    )
+    if min_df > 1:
+        vocab = vocab.filter(lambda r: r["df"] >= min_df)
+    return vocab
+
+
+def q_doc_bigram_lm(sf_dir: str):
+    """Corpus n-gram language-model scoring (the perplexity-style
+    quality filter of LLM curation, integer-exact): corpus bigram
+    conditional 'probabilities' p(b|a) = count(a,b)*1e6 // count(a,*),
+    each document scored by the sum over its bigram OCCURRENCES.
+    Pass 1 builds the bigram stat table with per-batch partial counts
+    + one bucket_sum; the table (vocab^2-bounded, top-K-truncated at
+    real scale) broadcasts once via ray.put; pass 2 is a vectorized
+    per-batch lookup (token->idx searchsorted, bigram key = ia*V+ib).
+    No shuffle touches the documents themselves."""
+    from ..stages.join import bucket_sum
+
+    def partial_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict[tuple[str, str], int] = {}
+        for txt in df["text"].astype(str):
+            toks = txt.split()
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        if not cnt:
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype="str"), "y": pd.Series([], dtype="str"),
+                 "c2": pd.Series([], dtype="int64")}
+            )
+        ks = list(cnt)
+        return pd.DataFrame(
+            {"x": [k[0] for k in ks], "y": [k[1] for k in ks],
+             "c2": np.fromiter(cnt.values(), dtype=np.int64)}
+        )
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    stats = bucket_sum(
+        docs.map_batches(partial_bigrams, batch_format="pandas"),
+        ["x", "y"],
+        ["c2"],
+        n_buckets=16,
+    ).to_pandas()
+
+    terms = np.array(sorted(set(stats["x"]) | set(stats["y"])))
+    V = np.int64(len(terms))
+    ix = np.searchsorted(terms, stats["x"].to_numpy())
+    iy = np.searchsorted(terms, stats["y"].to_numpy())
+    key = ix.astype(np.int64) * V + iy
+    order = np.argsort(key)
+    key_s = key[order]
+    c2_s = stats["c2"].to_numpy().astype(np.int64)[order]
+    c1 = np.bincount(ix, weights=stats["c2"].to_numpy(), minlength=int(V)).astype(np.int64)
+    p_e6 = (c2_s * 1_000_000) // c1[(key_s // V).astype(np.int64)]
+    side = ray.put((terms, key_s, p_e6))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tm, ks, pe = ray.get(side)
+        Vl = np.int64(len(tm))
+        dids, nbg, sc = [], [], []
+        for did, txt in zip(df["doc_id"].astype("int64"), df["text"].astype(str)):
+            toks = np.array(txt.split())
+            if len(toks) < 2:
+                dids.append(did); nbg.append(0); sc.append(0)
+                continue
+            ti = np.searchsorted(tm, toks)
+            bk = ti[:-1].astype(np.int64) * Vl + ti[1:]
+            pos = np.searchsorted(ks, bk)
+            dids.append(did)
+            nbg.append(len(bk))
+            sc.append(int(pe[pos].sum()))
+        return pd.DataFrame(
+            {"doc_id": np.array(dids, np.int64), "n_bigrams": np.array(nbg, np.int64),
+             "lm_e6": np.array(sc, np.int64)}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
