@@ -776,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_full_join": T.q_orders_full_join,
         "vocab_build": T.q_vocab_build,
         "doc_bigram_lm": T.q_doc_bigram_lm,
+        "link_prediction": T.q_link_prediction,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1295,6 +1296,22 @@ def oracle_sql() -> dict[str, str]:
             " (4 * COALESCE(tv.t, 0) * 1000000 + deg.d * (deg.d - 1)) "
             " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
+        ),
+        "link_prediction": (
+            f"WITH {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT src AS v, count(*) AS d FROM es2 GROUP BY 1), "
+            "w AS (SELECT e1.dst AS a, e2.dst AS b, e1.src AS c FROM es2 e1 "
+            "      JOIN es2 e2 ON e2.src = e1.src AND e2.dst > e1.dst), "
+            "sc AS (SELECT w.a, w.b, count(*) AS cn, "
+            "       sum(1000000 // deg.d) AS ra_e6 FROM w "
+            "       JOIN deg ON deg.v = w.c GROUP BY 1, 2), "
+            "na AS (SELECT sc.* FROM sc LEFT JOIN u "
+            "       ON u.a = sc.a AND u.b = sc.b WHERE u.a IS NULL) "
+            "SELECT a::BIGINT AS a, b::BIGINT AS b, cn::BIGINT AS cn, "
+            "ra_e6::BIGINT AS ra_e6 FROM na "
+            "ORDER BY ra_e6 DESC, cn DESC, a, b LIMIT 100"
         ),
         "events_pivot": (
             "SELECT user_id, "

@@ -3048,3 +3048,114 @@ def q_doc_bigram_lm(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def q_link_prediction(sf_dir: str, k: int = 100):
+    """LINK PREDICTION on the orders graph: for every NON-adjacent
+    vertex pair with >=1 common neighbor, common-neighbor count and
+    the resource-allocation index RA = sum over common neighbors w of
+    1/deg(w) (Zhou et al. 2009), integer-exact as 1e6//deg; top-k by
+    (ra_e6, cn, pair) total order. Wedge enumeration at each CENTER
+    over its full neighborhood (per-bucket vectorized pair expansion),
+    per-pair scores merged by ONE bucket_sum; adjacency test is a
+    broadcast sorted-key searchsorted. Scale path: cap center degree
+    at D (hubs contribute 1e6//deg ~ 0 to RA) and shuffle the
+    adjacency filter above the broadcast edge limit."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+    from .triangles import _SHIFT, canonical_edges
+
+    simple = canonical_edges(edges_orders(sf_dir)).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    es2 = simple.map_batches(both_dirs, batch_format="pyarrow")
+
+    # simple-graph degrees, broadcast (|V| bounded; bucket-join fallback
+    # above BROADCAST_DEG_LIMIT as in triangles)
+    dp = (
+        bucket_sum(
+            es2.map_batches(
+                lambda t: pa.table({"v": t["src"], "one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow",
+            ),
+            ["v"],
+            ["one"],
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    deg_ref = ray.put((dp["v"].to_numpy().astype(np.int64), dp["one"].to_numpy().astype(np.int64)))
+    ekeys = np.sort(
+        (simple.to_pandas()["src"].to_numpy().astype(np.int64) * _SHIFT)
+        + simple.to_pandas()["dst"].to_numpy().astype(np.int64)
+    )
+    ekeys_ref = ray.put(ekeys)
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vs, ds = ray.get(deg_ref)
+        g = g.sort_values(["src", "dst"], kind="stable")
+        src = g["src"].to_numpy().astype(np.int64)
+        dst = g["dst"].to_numpy().astype(np.int64)
+        bounds = np.flatnonzero(np.diff(src)) + 1
+        out_a, out_b, out_ra = [], [], []
+        for nbrs, w in zip(np.split(dst, bounds), src[np.concatenate([[0], bounds])]):
+            n = len(nbrs)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            out_a.append(nbrs[i])
+            out_b.append(nbrs[j])
+            dw = ds[np.searchsorted(vs, w)]
+            out_ra.append(np.full(len(i), 1_000_000 // int(dw), dtype=np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "cn": pd.Series([], dtype="int64"), "ra_e6": pd.Series([], dtype="int64")}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        ra = np.concatenate(out_ra)
+        # per-bucket pair combiner before the shuffle
+        key = a * _SHIFT + b
+        o = np.argsort(key, kind="stable")
+        key_s, ra_s = key[o], ra[o]
+        uq, idx = np.unique(key_s, return_index=True)
+        cn = np.diff(np.concatenate([idx, [len(key_s)]])).astype(np.int64)
+        ra_sum = np.add.reduceat(ra_s, idx).astype(np.int64)
+        return pd.DataFrame(
+            {"a": (uq // _SHIFT).astype(np.int64), "b": (uq % _SHIFT).astype(np.int64),
+             "cn": cn, "ra_e6": ra_sum}
+        )
+
+    pairs = (
+        add_bucket(es2, ["src"], 16)
+        .groupby(_BUCKET)
+        .map_groups(wedge_pairs, batch_format="pandas")
+    )
+    scored = bucket_sum(pairs, ["a", "b"], ["cn", "ra_e6"], n_buckets=32)
+
+    def drop_adjacent(df: pd.DataFrame) -> pd.DataFrame:
+        ek = ray.get(ekeys_ref)
+        key = df["a"].to_numpy().astype(np.int64) * _SHIFT + df["b"].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(ek, key), max(len(ek) - 1, 0))
+        keep = ek[pos] != key if len(ek) else np.ones(len(key), bool)
+        out = df[keep]
+        return pd.DataFrame(
+            {"a": out["a"].astype("int64"), "b": out["b"].astype("int64"),
+             "cn": out["cn"].astype("int64"), "ra_e6": out["ra_e6"].astype("int64")}
+        )
+
+    return (
+        scored.map_batches(drop_adjacent, batch_format="pandas")
+        .sort(["ra_e6", "cn", "a", "b"], descending=[True, True, False, False])
+        .limit(k)
+    )
