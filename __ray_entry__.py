@@ -777,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_build": T.q_vocab_build,
         "doc_bigram_lm": T.q_doc_bigram_lm,
         "link_prediction": T.q_link_prediction,
+        "bipartite_check": T.q_bipartite_check,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1296,6 +1297,30 @@ def oracle_sql() -> dict[str, str]:
             " (4 * COALESCE(tv.t, 0) * 1000000 + deg.d * (deg.d - 1)) "
             " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
+        ),
+        "bipartite_check": (
+            f"WITH RECURSIVE {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "v AS (SELECT DISTINCT src AS id FROM es2), "
+            "relax AS (SELECT src, dst FROM es2 UNION ALL SELECT id, id FROM v), "
+            "c AS (SELECT 0 AS it, id, id AS lab FROM v "
+            "      UNION ALL SELECT p.it + 1, r.dst, MIN(p.lab) FROM c p "
+            "      JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst), "
+            "m AS (SELECT DISTINCT lab AS s FROM c WHERE it = 60), "
+            "relaxw AS (SELECT src, dst, 1 AS w FROM es2 "
+            "           UNION ALL SELECT id, id, 0 FROM v), "
+            "d AS (SELECT 0 AS it, id, CASE WHEN id IN (SELECT s FROM m) "
+            "      THEN 0 ELSE 1000000 END AS dist FROM v "
+            "      UNION ALL SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d p "
+            "      JOIN relaxw r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst), "
+            "par AS (SELECT id, dist, dist % 2 AS parity FROM d WHERE it = 60), "
+            "conf AS (SELECT e.src AS id, count(*) AS k FROM es2 e "
+            "         JOIN par p1 ON p1.id = e.src JOIN par p2 ON p2.id = e.dst "
+            "         WHERE p1.parity = p2.parity GROUP BY 1) "
+            "SELECT par.id::BIGINT AS vertex, par.dist::BIGINT AS dist, "
+            "par.parity::BIGINT AS parity, COALESCE(conf.k, 0)::BIGINT AS conflicts "
+            "FROM par LEFT JOIN conf ON conf.id = par.id"
         ),
         "link_prediction": (
             f"WITH {_U_ORDERS}, "

@@ -3159,3 +3159,83 @@ def q_link_prediction(sf_dir: str, k: int = 100):
         .sort(["ra_e6", "cn", "a", "b"], descending=[True, True, False, False])
         .limit(k)
     )
+
+
+def q_bipartite_check(sf_dir: str):
+    """Bipartiteness test / BFS 2-coloring of the orders graph: each
+    vertex's hop distance from its COMPONENT MINIMUM (canonical
+    multi-source BFS layering — sources are the per-component min ids
+    from the engine's own CC run), parity = dist % 2, and conflicts =
+    incident edges whose endpoints share a parity class (all zero iff
+    the graph is bipartite; the triangle-rich orders graph is not, so
+    the output is non-degenerate). Three engine stages chained: CC ->
+    multi-source BFS -> one tagged-union bucket_sum merging the parity
+    rows with per-edge conflict partials. The parity table broadcasts
+    (|V| ids + dists, same bound as triangles' degree broadcast);
+    above that it becomes two bucket joins on the edge endpoints."""
+    from ..stages.join import bucket_sum
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "orders")
+    man = GraphManifest.load(gdir)
+
+    cc = _run_cached(sf_dir, "orders", "cc")
+    labs = (
+        cc.map_batches(
+            lambda t: pa.table({"lab": pc.unique(t["value"].cast(pa.int64()))}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["lab"]
+        .unique()
+    )
+    sids = tuple(sorted(lookup_vertex_id(man, str(int(l))) for l in labs))
+    res = _run_cached(sf_dir, "orders", "sssp_multi", source_ids=sids)
+
+    pv = res.to_pandas()  # |V| rows: the broadcast side, not the output path
+    vs = pv["vertex"].astype("int64").to_numpy()
+    dd = pv["value"].to_numpy().astype(np.int64)  # all finite: sources cover every component
+    order = np.argsort(vs)
+    par_ref = ray.put((vs[order], dd[order] % 2))
+
+    def conflict_partial(t: pa.Table) -> pa.Table:
+        v_s, p_s = ray.get(par_ref)
+        a = t["src"].to_numpy().astype(np.int64)
+        b = t["dst"].to_numpy().astype(np.int64)
+        same = p_s[np.searchsorted(v_s, a)] == p_s[np.searchsorted(v_s, b)]
+        ends = np.concatenate([a[same], b[same]])
+        uv, uc = np.unique(ends, return_counts=True)
+        return pa.table(
+            {
+                "vertex": pa.array(uv.astype(np.int64)),
+                "dist": pa.array(np.zeros(len(uv), np.int64)),
+                "parity": pa.array(np.zeros(len(uv), np.int64)),
+                "conflicts": pa.array(uc.astype(np.int64)),
+            }
+        )
+
+    conf = edges_orders(sf_dir).map_batches(conflict_partial, batch_format="pyarrow")
+
+    def par_rows(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64()).to_numpy()
+        d = t["value"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "vertex": pa.array(v),
+                "dist": pa.array(d),
+                "parity": pa.array(d % 2),
+                "conflicts": pa.array(np.zeros(len(v), np.int64)),
+            }
+        )
+
+    merged = bucket_sum(
+        res.map_batches(par_rows, batch_format="pyarrow").union(conf),
+        ["vertex"],
+        ["dist", "parity", "conflicts"],
+        n_buckets=16,
+    )
+    return merged.map_batches(
+        lambda df: df.astype(
+            {"vertex": "int64", "dist": "int64", "parity": "int64", "conflicts": "int64"}
+        ),
+        batch_format="pandas",
+    )
