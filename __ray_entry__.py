@@ -778,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": T.q_doc_bigram_lm,
         "link_prediction": T.q_link_prediction,
         "bipartite_check": T.q_bipartite_check,
+        "stress_centrality": T.q_stress_centrality,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1297,6 +1298,36 @@ def oracle_sql() -> dict[str, str]:
             " (4 * COALESCE(tv.t, 0) * 1000000 + deg.d * (deg.d - 1)) "
             " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
+        ),
+        "stress_centrality": (
+            # walk-count recursion: HUGEINT counts stay exact for walk
+            # length <= 8 on this degree scale; the query asserts its
+            # BFS depth <= 8 so min-length walks == shortest paths here
+            f"WITH RECURSIVE {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "v AS (SELECT DISTINCT src AS id FROM es2), "
+            "seeds AS (SELECT id AS s FROM v ORDER BY id LIMIT 4), "
+            "pw AS (SELECT s, s AS vv, CAST(1 AS HUGEINT) AS cnt, 0 AS it FROM seeds "
+            "       UNION ALL SELECT pw.s, e.dst, SUM(pw.cnt), pw.it + 1 FROM pw "
+            "       JOIN es2 e ON e.src = pw.vv WHERE pw.it < 8 "
+            "       GROUP BY pw.s, e.dst, pw.it + 1), "
+            "dmin AS (SELECT s, vv, MIN(it) AS dist FROM pw GROUP BY 1, 2), "
+            "sig AS (SELECT pw.s, pw.vv, pw.cnt AS sigma FROM pw "
+            "        JOIN dmin ON dmin.s = pw.s AND dmin.vv = pw.vv "
+            "        AND dmin.dist = pw.it), "
+            "dag AS (SELECT d1.s, e.src AS uu, e.dst AS ww FROM es2 e "
+            "        JOIN dmin d1 ON d1.vv = e.src "
+            "        JOIN dmin d2 ON d2.s = d1.s AND d2.vv = e.dst "
+            "        AND d2.dist = d1.dist + 1), "
+            "pc AS (SELECT s, uu AS v0, ww FROM dag "
+            "       UNION ALL SELECT pc.s, pc.v0, e.ww FROM pc "
+            "       JOIN dag e ON e.s = pc.s AND e.uu = pc.ww), "
+            "tt AS (SELECT s, v0, count(*) AS t FROM pc GROUP BY 1, 2) "
+            "SELECT sig.vv::BIGINT AS vertex, "
+            "SUM(sig.sigma * COALESCE(tt.t, 0))::BIGINT AS stress "
+            "FROM sig LEFT JOIN tt ON tt.s = sig.s AND tt.v0 = sig.vv "
+            "WHERE sig.vv <> sig.s GROUP BY 1"
         ),
         "bipartite_check": (
             f"WITH RECURSIVE {_U_ORDERS}, "

@@ -3239,3 +3239,96 @@ def q_bipartite_check(sf_dir: str):
         ),
         batch_format="pandas",
     )
+
+
+def q_stress_centrality(sf_dir: str, n_seeds: int = 4, max_depth: int = 8):
+    """Sampled STRESS centrality (Brandes 2008 variant of betweenness
+    that stays ALL-INTEGER): stress(v) = sum over sampled sources s of
+    sigma_s(v) * t_s(v), where sigma is the shortest-path count and
+    t(v) the number of shortest-path-DAG paths starting at v — exactly
+    the number of shortest paths from s THROUGH v. Landmark
+    parallelism: one task per source runs the full forward
+    (BFS + sigma) and backward (t) passes vectorized over a
+    broadcast CSR (the random-walks pattern, same 5M-edge cap); the
+    per-source partials merge with ONE bucket_sum. Above the cap each
+    pass becomes the engine's level-synchronous frontier joins."""
+    from ..stages.join import bucket_sum
+    from ..stages.walks import MAX_BROADCAST_EDGES
+
+    adj = edges_orders(sf_dir).to_pandas()
+    if 2 * len(adj) > MAX_BROADCAST_EDGES:
+        raise ValueError("adjacency exceeds broadcast cap; use the BSP path")
+    a = adj["src"].to_numpy().astype(np.int64)
+    b = adj["dst"].to_numpy().astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    verts, starts = np.unique(src, return_index=True)
+    cnts = np.diff(np.concatenate([starts, [len(src)]]))
+    vmax = int(verts.max()) + 1
+    deg = np.zeros(vmax, np.int64)
+    ptr = np.zeros(vmax, np.int64)
+    deg[verts] = cnts
+    ptr[verts] = starts
+    state = ray.put((ptr, deg, dst, vmax))
+    seeds = np.sort(verts)[:n_seeds]
+
+    def brandes(t: pa.Table) -> pa.Table:
+        p, d, nb, n = ray.get(state)
+        out_v, out_w = [], []
+        for s in t["s"].to_numpy():
+            dist = np.full(n, -1, np.int64)
+            sigma = np.zeros(n, np.int64)
+            dist[s] = 0
+            sigma[s] = 1
+            frontier = np.array([s], np.int64)
+            lev_edges = []  # per level: (dag_src, dag_dst)
+            lev = 0
+            while len(frontier):
+                c = d[frontier]
+                starts_ = p[frontier]
+                tot = int(c.sum())
+                eidx = np.repeat(starts_, c) + np.arange(tot) - np.repeat(
+                    np.cumsum(c) - c, c
+                )
+                es = np.repeat(frontier, c)
+                en = nb[eidx]
+                fresh = dist[en] == -1
+                if fresh.any():
+                    dist[en[fresh]] = lev + 1
+                dag = dist[en] == lev + 1
+                np.add.at(sigma, en[dag], sigma[es[dag]])
+                lev_edges.append((es[dag], en[dag]))
+                frontier = np.unique(en[fresh])
+                lev += 1
+            assert lev <= max_depth, (
+                f"BFS depth {lev} > oracle bound {max_depth}; raise max_depth "
+                "in BOTH the query and the SQL walk-length guard"
+            )
+            tacc = np.zeros(n, np.int64)
+            for es_k, en_k in reversed(lev_edges):
+                np.add.at(tacc, es_k, 1 + tacc[en_k])
+            reach = dist >= 0
+            reach[s] = False
+            vv = np.flatnonzero(reach).astype(np.int64)
+            out_v.append(vv)
+            out_w.append(sigma[vv] * tacc[vv])
+        if not out_v:
+            return pa.table(
+                {"vertex": pa.array([], pa.int64()), "stress": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "vertex": pa.array(np.concatenate(out_v)),
+                "stress": pa.array(np.concatenate(out_w)),
+            }
+        )
+
+    seed_ds = rd.from_arrow(pa.table({"s": pa.array(seeds.astype(np.int64))}))
+    parts = seed_ds.map_batches(brandes, batch_format="pyarrow", batch_size=1)
+    agg = bucket_sum(parts, ["vertex"], ["stress"], n_buckets=16)
+    return agg.map_batches(
+        lambda df: df.astype({"vertex": "int64", "stress": "int64"}),
+        batch_format="pandas",
+    )
