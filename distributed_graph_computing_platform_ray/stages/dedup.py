@@ -36,6 +36,10 @@ from ..stages.join import _BUCKET, add_bucket, bucket_join
 
 MAX_BUCKET_PAIRS = 2000  # cap pairs generated per LSH bucket (logged)
 
+# per-worker-process caches for the stateless-task stage variants
+_MINHASH_STAGES: dict = {}
+_SHINGLE_SETS: dict = {}
+
 
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 64) -> rd.Dataset:
     """(winner_id, n_copies, content_hash) per distinct text."""
@@ -104,14 +108,22 @@ def minhash_candidates(
     dedup downstream anyway (minhash_dedup: the graph build dedups
     edges; the join-mode verify fuses dedup into its first shuffle)
     save a whole all-to-all this way."""
-    bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    # stateless-task variant of MinHashStage: the stage object (minhash
+    # params) is cached per WORKER PROCESS, so short executions skip
+    # the actor-pool ramp-up (~0.5-1 s x pool size) while long ones
+    # still amortize setup — workers outlive executions (NOTES.md).
+    mh_key = (id_col, text_col, n_perm, n_bands, shingle_k)
+
+    def mh_batch(t: pa.Table) -> pa.Table:
+        st = _MINHASH_STAGES.get(mh_key)
+        if st is None:
+            st = _MINHASH_STAGES[mh_key] = MinHashStage(
+                id_col=id_col, text_col=text_col, n_perm=n_perm,
+                n_bands=n_bands, shingle_k=shingle_k,
+            )
+        return st(t)
+
+    bands = ds.map_batches(mh_batch, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -175,22 +187,24 @@ def verify_jaccard(
                 lookup[int(i)] = np.asarray(lst, dtype=np.int64).astype(np.uint64)
         ref = ray.put(lookup)
 
-        class ScorePairs:
-            def __init__(self):
-                self.sets = ray.get(ref)
+        def score_pairs(t: pa.Table) -> pa.Table:
+            # per-worker cache keyed by the object ref: tasks skip both
+            # the actor ramp-up and repeated lookup deserialization
+            key = ref.hex()
+            sets = _SHINGLE_SETS.get(key)
+            if sets is None:
+                sets = _SHINGLE_SETS[key] = ray.get(ref)
+            a = t["a"].to_numpy().astype(np.int64)
+            b2 = t["b"].to_numpy().astype(np.int64)
+            js = [
+                int(round(jaccard(sets[int(x)], sets[int(y)]) * 1e6))
+                for x, y in zip(a, b2)
+            ]
+            return pa.table(
+                {"a": pa.array(a), "b": pa.array(b2), "jaccard_e6": pa.array(js, pa.int64())}
+            )
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                a = t["a"].to_numpy().astype(np.int64)
-                b2 = t["b"].to_numpy().astype(np.int64)
-                js = [
-                    int(round(jaccard(self.sets[int(x)], self.sets[int(y)]) * 1e6))
-                    for x, y in zip(a, b2)
-                ]
-                return pa.table(
-                    {"a": pa.array(a), "b": pa.array(b2), "jaccard_e6": pa.array(js, pa.int64())}
-                )
-
-        return pairs.map_batches(ScorePairs, batch_format="pyarrow", concurrency=(1, 8))
+        return pairs.map_batches(score_pairs, batch_format="pyarrow")
 
     texts = docs.map_batches(
         lambda t: pa.table({"jid": t[id_col].cast(pa.int64()), "jtext": t[text_col]}),
