@@ -201,7 +201,15 @@ def encode_edges_broadcast(
                 out["weight"] = df["weight"].to_numpy(dtype=np.float64)
             return pa.table({k: pa.array(v) for k, v in out.items()})
 
-    encoded = edges.map_batches(Encode, batch_format="pyarrow", concurrency=(1, 16))
+    # stateless task + per-worker cache: no actor-pool ramp-up
+    _ekey = ("encode", ref.hex())
+
+    def encode_batch(t: pa.Table) -> pa.Table:
+        from ..stages.taskify import worker_cached
+
+        return worker_cached(_ekey, Encode)(t)
+
+    encoded = edges.map_batches(encode_batch, batch_format="pyarrow")
     if dedup_pairs and global_dedup:
         from ..stages.join import distinct
 

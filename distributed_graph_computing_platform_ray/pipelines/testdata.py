@@ -939,7 +939,14 @@ def q_kcore(sf_dir: str, k: int = 20):
                 drop = np.isin(u, self.bad) | np.isin(v, self.bad)
                 return t.filter(pa.array(~drop))
 
-        cur = cur.map_batches(Peel, batch_format="pyarrow", concurrency=(1, 8)).materialize()
+        _pkey = ("kcore_peel", ref.hex())
+
+        def peel_batch(t: pa.Table) -> pa.Table:
+            from ..stages.taskify import worker_cached
+
+            return worker_cached(_pkey, Peel)(t)
+
+        cur = cur.map_batches(peel_batch, batch_format="pyarrow").materialize()
         if cur.count() == 0:
             break
 
@@ -1065,7 +1072,14 @@ def q_revenue_by_nation(sf_dir: str):
                 }
             )
 
-    partial = joined.map_batches(AttachNationPartial, batch_format="pyarrow", concurrency=(1, 8))
+    _nkey = ("attach_nation", nation_ref.hex())
+
+    def attach_batch(t: pa.Table) -> pa.Table:
+        from ..stages.taskify import worker_cached
+
+        return worker_cached(_nkey, AttachNationPartial)(t)
+
+    partial = joined.map_batches(attach_batch, batch_format="pyarrow")
     agg = partial.groupby("nation").aggregate(
         Sum("n", alias_name="n_orders"), Sum("rev", alias_name="revenue")
     )
@@ -2374,12 +2388,16 @@ def q_corpus_curation(
         )[["doc_id", "text", "ntok"]]
 
     ded2 = ded.map_batches(with_ntok, batch_format="pandas")
+    def classify_batch(t: pa.Table) -> pa.Table:
+        from ..stages.taskify import worker_cached
+
+        return worker_cached(
+            ("hash_classifier", ("ntok",)),
+            lambda: HashClassifier(keep_cols=("ntok",)),
+        )(t)
+
     cls = ded2.map_batches(
-        HashClassifier,
-        fn_constructor_kwargs={"keep_cols": ("ntok",)},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        batch_size=256,
+        classify_batch, batch_format="pyarrow", batch_size=256
     ).materialize()  # feeds the totals pass AND the placement pass
 
     def add_rb(t: pa.Table) -> pa.Table:
@@ -2702,7 +2720,14 @@ def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
                 }
             )
 
-    partials = emb.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    _sjkey = ("simjoin_score", ref.hex())
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        from ..stages.taskify import worker_cached
+
+        return worker_cached(_sjkey, Score)(t)
+
+    partials = emb.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # rank on the integer-scaled score (ties by vec_id) — identical

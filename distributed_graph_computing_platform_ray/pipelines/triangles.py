@@ -119,7 +119,14 @@ def triangle_count(
                     {"u": pa.array(np.where(a_first, a, b)), "v": pa.array(np.where(a_first, b, a))}
                 )
 
-        oriented = simple.map_batches(OrientB, batch_format="pyarrow", concurrency=(1, 16)).materialize()
+        _okey = ("orient", ref.hex())
+
+        def orient_batch(t: pa.Table) -> pa.Table:
+            from ..stages.taskify import worker_cached
+
+            return worker_cached(_okey, OrientB)(t)
+
+        oriented = simple.map_batches(orient_batch, batch_format="pyarrow").materialize()
     else:
         da = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_a": t["deg"]}), batch_format="pyarrow")
         db = deg.map_batches(lambda t: pa.table({"v": t["v"], "deg_b": t["deg"]}), batch_format="pyarrow")

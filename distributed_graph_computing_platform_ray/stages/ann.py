@@ -63,7 +63,14 @@ def brute_force_topk(
                 }
             )
 
-    partials = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    _skey = ("ann_bf", ref.hex())
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        from .taskify import worker_cached
+
+        return worker_cached(_skey, Score)(t)
+
+    partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -141,7 +148,14 @@ def ivf_topk(
                 }
             )
 
-    partials = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    _skey2 = ("ann_ivf", ref.hex())
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        from .taskify import worker_cached
+
+        return worker_cached(_skey2, Score)(t)
+
+    partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -184,7 +198,14 @@ def embedding_neardup(
                 }
             )
 
-    bucketed = ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 8))
+    _bkey = ("ann_lsh", ref.hex())
+
+    def bucket_batch(t: pa.Table) -> pa.Table:
+        from .taskify import worker_cached
+
+        return worker_cached(_bkey, Bucket)(t)
+
+    bucketed = ds.map_batches(bucket_batch, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_c = [], [], []

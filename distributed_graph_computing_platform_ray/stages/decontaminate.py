@@ -81,4 +81,11 @@ def decontaminate(
                 }
             )
 
-    return ds.map_batches(Contam, batch_format="pandas", concurrency=(1, 8))
+    _ckey = ("contam", ref.hex())
+
+    def contam_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from .taskify import worker_cached
+
+        return worker_cached(_ckey, Contam)(df)
+
+    return ds.map_batches(contam_batch, batch_format="pandas")

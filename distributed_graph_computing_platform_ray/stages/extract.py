@@ -1,11 +1,12 @@
 """Extraction stages: pages table -> links table / text table.
 
-These are ACTOR-POOL stages (callable classes): regexes compile once
-per actor in ``__init__``, the per-batch ``__call__`` loops pages —
-per-row Python is unavoidable for HTML scanning without external libs,
-but the state setup is amortized and the batch size is kept small
-because html payloads are wide binary rows (bound block memory; the
-streaming executor backpressures upstream reads).
+Callable-class stages run as STATELESS TASKS with a per-worker-process
+instance cache (stages/taskify.py): regexes compile once per worker,
+the per-batch ``__call__`` loops pages — per-row Python is unavoidable
+for HTML scanning without external libs, but the state setup is
+amortized and the batch size is kept small because html payloads are
+wide binary rows (bound block memory; the streaming executor
+backpressures upstream reads).
 """
 
 from __future__ import annotations
@@ -64,19 +65,24 @@ def _pool_size() -> int:
     return max(2, cpus - 2)
 
 
+def _links_batch(t: pa.Table) -> pa.Table:
+    from .taskify import worker_cached
+
+    return worker_cached("extract_links", ExtractLinks)(t)
+
+
+def _text_batch(t: pa.Table) -> pa.Table:
+    from .taskify import worker_cached
+
+    return worker_cached("extract_text", ExtractText)(t)
+
+
 def extract_links(pages: rd.Dataset, concurrency=None, batch_size: int = 256) -> rd.Dataset:
-    return pages.map_batches(
-        ExtractLinks,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or _pool_size(),
-    )
+    # stateless tasks + per-worker stage cache (stages/taskify.py): the
+    # compiled-regex state amortizes per worker process with no pool
+    # ramp-up, and idle workers can join mid-execution
+    return pages.map_batches(_links_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def extract_text(pages: rd.Dataset, concurrency=None, batch_size: int = 256) -> rd.Dataset:
-    return pages.map_batches(
-        ExtractText,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or _pool_size(),
-    )
+    return pages.map_batches(_text_batch, batch_format="pyarrow", batch_size=batch_size)

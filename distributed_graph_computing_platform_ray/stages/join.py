@@ -234,12 +234,11 @@ def broadcast_lookup(
     shuffle, no per-batch reserialization of the small side.
     """
     ref = ray.put(mapping)
+    key = ("broadcast_lookup", ref.hex())
 
-    class Lookup:
-        def __init__(self):
-            self.lookup = ray.get(ref)
+    def lookup_batch(t: pa.Table) -> pa.Table:
+        from .taskify import worker_cached
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return fn(t, self.lookup)
+        return fn(t, worker_cached(key, lambda: ray.get(ref)))
 
-    return ds.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(lookup_batch, batch_format="pyarrow")
