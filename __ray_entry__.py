@@ -779,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": T.q_link_prediction,
         "bipartite_check": T.q_bipartite_check,
         "stress_centrality": T.q_stress_centrality,
+        "events_funnel": T.q_events_funnel,
+        "events_outliers": T.q_events_outliers,
+        "sssp_parents": T.q_sssp_parents,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1298,6 +1301,65 @@ def oracle_sql() -> dict[str, str]:
             " (4 * COALESCE(tv.t, 0) * 1000000 + deg.d * (deg.d - 1)) "
             " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
+        ),
+        "events_funnel": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events), "
+            "uu AS (SELECT DISTINCT user_id FROM e), "
+            "s1 AS (SELECT user_id, min(t) AS t1 FROM e "
+            "       WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e "
+            "       JOIN s1 ON s1.user_id = e.user_id "
+            "       WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e "
+            "       JOIN s2 ON s2.user_id = e.user_id "
+            "       WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1) "
+            "SELECT uu.user_id, "
+            "((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT "
+            " + (t3 IS NOT NULL)::INT)::BIGINT AS stage, "
+            "COALESCE(t1, -1)::BIGINT AS t1_us, COALESCE(t2, -1)::BIGINT AS t2_us, "
+            "COALESCE(t3, -1)::BIGINT AS t3_us "
+            "FROM uu LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) "
+            "LEFT JOIN s3 USING(user_id)"
+        ),
+        "events_outliers": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "           CAST(FLOOR(value * 1e6) AS BIGINT) AS v6 FROM events), "
+            "m AS (SELECT event_type, v6 AS med FROM "
+            "      (SELECT event_type, v6, "
+            "       row_number() OVER (PARTITION BY event_type ORDER BY v6) AS rn, "
+            "       count(*) OVER (PARTITION BY event_type) AS n FROM e) "
+            "      WHERE rn = (n - 1) // 2 + 1), "
+            "d AS (SELECT e.event_id, e.event_type, e.v6, "
+            "      abs(e.v6 - m.med) AS dev6 FROM e JOIN m USING(event_type)), "
+            "md AS (SELECT event_type, dev6 AS mad FROM "
+            "       (SELECT event_type, dev6, "
+            "        row_number() OVER (PARTITION BY event_type ORDER BY dev6) AS rn, "
+            "        count(*) OVER (PARTITION BY event_type) AS n FROM d) "
+            "       WHERE rn = (n - 1) // 2 + 1) "
+            "SELECT d.event_id, d.event_type, d.v6, d.dev6 FROM d "
+            "JOIN md USING(event_type) WHERE d.dev6 > 3 * md.mad"
+        ),
+        "sssp_parents": (
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "
+            "v AS (SELECT DISTINCT src AS id FROM es), "
+            "srcv AS (SELECT min(id) AS s FROM v), "
+            "relax AS (SELECT src, dst, 1 AS w FROM es "
+            "          UNION ALL SELECT id, id, 0 FROM v), "
+            "d AS (SELECT 0 AS it, id, CASE WHEN id = (SELECT s FROM srcv) "
+            "      THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+            "      UNION ALL SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d p "
+            "      JOIN relax r ON r.src = p.id WHERE p.it < 60 "
+            "      GROUP BY p.it, r.dst), "
+            "dist AS (SELECT id, CAST(dist AS BIGINT) AS dist FROM d "
+            "         WHERE it = 60 AND dist < 1e17), "
+            "par AS (SELECT e.dst AS vertex, min(e.src)::BIGINT AS parent, "
+            "        min(d2.dist)::BIGINT AS dist FROM es e "
+            "        JOIN dist d1 ON d1.id = e.src "
+            "        JOIN dist d2 ON d2.id = e.dst AND d1.dist = d2.dist - 1 "
+            "        GROUP BY 1) "
+            "SELECT vertex::BIGINT AS vertex, parent, dist FROM par "
+            "UNION ALL SELECT s::BIGINT, CAST(-1 AS BIGINT), "
+            "CAST(0 AS BIGINT) FROM srcv"
         ),
         "stress_centrality": (
             # walk-count recursion: HUGEINT counts stay exact for walk

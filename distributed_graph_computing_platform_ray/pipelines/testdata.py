@@ -3357,3 +3357,165 @@ def q_stress_centrality(sf_dir: str, n_seeds: int = 4, max_depth: int = 8):
         lambda df: df.astype({"vertex": "int64", "stress": "int64"}),
         batch_format="pandas",
     )
+
+
+def q_events_funnel(sf_dir: str):
+    """FUNNEL analysis (sequence mining): per user the earliest strict
+    view -> click -> purchase completion chain (t2 = first click AFTER
+    the first view, t3 = first purchase AFTER that click), stage =
+    how deep the user got. One user-bucket shuffle; per bucket the
+    stage times are vectorized per-user searchsorted over the sorted
+    event times — a user's events never cross workers."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "ts_us": _ts_us(df["ts"]),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            t1 = t2 = t3 = -1
+            et = gg["event_type"].to_numpy()
+            ts = gg["ts_us"].to_numpy()
+            views = ts[et == "view"]
+            if len(views):
+                t1 = int(views.min())
+                clicks = ts[(et == "click") & (ts > t1)]
+                if len(clicks):
+                    t2 = int(clicks.min())
+                    buys = ts[(et == "purchase") & (ts > t2)]
+                    if len(buys):
+                        t3 = int(buys.min())
+            stage = (t1 >= 0) + (t2 >= 0) + (t3 >= 0)
+            out.append((uid, stage, t1, t2, t3))
+        return pd.DataFrame(
+            out, columns=["user_id", "stage", "t1_us", "t2_us", "t3_us"]
+        ).astype("int64")
+
+    ds = _table(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    return (
+        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
+        .groupby(_BUCKET)
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+def q_events_outliers(sf_dir: str, k: int = 3):
+    """Robust OUTLIER detection (median / MAD, all integer): per event
+    type, median m of the 1e-6-floored values and MAD = median(|v-m|),
+    both at rank floor((n-1)/2); flag events with |v-m| > k*MAD.
+    Per-type groups (bounded-cardinality partition key); at 100 TB the
+    two medians come from a mergeable quantile sketch instead of the
+    per-group sort — the exact version buys the hash-exact oracle."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "v6": np.floor(df["value"].to_numpy(np.float64) * 1e6).astype("int64"),
+            }
+        )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v6"].to_numpy()
+        med = int(np.sort(v)[(len(v) - 1) // 2])
+        dev = np.abs(v - med)
+        mad = int(np.sort(dev)[(len(dev) - 1) // 2])
+        out = g[dev > k * mad]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].to_numpy(),
+                "event_type": out["event_type"].to_numpy(),
+                "v6": out["v6"].to_numpy(),
+                "dev6": dev[dev > k * mad].astype("int64"),
+            }
+        )
+
+    return (
+        _table(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(flag, batch_format="pandas")
+    )
+
+
+def q_sssp_parents(sf_dir: str):
+    """Shortest-path TREE extraction (parent pointers, not just
+    distances): parent(v) = the smallest neighbor u with
+    dist(u) = dist(v) - 1 (canonical BFS tree of the existing SSSP
+    run); the source gets parent -1. The dist table broadcasts
+    (|V|-bounded, triangles' degree pattern; bucket-join fallback
+    above the cap); parents reduce per bucket with a vectorized
+    groupby-min — one shuffle over the edge list."""
+    from ..stages.join import _BUCKET, add_bucket
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    degs = q_degrees(sf_dir).to_pandas()
+    s_orig = int(np.sort(degs["vertex"].to_numpy())[0])
+    sid = lookup_vertex_id(man, str(s_orig))
+    res = _run_cached(sf_dir, "lineitem", "sssp", source_id=sid)
+
+    pv = res.to_pandas()
+    vs = pv["vertex"].astype("int64").to_numpy()
+    dd = pv["value"].to_numpy()
+    fin = np.isfinite(dd)
+    vs, dd = vs[fin], dd[fin].astype(np.int64)
+    o = np.argsort(vs)
+    dist_ref = ray.put((vs[o], dd[o]))
+
+    def cand(t: pa.Table) -> pa.Table:
+        v_s, d_s = ray.get(dist_ref)
+        a = t["src"].to_numpy().astype(np.int64)
+        b = t["dst"].to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        pos_s = np.searchsorted(v_s, src)
+        pos_d = np.searchsorted(v_s, dst)
+        ok = (
+            (pos_s < len(v_s)) & (pos_d < len(v_s))
+            & (v_s[np.minimum(pos_s, len(v_s) - 1)] == src)
+            & (v_s[np.minimum(pos_d, len(v_s) - 1)] == dst)
+        )
+        src, dst, pos_s, pos_d = src[ok], dst[ok], pos_s[ok], pos_d[ok]
+        tree = d_s[pos_s] == d_s[pos_d] - 1
+        return pa.table(
+            {
+                "vertex": pa.array(dst[tree]),
+                "parent": pa.array(src[tree]),
+                "dist": pa.array(d_s[pos_d[tree]]),
+            }
+        )
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("vertex", as_index=False).agg(
+            parent=("parent", "min"), dist=("dist", "first")
+        )
+        return out.astype("int64")
+
+    cands = edges_lineitem(sf_dir).map_batches(cand, batch_format="pyarrow")
+    parents = (
+        add_bucket(cands, ["vertex"], 16)
+        .groupby(_BUCKET)
+        .map_groups(reduce_min, batch_format="pandas")
+    )
+    root = rd.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array([s_orig], pa.int64()),
+                "parent": pa.array([-1], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    return parents.union(root)
