@@ -208,6 +208,25 @@ def _splitmix_cols(src: str, out: str) -> str:
     )
 
 
+_MM_KEY = "(least(x,y)*4294967296 + greatest(x,y))"
+_MM_PRI_SRC = (
+    f"(({_MM_KEY})::HUGEINT + it::HUGEINT * {_SM_K}::HUGEINT) % {_M64}::HUGEINT"
+)
+_MM_F = (
+    "CASE WHEN k = first_value(k) OVER "
+    "(PARTITION BY it, x ORDER BY pri) THEN 1 ELSE 0 END AS f"
+)
+
+
+def _MM_INNER(guard: str) -> str:
+    """Live-edge scan with per-round splitmix64 priorities (maximal
+    matching oracle): one reference to the recursive working table."""
+    return (
+        f"SELECT it, x, y, {_MM_KEY} AS k, "
+        f"{_splitmix_cols(_MM_PRI_SRC, 'pri')} FROM r {guard}"
+    )
+
+
 def _pages_edges_cte(n: int = 2000, seed: int = 42) -> str:
     """Shared CTE chain ending at ``e(src, dst)``: the deterministic
     page generator's DISTINCT page-level link edges, rebuilt in SQL
@@ -782,6 +801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": T.q_events_funnel,
         "events_outliers": T.q_events_outliers,
         "sssp_parents": T.q_sssp_parents,
+        "maximal_matching": T.q_maximal_matching,
+        "square_count": T.q_square_count,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1301,6 +1322,44 @@ def oracle_sql() -> dict[str, str]:
             " (4 * COALESCE(tv.t, 0) * 1000000 + deg.d * (deg.d - 1)) "
             " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
+        ),
+        "maximal_matching": (
+            # Luby-style matching rounds: per-round edge priority
+            # splitmix64(key + it*GOLDEN); r accumulates each round's
+            # LIVE both-plane edges, matched edges recomputed from r by
+            # the same mutual-argmin windows (kcore mirror-window style)
+            f"WITH RECURSIVE {_U_ORDERS}, "
+            "r AS ( "
+            "  SELECT 0 AS it, x, y FROM "
+            "  (SELECT a AS x, b AS y FROM u UNION ALL SELECT b, a FROM u) "
+            "  UNION ALL "
+            "  SELECT it + 1, x, y FROM ( "
+            "    SELECT it, x, y, "
+            "      max(um) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS em "
+            "    FROM ( "
+            "      SELECT it, x, y, max(mm) OVER (PARTITION BY it, x) AS um "
+            "      FROM ( "
+            "        SELECT it, x, y, "
+            "          min(f) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS mm "
+            f"        FROM (SELECT it, x, y, {_MM_F} FROM ({_MM_INNER('WHERE it < 40')}))))) "
+            "  WHERE em = 0), "
+            "mt AS ( "
+            "  SELECT DISTINCT it, least(x,y) AS a, greatest(x,y) AS b FROM ( "
+            "    SELECT it, x, y, "
+            "      min(f) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS mm "
+            f"    FROM (SELECT it, x, y, {_MM_F} FROM ({_MM_INNER('')}))) "
+            "  WHERE mm = 1) "
+            "SELECT a::BIGINT AS a, b::BIGINT AS b, it::BIGINT AS round FROM mt"
+        ),
+        "square_count": (
+            f"WITH {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "w AS (SELECT e1.dst AS a, e2.dst AS b FROM es2 e1 "
+            "      JOIN es2 e2 ON e2.src = e1.src AND e2.dst > e1.dst), "
+            "sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2) "
+            "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
+            "AS n_squares FROM sc"
         ),
         "events_funnel": (
             "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events), "

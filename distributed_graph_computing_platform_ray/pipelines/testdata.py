@@ -3519,3 +3519,186 @@ def q_sssp_parents(sf_dir: str):
         )
     )
     return parents.union(root)
+
+
+def q_maximal_matching(sf_dir: str, max_rounds: int = 40):
+    """Parallel MAXIMAL MATCHING (Luby-style randomized local-min edge
+    rule): each round every edge gets a counter-based priority
+    splitmix64(edge_key + round * GOLDEN) — unique per round because
+    splitmix64 is a bijection — and an edge matches iff it is the
+    min-priority edge of BOTH its endpoints; edges touching matched
+    vertices drop out. Random priorities drain a constant expected
+    fraction per round (O(log E) rounds) where a fixed lexicographic
+    rule would sequentialize on dense hubs. Per round: one per-vertex
+    argmin reduce (batch partials + bucket reduce), broadcast —
+    matched vertices are then LOCALLY decidable (decode the argmin
+    edge, test mutuality), so matching + filtering is one map over the
+    live edges. Driver loop = the rounds (kcore pattern); above the
+    |V| broadcast bound the argmin table joins back by bucket."""
+    from ..stages.join import _BUCKET, add_bucket
+    from ..utils import splitmix64
+    from .triangles import _SHIFT, canonical_edges
+
+    GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+    live = canonical_edges(edges_orders(sf_dir)).materialize()
+    matched = []
+    rnd = 0
+    while live.count() > 0:
+        assert rnd < max_rounds, (
+            f"matching needed > {max_rounds} rounds; raise max_rounds in BOTH "
+            "the query and the SQL iteration guard"
+        )
+
+        def pri_of(k: np.ndarray, r: int) -> np.ndarray:
+            with np.errstate(over="ignore"):
+                return splitmix64(k.astype(np.uint64) + np.uint64(r) * GOLDEN)
+
+        rnd_now = rnd
+
+        def vmin_partial(t: pa.Table) -> pa.Table:
+            a = t["src"].to_numpy().astype(np.int64)
+            b = t["dst"].to_numpy().astype(np.int64)
+            k = a * _SHIFT + b
+            pri = pri_of(k, rnd_now)
+            v = np.concatenate([a, b])
+            kk = np.concatenate([k, k])
+            pp = np.concatenate([pri, pri])
+            o = np.lexsort((pp, v))
+            v, kk, pp = v[o], kk[o], pp[o]
+            u, idx = np.unique(v, return_index=True)
+            return pa.table(
+                {
+                    "v": pa.array(u),
+                    "pri": pa.array(pp[idx].astype(np.int64)),  # order-safe: see below
+                    "argkey": pa.array(kk[idx]),
+                }
+            )
+
+        # NOTE pri is stored shifted to int64 keeping uint64 order:
+        # x - 2^63 is monotone, so min-reduction is unaffected
+        def vmin_partial_shift(t: pa.Table) -> pa.Table:
+            out = vmin_partial(t)
+            p = out["pri"].to_numpy().astype(np.uint64)
+            return out.set_column(
+                1, "pri", pa.array((p - np.uint64(1 << 63)).astype(np.int64))
+            )
+
+        def vmin_reduce(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["v", "pri"], kind="stable")
+            out = g.groupby("v", as_index=False).first()
+            return out[["v", "pri", "argkey"]].astype("int64")
+
+        vm = (
+            add_bucket(
+                live.map_batches(vmin_partial_shift, batch_format="pyarrow"), ["v"], 16
+            )
+            .groupby(_BUCKET)
+            .map_groups(vmin_reduce, batch_format="pandas")
+            .to_pandas()
+            .sort_values("v")
+        )
+        vs = vm["v"].to_numpy().astype(np.int64)
+        aks = vm["argkey"].to_numpy().astype(np.int64)
+        ref = ray.put((vs, aks))
+
+        def step(t: pa.Table, emit_matched: bool) -> pa.Table:
+            v_s, ak = ray.get(ref)
+            a = t["src"].to_numpy().astype(np.int64)
+            b = t["dst"].to_numpy().astype(np.int64)
+            k = a * _SHIFT + b
+
+            def vertex_matched(u):
+                e = ak[np.searchsorted(v_s, u)]
+                x = e // _SHIFT
+                y = e % _SHIFT
+                return (ak[np.searchsorted(v_s, x)] == e) & (
+                    ak[np.searchsorted(v_s, y)] == e
+                )
+
+            if emit_matched:
+                mm = (ak[np.searchsorted(v_s, a)] == k) & (
+                    ak[np.searchsorted(v_s, b)] == k
+                )
+                return pa.table(
+                    {
+                        "a": pa.array(a[mm]),
+                        "b": pa.array(b[mm]),
+                        "round": pa.array(np.full(int(mm.sum()), rnd_now, np.int64)),
+                    }
+                )
+            keep = ~(vertex_matched(a) | vertex_matched(b))
+            return pa.table({"src": pa.array(a[keep]), "dst": pa.array(b[keep])})
+
+        matched.append(
+            live.map_batches(lambda t: step(t, True), batch_format="pyarrow").materialize()
+        )
+        live = live.map_batches(
+            lambda t: step(t, False), batch_format="pyarrow"
+        ).materialize()
+        rnd += 1
+
+    if not matched:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "round": pd.Series([], dtype="int64")}
+        )
+    out = matched[0]
+    for m in matched[1:]:
+        out = out.union(m)
+    return out
+
+
+def q_square_count(sf_dir: str):
+    """4-cycle (square) motif count of the orders graph: squares =
+    (sum over vertex pairs of C(cn, 2)) / 2 where cn = common-neighbor
+    count — every square is counted once per diagonal. Reuses the
+    link-prediction wedge machinery (center-bucket pair expansion +
+    one bucket_sum); the final reduce is one integer scalar."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+    from .triangles import _SHIFT, canonical_edges
+
+    simple = canonical_edges(edges_orders(sf_dir)).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dst"], kind="stable")
+        src = g["src"].to_numpy().astype(np.int64)
+        dst = g["dst"].to_numpy().astype(np.int64)
+        bounds = np.flatnonzero(np.diff(src)) + 1
+        ks = []
+        for nbrs in np.split(dst, bounds):
+            n = len(nbrs)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            ks.append(nbrs[i] * _SHIFT + nbrs[j])
+        if not ks:
+            return pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                 "cn": pd.Series([], dtype="int64")})
+        k = np.concatenate(ks)
+        uq, cnt = np.unique(k, return_counts=True)
+        return pd.DataFrame({"k": uq.astype(np.int64), "cn": cnt.astype(np.int64)})
+
+    es2 = simple.map_batches(both_dirs, batch_format="pyarrow")
+    pairs = (
+        add_bucket(es2, ["src"], 16)
+        .groupby(_BUCKET)
+        .map_groups(wedge_pairs, batch_format="pandas")
+    )
+    cn = bucket_sum(pairs, ["k"], ["cn"], n_buckets=16)
+
+    def choose2(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cn"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"s": [int((c * (c - 1) // 2).sum())]})
+
+    total = cn.map_batches(choose2, batch_format="pandas").sum("s") or 0
+    return pd.DataFrame({"n_squares": pd.Series([int(total) // 2], dtype="int64")})
