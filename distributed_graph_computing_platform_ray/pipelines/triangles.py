@@ -182,12 +182,19 @@ def triangle_count(
 
         def wedge_close_group(t: pa.Table) -> pa.Table:
             keys = ray.get(ref)
+            # sort once, slice per source (np.split on boundaries) —
+            # NOT a per-unique boolean mask (that re-scans the whole
+            # bucket per source) and NOT groupby(u).map_groups (that
+            # pays ~7 ms per GROUP, i.e. per vertex — NOTES.md)
             u = t["u"].to_numpy()
             vcol = t["v"].to_numpy()
+            o = np.lexsort((vcol, u))
+            u, vcol = u[o], vcol[o]
+            bounds = np.flatnonzero(np.diff(u)) + 1
+            srcs = u[np.concatenate([[0], bounds])] if len(u) else np.array([], u.dtype)
             n_hits = 0
             out_v, out_c = [], []
-            for uu in np.unique(u):
-                nbrs = np.sort(vcol[u == uu])
+            for uu, nbrs in zip(srcs, np.split(vcol, bounds)):
                 n = len(nbrs)
                 if n < 2 or len(keys) == 0:
                     continue
@@ -218,7 +225,13 @@ def triangle_count(
                 {"vertex": pa.array(np.concatenate(out_v)), "cnt": pa.array(np.concatenate(out_c))}
             )
 
-        fused = oriented.groupby("u").map_groups(wedge_close_group, batch_format="pyarrow")
+        from ..stages.join import _BUCKET, add_bucket
+
+        fused = (
+            add_bucket(oriented, ["u"], n_buckets)
+            .groupby(_BUCKET)
+            .map_groups(wedge_close_group, batch_format="pyarrow")
+        )
         if not per_vertex:
             # one scalar per group — the wedge set never leaves the task
             return int(fused.sum("cnt") or 0), None
@@ -258,7 +271,13 @@ def triangle_count(
             {"k": pa.array(np.concatenate(out_k)), "w_u": pa.array(np.concatenate(out_u))}
         )
 
-    wedges = oriented.groupby("u").map_groups(wedge_group, batch_format="pyarrow")
+    from ..stages.join import _BUCKET as _B, add_bucket as _ab
+
+    wedges = (
+        _ab(oriented, ["u"], n_buckets)
+        .groupby(_B)
+        .map_groups(wedge_group, batch_format="pyarrow")
+    )
     ek = oriented.map_batches(edge_keys, batch_format="pyarrow")
     matches = bucket_join(
         wedges, ek, left_on="k", right_on="k", n_buckets=n_buckets,
