@@ -803,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parents": T.q_sssp_parents,
         "maximal_matching": T.q_maximal_matching,
         "square_count": T.q_square_count,
+        "events_running_total": T.q_events_running_total,
+        "edge_jaccard": T.q_edge_jaccard,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1360,6 +1362,30 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2) "
             "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
             "AS n_squares FROM sc"
+        ),
+        "events_running_total": (
+            "WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events) "
+            "SELECT event_id, user_id, "
+            "COUNT(*) OVER w AS run_n, SUM(v6) OVER w AS run_sum_e6 FROM t "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
+        ),
+        "edge_jaccard": (
+            f"WITH {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT src AS v, count(*) AS d FROM es2 GROUP BY 1), "
+            "cnb AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS cn FROM es2 e1 "
+            "        JOIN es2 e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+            "        GROUP BY 1, 2) "
+            "SELECT u.a::BIGINT AS a, u.b::BIGINT AS b, "
+            "COALESCE(cnb.cn, 0)::BIGINT AS cn, "
+            "((2 * COALESCE(cnb.cn, 0) * 1000000 "
+            "  + (da.d + db.d - COALESCE(cnb.cn, 0))) "
+            " // (2 * (da.d + db.d - COALESCE(cnb.cn, 0))))::BIGINT AS jaccard_e6 "
+            "FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b "
+            "LEFT JOIN cnb ON cnb.a = u.a AND cnb.b = u.b"
         ),
         "events_funnel": (
             "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events), "

@@ -3702,3 +3702,153 @@ def q_square_count(sf_dir: str):
 
     total = cn.map_batches(choose2, batch_format="pandas").sum("s") or 0
     return pd.DataFrame({"n_squares": pd.Series([int(total) // 2], dtype="int64")})
+
+
+def q_events_running_total(sf_dir: str):
+    """Per-user running totals (cumulative window): each event's rank
+    and cumulative value within its user's (ts, event_id) order —
+    SUM/COUNT OVER (PARTITION BY user ORDER BY ...) re-expressed as
+    ONE user-bucket shuffle + a vectorized per-bucket sort/cumsum
+    (users never straddle buckets, so the cumulative state is local).
+    value is floor-integerized to 1e-6 units so the running sum is
+    order-free-exact and hash-matches the SQL window oracle."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": _ts_us(df["ts"]),
+                "v6": np.floor(df["value"].to_numpy() * 1e6).astype(np.int64),
+            }
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        grp = g.groupby("user_id")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "run_n": (grp.cumcount() + 1).astype("int64").to_numpy(),
+                "run_sum_e6": grp["v6"].cumsum().astype("int64").to_numpy(),
+            }
+        )
+
+    ds = _table(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    return (
+        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
+        .groupby(_BUCKET)
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+def q_edge_jaccard(sf_dir: str):
+    """Per-EDGE Jaccard neighborhood similarity on the orders graph:
+    jac(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| = cn / (d(u)+d(v)-cn)
+    for every existing edge (the edge-strength score used by
+    structural-similarity clustering, e.g. SCAN). Shape: the same
+    center-bucket wedge expansion as link prediction yields cn per
+    pair; a TAGGED UNION with zero-cn edge rows (so cn=0 edges are
+    kept) merges in ONE bucket_sum; degrees broadcast (bucket-join
+    fallback above the broadcast limit). Exact half-up e6 integers."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+    from .triangles import _SHIFT, canonical_edges
+
+    simple = canonical_edges(edges_orders(sf_dir)).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    es2 = simple.map_batches(both_dirs, batch_format="pyarrow")
+    dp = (
+        bucket_sum(
+            es2.map_batches(
+                lambda t: pa.table(
+                    {"v": t["src"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["v"],
+            ["one"],
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    deg_ref = ray.put(
+        (dp["v"].to_numpy().astype(np.int64), dp["one"].to_numpy().astype(np.int64))
+    )
+
+    def wedge_cn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dst"], kind="stable")
+        src = g["src"].to_numpy().astype(np.int64)
+        dst = g["dst"].to_numpy().astype(np.int64)
+        bounds = np.flatnonzero(np.diff(src)) + 1
+        ks = []
+        for nbrs in np.split(dst, bounds):
+            if len(nbrs) < 2:
+                continue
+            i, j = np.triu_indices(len(nbrs), k=1)
+            ks.append(nbrs[i] * _SHIFT + nbrs[j])
+        if not ks:
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype="int64"), "cn": pd.Series([], dtype="int64"),
+                 "is_edge": pd.Series([], dtype="int64")}
+            )
+        k = np.concatenate(ks)
+        uq, cnt = np.unique(k, return_counts=True)
+        return pd.DataFrame(
+            {"k": uq.astype(np.int64), "cn": cnt.astype(np.int64),
+             "is_edge": np.zeros(len(uq), np.int64)}
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        k = (
+            t["src"].to_numpy().astype(np.int64) * _SHIFT
+            + t["dst"].to_numpy().astype(np.int64)
+        )
+        n = len(k)
+        return pa.table(
+            {"k": pa.array(k), "cn": pa.array(np.zeros(n, np.int64)),
+             "is_edge": pa.array(np.ones(n, np.int64))}
+        )
+
+    pairs = (
+        add_bucket(es2, ["src"], 16)
+        .groupby(_BUCKET)
+        .map_groups(wedge_cn, batch_format="pandas")
+    )
+    merged = bucket_sum(
+        pairs.union(simple.map_batches(edge_rows, batch_format="pyarrow")),
+        ["k"],
+        ["cn", "is_edge"],
+        n_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["is_edge"].to_numpy() > 0]
+        vs, ds_ = ray.get(deg_ref)
+        k = df["k"].to_numpy().astype(np.int64)
+        a = k // _SHIFT
+        b = k % _SHIFT
+        cn = df["cn"].to_numpy().astype(np.int64)
+        da = ds_[np.searchsorted(vs, a)]
+        db = ds_[np.searchsorted(vs, b)]
+        den = da + db - cn  # >= 2: the endpoints are in each other's N
+        jac = (2 * cn * 1_000_000 + den) // (2 * den)
+        return pd.DataFrame(
+            {"a": a, "b": b, "cn": cn, "jaccard_e6": jac.astype(np.int64)}
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
