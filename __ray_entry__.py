@@ -805,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "square_count": T.q_square_count,
         "events_running_total": T.q_events_running_total,
         "edge_jaccard": T.q_edge_jaccard,
+        "knn_degree": T.q_knn_degree,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1362,6 +1363,17 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2) "
             "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
             "AS n_squares FROM sc"
+        ),
+        "knn_degree": (
+            f"WITH {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS v, count(*) AS d FROM es GROUP BY 1), "
+            "snd AS (SELECT e.src AS v, sum(dd.d) AS s FROM es e "
+            "        JOIN deg dd ON dd.v = e.dst GROUP BY 1) "
+            "SELECT deg.d::BIGINT AS degree, count(*)::BIGINT AS n_vertices, "
+            "sum(snd.s)::BIGINT AS sum_nbr_deg, "
+            "((2 * sum(snd.s) * 1000000 + deg.d * count(*)) "
+            " // (2 * deg.d * count(*)))::BIGINT AS knn_e6 "
+            "FROM deg JOIN snd ON snd.v = deg.v GROUP BY deg.d"
         ),
         "events_running_total": (
             "WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "

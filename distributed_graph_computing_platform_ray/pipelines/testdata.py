@@ -3852,3 +3852,69 @@ def q_edge_jaccard(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def q_knn_degree(sf_dir: str):
+    """DEGREE ASSORTATIVITY PROFILE of the lineitem graph: for every
+    degree class k, the number of vertices, the total degree of their
+    neighbors, and the average-neighbor-degree k_nn(k) — the classic
+    Pastor-Satorras web-graph correlation curve (descending k_nn(k) =
+    disassortative hub structure). Straight off the CSR shards: the
+    global degree array broadcasts once (ids are dense; at web scale
+    this attach becomes a bucket join of edges with the degree table),
+    each shard computes per-vertex neighbor-degree sums with one
+    segmented cumsum (no per-vertex loop), pre-aggregates by degree
+    class, and ONE bucket_sum merges. knn scaled e6, exact half-up."""
+    from ..stages.join import bucket_sum
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    deg = np.zeros(man.n_vertices, dtype=np.int64)
+    for p in range(man.n_parts):
+        sh = load_shard(man, p)
+        deg[sh.lo : sh.hi] = sh.degrees()
+    deg_ref = ray.put(deg)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d_all = ray.get(deg_ref)
+        outs = []
+        for p in t["id"].to_numpy():
+            sh = load_shard(man, int(p))
+            ind = np.asarray(sh.indptr)
+            csum = np.concatenate([[0], np.cumsum(d_all[np.asarray(sh.indices)])])
+            snd = csum[ind[1:]] - csum[ind[:-1]]  # empty rows -> exact 0
+            d = np.diff(ind)
+            uq, inv = np.unique(d, return_inverse=True)
+            outs.append(
+                (uq.astype(np.int64),
+                 np.bincount(inv).astype(np.int64),
+                 np.bincount(inv, weights=snd).astype(np.int64))
+            )
+        if not outs:
+            z = np.array([], np.int64)
+            return pa.table({"degree": z, "n_vertices": z, "sum_nbr_deg": z})
+        return pa.table(
+            {
+                "degree": pa.array(np.concatenate([o[0] for o in outs])),
+                "n_vertices": pa.array(np.concatenate([o[1] for o in outs])),
+                "sum_nbr_deg": pa.array(np.concatenate([o[2] for o in outs])),
+            }
+        )
+
+    parts = rd.range(man.n_parts, override_num_blocks=man.n_parts).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    merged = bucket_sum(parts, ["degree"], ["n_vertices", "sum_nbr_deg"], n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["degree"].to_numpy().astype(np.int64)
+        n = df["n_vertices"].to_numpy().astype(np.int64)
+        s = df["sum_nbr_deg"].to_numpy().astype(np.int64)
+        den = np.maximum(k * n, 1)
+        knn = np.where(k > 0, (2 * s * 1_000_000 + den) // (2 * den), 0)
+        return pd.DataFrame(
+            {"degree": k, "n_vertices": n, "sum_nbr_deg": s,
+             "knn_e6": knn.astype(np.int64)}
+        )
+
+    return merged.map_batches(finish, batch_format="pandas")
