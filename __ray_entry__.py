@@ -806,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": T.q_events_running_total,
         "edge_jaccard": T.q_edge_jaccard,
         "knn_degree": T.q_knn_degree,
+        "katz": T.q_katz,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1363,6 +1364,28 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2) "
             "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
             "AS n_squares FROM sc"
+        ),
+        "katz": (
+            # Katz (beta=1/8) as 8^T-scaled integer recursion; the
+            # virtual source -1 (self-loop w=8, fan-out w=8) delivers
+            # the 8^k term through the SAME join+sum as real messages,
+            # so vertices without in-edges stay in the working table.
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT l_orderkey % 200 AS src, l_partkey % 200 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "verts AS (SELECT DISTINCT v FROM "
+            "          (SELECT src AS v FROM eb UNION ALL SELECT dst FROM eb)), "
+            "d2 AS (SELECT src AS s, dst AS t, CAST(1 AS DOUBLE) AS w FROM eb "
+            "       UNION ALL SELECT -1, v, CAST(8 AS DOUBLE) FROM verts "
+            "       UNION ALL SELECT -1, -1, CAST(8 AS DOUBLE)), "
+            "it AS ( "
+            "  SELECT 0 AS i, v, CAST(1 AS DOUBLE) AS val FROM "
+            "  (SELECT v FROM verts UNION ALL SELECT -1 AS v) "
+            "  UNION ALL "
+            "  SELECT p.i + 1, d2.t, SUM(p.val * d2.w) FROM it p "
+            "  JOIN d2 ON d2.s = p.v WHERE p.i < 6 GROUP BY p.i, d2.t) "
+            "SELECT v::BIGINT AS vertex, CAST(val AS BIGINT) AS katz_s6 "
+            "FROM it WHERE i = 6 AND v >= 0"
         ),
         "knn_degree": (
             f"WITH {_EB_LINEITEM}, {_ES}, "

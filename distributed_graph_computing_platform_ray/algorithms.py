@@ -334,6 +334,46 @@ class SumPropagation(Algorithm):
         return False
 
 
+class KatzPropagation(Algorithm):
+    """INTEGER-EXACT Katz centrality, attenuation beta = 1/8: after T
+    supersteps value(v) = 8^T * Katz_T(v) = sum_{k=0..T} walks_k(v) *
+    8^(T-k), where walks_k(v) is the number of directed walks of
+    length k ending at v. Recurrence (one sum-combined superstep per
+    step): S_k(v) = 8^k + sum over in-edges (u,v) of S_{k-1}(u),
+    S_0 = 1. Every iterate is an exact integer, so float64 bincount
+    sums and a HUGEINT SQL recursion reproduce it bit-for-bit in any
+    summation order — the same exactness contract as SumPropagation
+    (HITS). Bound: S_T <= (T+1) * max(maxindeg, 8)^T must stay below
+    2^53; with the 200-id test graph (indeg <= 199) and T = 6 the peak
+    is ~4e14. The fixed 1/8 is a dyadic attenuation chosen for
+    exactness; classic float Katz is the same loop with beta * agg.
+    """
+
+    combine = "sum"
+
+    def __init__(self, num_iters: int = 6):
+        self.name = "katz"
+        self.num_iters = num_iters
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        return np.ones(len(ids)), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values)
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        # first apply call has superstep == 0 and produces S_1
+        new = np.where(has_msg, agg, 0.0) + float(8 ** (superstep + 1))
+        n = len(new)
+        return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
+
+    def max_supersteps(self):
+        return self.num_iters
+
+    def halt_on_no_change(self):
+        return False
+
+
 class MaximalIndependentSet(Algorithm):
     """Luby's maximal independent set (Luby 1986), two supersteps per
     round on the undirected graph. Values encode vertex state:
@@ -425,6 +465,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return LabelPropagation(**params)
     if name in ("sumprop", "sum_propagation"):
         return SumPropagation(**params)
+    if name == "katz":
+        return KatzPropagation(**params)
     if name in ("mis", "maximal_independent_set"):
         return MaximalIndependentSet(**params)
     raise ValueError(f"unknown algorithm {name!r}")

@@ -3918,3 +3918,15 @@ def q_knn_degree(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def q_katz(sf_dir: str, num_iters: int = 6):
+    """Integer-exact Katz centrality (beta = 1/8) on the directed
+    lineitem graph: value = 8^T * Katz_T(v) — see
+    algorithms.KatzPropagation for the exactness contract. The SQL
+    oracle mirrors the recurrence with a virtual source node sigma
+    (self-loop weight 8, edge sigma->v weight 8 for every v) so the
+    8^k term rides the same join+GROUP BY recursion and message-less
+    vertices never drop out of the working table."""
+    res = _run_cached(sf_dir, "lineitem_directed", "katz", num_iters=num_iters)
+    return _as_int_vertex(res, "katz_s6", value_cast=lambda v: v.cast(pa.int64()))
