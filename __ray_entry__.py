@@ -807,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": T.q_edge_jaccard,
         "knn_degree": T.q_knn_degree,
         "katz": T.q_katz,
+        "doc_bm25": T.q_doc_bm25,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1364,6 +1365,30 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2) "
             "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
             "AS n_squares FROM sc"
+        ),
+        "doc_bm25": (
+            # integer BM25 (k1=1.2, b=0.75 multiplied through by
+            # 10*avgdl; rational idf (N-df+1)/(df+1)), half-up e6 —
+            # mirrors q_doc_bm25's arithmetic exactly
+            "WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+            "              AS toks FROM documents WHERE trim(text) <> ''), "
+            "dl AS (SELECT doc_id, len(toks) AS dl FROM docs), "
+            "a AS (SELECT count(*) AS n, sum(len(toks)) // count(*) AS ad FROM docs), "
+            "tok AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+            "dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "        WHERE term IN ('hash', 'join', 'vector') GROUP BY 1), "
+            "idf AS (SELECT term, ((a.n - df + 1) * 2000000 + (df + 1)) "
+            "        // (2 * (df + 1)) AS idf6 FROM dfx CROSS JOIN a), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "       WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2), "
+            "sc AS (SELECT tf.doc_id, "
+            "       (2 * idf.idf6 * 22 * tf.tf * a.ad "
+            "        + (10 * tf.tf * a.ad + 3 * a.ad + 9 * dl.dl)) "
+            "       // (2 * (10 * tf.tf * a.ad + 3 * a.ad + 9 * dl.dl)) AS s6 "
+            "       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) "
+            "       CROSS JOIN a) "
+            "SELECT doc_id::BIGINT AS doc_id, sum(s6)::BIGINT AS bm25_e6 "
+            "FROM sc GROUP BY 1"
         ),
         "katz": (
             # Katz (beta=1/8) as 8^T-scaled integer recursion; the

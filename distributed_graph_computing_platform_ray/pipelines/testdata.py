@@ -3930,3 +3930,70 @@ def q_katz(sf_dir: str, num_iters: int = 6):
     vertices never drop out of the working table."""
     res = _run_cached(sf_dir, "lineitem_directed", "katz", num_iters=num_iters)
     return _as_int_vertex(res, "katz_s6", value_cast=lambda v: v.cast(pa.int64()))
+
+
+def q_doc_bm25(sf_dir: str, terms: tuple = ("hash", "join", "vector")):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of every document
+    against a fixed query-term set — the relevance ranking used to
+    mine topical training data from a web corpus. ALL-INTEGER exact
+    rational form: multiplying the Robertson term through by 10*avgdl
+    gives score = idf * 22*tf*A / (10*tf*A + 3*A + 9*dl) with integer
+    A = total_tokens // n_docs; idf is the rational (N-df+1)/(df+1)
+    variant (no libm), everything half-up e6 so the SQL oracle matches
+    bit-for-bit. Two streaming passes: bounded per-block (n, total_dl,
+    df_t) partials driver-reduce and broadcast; scoring is one
+    vectorized map_batches (explode + groupby-size per batch). At 100
+    TB the stats pass is the same shape — the reduce stays O(|terms|).
+    """
+    terms = list(terms)
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.strip()
+        toks = s[s != ""].str.split()
+        dl = toks.str.len()
+        ex = toks.explode()
+        row = {"n": [int(len(toks))], "tot": [int(dl.sum()) if len(dl) else 0]}
+        for i, t in enumerate(terms):
+            hit = ex == t
+            row[f"df{i}"] = [int(hit.groupby(level=0).any().sum()) if len(ex) else 0]
+        return pd.DataFrame(row)
+
+    stats = (
+        _table(sf_dir, "documents", ["text"])
+        .map_batches(stat_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n, tot = int(stats["n"]), int(stats["tot"])
+    a = tot // n
+    idf6 = []
+    for i in range(len(terms)):
+        df_t = int(stats[f"df{i}"])
+        idf6.append(((n - df_t + 1) * 2_000_000 + (df_t + 1)) // (2 * (df_t + 1)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.strip()
+        keep = s != ""
+        doc_id = df["doc_id"].astype("int64")[keep]
+        toks = s[keep].str.split()
+        dl = toks.str.len().to_numpy().astype(np.int64)
+        ex = toks.explode()
+        total = np.zeros(len(dl), dtype=np.int64)
+        pos = pd.Series(np.arange(len(dl)), index=toks.index)
+        for i, t in enumerate(terms):
+            hits = ex[ex == t]
+            if len(hits):
+                tf_by = hits.groupby(level=0).size()
+                rows = pos[tf_by.index].to_numpy()
+                tf = tf_by.to_numpy().astype(np.int64)
+                num = idf6[i] * 22 * tf * a
+                den = 10 * tf * a + 3 * a + 9 * dl[rows]
+                total[rows] += (2 * num + den) // (2 * den)
+        out = total > 0
+        return pd.DataFrame(
+            {"doc_id": doc_id.to_numpy()[out], "bm25_e6": total[out]}
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
