@@ -808,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_degree": T.q_knn_degree,
         "katz": T.q_katz,
         "doc_bm25": T.q_doc_bm25,
+        "ktruss": T.q_ktruss,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1365,6 +1366,37 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2) "
             "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
             "AS n_squares FROM sc"
+        ),
+        "ktruss": (
+            # 4-truss peel: per round, per-row adjacency comes from a
+            # window LIST over the endpoint, the pair's two lists meet
+            # on the mirror row via a window over (least, greatest),
+            # and support = len(list_intersect) — ONE reference to the
+            # recursive working table per round (kcore mirror-window
+            # style, lifted from degrees to neighbor LISTS).
+            "WITH RECURSIVE eb AS ( "
+            "  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM ( "
+            "    SELECT (o_orderkey % 1000) AS x, "
+            "           (o_orderkey % 1000) - ((o_orderkey % 1000) % 8) "
+            "             + (o_custkey % 8) AS y FROM orders "
+            "    UNION ALL "
+            "    SELECT (o_orderkey % 1000), (o_custkey % 1000) FROM orders "
+            "    WHERE (o_orderkey // 1000) % 7 = 0 "
+            "  ) WHERE x <> y), "
+            "r AS ( "
+            "  SELECT 0 AS it, a AS x, b AS y FROM "
+            "    (SELECT a, b FROM eb UNION ALL SELECT b, a FROM eb) "
+            "  UNION ALL "
+            "  SELECT it + 1, x, y FROM ( "
+            "    SELECT it, x, y, len(list_intersect(pl[1], pl[2])) AS s "
+            "    FROM (SELECT it, x, y, list(nu) OVER "
+            "            (PARTITION BY it, least(x, y), greatest(x, y)) AS pl "
+            "          FROM (SELECT it, x, y, list(y) OVER "
+            "                  (PARTITION BY it, x) AS nu "
+            "                FROM r WHERE it < 40)) "
+            "  ) WHERE s >= 2) "
+            "SELECT DISTINCT least(x, y)::BIGINT AS a, greatest(x, y)::BIGINT AS b "
+            "FROM r WHERE it = 40"
         ),
         "doc_bm25": (
             # integer BM25 (k1=1.2, b=0.75 multiplied through by

@@ -3746,19 +3746,16 @@ def q_events_running_total(sf_dir: str):
     )
 
 
-def q_edge_jaccard(sf_dir: str):
-    """Per-EDGE Jaccard neighborhood similarity on the orders graph:
-    jac(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| = cn / (d(u)+d(v)-cn)
-    for every existing edge (the edge-strength score used by
-    structural-similarity clustering, e.g. SCAN). Shape: the same
-    center-bucket wedge expansion as link prediction yields cn per
-    pair; a TAGGED UNION with zero-cn edge rows (so cn=0 edges are
-    kept) merges in ONE bucket_sum; degrees broadcast (bucket-join
-    fallback above the broadcast limit). Exact half-up e6 integers."""
+def _edge_support(simple: rd.Dataset, n_buckets: int = 16) -> rd.Dataset:
+    """Common-neighbor counts for every EXISTING edge of a canonical
+    (src < dst, distinct) simple edge set: center-bucket wedge pair
+    expansion (per-bucket combiner), TAGGED UNION with zero-cn edge
+    rows so cn=0 edges survive, merged by ONE bucket_sum. Returns
+    (k = a*SHIFT+b, cn, is_edge); rows with is_edge > 0 are the real
+    edges and cn is their triangle support. Shared by edge Jaccard
+    and the k-truss peel."""
     from ..stages.join import _BUCKET, add_bucket, bucket_sum
-    from .triangles import _SHIFT, canonical_edges
-
-    simple = canonical_edges(edges_orders(sf_dir)).materialize()
+    from .triangles import _SHIFT
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["src"].to_numpy()
@@ -3771,24 +3768,6 @@ def q_edge_jaccard(sf_dir: str):
         )
 
     es2 = simple.map_batches(both_dirs, batch_format="pyarrow")
-    dp = (
-        bucket_sum(
-            es2.map_batches(
-                lambda t: pa.table(
-                    {"v": t["src"], "one": pa.array(np.ones(t.num_rows, np.int64))}
-                ),
-                batch_format="pyarrow",
-            ),
-            ["v"],
-            ["one"],
-            n_buckets=16,
-        )
-        .to_pandas()
-        .sort_values("v")
-    )
-    deg_ref = ray.put(
-        (dp["v"].to_numpy().astype(np.int64), dp["one"].to_numpy().astype(np.int64))
-    )
 
     def wedge_cn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["src", "dst"], kind="stable")
@@ -3825,16 +3804,50 @@ def q_edge_jaccard(sf_dir: str):
         )
 
     pairs = (
-        add_bucket(es2, ["src"], 16)
+        add_bucket(es2, ["src"], n_buckets)
         .groupby(_BUCKET)
         .map_groups(wedge_cn, batch_format="pandas")
     )
-    merged = bucket_sum(
+    return bucket_sum(
         pairs.union(simple.map_batches(edge_rows, batch_format="pyarrow")),
         ["k"],
         ["cn", "is_edge"],
-        n_buckets=16,
+        n_buckets=n_buckets,
     )
+
+
+def q_edge_jaccard(sf_dir: str):
+    """Per-EDGE Jaccard neighborhood similarity on the orders graph:
+    jac(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| = cn / (d(u)+d(v)-cn)
+    for every existing edge (the edge-strength score used by
+    structural-similarity clustering, e.g. SCAN). cn per edge comes
+    from the shared _edge_support stage; degrees broadcast (bucket-
+    join fallback above the broadcast limit). Exact half-up e6."""
+    from ..stages.join import bucket_sum
+    from .triangles import _SHIFT, canonical_edges
+
+    simple = canonical_edges(edges_orders(sf_dir)).materialize()
+
+    def dir_counts(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        return pa.table(
+            {"v": pa.array(v), "one": pa.array(np.ones(len(v), np.int64))}
+        )
+
+    dp = (
+        bucket_sum(
+            simple.map_batches(dir_counts, batch_format="pyarrow"),
+            ["v"],
+            ["one"],
+            n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    deg_ref = ray.put(
+        (dp["v"].to_numpy().astype(np.int64), dp["one"].to_numpy().astype(np.int64))
+    )
+    merged = _edge_support(simple, n_buckets=16)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["is_edge"].to_numpy() > 0]
@@ -3997,3 +4010,74 @@ def q_doc_bm25(sf_dir: str, terms: tuple = ("hash", "join", "vector")):
     return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def edges_cliquey(sf_dir: str) -> rd.Dataset:
+    """Canonical simple edges with PLANTED DENSE BLOCKS: each order
+    links its 1000-id vertex to a member of the vertex's 8-id block
+    (blocks fill toward 8-cliques as sf grows) plus thinned random
+    cross links — so truss decomposition is non-degenerate at every
+    test sf, unlike the homogeneous mod graphs whose trusses collapse
+    to empty."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        x1 = ok % 1000
+        y1 = x1 - (x1 % 8) + (ck % 8)
+        thin = (ok // 1000) % 7 == 0
+        x = np.concatenate([x1, (ok % 1000)[thin]])
+        y = np.concatenate([y1, (ck % 1000)[thin]])
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table(
+            {"src": pa.array(np.minimum(x, y)), "dst": pa.array(np.maximum(x, y))}
+        )
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
+
+
+def q_ktruss(sf_dir: str, k: int = 4, max_rounds: int = 40):
+    """K-TRUSS decomposition (k=4): iteratively drop every edge whose
+    triangle support in the CURRENT edge set is < k-2 until fixpoint —
+    the standard cohesive-subgraph peel (Cohen 2008). Each round is
+    the shared _edge_support stage (wedge expansion + tagged-union
+    bucket_sum) + one vectorized filter; the shrinking edge set stays
+    a Dataset throughout (rounds are measured single-digit on the
+    planted-block graph; the SQL oracle runs a fixed 40 — the fixpoint
+    is stable so extra rounds are no-ops). At web scale the peel is
+    identical, just with larger n_buckets."""
+    from .triangles import _SHIFT
+
+    thresh = k - 2
+    cur = edges_cliquey(sf_dir).materialize()
+    n = cur.count()
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["is_edge"].to_numpy() > 0) & (df["cn"].to_numpy() >= thresh)
+        kk = df["k"].to_numpy().astype(np.int64)[m]
+        return pd.DataFrame(
+            {"src": (kk // _SHIFT).astype(np.int64), "dst": (kk % _SHIFT).astype(np.int64)}
+        )
+
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        cur2 = (
+            _edge_support(cur, n_buckets=16)
+            .map_batches(keep, batch_format="pandas")
+            .materialize()
+        )
+        n2 = cur2.count()
+        cur = cur2
+        if n2 == n:
+            break
+        n = n2
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["src"].cast(pa.int64()), "b": t["dst"].cast(pa.int64())})
+
+    return cur.map_batches(rename, batch_format="pyarrow")
