@@ -809,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": T.q_katz,
         "doc_bm25": T.q_doc_bm25,
         "ktruss": T.q_ktruss,
+        "doc_oov": T.q_doc_oov,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1366,6 +1367,20 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2) "
             "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
             "AS n_squares FROM sc"
+        ),
+        "doc_oov": (
+            "WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+            "              AS toks FROM documents WHERE trim(text) <> ''), "
+            "tok AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+            "vocab AS (SELECT term FROM tok GROUP BY term "
+            "          ORDER BY count(*) DESC, term LIMIT 100), "
+            "st AS (SELECT t.doc_id, count(*) AS n_tokens, "
+            "       count(*) FILTER (v.term IS NULL) AS n_oov "
+            "       FROM tok t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1) "
+            "SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens, "
+            "n_oov::BIGINT AS n_oov, "
+            "((2 * n_oov * 1000000 + n_tokens) // (2 * n_tokens))::BIGINT AS oov_e6 "
+            "FROM st"
         ),
         "ktruss": (
             # 4-truss peel: per round, per-row adjacency comes from a

@@ -4081,3 +4081,39 @@ def q_ktruss(sf_dir: str, k: int = 4, max_rounds: int = 40):
         return pa.table({"a": t["src"].cast(pa.int64()), "b": t["dst"].cast(pa.int64())})
 
     return cur.map_batches(rename, batch_format="pyarrow")
+
+
+def q_doc_oov(sf_dir: str, v: int = 100):
+    """Per-document OUT-OF-VOCABULARY rate against the corpus top-`v`
+    vocabulary — the coverage check run before committing to a
+    tokenizer vocab. The vocabulary comes from the already-checked
+    top-terms pipeline (bounded: v rows on the driver, broadcast
+    once); scoring is one vectorized map_batches (isin over the
+    exploded tokens). Exact half-up e6."""
+    vocab = q_top_terms(sf_dir).to_pandas()["term"].to_numpy()
+    vocab_ref = ray.put(np.sort(vocab.astype(str)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vs = ray.get(vocab_ref)
+        s = df["text"].astype(str).str.strip()
+        keep = s != ""
+        doc_id = df["doc_id"].astype("int64")[keep].to_numpy()
+        toks = s[keep].str.split()
+        dl = toks.str.len().to_numpy().astype(np.int64)
+        ex = toks.explode()
+        pos = pd.Series(np.arange(len(dl)), index=toks.index)
+        terms = ex.to_numpy().astype(str)
+        idx = np.searchsorted(vs, terms)
+        idx = np.minimum(idx, len(vs) - 1)
+        in_vocab = vs[idx] == terms
+        n_in = np.bincount(pos[ex.index].to_numpy(), weights=in_vocab, minlength=len(dl)).astype(np.int64)
+        n_oov = dl - n_in
+        oov = (2 * n_oov * 1_000_000 + dl) // (2 * dl)
+        return pd.DataFrame(
+            {"doc_id": doc_id, "n_tokens": dl, "n_oov": n_oov,
+             "oov_e6": oov.astype(np.int64)}
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
