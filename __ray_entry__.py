@@ -360,6 +360,63 @@ def _kcore_sql(k: int = 20) -> str:
     )
 
 
+_EB_CLIQUEY = (
+    "ebq AS ( "
+    "  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM ( "
+    "    SELECT (o_orderkey % 1000) AS x, "
+    "           (o_orderkey % 1000) - ((o_orderkey % 1000) % 8) "
+    "             + (o_custkey % 8) AS y FROM orders "
+    "    UNION ALL "
+    "    SELECT (o_orderkey % 1000), (o_custkey % 1000) FROM orders "
+    "    WHERE (o_orderkey // 1000) % 7 = 0 "
+    "  ) WHERE x <> y)"
+)
+
+
+def _coloring_sql(seed: int = 7, max_rounds: int = 40) -> str:
+    """Jones-Plassmann greedy coloring oracle mirroring
+    algorithms.GreedyColoring on the planted-block graph: the working
+    table carries every directed edge with BOTH endpoint colors; per
+    round each row computes both endpoints' per-round splitmix
+    priorities inline, a min-window over uncolored neighbors gives the
+    strict-min win test, a bit_or-window over colored neighbors gives
+    the color mask, and mex = log2 of the lowest zero bit — ONE
+    reference to the recursive table per round (the kcore/mis
+    mirror-window pattern extended to bitmask state)."""
+    acc = f"((({seed} + it)::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT"
+    prio_cols = (
+        f"xor({acc}, a::UBIGINT) AS acc_a, {_splitmix_cols('acc_a', 'sma')}, "
+        f"xor({acc}, b::UBIGINT) AS acc_b, {_splitmix_cols('acc_b', 'smb')}, "
+        "(sma >> 11)::BIGINT AS pr_a, (smb >> 11)::BIGINT AS pr_b"
+    )
+    mex_a = "CAST(round(log2((((~msk_a) & (msk_a + 1)))::DOUBLE)) AS BIGINT)"
+    mex_b = "CAST(round(log2((((~msk_b) & (msk_b + 1)))::DOUBLE)) AS BIGINT)"
+    return (
+        f"WITH RECURSIVE {_EB_CLIQUEY}, "
+        "r AS ( "
+        "  SELECT 0 AS it, a, b, -1::BIGINT AS ca, -1::BIGINT AS cb FROM "
+        "    (SELECT a, b FROM ebq UNION ALL SELECT b, a FROM ebq) "
+        "  UNION ALL "
+        "  SELECT it + 1, a, b, "
+        f"    CASE WHEN ca = -1 AND (mn_a IS NULL OR pr_a < mn_a) THEN {mex_a} "
+        "         ELSE ca END, "
+        f"    CASE WHEN cb = -1 AND (mn_b IS NULL OR pr_b < mn_b) THEN {mex_b} "
+        "         ELSE cb END "
+        "  FROM ( "
+        "    SELECT it, a, b, ca, cb, pr_a, pr_b, "
+        "      min(CASE WHEN cb = -1 THEN pr_b END) OVER (PARTITION BY it, a) AS mn_a, "
+        "      min(CASE WHEN ca = -1 THEN pr_a END) OVER (PARTITION BY it, b) AS mn_b, "
+        "      COALESCE(bit_or(CASE WHEN cb >= 0 THEN (1::BIGINT << cb) END) "
+        "               OVER (PARTITION BY it, a), 0) AS msk_a, "
+        "      COALESCE(bit_or(CASE WHEN ca >= 0 THEN (1::BIGINT << ca) END) "
+        "               OVER (PARTITION BY it, b), 0) AS msk_b "
+        f"    FROM (SELECT it, a, b, ca, cb, {prio_cols} FROM r "
+        f"          WHERE it < {max_rounds}))) "
+        f"SELECT DISTINCT a::BIGINT AS vertex, ca::BIGINT AS color "
+        f"FROM r WHERE it = {max_rounds}"
+    )
+
+
 def _mis_sql(seed: int = 7, max_rounds: int = 50) -> str:
     """Luby MIS oracle mirroring algorithms.MaximalIndependentSet on
     the lineitem graph: the recursive working table holds the directed
@@ -810,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": T.q_doc_bm25,
         "ktruss": T.q_ktruss,
         "doc_oov": T.q_doc_oov,
+        "coloring": T.q_coloring,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1368,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(SUM(cn * (cn - 1) // 2) // 2, 0)::BIGINT "
             "AS n_squares FROM sc"
         ),
+        "coloring": _coloring_sql(),
         "doc_oov": (
             "WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
             "              AS toks FROM documents WHERE trim(text) <> ''), "

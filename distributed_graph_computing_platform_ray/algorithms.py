@@ -447,6 +447,99 @@ class MaximalIndependentSet(Algorithm):
         return 2 * self.max_rounds
 
 
+class GreedyColoring(Algorithm):
+    """Parallel greedy graph coloring (Jones-Plassmann 1993 with
+    per-round Luby reshuffled priorities), two supersteps per round —
+    the first consumer of the engine's per-superstep combiner
+    extension (``combine_for``): phase A combines with 'min', phase B
+    with 'bor' (bitwise OR).
+
+    State packs into one exact float64 integer (< 2^48):
+      bits 0..39   accumulated neighbor-color mask (colors < 40)
+      bits 41..46  own color + 1 (0 = uncolored)
+      bit  47      'fresh' — colored this round, must broadcast
+
+    Round r (A = superstep 2r, B = 2r+1):
+      A ('min'): uncolored v scatters p(v, r) = mix64(seed+r, key)>>11
+         (53-bit, original keys — partition-independent). v wins iff
+         p(v) < the strict min over uncolored-neighbor priorities (or
+         no uncolored neighbor scattered at all); a winner colors
+         itself mex(mask) immediately — its mask already holds every
+         neighbor color broadcast in earlier rounds.
+      B ('bor'): fresh winners scatter 2^color, everyone else 0 (the
+         OR identity); uncolored vertices OR the aggregate into their
+         mask; fresh bits clear. Colored vertices go inactive after
+         broadcasting, so the run halts when every vertex is colored.
+
+    Adjacent winners are impossible (strict total order per round), so
+    the coloring is proper; mex over all already-colored neighbors is
+    exactly sequential greedy in priority order, bounding colors by
+    maxdeg+1 (asserted < 40 for the packed encoding).
+    """
+
+    combine = "min"
+    wants_keys = True
+
+    _MASK = (1 << 40) - 1
+    _COLOR_SHIFT = 41
+    _FRESH = 1 << 47
+
+    def __init__(self, seed: int = 7, max_rounds: int = 40):
+        self.name = "coloring"
+        self.seed = seed
+        self.max_rounds = max_rounds
+
+    def combine_for(self, superstep: int) -> str:
+        return "min" if superstep % 2 == 0 else "bor"
+
+    def _priority(self, round_idx: int, keys: np.ndarray) -> np.ndarray:
+        from .utils import mix64
+
+        return (
+            mix64(np.uint64(self.seed + round_idx), keys.astype(np.uint64))
+            >> np.uint64(11)
+        ).astype(np.float64)
+
+    @classmethod
+    def _unpack(cls, values: np.ndarray):
+        iv = values.astype(np.int64)
+        mask = iv & cls._MASK
+        cplus1 = (iv >> cls._COLOR_SHIFT) & 63
+        fresh = (iv & cls._FRESH) != 0
+        return iv, mask, cplus1, fresh
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        return np.zeros(len(ids)), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep, keys=None):
+        _, mask, cplus1, fresh = self._unpack(values)
+        if superstep % 2 == 0:  # A: uncolored senders -> priorities
+            return ScatterOut(base=self._priority(superstep // 2, keys))
+        # B: fresh winners -> their color bit; uncolored -> OR-identity 0
+        return ScatterOut(
+            base=np.where(fresh, (1 << (cplus1 - 1).clip(0)).astype(np.float64), 0.0)
+        )
+
+    def apply(self, old_values, agg, has_msg, superstep, keys=None):
+        iv, mask, cplus1, fresh = self._unpack(old_values)
+        uncolored = cplus1 == 0
+        if superstep % 2 == 0:
+            p = self._priority(superstep // 2, keys)
+            win = uncolored & (~has_msg | (p < agg))
+            lzb = (~mask) & (mask + 1)  # lowest zero bit = mex
+            mex = np.round(np.log2(np.maximum(lzb, 1))).astype(np.int64)
+            if bool(np.any(win & (mex >= 40))):
+                raise ValueError("coloring: >40 colors; widen the mask encoding")
+            new = np.where(win, mask + ((mex + 1) << self._COLOR_SHIFT) + self._FRESH, iv)
+            return new.astype(np.float64), uncolored, win
+        add = np.where(uncolored & has_msg, agg.astype(np.int64), 0)
+        new = (mask | add) + (cplus1 << self._COLOR_SHIFT)  # fresh cleared
+        return new.astype(np.float64), (cplus1 == 0), fresh
+
+    def max_supersteps(self):
+        return 2 * self.max_rounds
+
+
 def make_algorithm(name: str, **params) -> Algorithm:
     name = name.lower()
     if name == "pagerank":
@@ -469,4 +562,6 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return KatzPropagation(**params)
     if name in ("mis", "maximal_independent_set"):
         return MaximalIndependentSet(**params)
+    if name in ("coloring", "greedy_coloring"):
+        return GreedyColoring(**params)
     raise ValueError(f"unknown algorithm {name!r}")

@@ -82,6 +82,15 @@ def _unified_table(part, dst, value, count, kind) -> pa.Table:
     )
 
 
+def _combine_at(algo, superstep: int) -> str:
+    """The combiner for one superstep: algorithms may vary it by phase
+    via an optional ``combine_for(superstep)`` (e.g. graph coloring's
+    min-priority phase A / bitwise-OR color-mask phase B); plain
+    algorithms just expose the ``combine`` attribute."""
+    fn = getattr(algo, "combine_for", None)
+    return fn(superstep) if fn is not None else algo.combine
+
+
 def _combine_block(combine: str, dst: np.ndarray, val: np.ndarray):
     """In-block message combiner — deterministic (sorted) reduction.
     Returns (dst, value, count)."""
@@ -100,6 +109,10 @@ def _combine_block(combine: str, dst: np.ndarray, val: np.ndarray):
     boundary = np.ones(len(d), dtype=bool)
     boundary[1:] = d[1:] != d[:-1]
     starts = np.flatnonzero(boundary)
+    if combine == "bor":
+        # bitwise OR over integer-valued payloads (< 2^53, exact)
+        red = np.bitwise_or.reduceat(v.astype(np.int64), starts).astype(np.float64)
+        return d[starts], red, np.zeros(len(starts), dtype=np.int64)
     red = np.add.reduceat if combine == "sum" else np.minimum.reduceat
     return d[starts], red(v, starts), np.zeros(len(starts), dtype=np.int64)
 
@@ -111,7 +124,7 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
     plan linear (no dataset fan-out, which would re-execute the chain).
     """
     part_size = manifest.part_size
-    combine = algo.combine
+    combine = _combine_at(algo, superstep)
 
     def scatter(t: pa.Table) -> pa.Table:
         ids = t["dst"].to_numpy()
@@ -174,7 +187,9 @@ def _reduce_messages(combine: str, n_local: int, lo: int, dst, val, cnt):
         agg[d2[first]] = v2[first]
         has[d2[first]] = True
         return agg, has
-    agg = np.zeros(n_local) if combine == "sum" else np.full(n_local, np.inf)
+    agg = (
+        np.zeros(n_local) if combine in ("sum", "bor") else np.full(n_local, np.inf)
+    )
     if len(dst) == 0:
         return agg, has
     order = np.lexsort((val, dst))
@@ -182,8 +197,13 @@ def _reduce_messages(combine: str, n_local: int, lo: int, dst, val, cnt):
     boundary = np.ones(len(d), dtype=bool)
     boundary[1:] = d[1:] != d[:-1]
     starts = np.flatnonzero(boundary)
-    red = np.add.reduceat if combine == "sum" else np.minimum.reduceat
-    agg[d[starts]] = red(v, starts)
+    if combine == "bor":
+        agg[d[starts]] = np.bitwise_or.reduceat(v.astype(np.int64), starts).astype(
+            np.float64
+        )
+    else:
+        red = np.add.reduceat if combine == "sum" else np.minimum.reduceat
+        agg[d[starts]] = red(v, starts)
     has[d[starts]] = True
     return agg, has
 
@@ -205,7 +225,7 @@ def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int):
         ids = dst[st][order]
         old_values = val[st][order]
         agg, has_msg = _reduce_messages(
-            algo.combine, n_local, lo, dst[~st], val[~st], cnt[~st]
+            _combine_at(algo, superstep), n_local, lo, dst[~st], val[~st], cnt[~st]
         )
         kw = {}
         if getattr(algo, "wants_ids", False):
@@ -302,13 +322,13 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
             continue
         qlo, qhi = manifest.part_bounds(q)
         seg_d, seg_v = ds[lo_i:hi_i], vs[lo_i:hi_i]
-        if algo.combine == "sum" and (hi_i - lo_i) >= (qhi - qlo) // 4:
+        if _combine_at(algo, superstep) == "sum" and (hi_i - lo_i) >= (qhi - qlo) // 4:
             local = seg_d - qlo
             dense = np.bincount(local, weights=seg_v, minlength=qhi - qlo)
             has = np.bincount(local, minlength=qhi - qlo) > 0
             out[q] = ("dense", dense, has)
         else:
-            dd, vv, cc = _combine_block(algo.combine, seg_d, seg_v)
+            dd, vv, cc = _combine_block(_combine_at(algo, superstep), seg_d, seg_v)
             out[q] = ("sparse", dd, vv, cc)
     return out
 
@@ -348,7 +368,7 @@ def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
         dst = np.empty(0, dtype=np.int64)
         val = np.empty(0)
         cnt = np.empty(0, dtype=np.int64)
-    agg, has_msg = _reduce_messages(algo.combine, n_local, lo, dst, val, cnt)
+    agg, has_msg = _reduce_messages(_combine_at(algo, superstep), n_local, lo, dst, val, cnt)
     if dense_acc is not None:  # only possible for 'sum'
         agg = agg + dense_acc
         has_msg = has_msg | dense_has

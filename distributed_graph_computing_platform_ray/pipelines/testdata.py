@@ -4117,3 +4117,27 @@ def q_doc_oov(sf_dir: str, v: int = 100):
     return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score, batch_format="pandas"
     )
+
+
+_DERIVATIONS["cliquey"] = (edges_cliquey, True)
+
+
+def q_coloring(sf_dir: str):
+    """Parallel greedy graph coloring (Jones-Plassmann with per-round
+    Luby priorities — algorithms.GreedyColoring) on the planted-block
+    graph: every vertex gets the mex over its higher-priority
+    neighborhood, i.e. exactly the sequential greedy coloring in
+    priority order, computed in O(log n) expected rounds. First
+    consumer of the engine's per-superstep combiner extension
+    (min-priority phase / bitwise-OR mask phase)."""
+    res = _run_cached(sf_dir, "cliquey", "coloring")
+
+    def decode(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        iv = t["value"].to_numpy().astype(np.int64)
+        color = ((iv >> 41) & 63) - 1
+        if bool((color < 0).any()):
+            raise ValueError("coloring did not converge: uncolored vertices remain")
+        return pa.table({"vertex": v, "color": pa.array(color.astype(np.int64))})
+
+    return res.map_batches(decode, batch_format="pyarrow")
