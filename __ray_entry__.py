@@ -868,6 +868,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": T.q_ktruss,
         "doc_oov": T.q_doc_oov,
         "coloring": T.q_coloring,
+        "dag_longest": T.q_dag_longest,
+        "motif_census": T.q_motif_census,
+        "rich_club": T.q_rich_club,
         "events_quantiles": T.q_events_quantiles,
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
@@ -1427,6 +1430,56 @@ def oracle_sql() -> dict[str, str]:
             "AS n_squares FROM sc"
         ),
         "coloring": _coloring_sql(),
+        "dag_longest": (
+            "WITH RECURSIVE ebs AS ( "
+            "  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM ( "
+            "    SELECT (l_orderkey % 2000) AS x, (l_partkey % 2000) AS y, "
+            "           l_orderkey AS ok FROM lineitem) "
+            "  WHERE x <> y AND (ok // 2000) % 29 = 0), "
+            "d AS ( "
+            "  SELECT u AS v, 0 AS depth FROM "
+            "    (SELECT DISTINCT u FROM ebs WHERE u NOT IN (SELECT v FROM ebs)) "
+            "  UNION ALL "
+            "  SELECT ebs.v, max(d.depth + 1) FROM d JOIN ebs ON ebs.u = d.v "
+            "  GROUP BY ebs.v) "
+            "SELECT v::BIGINT AS vertex, max(depth)::BIGINT AS depth "
+            "FROM d GROUP BY v"
+        ),
+        "motif_census": (
+            f"WITH {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT src AS v, count(*) AS d FROM es2 GROUP BY 1), "
+            "tri AS (SELECT count(*) AS t FROM u e1 "
+            "        JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "        JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "w AS (SELECT COALESCE(sum(d * (d - 1) // 2), 0) AS w FROM deg), "
+            "ep AS (SELECT COALESCE(sum((da.d - 1) * (db.d - 1)), 0) AS s FROM u "
+            "       JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b), "
+            "ne AS (SELECT count(*) AS n FROM u) "
+            "SELECT ne.n::BIGINT AS n_edges, w.w::BIGINT AS n_wedges, "
+            "(ep.s - 3 * tri.t)::BIGINT AS n_p3, tri.t::BIGINT AS n_triangles "
+            "FROM ne, w, ep, tri"
+        ),
+        "rich_club": (
+            f"WITH {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u "
+            "        UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT src AS v, count(*) AS d FROM es2 GROUP BY 1), "
+            "ks AS (SELECT unnest(generate_series(0, "
+            "       (SELECT max(d) FROM deg) - 1)) AS k), "
+            "nk AS (SELECT k, count(*) AS n_k FROM ks "
+            "       JOIN deg ON deg.d > ks.k GROUP BY k), "
+            "me AS (SELECT least(da.d, db.d) AS m FROM u "
+            "       JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b), "
+            "ek AS (SELECT k, count(*) AS e_k FROM ks JOIN me ON me.m > ks.k "
+            "       GROUP BY k) "
+            "SELECT nk.k::BIGINT AS k, n_k::BIGINT AS n_k, "
+            "COALESCE(e_k, 0)::BIGINT AS e_k, "
+            "((4 * COALESCE(e_k, 0) * 1000000 + n_k * (n_k - 1)) "
+            " // (2 * n_k * (n_k - 1)))::BIGINT AS phi_e6 "
+            "FROM nk LEFT JOIN ek USING (k) WHERE n_k >= 2"
+        ),
         "doc_oov": (
             "WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
             "              AS toks FROM documents WHERE trim(text) <> ''), "

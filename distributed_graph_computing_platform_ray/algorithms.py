@@ -447,6 +447,38 @@ class MaximalIndependentSet(Algorithm):
         return 2 * self.max_rounds
 
 
+class LongestPathDAG(Algorithm):
+    """Longest path ENDING at each vertex of a DAG (critical-path
+    depth), by monotone relaxation: depth(v) = max over in-edges of
+    depth(u) + 1, sources stay 0. Runs on the 'min' combiner via
+    negation (message = -(depth+1), depth = -min agg) — the standard
+    max-as-min trick; converges in (DAG depth) supersteps because only
+    changed vertices re-scatter. Exact integers. The caller must
+    supply an acyclic orientation (e.g. least->greatest); a cycle
+    would diverge, bounded by max_supersteps."""
+
+    combine = "min"
+
+    def __init__(self, max_rounds: int = 200):
+        self.name = "dag_longest"
+        self.max_rounds = max_rounds
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        return np.zeros(len(ids)), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=-(values + 1.0))
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        cand = np.where(has_msg, -agg, old_values)
+        new = np.maximum(old_values, cand)
+        changed = new != old_values
+        return new, changed, changed
+
+    def max_supersteps(self):
+        return self.max_rounds
+
+
 class GreedyColoring(Algorithm):
     """Parallel greedy graph coloring (Jones-Plassmann 1993 with
     per-round Luby reshuffled priorities), two supersteps per round —
@@ -564,4 +596,6 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return MaximalIndependentSet(**params)
     if name in ("coloring", "greedy_coloring"):
         return GreedyColoring(**params)
+    if name in ("dag_longest", "longest_path"):
+        return LongestPathDAG(**params)
     raise ValueError(f"unknown algorithm {name!r}")

@@ -4141,3 +4141,151 @@ def q_coloring(sf_dir: str):
         return pa.table({"vertex": v, "color": pa.array(color.astype(np.int64))})
 
     return res.map_batches(decode, batch_format="pyarrow")
+
+
+def edges_sparse_dag(sf_dir: str) -> rd.Dataset:
+    """The sparse directed graph ACYCLICALLY ORIENTED (least ->
+    greatest): a DAG at every sf, for critical-path style queries."""
+
+    def orient(t: pa.Table) -> pa.Table:
+        x = t["src"].to_numpy().astype(np.int64)
+        y = t["dst"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"src": pa.array(np.minimum(x, y)), "dst": pa.array(np.maximum(x, y))}
+        )
+
+    from ..stages.join import distinct
+
+    return distinct(
+        edges_sparse_directed(sf_dir).map_batches(orient, batch_format="pyarrow"),
+        ["src", "dst"],
+    )
+
+
+_DERIVATIONS["sparse_dag"] = (edges_sparse_dag, False)
+
+
+def q_dag_longest(sf_dir: str):
+    """Critical-path depth per vertex on the acyclically-oriented
+    sparse graph: longest path ending at each vertex (exact integer,
+    monotone min-combiner relaxation — algorithms.LongestPathDAG);
+    converges in DAG-depth supersteps (measured 16-21 here)."""
+    res = _run_cached(sf_dir, "sparse_dag", "dag_longest")
+    return _as_int_vertex(res, "depth", value_cast=lambda v: v.cast(pa.int64()))
+
+
+def q_motif_census(sf_dir: str):
+    """Connected 2- and 3-edge MOTIF CENSUS of the orders graph in one
+    row: edges, wedges (paths of length 2), 3-paths (P4 subgraphs, via
+    sum over edges of (d(u)-1)(d(v)-1) - 3*triangles), and triangles —
+    the subgraph frequencies behind graphlet/network-signature
+    analysis. Everything from bounded per-block partials (degree
+    broadcast onto edges) driver-reduced; triangles reuse the
+    SQL-checked counter."""
+    from .triangles import canonical_edges, triangle_count
+
+    simple = canonical_edges(edges_orders(sf_dir)).materialize()
+    n_edges = simple.count()
+
+    def dir_counts(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        return pa.table({"v": pa.array(v), "one": pa.array(np.ones(len(v), np.int64))})
+
+    from ..stages.join import bucket_sum
+
+    dp = (
+        bucket_sum(
+            simple.map_batches(dir_counts, batch_format="pyarrow"),
+            ["v"], ["one"], n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    vs = dp["v"].to_numpy().astype(np.int64)
+    ds_ = dp["one"].to_numpy().astype(np.int64)
+    n_wedges = int((ds_ * (ds_ - 1) // 2).sum())
+    deg_ref = ray.put((vs, ds_))
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        vv, dd = ray.get(deg_ref)
+        da = dd[np.searchsorted(vv, t["src"].to_numpy().astype(np.int64))]
+        db = dd[np.searchsorted(vv, t["dst"].to_numpy().astype(np.int64))]
+        return pa.table({"s": pa.array([int(((da - 1) * (db - 1)).sum())])})
+
+    ep = int(
+        simple.map_batches(edge_partial, batch_format="pyarrow").sum("s") or 0
+    )
+    n_tri, _ = triangle_count(edges_orders(sf_dir), n_buckets=32)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_wedges": pd.Series([n_wedges], dtype="int64"),
+            "n_p3": pd.Series([ep - 3 * n_tri], dtype="int64"),
+            "n_triangles": pd.Series([int(n_tri)], dtype="int64"),
+        }
+    )
+
+
+def q_rich_club(sf_dir: str):
+    """RICH-CLUB PROFILE of the orders graph: for every degree cutoff
+    k, the count of vertices with degree > k, the edges among them,
+    and the rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) —
+    the hub-interconnection curve (Colizza 2006). Degree histogram and
+    per-edge min-degree histogram come from bounded partials; both
+    suffix-cumsum on the driver (arrays are maxdeg-long). Half-up e6."""
+    from ..stages.join import bucket_sum
+    from .triangles import canonical_edges
+
+    simple = canonical_edges(edges_orders(sf_dir)).materialize()
+
+    def dir_counts(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        return pa.table({"v": pa.array(v), "one": pa.array(np.ones(len(v), np.int64))})
+
+    dp = (
+        bucket_sum(
+            simple.map_batches(dir_counts, batch_format="pyarrow"),
+            ["v"], ["one"], n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    vs = dp["v"].to_numpy().astype(np.int64)
+    ds_ = dp["one"].to_numpy().astype(np.int64)
+    maxd = int(ds_.max())
+    deg_hist = np.bincount(ds_, minlength=maxd + 1)
+    # N_k = #vertices with degree > k  (suffix sum over the histogram)
+    n_k = np.cumsum(deg_hist[::-1])[::-1]
+    deg_ref = ray.put((vs, ds_))
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        vv, dd = ray.get(deg_ref)
+        da = dd[np.searchsorted(vv, t["src"].to_numpy().astype(np.int64))]
+        db = dd[np.searchsorted(vv, t["dst"].to_numpy().astype(np.int64))]
+        h = np.bincount(np.minimum(da, db), minlength=maxd + 1)
+        return pa.table(
+            {"m": pa.array(np.arange(maxd + 1, dtype=np.int64)),
+             "c": pa.array(h.astype(np.int64))}
+        )
+
+    eh = (
+        bucket_sum(
+            simple.map_batches(edge_partial, batch_format="pyarrow"),
+            ["m"], ["c"], n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("m")
+    )
+    full = np.zeros(maxd + 1, dtype=np.int64)
+    full[eh["m"].to_numpy().astype(np.int64)] = eh["c"].to_numpy().astype(np.int64)
+    e_k = np.cumsum(full[::-1])[::-1]  # edges with min(du,dv) > k at index k+1
+    ks = np.arange(maxd, dtype=np.int64)
+    nk = n_k[1:][ks]  # N_k for cutoff k = count(d > k) = n_k[k+1]
+    ek = e_k[1:][ks]
+    keep = nk >= 2
+    ks, nk, ek = ks[keep], nk[keep], ek[keep]
+    den = nk * (nk - 1)
+    phi = (2 * 2 * ek * 1_000_000 + den) // (2 * den)
+    return pd.DataFrame(
+        {"k": ks, "n_k": nk, "e_k": ek, "phi_e6": phi.astype(np.int64)}
+    )
