@@ -50,6 +50,7 @@ def main(argv=None):
         required=True,
         choices=[
             "pagerank", "pagerank_weighted", "ppr", "sssp", "sssp_multi", "cc", "lp",
+            "mis", "katz", "coloring", "dag_longest", "sumprop",
         ],
     )
     pr.add_argument("--source", help="SSSP source vertex key")
@@ -129,7 +130,9 @@ def main(argv=None):
                 )
                 params["seed_ids" if args.algo == "ppr" else "source_ids"] = sids
             if args.iters:
-                params["num_iters"] = args.iters
+                # round-bounded algorithms name the knob max_rounds
+                rounds_knob = args.algo in ("mis", "coloring", "dag_longest")
+                params["max_rounds" if rounds_knob else "num_iters"] = args.iters
             if args.algo == "sssp_multi" and "num_iters" in params:
                 params.pop("num_iters")  # runs to fixpoint
             res = run_algorithm(
