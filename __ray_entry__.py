@@ -869,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov": T.q_doc_oov,
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
+        "lineitem_median": T.q_lineitem_median,
         "motif_census": T.q_motif_census,
         "rich_club": T.q_rich_club,
         "events_quantiles": T.q_events_quantiles,
@@ -1430,6 +1431,17 @@ def oracle_sql() -> dict[str, str]:
             "AS n_squares FROM sc"
         ),
         "coloring": _coloring_sql(),
+        "lineitem_median": (
+            # exact k-th smallest (k = ceil(n/2)); prices are 2-decimal
+            # so *100 never lands on a representable half — numpy
+            # half-even vs DuckDB half-away cannot diverge here
+            "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v "
+            "           FROM lineitem), "
+            "s AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS k FROM c) "
+            "SELECT s.n::BIGINT AS n, s.k::BIGINT AS k, "
+            "(SELECT v FROM c ORDER BY v LIMIT 1 OFFSET (SELECT k - 1 FROM s)"
+            ")::BIGINT AS median_cents FROM s"
+        ),
         "dag_longest": (
             "WITH RECURSIVE ebs AS ( "
             "  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM ( "

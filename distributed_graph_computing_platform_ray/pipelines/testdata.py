@@ -4289,3 +4289,65 @@ def q_rich_club(sf_dir: str):
     return pd.DataFrame(
         {"k": ks, "n_k": nk, "e_k": ek, "phi_e6": phi.astype(np.int64)}
     )
+
+
+def q_lineitem_median(sf_dir: str):
+    """EXACT distributed k-th element (median, k = ceil(n/2)) of
+    lineitem price-cents WITHOUT a global sort: pass 1 histograms the
+    integer domain into 4096 fixed-range buckets (per-batch bincount
+    combiner, one tiny merge), the driver cumsums 4096 counts to find
+    the k-th bucket, pass 2 counts exact values inside that one bucket
+    only. Two streaming executions total, driver state O(buckets) —
+    the selection-without-sort pattern that replaces ORDER BY ...
+    OFFSET at any scale. Output: n, k and the k-th price in cents."""
+    from ..stages.join import bucket_sum
+
+    lo_c, hi_c = 0, 10_500_001  # price domain in cents (bounded by gen)
+    nb = 4096
+    width = (hi_c - lo_c) // nb + 1
+
+    def cents(t: pa.Table) -> np.ndarray:
+        # prices are exact 2-decimal values; round once to integer cents
+        return np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = cents(t)
+        h = np.bincount((c - lo_c) // width, minlength=nb)
+        return pa.table(
+            {"b": pa.array(np.arange(nb, dtype=np.int64)),
+             "n": pa.array(h.astype(np.int64))}
+        )
+
+    src = _table(sf_dir, "lineitem", ["l_extendedprice"])
+    hp = (
+        bucket_sum(src.map_batches(hist, batch_format="pyarrow"), ["b"], ["n"], n_buckets=4)
+        .to_pandas()
+        .sort_values("b")
+    )
+    counts = np.zeros(nb, dtype=np.int64)
+    counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
+    n = int(counts.sum())
+    k = (n + 1) // 2
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, k))
+    before = int(cum[b - 1]) if b > 0 else 0
+    blo, bhi = lo_c + b * width, lo_c + (b + 1) * width
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        c = cents(t)
+        c = c[(c >= blo) & (c < bhi)]
+        u, cc = np.unique(c, return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "n": pa.array(cc.astype(np.int64))})
+
+    vals = (
+        bucket_sum(src.map_batches(in_bucket, batch_format="pyarrow"), ["v"], ["n"], n_buckets=4)
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum2 = before + np.cumsum(vals["n"].to_numpy())
+    kth = int(vals["v"].to_numpy()[int(np.searchsorted(cum2, k))])
+    return pd.DataFrame(
+        {"n": pd.Series([n], dtype="int64"), "k": pd.Series([k], dtype="int64"),
+         "median_cents": pd.Series([kth], dtype="int64")}
+    )
