@@ -870,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
         "lineitem_median": T.q_lineitem_median,
+        "events_props_agg": T.q_events_props_agg,
         "motif_census": T.q_motif_census,
         "rich_club": T.q_rich_club,
         "events_quantiles": T.q_events_quantiles,
@@ -1431,6 +1432,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_squares FROM sc"
         ),
         "coloring": _coloring_sql(),
+        "events_props_agg": (
+            "WITH t AS (SELECT event_type, "
+            "  CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS k "
+            "  FROM events WHERE regexp_matches(props, '\"k\":\\s*-?\\d+')) "
+            "SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k, "
+            "min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k "
+            "FROM t GROUP BY event_type"
+        ),
         "lineitem_median": (
             # exact k-th smallest (k = ceil(n/2)); prices are 2-decimal
             # so *100 never lands on a representable half — numpy

@@ -4351,3 +4351,43 @@ def q_lineitem_median(sf_dir: str):
         {"n": pd.Series([n], dtype="int64"), "k": pd.Series([k], dtype="int64"),
          "median_cents": pd.Series([kth], dtype="int64")}
     )
+
+
+def q_events_props_agg(sf_dir: str):
+    """Semi-structured payload extraction (§2.8 json/map functions):
+    parse the integer `k` out of the JSON `props` string with ONE
+    compiled vectorized regex per batch, aggregate per event_type
+    (per-batch combiner then one tiny merge). min/max ride the
+    bucket_sum as (min = -sum of per-batch minima? no —) tagged
+    per-batch partial rows reduced with pandas groupby agg, exactly
+    the mergeable-partial pattern."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].astype(str).str.extract(r'"k":\s*(-?\d+)', expand=False)
+        kk = pd.to_numeric(k, errors="coerce")
+        g = pd.DataFrame({"event_type": df["event_type"].astype(str), "k": kk})
+        g = g.dropna(subset=["k"])
+        g["k"] = g["k"].astype("int64")
+        agg = g.groupby("event_type").agg(
+            n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
+        )
+        return agg.reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("event_type").agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max")
+        )
+        out = agg.reset_index()
+        return out.astype({"n": "int64", "sum_k": "int64",
+                           "min_k": "int64", "max_k": "int64"})
+
+    ds = _table(sf_dir, "events", ["event_type", "props"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return (
+        add_bucket(ds, ["event_type"], 4)
+        .groupby(_BUCKET)
+        .map_groups(merge, batch_format="pandas")
+    )
