@@ -866,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": T.q_katz,
         "doc_bm25": T.q_doc_bm25,
         "ktruss": T.q_ktruss,
+        "msf_boruvka": T.q_msf_boruvka,
         "doc_oov": T.q_doc_oov,
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
@@ -1545,6 +1546,44 @@ def oracle_sql() -> dict[str, str]:
             "  ) WHERE s >= 2) "
             "SELECT DISTINCT least(x, y)::BIGINT AS a, greatest(x, y)::BIGINT AS b "
             "FROM r WHERE it = 40"
+        ),
+        "msf_boruvka": (
+            # Relaxed Boruvka MSF: doubled edge rows carry BOTH
+            # endpoint component labels (coloring-oracle pattern);
+            # per round each label group marks its min crossing edge
+            # by the strict (w, a, b) total order (taken edges are
+            # MSF edges by the cut property for ANY label grouping
+            # that is a union along taken edges), then labels
+            # propagate one min-hop along all taken edges. Merge
+            # schedule differs from the engine's union-find
+            # contraction, but uniqueness of the MSF under a strict
+            # total order makes the converged taken-set identical.
+            f"WITH RECURSIVE {_EB_CLIQUEY}, "
+            "we AS (SELECT a, b, "
+            "  (1 + (37*a + 61*b) % 97) * 1048576 + a * 1024 + b AS k FROM ebq), "
+            "r AS ( "
+            "  SELECT 0 AS it, x, y, k, cx, cy, FALSE AS tk FROM ( "
+            "    SELECT a AS x, b AS y, k, a AS cx, b AS cy FROM we "
+            "    UNION ALL SELECT b, a, k, b, a FROM we) "
+            "  UNION ALL "
+            "  SELECT it + 1, x, y, k, "
+            "    least(cx, coalesce(min(CASE WHEN tk2 THEN cy END) "
+            "                       OVER (PARTITION BY cx), cx)), "
+            "    least(cy, coalesce(min(CASE WHEN tk2 THEN cx END) "
+            "                       OVER (PARTITION BY cy), cy)), "
+            "    tk2 "
+            "  FROM ( "
+            "    SELECT it, x, y, k, cx, cy, tk OR "
+            "      (max(CASE WHEN is_sel THEN 1 ELSE 0 END) OVER "
+            "        (PARTITION BY least(x, y), greatest(x, y)) = 1) AS tk2 "
+            "    FROM ( "
+            "      SELECT it, x, y, k, cx, cy, tk, "
+            "        (cx <> cy AND k = min(CASE WHEN cx <> cy THEN k END) "
+            "                       OVER (PARTITION BY cx)) AS is_sel "
+            "      FROM r WHERE it < 96))) "
+            "SELECT DISTINCT least(x, y)::BIGINT AS a, "
+            "  greatest(x, y)::BIGINT AS b, (k // 1048576)::BIGINT AS w "
+            "FROM r WHERE it = 96 AND tk"
         ),
         "doc_bm25": (
             # integer BM25 (k1=1.2, b=0.75 multiplied through by

@@ -4083,6 +4083,108 @@ def q_ktruss(sf_dir: str, k: int = 4, max_rounds: int = 40):
     return cur.map_batches(rename, batch_format="pyarrow")
 
 
+def q_msf_boruvka(sf_dir: str, max_rounds: int = 96):
+    """Boruvka MINIMUM SPANNING FOREST over the planted-block graph
+    with deterministic weights w = 1 + (37a + 61b) % 97 and the strict
+    total edge order (w, a, b) — so the forest is UNIQUE and both this
+    implementation and the SQL oracle converge to the identical edge
+    set even though they merge components on different schedules
+    (every "min edge leaving a label group" is an MSF edge by the cut
+    property, for ANY grouping that is a union along already-taken
+    edges).
+
+    Per round: ONE distributed pass over the edge Dataset computes the
+    per-component min crossing edge (per-batch groupby-min partials
+    over both endpoint labels — a true combiner: at most one row per
+    label per batch crosses the wire), the driver min-reduces the
+    bounded partials (#labels rows, halving every round) and contracts
+    with union-find relabelled to per-group min vertex id. Component
+    labels are an O(V) int array broadcast via ray.put once per round
+    — the documented scale path above driver memory is labels as a
+    Dataset + bucket-join relabel with contraction via the engine's
+    own CC (the minhash-dedup pattern). Rounds are O(log V) because
+    contraction is full each round."""
+    edges = edges_cliquey(sf_dir)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy().astype(np.int64)
+        b = t["dst"].to_numpy().astype(np.int64)
+        if len(a) and (a.max() >= 1024 or b.max() >= 1024):
+            raise ValueError("msf key packing assumes vertex ids < 1024")
+        w = 1 + (37 * a + 61 * b) % 97
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "w": pa.array(w),
+             "k": pa.array(w * (1 << 20) + a * (1 << 10) + b)}
+        )
+
+    ewk = edges.map_batches(weigh, batch_format="pyarrow").materialize()
+    n_ids = 1024  # ids < 1024 asserted in weigh; labels are an O(V) array
+    comp = np.arange(n_ids, dtype=np.int64)
+
+    taken_keys: set[int] = set()
+    for _ in range(max_rounds):
+        comp_ref = ray.put(comp)
+
+        def sel_partial(df: pd.DataFrame) -> pd.DataFrame:
+            cm = ray.get(comp_ref)
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            k = df["k"].to_numpy()
+            ca, cb = cm[a], cm[b]
+            cross = ca != cb
+            lab = np.concatenate([ca[cross], cb[cross]])
+            kk = np.concatenate([k[cross], k[cross]])
+            if not len(lab):
+                return pd.DataFrame({"lab": [], "k": []}).astype(np.int64)
+            return (
+                pd.DataFrame({"lab": lab, "k": kk})
+                .groupby("lab", as_index=False, sort=False)["k"].min()
+            )
+
+        parts = ewk.map_batches(sel_partial, batch_format="pandas").to_pandas()
+        if not len(parts):
+            break
+        sel = parts.groupby("lab", sort=False)["k"].min()
+        keys = np.unique(sel.to_numpy())
+        new = [int(x) for x in keys if int(x) not in taken_keys]
+        taken_keys.update(new)
+        # contract: union-find over the selected edges' endpoint labels,
+        # then relabel every group to its min member label (deterministic)
+        a_sel = (keys >> 10) & 1023
+        b_sel = keys & 1023
+        parent = comp.copy()
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in zip(comp[a_sel], comp[b_sel]):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        roots = np.array([find(int(c)) for c in comp], dtype=np.int64)
+        # min label per root group (roots are min-biased but make it exact)
+        mins = np.full(n_ids, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, roots, comp)
+        comp = mins[roots]
+        if not new:
+            break
+
+    kk = np.sort(np.array(sorted(taken_keys), dtype=np.int64))
+    return pd.DataFrame(
+        {
+            "a": (kk >> 10) & 1023,
+            "b": kk & 1023,
+            "w": kk >> 20,
+        }
+    ).astype(np.int64)
+
+
 def q_doc_oov(sf_dir: str, v: int = 100):
     """Per-document OUT-OF-VOCABULARY rate against the corpus top-`v`
     vocabulary — the coverage check run before committing to a
