@@ -867,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": T.q_doc_bm25,
         "ktruss": T.q_ktruss,
         "msf_boruvka": T.q_msf_boruvka,
+        "fuzzy_name_pairs": T.q_fuzzy_name_pairs,
         "doc_oov": T.q_doc_oov,
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
@@ -1584,6 +1585,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT least(x, y)::BIGINT AS a, "
             "  greatest(x, y)::BIGINT AS b, (k // 1048576)::BIGINT AS w "
             "FROM r WHERE it = 96 AND tk"
+        ),
+        "fuzzy_name_pairs": (
+            # brute-force levenshtein cross join (with the lossless
+            # |Δlen| <= 1 prefilter) — the engine's FastSS blocking is
+            # exact for d <= 1, so the sets must be identical
+            "WITH u AS (SELECT DISTINCT p_name || ' ' || "
+            "           (p_partkey % 100)::VARCHAR AS s FROM part) "
+            "SELECT a.s AS name_a, b.s AS name_b, 1::BIGINT AS dist "
+            "FROM u a JOIN u b ON a.s < b.s "
+            "  AND abs(length(a.s) - length(b.s)) <= 1 "
+            "WHERE levenshtein(a.s, b.s) = 1"
         ),
         "doc_bm25": (
             # integer BM25 (k1=1.2, b=0.75 multiplied through by

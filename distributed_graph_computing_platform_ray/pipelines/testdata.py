@@ -4185,6 +4185,40 @@ def q_msf_boruvka(sf_dir: str, max_rounds: int = 96):
     ).astype(np.int64)
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy similarity self-join (edit distance exactly 1) over the
+    distinct strings ``p_name || ' ' || (p_partkey % 100)`` — the
+    typo-cluster discovery step of entity resolution. Exact FastSS
+    1-deletion-neighborhood blocking (no recall loss; see
+    stages/fuzzy.py), so the distributed result equals the brute-force
+    levenshtein cross join the oracle runs."""
+    from ..stages.fuzzy import fuzzy_pairs_d1
+
+    ds = _table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s": df["p_name"].astype(str)
+                + " "
+                + (df["p_partkey"].astype("int64") % 100).astype(str)
+            }
+        )
+
+    pairs = fuzzy_pairs_d1(ds.map_batches(derive, batch_format="pandas"), "s")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "name_a": df["a"].astype(str),
+                "name_b": df["b"].astype(str),
+                "dist": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
 def q_doc_oov(sf_dir: str, v: int = 100):
     """Per-document OUT-OF-VOCABULARY rate against the corpus top-`v`
     vocabulary — the coverage check run before committing to a
