@@ -868,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": T.q_ktruss,
         "msf_boruvka": T.q_msf_boruvka,
         "fuzzy_name_pairs": T.q_fuzzy_name_pairs,
+        "table_profile": T.q_table_profile,
         "doc_oov": T.q_doc_oov,
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
@@ -1585,6 +1586,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT least(x, y)::BIGINT AS a, "
             "  greatest(x, y)::BIGINT AS b, (k // 1048576)::BIGINT AS w "
             "FROM r WHERE it = 96 AND tk"
+        ),
+        "table_profile": (
+            # per-element e2 rounding BEFORE the sum mirrors the
+            # engine's integer-scaled partials exactly
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, count(*)::BIGINT AS n_rows, "
+                f"(count(*) - count({c}))::BIGINT AS n_null, "
+                f"min(round({c} * 100))::BIGINT AS min_e2, "
+                f"max(round({c} * 100))::BIGINT AS max_e2, "
+                f"sum(round({c} * 100))::BIGINT AS sum_e2 FROM lineitem"
+                for c in (
+                    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                )
+            )
         ),
         "fuzzy_name_pairs": (
             # brute-force levenshtein cross join (with the lossless

@@ -4219,6 +4219,56 @@ def q_fuzzy_name_pairs(sf_dir: str):
     return pairs.map_batches(finish, batch_format="pandas")
 
 
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+
+
+def q_table_profile(sf_dir: str):
+    """Single-pass data-profiling operator over lineitem: per numeric
+    column (row count, null count, min/max/sum) — the validation scan
+    run before committing a table to a training pipeline. Per-batch
+    partials are ONE row per column (a true combiner: the all-to-all
+    never sees data rows), driver-reduced because the reduction state
+    is 8 rows regardless of input size. Values integer-scale at e2
+    (per-element round BEFORE the sum, mirrored by the oracle), so
+    sums are exact int64 in any order at any scale."""
+    ds = _table(sf_dir, "lineitem", _PROFILE_COLS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in _PROFILE_COLS:
+            v = df[c].to_numpy()
+            null = pd.isna(df[c]).to_numpy()
+            sv = np.round(v[~null].astype(np.float64) * 100).astype(np.int64)
+            rows.append(
+                (
+                    c,
+                    len(v),
+                    int(null.sum()),
+                    int(sv.min()) if len(sv) else np.iinfo(np.int64).max,
+                    int(sv.max()) if len(sv) else np.iinfo(np.int64).min,
+                    int(sv.sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["col", "n_rows", "n_null", "min_e2", "max_e2", "sum_e2"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("col", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        n_null=("n_null", "sum"),
+        min_e2=("min_e2", "min"),
+        max_e2=("max_e2", "max"),
+        sum_e2=("sum_e2", "sum"),
+    )
+    return out.astype(
+        {c: "int64" for c in ["n_rows", "n_null", "min_e2", "max_e2", "sum_e2"]}
+    )
+
+
 def q_doc_oov(sf_dir: str, v: int = 100):
     """Per-document OUT-OF-VOCABULARY rate against the corpus top-`v`
     vocabulary — the coverage check run before committing to a
