@@ -558,6 +558,35 @@ def _sssp_weighted_sql() -> str:
     )
 
 
+def _earliest_arrival_sql() -> str:
+    """Temporal earliest-arrival oracle: min-fixpoint of
+    arr(v) = min over symmetrized edges (u,v,t) of GREATEST(t, arr(u)),
+    edges stamped with the lineitem ship HOUR. Written FRONTIER-style
+    (no fixed round cap — the temporal relaxation took ~75 synchronous
+    rounds at sf0.01, so an iteration-indexed CTE is fragile): the
+    recursive term emits improved (id, arr) candidates, UNION dedups
+    against everything already produced so recursion stops exactly at
+    the fixpoint, and the final per-id MIN over all emitted candidates
+    is the optimum (every candidate is an achievable arrival; every
+    improvement re-enters the working table and re-scatters)."""
+    return (
+        "WITH RECURSIVE ebt AS (SELECT DISTINCT l_orderkey % 2000 AS src, "
+        "2000 + (l_partkey % 2000) AS dst, "
+        "CAST(epoch_us(l_shipdate) // 3600000000 AS DOUBLE) AS t FROM lineitem), "
+        "est AS (SELECT src, dst, t FROM ebt UNION ALL SELECT dst, src, t FROM ebt), "
+        "v AS (SELECT DISTINCT src AS id FROM est), "
+        "srcv AS (SELECT min(id) AS s FROM v), "
+        "d AS ( "
+        "  SELECT id, CASE WHEN id = (SELECT s FROM srcv) "
+        "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS arr FROM v "
+        "  UNION "
+        "  SELECT r.dst AS id, MIN(GREATEST(p.arr, r.t)) AS arr "
+        "  FROM d p JOIN est r ON r.src = p.id GROUP BY r.dst) "
+        "SELECT id AS vertex, CASE WHEN MIN(arr) >= 1e17 THEN NULL "
+        "ELSE CAST(MIN(arr) AS BIGINT) END AS arrival_hour FROM d GROUP BY id"
+    )
+
+
 def _embedding_neardup_sql() -> str:
     """Oracle for testdata.q_embedding_neardup: reproduce the planted
     augmentation (x + 0.02 copies of vec_id < 16), the 12-hyperplane
@@ -813,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top25": T.q_pagerank_top25,
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
+        "earliest_arrival": T.q_earliest_arrival,
         "sssp_multi": T.q_sssp_multi,
         "scc": T.q_scc,
         "bowtie": T.q_bowtie,
@@ -2031,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY lang, term) WHERE rn <= 10"
         ),
         "sssp_weighted": _sssp_weighted_sql(),
+        "earliest_arrival": _earliest_arrival_sql(),
         "pagerank_weighted": _pagerank_weighted_sql(),
         "media_features": _media_features_sql(),
         "media_framesample": _frame_sample_sql(),

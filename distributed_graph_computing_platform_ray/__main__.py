@@ -49,8 +49,8 @@ def main(argv=None):
         "--algo",
         required=True,
         choices=[
-            "pagerank", "pagerank_weighted", "ppr", "sssp", "sssp_multi", "cc", "lp",
-            "mis", "katz", "coloring", "dag_longest", "sumprop",
+            "pagerank", "pagerank_weighted", "ppr", "sssp", "sssp_multi", "earliest",
+            "cc", "lp", "mis", "katz", "coloring", "dag_longest", "sumprop",
         ],
     )
     pr.add_argument("--source", help="SSSP source vertex key")

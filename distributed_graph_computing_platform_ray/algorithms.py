@@ -35,6 +35,7 @@ class ScatterOut:
     base: np.ndarray  # one value per ACTIVE vertex row passed in
     add_edge_weight: bool = False  # msg = base[row] (+ weight per edge)
     mul_edge_weight: bool = False  # msg = base[row] (* weight per edge)
+    max_edge_weight: bool = False  # msg = max(base[row], weight per edge)
 
 
 class Algorithm:
@@ -220,6 +221,27 @@ class MultiSourceSSSP(SSSP):
     def init(self, ids, n_vertices, keys=None, keys_numeric=False):
         seed = np.isin(ids, self.sources)
         return np.where(seed, 0.0, INF), seed
+
+
+class EarliestArrival(SSSP):
+    """Temporal earliest-availability propagation (time-respecting
+    reachability): each edge carries an availability time t (the edge
+    exists from t onward — e.g. a link first observed in a crawl at
+    time t), and arr(v) = min over in-edges (u,v,t) of
+    max(t, arr(u)) — you can leave u no earlier than you arrived AND
+    no earlier than the edge exists. Monotone min-fixpoint, so the
+    same BSP relaxation as SSSP with the per-edge '+ weight' swapped
+    for 'max(base, weight)' (the engine's max_edge_weight scatter
+    mode). Target-side extension (the reference has no temporal
+    semantics; its edge value is the constant 1.0,
+    worker/worker.go:165)."""
+
+    def __init__(self, source_id: int):
+        super().__init__(source_id=source_id)
+        self.name = "earliest"
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values, max_edge_weight=True)
 
 
 class ConnectedComponents(Algorithm):
@@ -589,6 +611,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return SSSP(**params)
     if name in ("sssp_multi", "multi_source_sssp"):
         return MultiSourceSSSP(**params)
+    if name in ("earliest", "earliest_arrival"):
+        return EarliestArrival(**params)
     if name in ("cc", "connected_components"):
         return ConnectedComponents(**params)
     if name in ("lp", "label_propagation"):

@@ -1705,6 +1705,85 @@ def q_sssp_weighted(sf_dir: str):
     return res.map_batches(conv, batch_format="pyarrow")
 
 
+def edges_lineitem_temporal(sf_dir: str) -> rd.Dataset:
+    """Temporal contact edges: the bipartite lineitem pairs stamped
+    with the HOUR the lineitem shipped (hours since the Unix epoch,
+    exact in float64). Distinct (src, dst, t) — parallel edges with
+    different availability times form a temporal multigraph."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(ok % 2000),
+                "dst": pa.array(2000 + pk % 2000),
+                "weight": pa.array((us // 3_600_000_000).astype(np.float64)),
+            }
+        )
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+    return distinct(
+        ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst", "weight"]
+    )
+
+
+def _temporal_graph_for(sf_dir: str) -> str:
+    gdir = _cache(sf_dir, "lineitem_temporal", "graph")
+    if not os.path.exists(os.path.join(gdir, "manifest.json")):
+        edges = edges_lineitem_temporal(sf_dir)
+
+        def stringify(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_key": t["src"].cast(pa.string()),
+                    "dst_key": t["dst"].cast(pa.string()),
+                    "weight": t["weight"],
+                }
+            )
+
+        build_graph(
+            edges.map_batches(stringify, batch_format="pyarrow"),
+            gdir,
+            n_parts=16,
+            n_buckets=32,
+            dedup=False,
+            symmetrize_edges=True,
+            source_info={"kind": "lineitem_temporal", "sf_dir": os.path.abspath(sf_dir)},
+        )
+    return gdir
+
+
+def q_earliest_arrival(sf_dir: str):
+    """Time-respecting earliest-arrival from the min vertex over the
+    temporal lineitem multigraph: arr(v) = min over edges (u,v,t) of
+    max(t, arr(u)) — each edge usable only from its ship-hour onward.
+    Runs the BSP engine's min-combiner with the max-edge-weight
+    scatter mode (algorithms.EarliestArrival); unreached is NULL."""
+    from .graph import lookup_vertex_id
+
+    gdir = _temporal_graph_for(sf_dir)
+    man = GraphManifest.load(gdir)
+    src = _min_vertex(sf_dir, "lineitem")
+    sid = lookup_vertex_id(man, str(src))
+    res = run_algorithm(
+        gdir, _cache(sf_dir, "lineitem_temporal", "run_earliest"), "earliest", source_id=sid
+    )
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        val = t["value"].to_numpy()
+        arr = pa.array(
+            [None if not np.isfinite(x) else int(x) for x in val], pa.int64()
+        )
+        return pa.table({"vertex": v, "arrival_hour": arr})
+
+    return res.map_batches(conv, batch_format="pyarrow")
+
+
 def q_pagerank_weighted(sf_dir: str):
     """Edge-weight-proportional PageRank over the weighted lineitem
     multigraph: rank flows along edges in proportion to their weight

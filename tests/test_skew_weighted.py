@@ -121,3 +121,47 @@ def test_weighted_pagerank_vs_numpy_oracle():
         np.testing.assert_allclose(
             g.loc[verts].to_numpy(), x, atol=1e-9, err_msg=backend
         )
+
+
+def test_earliest_arrival_temporal_oracle():
+    """Time-respecting earliest arrival: arr(v) = min over symmetrized
+    edges (u,v,t) of max(t, arr(u)) — fixpoint oracle by brute
+    iteration; both backends must match exactly. The max-t path can
+    differ from the hop-shortest path (planted below: the 1-hop edge
+    to 'd' is late, the 2-hop route is earlier)."""
+    edges = [
+        ("a", "b", 5.0), ("b", "c", 7.0), ("a", "c", 20.0),
+        ("c", "d", 8.0), ("a", "d", 50.0), ("e", "f", 3.0),
+        ("b", "d", 6.0),  # usable before arrival at b? arr(b)=5 -> max(5,6)=6
+    ]
+    ds = rd.from_items(
+        [{"src_key": s, "dst_key": d, "weight": w} for s, d, w in edges]
+    )
+    gdir = f"{TMP}/temporal/graph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    build_graph(ds, gdir, n_parts=2, n_buckets=4, dedup=False)
+
+    verts = sorted({v for e in edges for v in e[:2]})
+    arr = {v: np.inf for v in verts}
+    arr["a"] = 0.0
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in edges:
+            for u, v in ((s, d), (d, s)):
+                cand = max(t, arr[u])
+                if cand < arr[v]:
+                    arr[v] = cand
+                    changed = True
+    # planted structure: arr(b)=5 via a->b@5; d's direct edge a->d@50
+    # loses to the 2-hop route b->d@6 (max(5,6)=6); c via b->c@7.
+    assert arr["d"] == 6.0 and arr["c"] == 7.0 and arr["e"] == np.inf
+
+    sid = lookup_vertex_id(GraphManifest.load(gdir), "a")
+    for backend, wd in [("core", "ea_core"), ("dataset", "ea_ds")]:
+        got = run_algorithm(
+            gdir, f"{TMP}/temporal/{wd}", "earliest", source_id=sid, backend=backend
+        ).to_pandas()
+        gmap = dict(zip(got["vertex"], got["value"]))
+        for v in verts:
+            assert gmap[v] == arr[v], (backend, v, gmap[v], arr[v])
