@@ -903,6 +903,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
         "lineitem_median": T.q_lineitem_median,
+        "orders_rank": T.q_orders_rank,
+        "orders_cube": T.q_orders_cube,
+        "embedding_gram": T.q_embedding_gram,
+        "events_regression": T.q_events_regression,
         "events_props_agg": T.q_events_props_agg,
         "motif_census": T.q_motif_census,
         "rich_club": T.q_rich_club,
@@ -1483,6 +1487,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.n::BIGINT AS n, s.k::BIGINT AS k, "
             "(SELECT v FROM c ORDER BY v LIMIT 1 OFFSET (SELECT k - 1 FROM s)"
             ")::BIGINT AS median_cents FROM s"
+        ),
+        "orders_rank": (
+            # global row_number by (price desc, orderkey) — engine does it
+            # via range-bucket histogram offsets, never a global sort
+            "SELECT o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
+            "row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) "
+            "DESC, o_orderkey) AS rnk FROM orders"
+        ),
+        "events_regression": (
+            # HUGEINT sums; DuckDB // truncates toward zero — the engine
+            # mirrors that (sign * (abs // den))
+            "WITH t AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 - 473352 AS HUGEINT) AS x, "
+            "CAST(round(value * 100) AS HUGEINT) AS y FROM events), "
+            "s AS (SELECT event_type, count(*)::HUGEINT AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx "
+            "FROM t GROUP BY event_type) "
+            "SELECT event_type, n::BIGINT AS n, "
+            "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
+            "AS BIGINT) AS slope_e6 FROM s"
+        ),
+        "embedding_gram": (
+            # floor(x*1024): float32->double is exact, double*1024 and
+            # FLOOR are IEEE-identical between numpy and DuckDB
+            "WITH q AS (SELECT vec_id, i, "
+            "CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS v FROM ("
+            "  SELECT vec_id, unnest(embedding) AS x, "
+            "  generate_subscripts(embedding, 1) AS i FROM embeddings)) "
+            "SELECT a.i AS i, b.i AS j, sum(a.v * b.v)::BIGINT AS s "
+            "FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i "
+            "GROUP BY a.i, b.i"
+        ),
+        "orders_cube": (
+            "SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
         ),
         "dag_longest": (
             "WITH RECURSIVE ebs AS ( "

@@ -4618,6 +4618,207 @@ def q_lineitem_median(sf_dir: str):
     )
 
 
+def q_orders_rank(sf_dir: str, n_range_buckets: int = 64):
+    """EXACT global dense row-numbering by (o_totalprice DESC,
+    o_orderkey ASC) WITHOUT a global sort: pass 1 histograms price
+    cents into fixed RANGE buckets (per-batch bincount combiner, one
+    tiny merge), the driver computes each bucket's global rank offset
+    (= count of rows in strictly-higher buckets, O(buckets) state),
+    pass 2 shuffles rows by range bucket and ranks each bucket
+    independently (offset + intra-bucket lexsort position). This is
+    the distributed ORDER BY ... ROW_NUMBER() pattern: no stage ever
+    holds more than n/buckets rows, and buckets scale with input size
+    (bump n_range_buckets; per-bucket memory = n/buckets)."""
+    lo_c, hi_c = 0, 50_000_001  # o_totalprice domain in cents (gen-bounded)
+    nb = n_range_buckets
+    width = (hi_c - lo_c) // nb + 1
+    from ..stages.join import bucket_sum
+
+    def cents(t: pa.Table) -> np.ndarray:
+        return np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = cents(t)
+        if (c < lo_c).any() or (c >= hi_c).any():
+            raise ValueError("o_totalprice outside fixed rank domain")
+        h = np.bincount((c - lo_c) // width, minlength=nb)
+        return pa.table(
+            {"b": pa.array(np.arange(nb, dtype=np.int64)),
+             "n": pa.array(h.astype(np.int64))}
+        )
+
+    src = _table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hp = (
+        bucket_sum(src.map_batches(hist, batch_format="pyarrow"), ["b"], ["n"], n_buckets=4)
+        .to_pandas()
+        .sort_values("b")
+    )
+    counts = np.zeros(nb, dtype=np.int64)
+    counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
+    total = int(counts.sum())
+    # rows in strictly HIGHER price buckets rank first (descending order)
+    above = total - np.cumsum(counts)  # above[b] = count in buckets > b
+
+    def attach_rb(t: pa.Table) -> pa.Table:
+        c = cents(t)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(c),
+                "rb": pa.array((c - lo_c) // width),
+            }
+        )
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["rb"].iloc[0])
+        c = df["price_cents"].to_numpy()
+        order = np.lexsort((df["o_orderkey"].to_numpy(), -c))
+        rnk = np.empty(len(df), dtype=np.int64)
+        rnk[order] = int(above[b]) + 1 + np.arange(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "price_cents": c,
+                "rnk": rnk,
+            }
+        )
+
+    return (
+        src.map_batches(attach_rb, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grouping sets from
+    ONE streaming pass — per-batch partial (status, priority) cells
+    (bounded: <= 15 combos per batch), driver-reduced, then the
+    margin rows (status-only / priority-only / grand total) are
+    summed from the base cells on the driver. NULL group keys mark
+    margins, exactly like SQL CUBE. At any scale the reduction state
+    is O(|status| x |priority|), never O(rows)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderstatus": df["o_orderstatus"],
+                    "o_orderpriority": df["o_orderpriority"],
+                    "n_orders": np.ones(len(df), dtype=np.int64),
+                    "revenue_cents": cents,
+                }
+            )
+            .groupby(["o_orderstatus", "o_orderpriority"], as_index=False, sort=False)
+            .sum()
+        )
+        return g
+
+    src = _table(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    base = (
+        src.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+        .sum()
+    )
+    vals = ["n_orders", "revenue_cents"]
+    m_s = base.groupby("o_orderstatus", as_index=False)[vals].sum()
+    m_s["o_orderpriority"] = None
+    m_p = base.groupby("o_orderpriority", as_index=False)[vals].sum()
+    m_p["o_orderstatus"] = None
+    tot = base[vals].sum().to_frame().T
+    tot["o_orderstatus"] = None
+    tot["o_orderpriority"] = None
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "revenue_cents"]
+    out = pd.concat([base[cols], m_s[cols], m_p[cols], tot[cols]], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix G = X^T X over the embedding column —
+    the one-pass partial-reduce behind covariance/PCA at scale: each
+    batch computes its own d x d integer matmul (embeddings quantized
+    q = floor(x * 1024), exact in both engines since float32->double
+    is exact and the product/sums stay < 2^63), partials merge by
+    summing 2,080 upper-triangle cells — reduction state is O(d^2)
+    regardless of row count. Output (i, j, s), 1-based indices."""
+    dim = 64
+    iu, ju = np.triu_indices(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        E = flat.reshape(-1, dim)
+        q = np.floor(E * 1024.0).astype(np.int64)
+        G = q.T @ q
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64)),
+                "j": pa.array((ju + 1).astype(np.int64)),
+                "s": pa.array(G[iu, ju]),
+            }
+        )
+
+    from ..stages.join import bucket_sum
+
+    src = _table(sf_dir, "embeddings", ["embedding"])
+    return bucket_sum(
+        src.map_batches(partial, batch_format="pyarrow"), ["i", "j"], ["s"], n_buckets=8
+    )
+
+
+def q_events_regression(sf_dir: str):
+    """Per-group least-squares trend (slope of value vs event hour)
+    from ONE streaming pass of mergeable sufficient statistics: each
+    batch emits (n, Sx, Sy, Sxy, Sxx) per event_type — the classic
+    combiner for distributed regression/correlation — and the slope
+    is assembled on the driver from O(groups) rows with exact integer
+    arithmetic (x = hours since 2024-01-01 stays small; y in cents;
+    the final *1e6 blowup runs in Python ints, and the division
+    TRUNCATES toward zero to match DuckDB's `//`)."""
+    epoch_2024_h = 473352  # 1704067200 // 3600
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _ts_us(df["ts"]) // 3_600_000_000 - epoch_2024_h
+        y = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": np.ones(len(df), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby("event_type", as_index=False, sort=False).sum()
+
+    src = _table(sf_dir, "events", ["event_type", "ts", "value"])
+    s = (
+        src.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    slopes = []
+    for _, r in s.iterrows():
+        n, sx, sy, sxy, sxx = (int(r[c]) for c in ("n", "sx", "sy", "sxy", "sxx"))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        q = abs(num) * 1_000_000 // den
+        slopes.append(-q if num < 0 else q)
+    return pd.DataFrame(
+        {
+            "event_type": s["event_type"],
+            "n": s["n"].astype("int64"),
+            "slope_e6": pd.Series(slopes, dtype="int64"),
+        }
+    )
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
