@@ -907,6 +907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": T.q_orders_cube,
         "embedding_gram": T.q_embedding_gram,
         "events_regression": T.q_events_regression,
+        "events_ewma": T.q_events_ewma,
+        "dict_upsert": T.q_dict_upsert,
         "events_props_agg": T.q_events_props_agg,
         "motif_census": T.q_motif_census,
         "rich_club": T.q_rich_club,
@@ -1495,6 +1497,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
             "row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) "
             "DESC, o_orderkey) AS rnk FROM orders"
+        ),
+        "dict_upsert": (
+            "WITH old AS (SELECT DISTINCT c_custkey AS k FROM customer "
+            "             WHERE c_custkey % 3 <> 0), "
+            "newk AS (SELECT DISTINCT o_custkey AS k FROM orders "
+            "         WHERE o_custkey NOT IN (SELECT k FROM old)), "
+            "o AS (SELECT k, row_number() OVER (ORDER BY k) AS id, "
+            "      'old' AS status FROM old), "
+            "n AS (SELECT k, (SELECT count(*) FROM old) + "
+            "      row_number() OVER (ORDER BY k) AS id, 'new' AS status FROM newk) "
+            "SELECT k AS key, id, status FROM o "
+            "UNION ALL SELECT k AS key, id, status FROM n"
+        ),
+        "events_ewma": (
+            # per-user ordered scan as a recursive CTE over sequence
+            # position; x > 0 so trunc (//) == floor on both sides
+            "WITH RECURSIVE e AS (SELECT event_id, user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS x, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k "
+            "FROM events), "
+            "w AS ( "
+            "  SELECT event_id, user_id, k, x AS y FROM e WHERE k = 1 "
+            "  UNION ALL "
+            "  SELECT e.event_id, e.user_id, e.k, (e.x + 3 * w.y) // 4 "
+            "  FROM w JOIN e ON e.user_id = w.user_id AND e.k = w.k + 1) "
+            "SELECT event_id, y AS ewma_c FROM w"
         ),
         "events_regression": (
             # HUGEINT sums; DuckDB // truncates toward zero — the engine

@@ -4819,6 +4819,148 @@ def q_events_regression(sf_dir: str):
     )
 
 
+def q_events_ewma(sf_dir: str):
+    """Per-user exponential moving average (alpha = 1/4) — an ordered
+    per-key SCAN, the recurrence y_k = (x_k + 3*y_{k-1}) // 4 in
+    exact integer cents (positive values: floor == trunc, so numpy
+    and DuckDB agree). ONE user-bucket shuffle (a user never
+    straddles buckets); inside a bucket the scan is vectorized
+    COLUMN-WISE over sequence position k — each step updates the
+    k-th event of EVERY user at once, so the Python loop runs
+    max-events-per-user times, not rows times."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df["ts"])
+        order = np.lexsort((df["event_id"].to_numpy(), ts, df["user_id"].to_numpy()))
+        uid = df["user_id"].to_numpy()[order]
+        x = np.round(df["value"].to_numpy() * 100).astype(np.int64)[order]
+        eid = df["event_id"].to_numpy()[order]
+        start = np.ones(len(uid), dtype=bool)
+        start[1:] = uid[1:] != uid[:-1]
+        # position within user = arange - start index of the user's run
+        run_start = np.maximum.accumulate(np.where(start, np.arange(len(uid)), 0))
+        pos = np.arange(len(uid)) - run_start
+        y = x.copy()
+        k, rows = 1, np.flatnonzero(pos == 1)
+        while len(rows):
+            y[rows] = (x[rows] + 3 * y[rows - 1]) // 4
+            k += 1
+            rows = np.flatnonzero(pos == k)
+        return pd.DataFrame({"event_id": eid, "ewma_c": y})
+
+    src = _table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = _scaled_buckets(sf_dir, "events")
+    return (
+        add_bucket(src, ["user_id"], nb)
+        .groupby(_BUCKET)
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def _rank_int_keys(ds, lo: int, hi: int, nb: int, base_offset: int):
+    """Dense 1-based rank of a distinct int64 `k` column by value,
+    WITHOUT a global sort: range-bucket histogram -> driver offset
+    cumsum (O(nb) state) -> per-bucket local sort + offset. Same
+    two-pass pattern as q_orders_rank, ascending."""
+    from ..stages.join import bucket_sum
+
+    width = (hi - lo) // nb + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        if len(k) and ((k < lo).any() or (k >= hi).any()):
+            raise ValueError("key outside fixed rank domain")
+        h = np.bincount((k - lo) // width, minlength=nb)
+        return pa.table(
+            {"b": pa.array(np.arange(nb, dtype=np.int64)),
+             "n": pa.array(h.astype(np.int64))}
+        )
+
+    ds = ds.materialize()  # feeds both the histogram and the rank pass
+    hp = bucket_sum(
+        ds.map_batches(hist, batch_format="pyarrow"), ["b"], ["n"], n_buckets=4
+    ).to_pandas()
+    counts = np.zeros(nb, dtype=np.int64)
+    if len(hp):
+        counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))  # rows in lower buckets
+
+    def attach_rb(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table({"k": t["k"], "rb": pa.array((k - lo) // width)})
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["rb"].iloc[0])
+        k = np.sort(df["k"].to_numpy())
+        ids = int(below[b]) + base_offset + 1 + np.arange(len(k), dtype=np.int64)
+        return pd.DataFrame({"key": k, "id": ids})
+
+    return (
+        ds.map_batches(attach_rb, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+def q_dict_upsert(sf_dir: str):
+    """Incremental dictionary upsert with STABLE ids — the core of
+    resumable web-crawl ingestion: the existing dictionary (the
+    "previous crawl": customer keys with key % 3 != 0, ids = dense
+    rank by key) keeps its ids unchanged; incoming keys (distinct
+    orders custkeys) not already present are appended with ids
+    n_old + rank-among-new. Old-key membership is a
+    broadcast set at this scale (ray.put once, np.isin per batch);
+    above the broadcast limit the anti-join runs as the hash-bucket
+    join the dictionary encoder already uses. Ranking never sorts
+    globally (range-bucket histogram offsets)."""
+    from ..stages.join import distinct
+
+    lo, hi, nb = 0, 16_777_217, 1024
+
+    def prev_crawl(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(k[k % 3 != 0])})
+
+    old_keys = _table(sf_dir, "customer", ["c_custkey"]).map_batches(
+        prev_crawl, batch_format="pyarrow"
+    )
+    old_ranked = _rank_int_keys(old_keys, lo, hi, nb, base_offset=0).materialize()
+    n_old = old_ranked.count()
+
+    old_set_ref = ray.put(np.sort(old_ranked.to_pandas()["key"].to_numpy()))
+
+    def filter_new(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy().astype(np.int64)
+        old = ray.get(old_set_ref)
+        keep = ~np.isin(k, old)
+        return pa.table({"k": pa.array(np.unique(k[keep]))})
+
+    new_keys = distinct(
+        _table(sf_dir, "orders", ["o_custkey"]).map_batches(
+            filter_new, batch_format="pyarrow"
+        ),
+        ["k"],
+    )
+    new_ranked = _rank_int_keys(new_keys, lo, hi, nb, base_offset=n_old)
+
+    def tag(status: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["key"],
+                    "id": t["id"],
+                    "status": pa.array([status] * len(t), pa.string()),
+                }
+            )
+
+        return f
+
+    return old_ranked.map_batches(tag("old"), batch_format="pyarrow").union(
+        new_ranked.map_batches(tag("new"), batch_format="pyarrow")
+    )
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
