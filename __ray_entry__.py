@@ -587,6 +587,31 @@ def _earliest_arrival_sql() -> str:
     )
 
 
+def _anf_sql() -> str:
+    """ANF oracle: per-vertex FM bitmap = lowest set bit of the low
+    40 bits of splitmix64(id + seed) (replayed via HUGEINT split
+    multiplies), then 4 synchronous rounds of bit_or over the
+    symmetrized adjacency + self-loops; anf_units = lowest UNSET bit
+    of the final mask."""
+    seed = 11
+    src = f"((id::HUGEINT + {seed}) % {_M64}::HUGEINT)"
+    return (
+        f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+        "a AS (SELECT src, dst FROM es UNION ALL SELECT id, id FROM v), "
+        f"zz AS (SELECT id, {_splitmix_cols(src, 'z')} FROM v), "
+        "init AS (SELECT id, CASE WHEN zl = 0 THEN 549755813888 "
+        "         ELSE zl & (-zl) END AS mask FROM ( "
+        "  SELECT id, (z::HUGEINT % 1099511627776)::BIGINT AS zl FROM zz)), "
+        "m AS ( "
+        "  SELECT 0 AS it, id, mask FROM init "
+        "  UNION ALL "
+        "  SELECT p.it + 1, a.dst AS id, bit_or(p.mask) FROM m p "
+        "  JOIN a ON a.src = p.id WHERE p.it < 4 GROUP BY p.it, a.dst) "
+        "SELECT id AS vertex, ((~mask) & (mask + 1))::BIGINT AS anf_units "
+        "FROM m WHERE it = 4"
+    )
+
+
 def _embedding_neardup_sql() -> str:
     """Oracle for testdata.q_embedding_neardup: reproduce the planted
     augmentation (x + 0.02 copies of vec_id < 16), the 12-hyperplane
@@ -843,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": T.q_sssp,
         "sssp_weighted": T.q_sssp_weighted,
         "earliest_arrival": T.q_earliest_arrival,
+        "anf": T.q_anf,
         "sssp_multi": T.q_sssp_multi,
         "scc": T.q_scc,
         "bowtie": T.q_bowtie,
@@ -2131,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp_weighted": _sssp_weighted_sql(),
         "earliest_arrival": _earliest_arrival_sql(),
+        "anf": _anf_sql(),
         "pagerank_weighted": _pagerank_weighted_sql(),
         "media_features": _media_features_sql(),
         "media_framesample": _frame_sample_sql(),

@@ -50,7 +50,7 @@ def main(argv=None):
         required=True,
         choices=[
             "pagerank", "pagerank_weighted", "ppr", "sssp", "sssp_multi", "earliest",
-            "cc", "lp", "mis", "katz", "coloring", "dag_longest", "sumprop",
+            "cc", "lp", "mis", "katz", "coloring", "dag_longest", "sumprop", "anf",
         ],
     )
     pr.add_argument("--source", help="SSSP source vertex key")

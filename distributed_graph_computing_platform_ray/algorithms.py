@@ -396,6 +396,56 @@ class KatzPropagation(Algorithm):
         return False
 
 
+class ANFPropagation(Algorithm):
+    """Approximate neighborhood function (ANF, Palmer/Gibbons/
+    Faloutsos 2002 — HyperBall's ancestor): every vertex carries an
+    OR-mergeable Flajolet-Martin bitmap seeded from its own hashed
+    key; each superstep ORs neighbor bitmaps together, so after T
+    rounds mask(v) sketches the ball N(v, <=T) and the lowest UNSET
+    bit estimates its size (|ball| ~ 2^b / 0.77351). One 40-bit
+    bitmap per vertex rides the engine's 'bor' combiner as an exact
+    float64 integer payload; production accuracy stacks k bitmaps
+    (or HLL registers) per vertex — the propagation structure is
+    identical. Deterministic: the bitmap depends only on the
+    ORIGINAL vertex key (splitmix64 of key+seed, low 40 bits, lowest
+    set bit), never on partitioning or parallelism. Monotone (masks
+    only grow), so only changed vertices re-scatter — unchanged
+    masks were already absorbed by every neighbor."""
+
+    combine = "bor"
+    wants_keys = True
+
+    def __init__(self, seed: int = 11, num_rounds: int = 4):
+        self.name = "anf"
+        self.seed = seed
+        self.num_rounds = num_rounds
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        from .utils import splitmix64
+
+        if keys is not None and keys_numeric:
+            k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+        else:
+            k = ids.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = splitmix64(k + np.uint64(self.seed))
+        zl = (z & np.uint64((1 << 40) - 1)).astype(np.int64)
+        mask = np.where(zl == 0, np.int64(1) << 39, zl & -zl)
+        return mask.astype(np.float64), np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep, keys=None):
+        return ScatterOut(base=values)
+
+    def apply(self, old_values, agg, has_msg, superstep, keys=None):
+        o = old_values.astype(np.int64)
+        new = (o | agg.astype(np.int64)).astype(np.float64)
+        changed = new != old_values
+        return new, changed.copy(), changed
+
+    def max_supersteps(self):
+        return self.num_rounds
+
+
 class MaximalIndependentSet(Algorithm):
     """Luby's maximal independent set (Luby 1986), two supersteps per
     round on the undirected graph. Values encode vertex state:
@@ -621,6 +671,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return SumPropagation(**params)
     if name == "katz":
         return KatzPropagation(**params)
+    if name == "anf":
+        return ANFPropagation(**params)
     if name in ("mis", "maximal_independent_set"):
         return MaximalIndependentSet(**params)
     if name in ("coloring", "greedy_coloring"):

@@ -1784,6 +1784,22 @@ def q_earliest_arrival(sf_dir: str):
     return res.map_batches(conv, batch_format="pyarrow")
 
 
+def q_anf(sf_dir: str, num_rounds: int = 4):
+    """Approximate neighborhood function after `num_rounds` hops on
+    the symmetrized lineitem graph: per-vertex OR-mergeable FM
+    bitmaps on the engine's 'bor' combiner (algorithms.
+    ANFPropagation); anf_units = lowest unset bit of the final mask
+    = the integer 2^b whose scaled value estimates |ball(v, T)|."""
+    res = _run_cached(sf_dir, "lineitem", "anf", num_rounds=num_rounds)
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        m = t["value"].to_numpy().astype(np.int64)
+        return pa.table({"vertex": v, "anf_units": pa.array((~m) & (m + 1))})
+
+    return res.map_batches(conv, batch_format="pyarrow")
+
+
 def q_pagerank_weighted(sf_dir: str):
     """Edge-weight-proportional PageRank over the weighted lineitem
     multigraph: rank flows along edges in proportion to their weight

@@ -165,3 +165,35 @@ def test_earliest_arrival_temporal_oracle():
         gmap = dict(zip(got["vertex"], got["value"]))
         for v in verts:
             assert gmap[v] == arr[v], (backend, v, gmap[v], arr[v])
+
+
+def test_anf_bitmap_propagation_oracle():
+    """ANF: per-vertex FM bitmaps OR-propagated T rounds must equal
+    brute mask propagation over adjacency + self, on both backends;
+    mask seeds derive from ORIGINAL keys (partition-independent)."""
+    from distributed_graph_computing_platform_ray.utils import splitmix64
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (1, 5), (7, 7)]
+    ds = rd.from_items([{"src_key": str(u), "dst_key": str(v)} for u, v in edges])
+    gdir = f"{TMP}/anf/graph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    build_graph(ds, gdir, n_parts=3, n_buckets=8, dedup=False)
+
+    verts = sorted({v for e in edges for v in e})
+    T = 4
+    z = splitmix64(np.array(verts, dtype=np.uint64) + np.uint64(11))
+    zl = (z & np.uint64((1 << 40) - 1)).astype(np.int64)
+    mask = {v: int(m) for v, m in zip(verts, np.where(zl == 0, 1 << 39, zl & -zl))}
+    adj = {v: {v} for v in verts}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for _ in range(T):
+        mask = {v: int(np.bitwise_or.reduce([mask[u] for u in adj[v]])) for v in verts}
+
+    for backend, wd in [("core", "anf_core"), ("dataset", "anf_ds")]:
+        got = run_algorithm(
+            gdir, f"{TMP}/anf/{wd}", "anf", num_rounds=T, backend=backend
+        ).to_pandas()
+        gm = {int(k): int(v) for k, v in zip(got["vertex"], got["value"])}
+        assert gm == mask, (backend, gm, mask)
