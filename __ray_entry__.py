@@ -890,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": T.q_doc_exact_dedup,
         "doc_fingerprint": T.q_doc_fingerprint,
         "top_terms": T.q_top_terms,
+        "inverted_index": T.q_inverted_index,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1302,6 +1303,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, "
             "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "inverted_index": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "FROM documents WHERE trim(text) <> '') "
+            "SELECT term, count(*)::BIGINT AS df, "
+            "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
+            "FROM pairs GROUP BY term"
         ),
         "top_terms": (
             "SELECT term, count(*)::BIGINT AS cnt FROM ( "

@@ -853,6 +853,43 @@ def q_top_terms(sf_dir: str):
     return top
 
 
+def q_inverted_index(sf_dir: str):
+    """Search-index build: the full posting list (sorted doc ids) per
+    term. The (doc_id, term) pairs a batch emits are already globally
+    distinct — a document lives in exactly one row — so ONE
+    term-bucket shuffle assembles every posting list (a term's whole
+    list lands in one group; at web scale a hot term's postings would
+    additionally split into fixed-size blocks with skip pointers).
+    Postings serialize as a comma-joined string, the hash-comparable
+    stand-in for a list<int64> column."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.set_index("doc_id")["text"].astype(str).str.split().explode().dropna()
+        return pd.DataFrame(
+            {"doc_id": t.index.to_numpy(), "term": t.to_numpy()}
+        ).drop_duplicates()
+
+    def build(dfb: pd.DataFrame) -> pd.DataFrame:
+        s = dfb.sort_values(["term", "doc_id"])
+        g = s.groupby("term", sort=False)["doc_id"]
+        return pd.DataFrame(
+            {
+                "term": g.size().index,
+                "df": g.size().to_numpy().astype("int64"),
+                "postings": g.agg(lambda ids: ",".join(map(str, ids))).to_numpy(),
+            }
+        )
+
+    src = _table(sf_dir, "documents", ["doc_id", "text"])
+    nb = _scaled_buckets(sf_dir, "documents", rows_per_bucket=50_000, floor=16)
+    return (
+        add_bucket(src.map_batches(pairs, batch_format="pandas"), ["term"], nb)
+        .groupby(_BUCKET)
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 _HLL_P = 8  # 2^8 = 256 registers
 
 
