@@ -935,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": T.q_embedding_gram,
         "events_regression": T.q_events_regression,
         "events_ewma": T.q_events_ewma,
+        "events_retention": T.q_events_retention,
+        "events_chi2": T.q_events_chi2,
         "dict_upsert": T.q_dict_upsert,
         "events_props_agg": T.q_events_props_agg,
         "motif_census": T.q_motif_census,
@@ -1544,6 +1546,28 @@ def oracle_sql() -> dict[str, str]:
             "      row_number() OVER (ORDER BY k) AS id, 'new' AS status FROM newk) "
             "SELECT k AS key, id, status FROM o "
             "UNION ALL SELECT k AS key, id, status FROM n"
+        ),
+        "events_chi2": (
+            "WITH d AS (SELECT event_type, "
+            "(epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events), "
+            "o AS (SELECT event_type, dow, count(*)::HUGEINT AS o "
+            "      FROM d GROUP BY event_type, dow), "
+            "rt AS (SELECT event_type, sum(o) AS rt FROM o GROUP BY event_type), "
+            "ct AS (SELECT dow, sum(o) AS ct FROM o GROUP BY dow), "
+            "nn AS (SELECT sum(o) AS n FROM o) "
+            "SELECT o.event_type, o.dow::BIGINT AS dow, o.o::BIGINT AS n_events, "
+            "CAST(((o.o * nn.n - rt.rt * ct.ct) * (o.o * nn.n - rt.rt * ct.ct) "
+            "* 1000000) // (rt.rt * ct.ct * nn.n) AS BIGINT) AS chi2_e6 "
+            "FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nn"
+        ),
+        "events_retention": (
+            "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day "
+            "FROM events), "
+            "c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id), "
+            "u AS (SELECT DISTINCT d.user_id, c.cohort, d.day - c.cohort AS off "
+            "FROM d JOIN c USING (user_id)) "
+            "SELECT cohort AS cohort_day, off AS day_offset, "
+            "count(*)::BIGINT AS n_users FROM u GROUP BY cohort, off"
         ),
         "events_ewma": (
             # per-user ordered scan as a recursive CTE over sequence

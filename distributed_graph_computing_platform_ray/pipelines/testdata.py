@@ -4671,6 +4671,79 @@ def q_lineitem_median(sf_dir: str):
     )
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST active day
+    (cohort), counted as retained at each later day offset. ONE
+    user-bucket shuffle computes everything: a user's whole history
+    sits in one bucket, so per-bucket cohort assignment + per-(user,
+    day) dedup are exact, and the per-bucket (cohort, offset) user
+    counts are ADDITIVE across buckets (a user exists in exactly one
+    bucket) — merged by a tiny bucket_sum. Classic analytics shape:
+    groupby-min + self-join collapsed into a partitioned scan."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        day = _ts_us(df["ts"]) // 86_400_000_000
+        t = pd.DataFrame({"u": df["user_id"].to_numpy(), "day": day})
+        cohort = t.groupby("u")["day"].transform("min")
+        t = pd.DataFrame(
+            {"cohort_day": cohort, "day_offset": t["day"] - cohort, "u": t["u"]}
+        ).drop_duplicates()
+        g = t.groupby(["cohort_day", "day_offset"], as_index=False)["u"].size()
+        return g.rename(columns={"size": "n_users"})
+
+    src = _table(sf_dir, "events", ["user_id", "ts"])
+    nb = _scaled_buckets(sf_dir, "events")
+    partials = (
+        add_bucket(src, ["user_id"], nb)
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucket_sum(partials, ["cohort_day", "day_offset"], ["n_users"], n_buckets=4)
+
+
+def q_events_chi2(sf_dir: str):
+    """Chi-square contingency cells for event_type x day-of-week —
+    statistical dependence profiling from ONE streaming pass of
+    bounded per-batch count partials (<= |types| x 7 rows each,
+    driver-reduced). Each cell's statistic ((o*N - rt*ct)^2 * 1e6) //
+    (rt*ct*N) is exact integer arithmetic in Python ints (HUGEINT in
+    the oracle); dow = (epoch_day + 4) % 7 on both sides, avoiding
+    engine-specific weekday conventions."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = (_ts_us(df["ts"]) // 86_400_000_000 + 4) % 7
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "dow": dow,
+             "n_events": np.ones(len(df), dtype=np.int64)}
+        )
+        return g.groupby(["event_type", "dow"], as_index=False, sort=False).sum()
+
+    src = _table(sf_dir, "events", ["event_type", "ts"])
+    o = (
+        src.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "dow"], as_index=False)
+        .sum()
+    )
+    rt = o.groupby("event_type")["n_events"].sum().to_dict()
+    ct = o.groupby("dow")["n_events"].sum().to_dict()
+    N = int(o["n_events"].sum())
+    chi = []
+    for _, r in o.iterrows():
+        obs, a, b = int(r["n_events"]), int(rt[r["event_type"]]), int(ct[r["dow"]])
+        num = obs * N - a * b
+        chi.append(num * num * 1_000_000 // (a * b * N))
+    return pd.DataFrame(
+        {
+            "event_type": o["event_type"],
+            "dow": o["dow"].astype("int64"),
+            "n_events": o["n_events"].astype("int64"),
+            "chi2_e6": pd.Series(chi, dtype="int64"),
+        }
+    )
+
+
 def q_orders_rank(sf_dir: str, n_range_buckets: int = 64):
     """EXACT global dense row-numbering by (o_totalprice DESC,
     o_orderkey ASC) WITHOUT a global sort: pass 1 histograms price
