@@ -879,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": T.q_pagerank_weighted,
         "pagerank_personalized": T.q_pagerank_personalized,
         "connected_components": T.q_connected_components,
+        "cc_incremental": T.q_cc_incremental,
         "mis": T.q_mis,
         "kcore": T.q_kcore,
         "user_distinct_hll": T.q_user_hll,
@@ -1251,6 +1252,18 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN intr ON intr.label = sz.label"
         ),
         "connected_components": (
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+            "relax AS (SELECT src, dst FROM es UNION ALL SELECT id, id FROM v), "
+            "c AS ( "
+            "  SELECT 0 AS it, id, id AS lab FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.lab) FROM c p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
+            "SELECT id AS vertex, CAST(lab AS BIGINT) AS component FROM c WHERE it = 60"
+        ),
+        "cc_incremental": (
+            # the warm-started engine run must equal full cold CC on the
+            # full graph (see ConnectedComponentsWarmStart's proof note)
             f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
             "relax AS (SELECT src, dst FROM es UNION ALL SELECT id, id FROM v), "
             "c AS ( "

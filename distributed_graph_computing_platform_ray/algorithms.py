@@ -274,6 +274,41 @@ class ConnectedComponents(Algorithm):
         return new, changed.copy(), changed
 
 
+class ConnectedComponentsWarmStart(ConnectedComponents):
+    """Incremental CC: recompute after edge ADDITIONS, seeded from a
+    prior run's labels. Min-label propagation converges to the
+    per-component minimum of the INITIAL values; every prior label is
+    the key of a vertex inside the same (grown) component, and the
+    grown component's true minimum vertex seeds with its own key (it
+    was already its old component's minimum), so the warm fixpoint
+    equals a cold run's — in far fewer supersteps, because labels
+    start pre-converged inside every old component. Edge DELETIONS
+    invalidate this (labels can only shrink under a min combiner) and
+    require a cold run. The prior map rides the pickled algorithm at
+    test scale; at 10^12 vertices it becomes a state-table join at
+    init (same range partitioning, no shuffle)."""
+
+    def __init__(self, prior_keys, prior_labels):
+        super().__init__()
+        self.name = "cc_warm"
+        pk = np.asarray(prior_keys, dtype=np.int64)
+        pl = np.asarray(prior_labels, dtype=np.int64)
+        order = np.argsort(pk)
+        self.pk, self.pl = pk[order], pl[order]
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        if keys is not None and keys_numeric:
+            k = np.asarray(keys, dtype=np.int64)
+        else:
+            k = ids.astype(np.int64)
+        if len(self.pk):
+            idx = np.clip(np.searchsorted(self.pk, k), 0, len(self.pk) - 1)
+            lab = np.where(self.pk[idx] == k, self.pl[idx], k)
+        else:
+            lab = k
+        return lab.astype(np.float64), np.ones(len(ids), dtype=bool)
+
+
 class LabelPropagation(Algorithm):
     """Synchronous majority-label propagation, fixed iteration count.
 
@@ -665,6 +700,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return EarliestArrival(**params)
     if name in ("cc", "connected_components"):
         return ConnectedComponents(**params)
+    if name == "cc_warm":
+        return ConnectedComponentsWarmStart(**params)
     if name in ("lp", "label_propagation"):
         return LabelPropagation(**params)
     if name in ("sumprop", "sum_propagation"):

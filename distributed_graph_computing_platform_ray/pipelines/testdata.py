@@ -187,8 +187,26 @@ def edges_sparse_directed_rev(sf_dir: str) -> rd.Dataset:
     return edges_sparse_directed(sf_dir).map_batches(flip, batch_format="pyarrow")
 
 
+def edges_lineitem_sub5(sf_dir: str) -> rd.Dataset:
+    """The 'previous snapshot' of the lineitem graph: the distinct
+    bipartite pairs whose endpoint sum % 5 != 0 (~80% of edges) —
+    feeds the incremental-CC warm start."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        a = t["l_orderkey"].to_numpy().astype(np.int64) % 2000
+        b = 2000 + t["l_partkey"].to_numpy().astype(np.int64) % 2000
+        keep = (a + b) % 5 != 0
+        return pa.table({"src": pa.array(a[keep]), "dst": pa.array(b[keep])})
+
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
+
+
 _DERIVATIONS = {
     "lineitem": (edges_lineitem, True),
+    "lineitem_sub5": (edges_lineitem_sub5, True),
     "orders": (edges_orders, True),
     "lineitem_directed": (edges_lineitem_directed, False),
     "sparse_directed": (edges_sparse_directed, False),
@@ -742,6 +760,40 @@ def q_closeness_sampled(sf_dir: str, n_seeds: int = 4):
 
 def q_connected_components(sf_dir: str):
     res = _run_cached(sf_dir, "lineitem", "cc")
+    return _as_int_vertex(res, "component", lambda v: v.cast(pa.int64()))
+
+
+def q_cc_incremental(sf_dir: str):
+    """Incremental connected components: labels from the 'previous
+    snapshot' graph (80% of edges) warm-start CC on the full graph —
+    the recompute-after-crawl-delta pattern. The warm fixpoint is
+    provably the cold fixpoint (algorithms.ConnectedComponentsWarmStart)
+    so the oracle is simply full CC; what this entry checks is the
+    warm path's exactness. Measured: the warm run converges in a
+    fraction of the cold run's supersteps (only merged components
+    re-propagate)."""
+    from ..algorithms import ConnectedComponentsWarmStart
+
+    prior = _run_cached(sf_dir, "lineitem_sub5", "cc").to_pandas()
+    algo = ConnectedComponentsWarmStart(
+        prior["vertex"].astype(np.int64).to_numpy(),
+        prior["value"].astype(np.int64).to_numpy(),
+    )
+    gdir = _graph_for(sf_dir, "lineitem")
+    import json
+
+    wdir = _cache(sf_dir, "lineitem", "run_cc_warm")
+    run_json = os.path.join(wdir, "run.json")
+    if os.path.exists(run_json):
+        from .graph import result_dataset
+
+        with open(run_json) as f:
+            final = json.load(f)["final_iter"]
+        res = result_dataset(
+            GraphManifest.load(gdir), os.path.join(wdir, "state", f"iter={final:04d}")
+        )
+    else:
+        res = run_algorithm(gdir, wdir, algo)
     return _as_int_vertex(res, "component", lambda v: v.cast(pa.int64()))
 
 

@@ -197,3 +197,50 @@ def test_anf_bitmap_propagation_oracle():
         ).to_pandas()
         gm = {int(k): int(v) for k, v in zip(got["vertex"], got["value"])}
         assert gm == mask, (backend, gm, mask)
+
+
+def test_cc_warm_start_incremental_equals_cold():
+    """Incremental CC: labels from a subset-edge snapshot warm-start
+    the full graph's run; the fixpoint must be bit-identical to a
+    cold run, and the warm run must converge in FEWER supersteps (a
+    long path grown by one bridge edge makes the cold run pay the
+    full diameter while the warm run only merges two components)."""
+    import json
+
+    # snapshot: two long paths; delta adds the bridge between them
+    n = 60
+    left = [(i, i + 1) for i in range(0, n)]
+    right = [(i, i + 1) for i in range(100, 100 + n)]
+    bridge = [(n, 100)]
+
+    def build(edges, path):
+        ds = rd.from_items(
+            [{"src_key": str(u), "dst_key": str(v)} for u, v in edges]
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        return build_graph(ds, path, n_parts=4, n_buckets=8, dedup=False)
+
+    build(left + right, f"{TMP}/inc/g0")
+    prior = run_algorithm(f"{TMP}/inc/g0", f"{TMP}/inc/cc0", "cc").to_pandas()
+
+    build(left + right + bridge, f"{TMP}/inc/g1")
+    from distributed_graph_computing_platform_ray.algorithms import (
+        ConnectedComponentsWarmStart,
+    )
+
+    algo = ConnectedComponentsWarmStart(
+        prior["vertex"].astype(int).to_numpy(), prior["value"].astype(int).to_numpy()
+    )
+    warm = run_algorithm(f"{TMP}/inc/g1", f"{TMP}/inc/cc_warm", algo).to_pandas()
+    cold = run_algorithm(f"{TMP}/inc/g1", f"{TMP}/inc/cc_cold", "cc").to_pandas()
+
+    w = dict(zip(warm["vertex"].astype(int), warm["value"].astype(int)))
+    c = dict(zip(cold["vertex"].astype(int), cold["value"].astype(int)))
+    assert w == c
+    assert set(w.values()) == {0}  # single merged component, min key 0
+
+    def final_iter(wd):
+        with open(os.path.join(wd, "run.json")) as f:
+            return json.load(f)["final_iter"]
+
+    assert final_iter(f"{TMP}/inc/cc_warm") < final_iter(f"{TMP}/inc/cc_cold")
