@@ -933,6 +933,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_median": T.q_lineitem_median,
         "orders_rank": T.q_orders_rank,
         "orders_cube": T.q_orders_cube,
+        "orders_diff": T.q_orders_diff,
+        "events_new_users": T.q_events_new_users,
+        "lineitem_pruned": T.q_lineitem_pruned,
         "embedding_gram": T.q_embedding_gram,
         "events_regression": T.q_events_regression,
         "events_ewma": T.q_events_ewma,
@@ -1619,6 +1622,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.i AS i, b.i AS j, sum(a.v * b.v)::BIGINT AS s "
             "FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i "
             "GROUP BY a.i, b.i"
+        ),
+        "orders_diff": (
+            "WITH v1 AS (SELECT o_orderkey AS key, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders), "
+            "v2 AS ( "
+            "  SELECT key, p + CASE WHEN key % 97 = 0 THEN 1 ELSE 0 END AS p "
+            "  FROM v1 WHERE key % 101 <> 0 "
+            "  UNION ALL SELECT key + 100000000, p FROM v1 WHERE key % 103 = 0), "
+            "j AS (SELECT COALESCE(v1.key, v2.key) AS key, v1.p AS p1, v2.p AS p2 "
+            "      FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key) "
+            "SELECT key, CASE WHEN p1 IS NULL THEN 'added' "
+            "WHEN p2 IS NULL THEN 'removed' ELSE 'changed' END AS status, "
+            "COALESCE(p1, -1) AS price_v1, COALESCE(p2, -1) AS price_v2 "
+            "FROM j WHERE p1 IS NULL OR p2 IS NULL OR p1 <> p2"
+        ),
+        "events_new_users": (
+            "WITH f AS (SELECT user_id, event_type, "
+            "min(epoch_us(ts) // 86400000000) AS day FROM events "
+            "GROUP BY user_id, event_type), "
+            "d AS (SELECT event_type, day, count(*)::BIGINT AS new_users "
+            "      FROM f GROUP BY event_type, day) "
+            "SELECT event_type, day::BIGINT AS day, new_users, "
+            "sum(new_users) OVER (PARTITION BY event_type ORDER BY day)::BIGINT "
+            "AS cum_users FROM d"
+        ),
+        "lineitem_pruned": (
+            "SELECT count(*)::BIGINT AS n, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount * 10000) AS BIGINT)))::BIGINT AS revenue_e6 "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-03-01' "
+            "AND l_shipdate < TIMESTAMP '1995-04-01'"
         ),
         "orders_cube": (
             "SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders, "

@@ -4796,6 +4796,138 @@ def q_events_chi2(sf_dir: str):
     )
 
 
+def q_orders_diff(sf_dir: str):
+    """Snapshot reconciliation: diff two table versions (v2 derives
+    deterministically from orders — keys % 101 == 0 deleted,
+    prices bumped one cent when % 97 == 0, keys % 103 == 0 re-added
+    shifted by 10^8 as inserts) into added/removed/changed rows.
+    ONE tagged-union hash-bucket shuffle: both versions land in the
+    same key bucket, each bucket diffs locally — the anti-entropy
+    pattern for validating incremental ingestion at any scale.
+    Unchanged rows are dropped in-bucket (never shuffled onward)."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def versions(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        keep = ok % 101 != 0
+        adds = ok % 103 == 0
+        key = np.concatenate([ok, ok[keep], ok[adds] + 100_000_000])
+        price = np.concatenate(
+            [cents, cents[keep] + (ok[keep] % 97 == 0), cents[adds]]
+        )
+        side = np.concatenate(
+            [np.zeros(len(ok), np.int64), np.ones(keep.sum() + adds.sum(), np.int64)]
+        )
+        return pa.table({"key": pa.array(key), "price_cents": pa.array(price), "side": pa.array(side)})
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        v1 = df[df["side"] == 0].set_index("key")["price_cents"]
+        v2 = df[df["side"] == 1].set_index("key")["price_cents"]
+        j = v1.to_frame("p1").join(v2.to_frame("p2"), how="outer")
+        status = np.where(
+            j["p1"].isna(), "added", np.where(j["p2"].isna(), "removed", "changed")
+        )
+        keep = j["p1"].isna() | j["p2"].isna() | (j["p1"] != j["p2"])
+        out = pd.DataFrame(
+            {
+                "key": j.index.to_numpy(),
+                "status": status,
+                "price_v1": j["p1"].fillna(-1).astype("int64").to_numpy(),
+                "price_v2": j["p2"].fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+        return out[keep.to_numpy()]
+
+    src = _table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    nb = _scaled_buckets(sf_dir, "orders", rows_per_bucket=100_000, floor=16)
+    return (
+        add_bucket(src.map_batches(versions, batch_format="pyarrow"), ["key"], nb)
+        .groupby(_BUCKET)
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
+def q_events_new_users(sf_dir: str):
+    """Daily new vs cumulative adopters PER ACTION — the cumulative
+    COUNT(DISTINCT) that cannot stream naively: a user's FIRST day
+    doing each action comes from per-user-bucket minima (one shuffle;
+    per-day counts are additive across buckets because a user lives
+    in one bucket), the running total is a driver cumsum over
+    O(types x days) rows."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def first_day(df: pd.DataFrame) -> pd.DataFrame:
+        day = _ts_us(df["ts"]) // 86_400_000_000
+        g = (
+            pd.DataFrame(
+                {"u": df["user_id"].to_numpy(), "event_type": df["event_type"], "day": day}
+            )
+            .groupby(["u", "event_type"], as_index=False)["day"]
+            .min()
+        )
+        c = g.groupby(["event_type", "day"], as_index=False)["u"].size()
+        return c.rename(columns={"size": "new_users"})
+
+    src = _table(sf_dir, "events", ["user_id", "event_type", "ts"])
+    nb = _scaled_buckets(sf_dir, "events")
+    per_day = (
+        add_bucket(src, ["user_id"], nb)
+        .groupby(_BUCKET)
+        .map_groups(first_day, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["new_users"]
+        .sum()
+        .sort_values(["event_type", "day"])
+    )
+    return pd.DataFrame(
+        {
+            "event_type": per_day["event_type"].to_numpy(),
+            "day": per_day["day"].astype("int64").to_numpy(),
+            "new_users": per_day["new_users"].astype("int64").to_numpy(),
+            "cum_users": per_day.groupby("event_type")["new_users"]
+            .cumsum()
+            .astype("int64")
+            .to_numpy(),
+        }
+    )
+
+
+def q_lineitem_pruned(sf_dir: str):
+    """Predicate-pushdown aggregate: revenue for ONE ship-month with
+    the row filter pushed into the parquet READ (row-group pruning —
+    at 100 TB this is the difference between scanning a month and
+    scanning the lake) + per-batch integer partials driver-reduced."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo = _dt.datetime(1995, 3, 1)
+    hi = _dt.datetime(1995, 4, 1)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_bp = np.round(t["l_discount"].to_numpy() * 10000).astype(np.int64)
+        rev = price_c * (10000 - disc_bp)  # 1e-6 dollar units
+        return pa.table(
+            {"n": pa.array([len(price_c)], pa.int64()),
+             "revenue_e6": pa.array([int(rev.sum())], pa.int64())}
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(p["n"].sum())], dtype="int64"),
+            "revenue_e6": pd.Series([int(p["revenue_e6"].sum())], dtype="int64"),
+        }
+    )
+
+
 def q_orders_rank(sf_dir: str, n_range_buckets: int = 64):
     """EXACT global dense row-numbering by (o_totalprice DESC,
     o_orderkey ASC) WITHOUT a global sort: pass 1 histograms price
