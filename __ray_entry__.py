@@ -937,6 +937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users": T.q_events_new_users,
         "lineitem_pruned": T.q_lineitem_pruned,
         "embedding_gram": T.q_embedding_gram,
+        "embedding_quantize": T.q_embedding_quantize,
+        "data_quality": T.q_data_quality,
         "events_regression": T.q_events_regression,
         "events_ewma": T.q_events_ewma,
         "events_retention": T.q_events_retention,
@@ -1611,6 +1613,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n::BIGINT AS n, "
             "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
             "AS BIGINT) AS slope_e6 FROM s"
+        ),
+        "embedding_quantize": (
+            "SELECT vec_id, sum(q)::BIGINT AS q_sum, sum(q * q)::BIGINT AS q_sumsq, "
+            "min(q)::BIGINT AS q_min, max(q)::BIGINT AS q_max FROM ( "
+            "  SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT) AS q "
+            "  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)) "
+            "GROUP BY vec_id"
+        ),
+        "data_quality": (
+            "SELECT 'c_acctbal_nonneg' AS rule, "
+            "count(*) FILTER (c_acctbal < 0)::BIGINT AS violations FROM customer "
+            "UNION ALL SELECT 'o_custkey_fk', count(*)::BIGINT FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) "
+            "UNION ALL SELECT 'o_orderkey_unique', "
+            "(count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders "
+            "UNION ALL SELECT 'o_totalprice_positive', "
+            "count(*) FILTER (o_totalprice <= 0)::BIGINT FROM orders"
         ),
         "embedding_gram": (
             # floor(x*1024): float32->double is exact, double*1024 and

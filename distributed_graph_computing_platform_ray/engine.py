@@ -44,6 +44,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -592,6 +593,7 @@ class BSPEngine:
         while True:
             if max_s is not None and s >= max_s:
                 break
+            t_chunk = time.time()
             k_steps = checkpoint_interval
             if max_s is not None:
                 k_steps = min(k_steps, max_s - s)
@@ -609,7 +611,10 @@ class BSPEngine:
             s += k_steps
             n_active = int(state.sum("count") or 0)
             self._checkpoint(state, s, algo, n_active)
-            history.append({"superstep": s, "n_active": n_active})
+            history.append(
+                {"superstep": s, "n_active": n_active,
+                 "sec": round(time.time() - t_chunk, 3)}
+            )
             if algo.halt_on_no_change() and n_active == 0:
                 break
         atomic_write_json(
@@ -644,6 +649,7 @@ class BSPEngine:
         while True:
             if max_s is not None and s >= max_s:
                 break
+            t_chunk = time.time()
             k_steps = checkpoint_interval
             if max_s is not None:
                 k_steps = min(k_steps, max_s - s)
@@ -678,7 +684,10 @@ class BSPEngine:
                 for old in self._complete_iters():
                     if 0 < old <= s - self.keep_iters:
                         shutil.rmtree(self.iter_dir(old), ignore_errors=True)
-            history.append({"superstep": s, "n_active": n_active})
+            history.append(
+                {"superstep": s, "n_active": n_active,
+                 "sec": round(time.time() - t_chunk, 3)}
+            )
             if algo.halt_on_no_change() and n_active == 0:
                 break
         atomic_write_json(

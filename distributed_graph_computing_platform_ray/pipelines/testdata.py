@@ -4928,6 +4928,94 @@ def q_lineitem_pruned(sf_dir: str):
     )
 
 
+def q_embedding_quantize(sf_dir: str):
+    """int8 vector-quantization audit (the PQ/SQ memory path for ANN
+    at scale): q = floor(x * 127) per component — float32->double is
+    exact and floor is IEEE-identical cross-engine — summarized per
+    vector as (sum, sum-of-squares, min, max). Pure vectorized
+    per-row map; no shuffle."""
+    dim = 64
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * 127.0).astype(np.int64).reshape(-1, dim)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "q_sum": pa.array(q.sum(axis=1)),
+                "q_sumsq": pa.array((q * q).sum(axis=1)),
+                "q_min": pa.array(q.min(axis=1)),
+                "q_max": pa.array(q.max(axis=1)),
+            }
+        )
+
+    return _table(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def q_data_quality(sf_dir: str):
+    """Constraint-validation report — the data-quality gate a 100 TB
+    ingest runs before publishing a snapshot: key uniqueness
+    (per-bucket duplicate counts, additive), referential integrity
+    (broadcast customer key set, np.isin per batch), and two range
+    checks; every rule reduces to O(1) driver state from bounded
+    per-batch/bucket partials."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_orderkey"].value_counts()
+        return pd.DataFrame({"v": [int((c - 1).clip(lower=0).sum())]})
+
+    dup = int(
+        add_bucket(orders, ["o_orderkey"], 16)
+        .groupby(_BUCKET)
+        .map_groups(dup_partial, batch_format="pandas")
+        .to_pandas()["v"]
+        .sum()
+    )
+
+    cust_keys = ray.put(
+        np.sort(_dim_table(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy())
+    )
+
+    def fk_partial(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy().astype(np.int64)
+        bad_fk = int((~np.isin(k, ray.get(cust_keys))).sum())
+        bad_price = int((t["o_totalprice"].to_numpy() <= 0).sum())
+        return pa.table({"fk": pa.array([bad_fk], pa.int64()),
+                         "price": pa.array([bad_price], pa.int64())})
+
+    p = orders.map_batches(fk_partial, batch_format="pyarrow").to_pandas()
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": [int((df["c_acctbal"].to_numpy() < 0).sum())]})
+
+    neg_bal = int(
+        _table(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pandas")
+        .to_pandas()["v"]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "rule": [
+                "c_acctbal_nonneg",
+                "o_custkey_fk",
+                "o_orderkey_unique",
+                "o_totalprice_positive",
+            ],
+            "violations": pd.Series(
+                [neg_bal, int(p["fk"].sum()), dup, int(p["price"].sum())],
+                dtype="int64",
+            ),
+        }
+    )
+
+
 def q_orders_rank(sf_dir: str, n_range_buckets: int = 64):
     """EXACT global dense row-numbering by (o_totalprice DESC,
     o_orderkey ASC) WITHOUT a global sort: pass 1 histograms price
