@@ -360,6 +360,37 @@ def _kcore_sql(k: int = 20) -> str:
     )
 
 
+def _densest_sql(max_rounds: int = 60) -> str:
+    """Densest-subgraph peeling oracle (one working-table reference
+    per round, kcore-style): symmetric edge rows; per-row min
+    endpoint degree via the mirror window; the round's V comes from
+    a dense_rank max (COUNT(DISTINCT) is not a window aggregate) and
+    2E from a plain count window; an edge survives iff
+    min(deg) * 4V > 5 * 2E (Bahmani eps=1/4 peel)."""
+    return (
+        f"WITH RECURSIVE {_EB_CLIQUEY}, "
+        "r AS ( "
+        "  SELECT 0 AS it, u, v FROM "
+        "    (SELECT a AS u, b AS v FROM ebq UNION ALL SELECT b, a FROM ebq) "
+        "  UNION ALL "
+        "  SELECT it + 1, u, v FROM ( "
+        "    SELECT it, u, v, mindeg, "
+        "      count(*) OVER (PARTITION BY it) AS esym, "
+        "      max(dr) OVER (PARTITION BY it) AS nv "
+        "    FROM ( "
+        "      SELECT it, u, v, "
+        "        min(du) OVER (PARTITION BY it, least(u, v), greatest(u, v)) AS mindeg, "
+        "        dense_rank() OVER (PARTITION BY it ORDER BY u) AS dr "
+        "      FROM (SELECT it, u, v, count(*) OVER (PARTITION BY it, u) AS du "
+        f"            FROM r WHERE it < {max_rounds}))) "
+        "  WHERE mindeg * 4 * nv > 5 * esym) "
+        "SELECT it AS round, count(DISTINCT u)::BIGINT AS n_vertices, "
+        "(count(*) // 2)::BIGINT AS n_edges, "
+        "(count(*) * 500000 // count(DISTINCT u))::BIGINT AS density_e6 "
+        "FROM r GROUP BY it"
+    )
+
+
 _EB_CLIQUEY = (
     "ebq AS ( "
     "  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM ( "
@@ -882,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_incremental": T.q_cc_incremental,
         "mis": T.q_mis,
         "kcore": T.q_kcore,
+        "densest_subgraph": T.q_densest_subgraph,
         "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
         "triangle_count": T.q_triangle_count,
@@ -892,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": T.q_doc_fingerprint,
         "top_terms": T.q_top_terms,
         "inverted_index": T.q_inverted_index,
+        "doc_repetition": T.q_doc_repetition,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1324,6 +1357,16 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
         ),
+        "doc_repetition": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE trim(text) <> ''), "
+            "tri AS (SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g "
+            "FROM toks, unnest(range(1, len(t) - 1)) AS r(i) WHERE len(t) >= 3) "
+            "SELECT doc_id, count(*)::BIGINT AS n_trigrams, "
+            "(count(*) - count(DISTINCT g))::BIGINT AS dup_trigrams "
+            "FROM tri GROUP BY doc_id"
+        ),
         "inverted_index": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
@@ -1372,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": _doc_split_sql(),
         "mis": _mis_sql(),
         "kcore": _kcore_sql(),
+        "densest_subgraph": _densest_sql(),
         "user_distinct_hll": _user_hll_sql(),
         "revenue_by_nation": (
             "SELECT n.n_name AS nation, count(*)::BIGINT AS n_orders, "

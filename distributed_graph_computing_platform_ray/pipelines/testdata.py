@@ -942,6 +942,41 @@ def q_inverted_index(sf_dir: str):
     )
 
 
+def q_doc_repetition(sf_dir: str):
+    """Intra-document repetition signal (Gopher/C4-style quality
+    heuristic): per doc, total vs duplicate word trigrams — a high
+    duplicate fraction marks boilerplate/spam. Pure per-row map
+    (no shuffle); tokenization matches top_terms (whitespace runs),
+    trigrams join on a single space (tokens cannot contain
+    whitespace, so the join is unambiguous cross-engine)."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids, n_tris, dups = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].astype(str)):
+            toks = text.split()
+            if len(toks) < 3:
+                continue
+            s = pd.Series(toks)
+            tri = s[:-2].reset_index(drop=True).str.cat(
+                [s[1:-1].reset_index(drop=True), s[2:].reset_index(drop=True)], sep=" "
+            )
+            n = len(tri)
+            ids.append(doc_id)
+            n_tris.append(n)
+            dups.append(n - tri.nunique())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_trigrams": pd.Series(n_tris, dtype="int64"),
+                "dup_trigrams": pd.Series(dups, dtype="int64"),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
 _HLL_P = 8  # 2^8 = 256 registers
 
 
@@ -5356,6 +5391,82 @@ def q_dict_upsert(sf_dir: str):
 
     return old_ranked.map_batches(tag("old"), batch_format="pyarrow").union(
         new_ranked.map_batches(tag("new"), batch_format="pyarrow")
+    )
+
+
+def q_densest_subgraph(sf_dir: str, max_rounds: int = 60):
+    """Densest-subgraph approximation by PARALLEL PEELING (Bahmani,
+    Kumar & Vassilvitskii 2012, eps = 1/4): each round removes EVERY
+    vertex whose degree is at most 2(1+eps) * E/V — integer rule
+    deg * 4V <= 5 * 2E — so at most a 4/5 fraction survives and the
+    loop runs O(log V) rounds; the best round's vertex set is a
+    2(1+eps)-approximation of the densest subgraph. Output: the full
+    per-round density trace (round, n_vertices, n_edges, density_e6
+    = E*1e6 // V) over the planted-block graph; argmax row = the
+    dense community. Per round: one degree reduction (per-batch
+    value_counts partials + bucket_sum) and one broadcast peel filter
+    — the frontier is the small side, as in q_kcore."""
+    import ray as _ray
+
+    from ..stages.join import bucket_sum
+
+    edges = edges_cliquey(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table(
+            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
+        )
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["u"].value_counts()
+        return pd.DataFrame({"u": c.index.to_numpy(), "d": c.to_numpy().astype("int64")})
+
+    cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    rounds = []
+    for it in range(max_rounds + 1):
+        deg = bucket_sum(
+            cur.map_batches(deg_partial, batch_format="pandas"), ["u"], ["d"], n_buckets=8
+        ).to_pandas()
+        if len(deg) == 0:
+            break
+        V = len(deg)
+        e_sym = int(deg["d"].sum())
+        rounds.append((it, V, e_sym // 2, e_sym * 500_000 // V))
+        if it == max_rounds:
+            break
+        bad_ids = np.sort(
+            deg.loc[deg["d"].to_numpy() * 4 * V <= 5 * e_sym, "u"].to_numpy()
+        ).astype(np.int64)
+        ref = _ray.put(bad_ids)
+
+        class Peel:
+            def __init__(self):
+                self.bad = _ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy()
+                v = t["v"].to_numpy()
+                drop = np.isin(u, self.bad) | np.isin(v, self.bad)
+                return t.filter(pa.array(~drop))
+
+        _pkey = ("densest_peel", ref.hex())
+
+        def peel_batch(t: pa.Table) -> pa.Table:
+            from ..stages.taskify import worker_cached
+
+            return worker_cached(_pkey, Peel)(t)
+
+        cur = cur.map_batches(peel_batch, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(
+        {
+            "round": pd.Series([r[0] for r in rounds], dtype="int64"),
+            "n_vertices": pd.Series([r[1] for r in rounds], dtype="int64"),
+            "n_edges": pd.Series([r[2] for r in rounds], dtype="int64"),
+            "density_e6": pd.Series([r[3] for r in rounds], dtype="int64"),
+        }
     )
 
 
