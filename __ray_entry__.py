@@ -965,6 +965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_longest": T.q_dag_longest,
         "lineitem_median": T.q_lineitem_median,
         "orders_rank": T.q_orders_rank,
+        "events_user_mode": T.q_events_user_mode,
+        "customer_pareto": T.q_customer_pareto,
         "orders_cube": T.q_orders_cube,
         "orders_diff": T.q_orders_diff,
         "events_new_users": T.q_events_new_users,
@@ -1588,6 +1590,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.n::BIGINT AS n, s.k::BIGINT AS k, "
             "(SELECT v FROM c ORDER BY v LIMIT 1 OFFSET (SELECT k - 1 FROM s)"
             ")::BIGINT AS median_cents FROM s"
+        ),
+        "events_user_mode": (
+            "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n "
+            "FROM events GROUP BY user_id, event_type) "
+            "SELECT user_id, event_type AS mode_type, n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, event_type) = 1"
+        ),
+        "customer_pareto": (
+            "WITH rev AS (SELECT o_custkey, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents "
+            "FROM orders GROUP BY o_custkey), "
+            "t AS (SELECT o_custkey, revenue_cents, "
+            "row_number() OVER (ORDER BY revenue_cents DESC, o_custkey) AS rnk, "
+            "sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, o_custkey "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "(SELECT sum(revenue_cents) FROM rev) AS tot FROM rev) "
+            "SELECT o_custkey, revenue_cents, rnk, "
+            "CASE WHEN cum * 100 <= 80 * tot THEN 'A' "
+            "WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END AS abc FROM t"
         ),
         "orders_rank": (
             # global row_number by (price desc, orderkey) — engine does it

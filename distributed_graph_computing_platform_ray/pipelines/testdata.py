@@ -5051,6 +5051,117 @@ def q_data_quality(sf_dir: str):
     )
 
 
+def q_events_user_mode(sf_dir: str):
+    """Per-key MODE (most frequent event_type per user, deterministic
+    tie-break: higher count first, then lexicographic type): ONE
+    user-bucket shuffle; in-bucket vectorized count + argmax. The
+    grouped-argmax primitive behind per-entity majority labels."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def mode(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .sort_values(["user_id", "size", "event_type"], ascending=[True, False, True])
+        )
+        first = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].astype("int64").to_numpy(),
+                "mode_type": first["event_type"].to_numpy(),
+                "n": first["size"].astype("int64").to_numpy(),
+            }
+        )
+
+    src = _table(sf_dir, "events", ["user_id", "event_type"])
+    nb = _scaled_buckets(sf_dir, "events")
+    return (
+        add_bucket(src, ["user_id"], nb).groupby(_BUCKET).map_groups(mode, batch_format="pandas")
+    )
+
+
+def q_customer_pareto(sf_dir: str):
+    """Pareto / ABC revenue classification WITHOUT a global sort:
+    (1) revenue cents per customer (one bucket_sum), (2) range-bucket
+    histogram of revenue -> driver prefix sums give each bucket's
+    'revenue above' offset AND rank offset (O(buckets) state),
+    (3) per-bucket local sort adds exact running revenue share; class
+    A = cumulative share <= 80% of total, B <= 95%, else C. Share
+    compares in integers: cum * 100 vs pct * total. The distributed
+    prefix-sum pattern (doc_pack) applied to cumulative-share
+    analytics."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(), "rev": cents})
+        return g.groupby("o_custkey", as_index=False, sort=False).sum()
+
+    rev = bucket_sum(
+        _table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            rev_partial, batch_format="pandas"
+        ),
+        ["o_custkey"],
+        ["rev"],
+        n_buckets=16,
+    ).materialize()
+
+    lo, hi, nb = 0, 1 << 40, 1024  # revenue-cents domain
+    width = (hi - lo) // nb + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy()
+        h = np.bincount(r // width, minlength=nb)
+        s = np.bincount(r // width, weights=r.astype(np.float64), minlength=nb)
+        return pa.table(
+            {"b": pa.array(np.arange(nb, dtype=np.int64)),
+             "n": pa.array(h.astype(np.int64)),
+             "s": pa.array(s.astype(np.int64))}
+        )
+
+    hp = bucket_sum(
+        rev.map_batches(hist, batch_format="pyarrow"), ["b"], ["n", "s"], n_buckets=4
+    ).to_pandas().sort_values("b")
+    counts = np.zeros(nb, dtype=np.int64)
+    sums = np.zeros(nb, dtype=np.int64)
+    counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
+    sums[hp["b"].to_numpy()] = hp["s"].to_numpy()
+    total_rev = int(sums.sum())
+    # descending order: revenue/count strictly ABOVE each bucket
+    above_rev = total_rev - np.cumsum(sums)
+    above_cnt = int(counts.sum()) - np.cumsum(counts)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["rb"].iloc[0])
+        r = df["rev"].to_numpy()
+        k = df["o_custkey"].to_numpy()
+        order = np.lexsort((k, -r))
+        cum = int(above_rev[b]) + np.cumsum(r[order])
+        rnk = int(above_cnt[b]) + 1 + np.arange(len(r), dtype=np.int64)
+        cls = np.where(
+            cum * 100 <= 80 * total_rev, "A",
+            np.where(cum * 100 <= 95 * total_rev, "B", "C"),
+        )
+        out = pd.DataFrame(
+            {"o_custkey": k[order], "revenue_cents": r[order],
+             "rnk": rnk, "abc": cls}
+        )
+        return out
+
+    def attach_rb(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy()
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "rev": t["rev"],
+             "rb": pa.array(r // width)}
+        )
+
+    return (
+        rev.map_batches(attach_rb, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(classify, batch_format="pandas")
+    )
+
+
 def q_orders_rank(sf_dir: str, n_range_buckets: int = 64):
     """EXACT global dense row-numbering by (o_totalprice DESC,
     o_orderkey ASC) WITHOUT a global sort: pass 1 histograms price
