@@ -973,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pruned": T.q_lineitem_pruned,
         "embedding_gram": T.q_embedding_gram,
         "embedding_quantize": T.q_embedding_quantize,
+        "embedding_grid": T.q_embedding_grid,
         "data_quality": T.q_data_quality,
         "events_regression": T.q_events_regression,
         "events_ewma": T.q_events_ewma,
@@ -1679,6 +1680,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n::BIGINT AS n, "
             "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
             "AS BIGINT) AS slope_e6 FROM s"
+        ),
+        "embedding_grid": (
+            "WITH pts AS (SELECT CAST(floor(e[1] * 8) AS BIGINT) AS gx, "
+            "CAST(floor(e[2] * 8) AS BIGINT) AS gy "
+            "FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)), "
+            "c AS (SELECT gx, gy, count(*)::BIGINT AS n FROM pts GROUP BY gx, gy) "
+            "SELECT a.gx, a.gy, a.n, sum(b.n)::BIGINT AS n_nbr FROM c a "
+            "JOIN c b ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 "
+            "GROUP BY a.gx, a.gy, a.n"
         ),
         "embedding_quantize": (
             "SELECT vec_id, sum(q)::BIGINT AS q_sum, sum(q * q)::BIGINT AS q_sumsq, "

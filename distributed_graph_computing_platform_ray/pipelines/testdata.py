@@ -5581,6 +5581,65 @@ def q_densest_subgraph(sf_dir: str, max_rounds: int = 60):
     )
 
 
+def q_embedding_grid(sf_dir: str):
+    """Spatial binning + stencil neighborhood join: points (the first
+    two embedding dims) land in grid cells (floor(x*8) — exact
+    cross-engine), per-cell counts reduce via bucket_sum, and each
+    occupied cell's 3x3-neighborhood total comes from emitting NINE
+    shifted copies of every cell count and re-reducing — the stencil
+    pattern behind density maps / spatial joins, shuffling O(cells),
+    never O(points), after the first reduction."""
+    from ..stages.join import bucket_sum
+
+    def cells(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        E = flat.reshape(len(t), -1)
+        gx = np.floor(E[:, 0] * 8).astype(np.int64)
+        gy = np.floor(E[:, 1] * 8).astype(np.int64)
+        g = pd.DataFrame({"gx": gx, "gy": gy})
+        c = g.groupby(["gx", "gy"], as_index=False).size()
+        return pa.table(
+            {"gx": pa.array(c["gx"].to_numpy()), "gy": pa.array(c["gy"].to_numpy()),
+             "n": pa.array(c["size"].to_numpy().astype(np.int64))}
+        )
+
+    src = _table(sf_dir, "embeddings", ["embedding"])
+    cell_counts = bucket_sum(
+        src.map_batches(cells, batch_format="pyarrow"), ["gx", "gy"], ["n"], n_buckets=4
+    ).materialize()
+
+    def shift9(t: pa.Table) -> pa.Table:
+        gx = t["gx"].to_numpy()
+        gy = t["gy"].to_numpy()
+        n = t["n"].to_numpy()
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    pa.table(
+                        {"gx": pa.array(gx + dx), "gy": pa.array(gy + dy),
+                         "n_nbr": pa.array(n)}
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    nbr = bucket_sum(
+        cell_counts.map_batches(shift9, batch_format="pyarrow"),
+        ["gx", "gy"], ["n_nbr"], n_buckets=4,
+    ).to_pandas()
+    base = cell_counts.to_pandas()
+    out = base.merge(nbr, on=["gx", "gy"], how="left")
+    return pd.DataFrame(
+        {
+            "gx": out["gx"].astype("int64"),
+            "gy": out["gy"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "n_nbr": out["n_nbr"].astype("int64"),
+        }
+    )
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
