@@ -979,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": T.q_events_ewma,
         "events_retention": T.q_events_retention,
         "events_chi2": T.q_events_chi2,
+        "events_burst": T.q_events_burst,
         "dict_upsert": T.q_dict_upsert,
         "events_props_agg": T.q_events_props_agg,
         "motif_census": T.q_motif_census,
@@ -1631,6 +1632,17 @@ def oracle_sql() -> dict[str, str]:
             "      row_number() OVER (ORDER BY k) AS id, 'new' AS status FROM newk) "
             "SELECT k AS key, id, status FROM o "
             "UNION ALL SELECT k AS key, id, status FROM n"
+        ),
+        "events_burst": (
+            "WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, "
+            "count(*)::BIGINT AS n FROM events GROUP BY event_type, hour), "
+            "w AS (SELECT event_type, hour, n, "
+            "COALESCE(sum(n) OVER (PARTITION BY event_type ORDER BY hour "
+            "RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS trailing24 "
+            "FROM c) "
+            "SELECT event_type, hour::BIGINT AS hour, n, trailing24, "
+            "CASE WHEN n * 24 > 2 * trailing24 THEN 1 ELSE 0 END::BIGINT AS burst "
+            "FROM w WHERE trailing24 > 0"
         ),
         "events_chi2": (
             "WITH d AS (SELECT event_type, "

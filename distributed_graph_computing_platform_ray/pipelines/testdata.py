@@ -5640,6 +5640,62 @@ def q_embedding_grid(sf_dir: str):
     )
 
 
+def q_events_burst(sf_dir: str):
+    """Burst detection: an (event_type, hour) cell is bursty when its
+    count is more than 2x the trailing-24h average — gap-aware (the
+    baseline is a RANGE window over hour VALUES, so silent hours
+    dilute it; computed with prefix sums + searchsorted, no dense
+    hour grid). Hourly counts reduce from per-batch partials (one
+    bucket_sum); the per-type rolling pass runs on O(types x active
+    hours) driver rows — bounded by time span, not data volume.
+    Integer test: n * 24 > 2 * trailing_sum, emitted only where a
+    baseline exists."""
+    from ..stages.join import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = _ts_us(df["ts"]) // 3_600_000_000
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "hour": hour,
+             "n": np.ones(len(df), dtype=np.int64)}
+        )
+        return g.groupby(["event_type", "hour"], as_index=False, sort=False).sum()
+
+    src = _table(sf_dir, "events", ["event_type", "ts"])
+    counts = (
+        bucket_sum(
+            src.map_batches(partial, batch_format="pandas"),
+            ["event_type", "hour"], ["n"], n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+    )
+    outs = []
+    for et, g in counts.groupby("event_type", sort=False):
+        h = g["hour"].to_numpy()
+        n = g["n"].to_numpy()
+        cum = np.concatenate(([0], np.cumsum(n)))
+        # trailing sum over hours in [h-24, h-1]
+        lo = np.searchsorted(h, h - 24, side="left")
+        hi = np.searchsorted(h, h, side="left")
+        trail = cum[hi] - cum[lo]
+        keep = trail > 0
+        outs.append(
+            pd.DataFrame(
+                {
+                    "event_type": et,
+                    "hour": h[keep],
+                    "n": n[keep],
+                    "trailing24": trail[keep],
+                    "burst": (n[keep] * 24 > 2 * trail[keep]).astype("int64"),
+                }
+            )
+        )
+    out = pd.concat(outs, ignore_index=True)
+    for c in ("hour", "n", "trailing24", "burst"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
