@@ -911,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": T.q_pagerank_personalized,
         "connected_components": T.q_connected_components,
         "cc_incremental": T.q_cc_incremental,
+        "entity_resolution": T.q_entity_resolution,
         "mis": T.q_mis,
         "kcore": T.q_kcore,
         "densest_subgraph": T.q_densest_subgraph,
@@ -1302,6 +1303,21 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT p.it + 1, r.dst, MIN(p.lab) FROM c p "
             "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
             "SELECT id AS vertex, CAST(lab AS BIGINT) AS component FROM c WHERE it = 60"
+        ),
+        "entity_resolution": (
+            # frontier-style min-STRING-label propagation over the
+            # levenshtein-1 pair graph; singletons canonicalize to self
+            "WITH RECURSIVE names AS (SELECT DISTINCT p_name || ' ' || "
+            "(p_partkey % 100) AS s FROM part), "
+            "pairs AS (SELECT a.s AS a, b.s AS b FROM names a JOIN names b "
+            "ON a.s < b.s AND levenshtein(a.s, b.s) = 1), "
+            "sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs), "
+            "d AS ( "
+            "  SELECT s AS id, s AS lab FROM names "
+            "  UNION "
+            "  SELECT sym.b AS id, MIN(p.lab) AS lab FROM d p "
+            "  JOIN sym ON sym.a = p.id GROUP BY sym.b) "
+            "SELECT id AS name, MIN(lab) AS canonical FROM d GROUP BY id"
         ),
         "cc_incremental": (
             # the warm-started engine run must equal full cold CC on the

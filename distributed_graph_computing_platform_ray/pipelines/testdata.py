@@ -5696,6 +5696,63 @@ def q_events_burst(sf_dir: str):
     return out
 
 
+def q_entity_resolution(sf_dir: str):
+    """Entity resolution end-to-end: fuzzy candidate pairs (exact
+    FastSS edit-distance-1 blocking) -> duplicate CLUSTERS via the
+    BSP engine's own connected components on the pair graph (string
+    vertex keys — the url-dictionary path) -> canonical
+    representative = lexicographic min name per cluster; untouched
+    names resolve to themselves. The pair graph is sparse by
+    construction (typo pairs), so the cluster decode runs driver-side
+    here; at web scale it is one label-bucket shuffle."""
+    from ..stages.fuzzy import fuzzy_pairs_d1
+    from ..stages.join import distinct
+
+    ds = _table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s": df["p_name"].astype(str)
+                + " "
+                + (df["p_partkey"].astype("int64") % 100).astype(str)
+            }
+        )
+
+    names = distinct(ds.map_batches(derive, batch_format="pandas"), ["s"]).materialize()
+    pairs = fuzzy_pairs_d1(ds.map_batches(derive, batch_format="pandas"), "s").materialize()
+
+    all_names = names.to_pandas()["s"].to_numpy()
+    if pairs.count() == 0:
+        return pd.DataFrame({"name": np.sort(all_names), "canonical": np.sort(all_names)})
+
+    import shutil as _shutil
+
+    gdir = _cache(sf_dir, "entity_pairs", "graph")
+    wdir = _cache(sf_dir, "entity_pairs", "run_cc")
+    _shutil.rmtree(gdir, ignore_errors=True)
+    _shutil.rmtree(wdir, ignore_errors=True)
+
+    def keyify(t: pa.Table) -> pa.Table:
+        return pa.table({"src_key": t["a"].cast(pa.string()), "dst_key": t["b"].cast(pa.string())})
+
+    build_graph(
+        pairs.map_batches(keyify, batch_format="pyarrow"),
+        gdir, n_parts=4, n_buckets=8, dedup=False, small_graph_edges=5_000_000,
+    )
+    cc = run_algorithm(gdir, wdir, "cc").to_pandas()
+    cc["label"] = cc["value"].astype(np.int64)
+    canon = cc.groupby("label")["vertex"].min().rename("canonical")
+    clustered = cc.join(canon, on="label")[["vertex", "canonical"]]
+    cl_map = dict(zip(clustered["vertex"], clustered["canonical"]))
+    return pd.DataFrame(
+        {
+            "name": all_names,
+            "canonical": np.array([cl_map.get(s, s) for s in all_names], dtype=object),
+        }
+    ).sort_values("name").reset_index(drop=True)
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
