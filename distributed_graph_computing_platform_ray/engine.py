@@ -402,7 +402,12 @@ def _core_tasks():
         values, active = state
         lo, hi = man.part_bounds(part)
         ids = np.arange(lo, hi, dtype=np.int64)
-        return _scatter_core(man, algo, superstep, ids, values, active)
+        out = _scatter_core(man, algo, superstep, ids, values, active)
+        # num_returns == n_parts: with ONE partition Ray hands the single
+        # return through verbatim, so unwrap — otherwise apply would see
+        # the list instead of the chunk (caught by a hypothesis test on
+        # a single-vertex graph)
+        return out[0] if len(out) == 1 else out
 
     @ray.remote(num_returns=2)
     def apply_task(man, algo, superstep, part, state, *chunks):

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for core distributed kernels.
+
+Each property pits a distributed operator against a trivially-correct
+in-process oracle on randomized small inputs. Example counts are kept
+low because every Dataset execution pays ~1 s of fixed orchestration
+(NOTES.md) — the value here is the INPUT diversity (self-loops,
+duplicate edges, empty groups, unicode-ish strings), not volume.
+"""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_graph_computing_platform_ray.pipelines.graph import run_algorithm
+from distributed_graph_computing_platform_ray.pipelines.ingest import build_graph
+from distributed_graph_computing_platform_ray.stages.join import bucket_sum
+
+TMP = "/tmp/graft_tests/prop"
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**_SETTINGS)
+def test_bucket_sum_matches_pandas_groupby(rows):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    ds = rd.from_pandas(df).map_batches(lambda d: d, batch_format="pandas")
+    got = (
+        bucket_sum(ds, ["k1", "k2"], ["v"], n_buckets=3)
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby(["k1", "k2"], as_index=False)["v"]
+        .sum()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_like=True
+    )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_cc_matches_union_find(edges):
+    """Engine CC == union-find on arbitrary multigraphs (self-loops and
+    duplicate edges included)."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    verts = sorted(parent)
+    comp = {}
+    for v in verts:
+        r = find(v)
+        comp[v] = min(comp.get(r, v), v)
+        comp[r] = comp[v]
+    exp = {v: comp[find(v)] for v in verts}
+
+    ds = rd.from_items([{"src_key": str(u), "dst_key": str(v)} for u, v in edges])
+    gdir = f"{TMP}/cc/graph"
+    shutil.rmtree(f"{TMP}/cc", ignore_errors=True)
+    build_graph(ds, gdir, n_parts=2, n_buckets=4, dedup=False)
+    got = run_algorithm(gdir, f"{TMP}/cc/run", "cc").to_pandas()
+    gm = {int(k): int(v) for k, v in zip(got["vertex"], got["value"])}
+    assert gm == exp, (gm, exp)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=25
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzzy_d1_matches_dp_levenshtein(words):
+    """FastSS-blocked distance-1 join == brute-force DP on the same
+    distinct string set (exact blocking: no recall loss)."""
+    from distributed_graph_computing_platform_ray.stages.fuzzy import fuzzy_pairs_d1
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    uniq = sorted(set(words))
+    exp = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if lev(a, b) == 1
+    }
+    ds = rd.from_items([{"s": w} for w in words])
+    got = fuzzy_pairs_d1(ds, "s", n_buckets=4).to_pandas()
+    if len(got) == 0:  # empty Dataset loses schema through to_pandas (NOTES.md)
+        got_pairs = set()
+    else:
+        got_pairs = {(min(a, b), max(a, b)) for a, b in zip(got["a"], got["b"])}
+    assert got_pairs == exp, (got_pairs, exp)
