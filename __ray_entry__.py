@@ -227,6 +227,37 @@ def _MM_INNER(guard: str) -> str:
     )
 
 
+def _matching_sql() -> str:
+    """Luby-style matching rounds: per-round edge priority
+    splitmix64(key + it*GOLDEN); r accumulates each round's LIVE
+    both-plane edges, matched edges recomputed from r by the same
+    mutual-argmin windows (kcore mirror-window style)."""
+    return (
+        f"WITH RECURSIVE {_U_ORDERS}, "
+        "r AS ( "
+        "  SELECT 0 AS it, x, y FROM "
+        "  (SELECT a AS x, b AS y FROM u UNION ALL SELECT b, a FROM u) "
+        "  UNION ALL "
+        "  SELECT it + 1, x, y FROM ( "
+        "    SELECT it, x, y, "
+        "      max(um) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS em "
+        "    FROM ( "
+        "      SELECT it, x, y, max(mm) OVER (PARTITION BY it, x) AS um "
+        "      FROM ( "
+        "        SELECT it, x, y, "
+        "          min(f) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS mm "
+        f"        FROM (SELECT it, x, y, {_MM_F} FROM ({_MM_INNER('WHERE it < 40')}))))) "
+        "  WHERE em = 0), "
+        "mt AS ( "
+        "  SELECT DISTINCT it, least(x,y) AS a, greatest(x,y) AS b FROM ( "
+        "    SELECT it, x, y, "
+        "      min(f) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS mm "
+        f"    FROM (SELECT it, x, y, {_MM_F} FROM ({_MM_INNER('')}))) "
+        "  WHERE mm = 1) "
+        "SELECT a::BIGINT AS a, b::BIGINT AS b, it::BIGINT AS round FROM mt"
+    )
+
+
 def _pages_edges_cte(n: int = 2000, seed: int = 42) -> str:
     """Shared CTE chain ending at ``e(src, dst)``: the deterministic
     page generator's DISTINCT page-level link edges, rebuilt in SQL
@@ -951,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": T.q_events_outliers,
         "sssp_parents": T.q_sssp_parents,
         "maximal_matching": T.q_maximal_matching,
+        "graph_coarsen": T.q_graph_coarsen,
         "square_count": T.q_square_count,
         "events_running_total": T.q_events_running_total,
         "edge_jaccard": T.q_edge_jaccard,
@@ -1551,33 +1583,18 @@ def oracle_sql() -> dict[str, str]:
             " // (2 * deg.d * (deg.d - 1)) ELSE 0 END)::BIGINT AS cc_e6 "
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
         ),
-        "maximal_matching": (
-            # Luby-style matching rounds: per-round edge priority
-            # splitmix64(key + it*GOLDEN); r accumulates each round's
-            # LIVE both-plane edges, matched edges recomputed from r by
-            # the same mutual-argmin windows (kcore mirror-window style)
-            f"WITH RECURSIVE {_U_ORDERS}, "
-            "r AS ( "
-            "  SELECT 0 AS it, x, y FROM "
-            "  (SELECT a AS x, b AS y FROM u UNION ALL SELECT b, a FROM u) "
-            "  UNION ALL "
-            "  SELECT it + 1, x, y FROM ( "
-            "    SELECT it, x, y, "
-            "      max(um) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS em "
-            "    FROM ( "
-            "      SELECT it, x, y, max(mm) OVER (PARTITION BY it, x) AS um "
-            "      FROM ( "
-            "        SELECT it, x, y, "
-            "          min(f) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS mm "
-            f"        FROM (SELECT it, x, y, {_MM_F} FROM ({_MM_INNER('WHERE it < 40')}))))) "
-            "  WHERE em = 0), "
-            "mt AS ( "
-            "  SELECT DISTINCT it, least(x,y) AS a, greatest(x,y) AS b FROM ( "
-            "    SELECT it, x, y, "
-            "      min(f) OVER (PARTITION BY it, least(x,y), greatest(x,y)) AS mm "
-            f"    FROM (SELECT it, x, y, {_MM_F} FROM ({_MM_INNER('')}))) "
-            "  WHERE mm = 1) "
-            "SELECT a::BIGINT AS a, b::BIGINT AS b, it::BIGINT AS round FROM mt"
+        "maximal_matching": _matching_sql(),
+        "graph_coarsen": (
+            # one multilevel-coarsening step: contract each matched pair
+            # to its min endpoint, re-aggregate parallel edges as weight
+            f"WITH mm AS ({_matching_sql()}), {_U_ORDERS}, "
+            "sup AS (SELECT a AS v, least(a, b) AS s FROM mm "
+            "        UNION ALL SELECT b, least(a, b) FROM mm), "
+            "m AS (SELECT COALESCE(sa.s, u.a) AS x, COALESCE(sb.s, u.b) AS y "
+            "      FROM u LEFT JOIN sup sa ON sa.v = u.a "
+            "      LEFT JOIN sup sb ON sb.v = u.b) "
+            "SELECT least(x, y)::BIGINT AS u, greatest(x, y)::BIGINT AS v, "
+            "count(*)::BIGINT AS weight FROM m WHERE x <> y GROUP BY 1, 2"
         ),
         "square_count": (
             f"WITH {_U_ORDERS}, "

@@ -3867,6 +3867,51 @@ def q_maximal_matching(sf_dir: str, max_rounds: int = 40):
     return out
 
 
+def q_graph_coarsen(sf_dir: str):
+    """ONE multilevel-coarsening step (the METIS-style primitive):
+    contract every maximal-matching pair to its min endpoint and
+    re-aggregate parallel edges as integer weights. The matching
+    (itself a checked query) is at most |V|/2 pairs — broadcast as a
+    sorted key->supervertex map; contraction is one vectorized map +
+    one bucket_sum over the surviving coarse edges."""
+    from ..stages.join import bucket_sum
+    from .triangles import canonical_edges
+
+    mm = q_maximal_matching(sf_dir)
+    mm_df = mm if isinstance(mm, pd.DataFrame) else mm.to_pandas()
+    vs = np.concatenate([mm_df["a"].to_numpy(), mm_df["b"].to_numpy()]).astype(np.int64)
+    sup = np.concatenate(
+        [np.minimum(mm_df["a"], mm_df["b"]).to_numpy()] * 2
+    ).astype(np.int64)
+    order = np.argsort(vs)
+    ref = ray.put((vs[order], sup[order]))
+
+    def contract(t: pa.Table) -> pa.Table:
+        v_s, s_s = ray.get(ref)
+
+        def to_super(x):
+            if len(v_s) == 0:
+                return x
+            idx = np.clip(np.searchsorted(v_s, x), 0, len(v_s) - 1)
+            return np.where(v_s[idx] == x, s_s[idx], x)
+
+        a = to_super(t["src"].to_numpy().astype(np.int64))
+        b = to_super(t["dst"].to_numpy().astype(np.int64))
+        keep = a != b
+        a, b = a[keep], b[keep]
+        g = pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+        c = g.groupby(["u", "v"], as_index=False).size()
+        return pa.table(
+            {"u": pa.array(c["u"].to_numpy()), "v": pa.array(c["v"].to_numpy()),
+             "weight": pa.array(c["size"].to_numpy().astype(np.int64))}
+        )
+
+    edges = canonical_edges(edges_orders(sf_dir))
+    return bucket_sum(
+        edges.map_batches(contract, batch_format="pyarrow"), ["u", "v"], ["weight"], n_buckets=8
+    )
+
+
 def q_square_count(sf_dir: str):
     """4-cycle (square) motif count of the orders graph: squares =
     (sum over vertex pairs of C(cn, 2)) / 2 where cn = common-neighbor
