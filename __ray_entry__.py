@@ -957,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": T.q_top_terms,
         "inverted_index": T.q_inverted_index,
         "doc_repetition": T.q_doc_repetition,
+        "dedup_report": T.q_dedup_report,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1408,6 +1409,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, "
             "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "dedup_report": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "count(DISTINCT md5(text))::BIGINT AS n_unique, "
+            "((count(*) - count(DISTINCT md5(text))) * 1000000 // count(*))"
+            "::BIGINT AS dup_rate_e6 FROM documents GROUP BY source"
         ),
         "doc_repetition": (
             "WITH toks AS (SELECT doc_id, "

@@ -977,6 +977,58 @@ def q_doc_repetition(sf_dir: str):
     )
 
 
+def q_dedup_report(sf_dir: str):
+    """Dedup observability: per source, total docs vs distinct
+    contents (md5) and the duplicate rate — the report a dedup stage
+    publishes per snapshot. Totals are per-batch partials; distinct
+    contents count via ONE hash-bucket distinct on (source, md5) —
+    the hash, never the text, is what shuffles. Rate is exact
+    integer (dups * 1e6) // n_docs."""
+    import hashlib as _hl
+
+    from ..stages.join import bucket_sum, distinct
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "fp": [
+                    _hl.md5(t.encode("utf-8")).hexdigest()
+                    for t in df["text"].astype(str)
+                ],
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    src = _table(sf_dir, "documents", ["source", "text"]).map_batches(
+        with_hash, batch_format="pandas"
+    ).materialize()
+    totals = (
+        bucket_sum(src, ["source"], ["n"], n_buckets=4)
+        .to_pandas()
+        .set_index("source")["n"]
+    )
+    uniq = (
+        distinct(src, ["source", "fp"])
+        .map_batches(
+            lambda df: df.groupby("source", as_index=False).size(), batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby("source")["size"]
+        .sum()
+    )
+    out = pd.DataFrame({"n_docs": totals, "n_unique": uniq}).reset_index()
+    dups = out["n_docs"] - out["n_unique"]
+    return pd.DataFrame(
+        {
+            "source": out["source"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "n_unique": out["n_unique"].astype("int64"),
+            "dup_rate_e6": (dups * 1_000_000 // out["n_docs"]).astype("int64"),
+        }
+    )
+
+
 _HLL_P = 8  # 2^8 = 256 registers
 
 
