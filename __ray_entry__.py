@@ -293,7 +293,7 @@ def _pages_edges_cte(n: int = 2000, seed: int = 42) -> str:
         "         WHEN hk % 5 = 2 AND k > 0 THEN NULL "
         f"         ELSE {url(f'tgt % {n}')} END AS base_href "
         "    FROM tc), "
-        "res AS (SELECT i, last_value(base_href IGNORE NULLS) OVER "
+        "res AS (SELECT i, k, last_value(base_href IGNORE NULLS) OVER "
         "          (PARTITION BY i ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS href "
         "        FROM hrefs), "
         f"e AS (SELECT DISTINCT {url('i')} AS src, href AS dst FROM res)"
@@ -984,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parents": T.q_sssp_parents,
         "maximal_matching": T.q_maximal_matching,
         "graph_coarsen": T.q_graph_coarsen,
+        "anchor_stats": T.q_anchor_stats,
         "square_count": T.q_square_count,
         "events_running_total": T.q_events_running_total,
         "edge_jaccard": T.q_edge_jaccard,
@@ -1591,6 +1592,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
         ),
         "maximal_matching": _matching_sql(),
+        "anchor_stats": (
+            # per-instance links from the shared generator CTE (res keeps
+            # i, k per <a> tag); anchor text is 'link ' || k by generator
+            # construction — mirrored from the engine's real extraction
+            f"WITH {_pages_edges_cte(2000, 42)} "
+            "SELECT href AS dst, count(*)::BIGINT AS n_inlinks, "
+            "count(DISTINCT i)::BIGINT AS n_src_pages, "
+            "count(DISTINCT 'link ' || k)::BIGINT AS n_anchors "
+            "FROM res GROUP BY href"
+        ),
         "graph_coarsen": (
             # one multilevel-coarsening step: contract each matched pair
             # to its min endpoint, re-aggregate parallel edges as weight

@@ -61,6 +61,31 @@ def extract_links(html_text: str, base_url: str) -> list[str]:
     return out
 
 
+_A_FULL = re.compile(r"(<a\b[^>]*>)(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_links_with_anchors(html_text: str, base_url: str) -> list[tuple[str, str]]:
+    """(resolved href, anchor text) per <a>...</a> instance — the
+    web-search anchor signal. Same href normalization as
+    extract_links; anchor = inner markup tag-stripped, entity-
+    unescaped, whitespace-collapsed. Instances (duplicates,
+    self-links) are KEPT — anchor aggregation wants them."""
+    out: list[tuple[str, str]] = []
+    for m in _A_FULL.finditer(html_text):
+        hm = _HREF.search(m.group(1))
+        if not hm:
+            continue
+        raw = _htmlmod.unescape(hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
+        if not raw:
+            continue
+        resolved, _frag = urldefrag(urljoin(base_url, raw))
+        if urlsplit(resolved).scheme.lower() not in _KEEP_SCHEMES:
+            continue
+        anchor = " ".join(_htmlmod.unescape(_TAG.sub(" ", m.group(2))).split())
+        out.append((resolved, anchor))
+    return out
+
+
 def extract_text(html_text: str) -> str:
     """Visible text: strip comments, script/style bodies, all tags;
     unescape entities; collapse all whitespace runs to single spaces.

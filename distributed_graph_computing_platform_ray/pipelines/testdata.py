@@ -3057,6 +3057,50 @@ def q_doc_decontaminate(sf_dir: str, n: int = 4):
 # domain-graph contraction (page link graph -> weighted domain graph)
 
 
+def q_anchor_stats(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """Anchor-text aggregation per link TARGET — the web-search
+    indexing signal (what other pages say about a url). Link
+    INSTANCES are kept (duplicates/self-links carry anchor weight);
+    per-target inlink count, distinct source pages and distinct
+    anchor strings reduce in ONE dst-bucket shuffle (a target's whole
+    inlink set shares a bucket). n is PINNED to the fixed oracle's
+    2000 (the query generates its own pages and reads nothing from
+    sf_dir, like pages_linkgraph_pagerank)."""
+    from ..functions.html import decode_html, extract_links_with_anchors
+    from ..sources.pages import generate_pages
+    from ..stages.join import _BUCKET, add_bucket
+
+    def inst(t: pa.Table) -> pa.Table:
+        srcs, dsts, anchors = [], [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for href, anch in extract_links_with_anchors(decode_html(h), u):
+                srcs.append(u)
+                dsts.append(href)
+                anchors.append(anch)
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string()),
+             "anchor": pa.array(anchors, pa.string())}
+        )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst")
+        return pd.DataFrame(
+            {
+                "dst": g.size().index,
+                "n_inlinks": g.size().to_numpy().astype("int64"),
+                "n_src_pages": g["src"].nunique().to_numpy().astype("int64"),
+                "n_anchors": g["anchor"].nunique().to_numpy().astype("int64"),
+            }
+        )
+
+    pages = generate_pages(n)
+    return (
+        add_bucket(pages.map_batches(inst, batch_format="pyarrow"), ["dst"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
 def q_domain_pagerank(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     """Link-graph contraction: page-level links from the deterministic
     page generator, globally exact-deduped in hash buckets (same-pair
