@@ -985,6 +985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_matching": T.q_maximal_matching,
         "graph_coarsen": T.q_graph_coarsen,
         "anchor_stats": T.q_anchor_stats,
+        "ecc_bounds": T.q_ecc_bounds,
+        "sssp_paths": T.q_sssp_paths,
         "square_count": T.q_square_count,
         "events_running_total": T.q_events_running_total,
         "edge_jaccard": T.q_edge_jaccard,
@@ -1592,6 +1594,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
         ),
         "maximal_matching": _matching_sql(),
+        "ecc_bounds": (
+            # two BFS recursions (s0 = min id, far1 = argmax dist of the
+            # first sweep, tie -> lowest id) + per-vertex GREATEST
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+            "srcv AS (SELECT min(id) AS s FROM v), "
+            "relax AS (SELECT src, dst, 1 AS w FROM es "
+            "          UNION ALL SELECT id, id, 0 FROM v), "
+            "d1 AS ( "
+            "  SELECT 0 AS it, id, CASE WHEN id = (SELECT s FROM srcv) "
+            "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d1 p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst), "
+            "f1 AS (SELECT id FROM d1 WHERE it = 60 AND dist < 1e17 "
+            "       ORDER BY dist DESC, id LIMIT 1), "
+            "d2 AS ( "
+            "  SELECT 0 AS it, id, CASE WHEN id = (SELECT id FROM f1) "
+            "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d2 p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 GROUP BY p.it, r.dst) "
+            "SELECT a.id AS vertex, "
+            "CAST(GREATEST(a.dist, b.dist) AS BIGINT) AS ecc_lb "
+            "FROM d1 a JOIN d2 b ON b.id = a.id AND b.it = 60 "
+            "WHERE a.it = 60 AND a.dist < 1e17 AND b.dist < 1e17"
+        ),
+        "sssp_paths": (
+            # HUGEINT walk-count recursion: walks of length dist(v) ARE
+            # the shortest paths (stress-centrality oracle pattern)
+            f"WITH RECURSIVE {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b, a FROM u), "
+            "vv AS (SELECT DISTINCT src AS id FROM es2), "
+            "srcv AS (SELECT min(id) AS s FROM vv), "
+            "w AS ( "
+            "  SELECT 0 AS it, (SELECT s FROM srcv) AS id, 1::HUGEINT AS sig "
+            "  UNION ALL "
+            "  SELECT p.it + 1, e.dst, sum(p.sig) FROM w p "
+            "  JOIN es2 e ON e.src = p.id WHERE p.it < 8 GROUP BY p.it, e.dst), "
+            "dm AS (SELECT id, min(it) AS dist FROM w GROUP BY id) "
+            "SELECT w.id AS vertex, dm.dist::BIGINT AS dist, w.sig::BIGINT AS n_paths "
+            "FROM w JOIN dm ON dm.id = w.id AND dm.dist = w.it"
+        ),
         "anchor_stats": (
             # per-instance links from the shared generator CTE (res keeps
             # i, k per <a> tag); anchor text is 'link ' || k by generator

@@ -606,6 +606,113 @@ def q_graph_diameter(sf_dir: str):
     )
 
 
+def q_ecc_bounds(sf_dir: str, n_buckets: int = 16):
+    """Per-vertex ECCENTRICITY LOWER BOUNDS from the double sweep:
+    ecc(v) >= max(d(s0, v), d(far1, v)) — both BFS runs are already
+    cached by q_sssp / q_graph_diameter, so this is one tagged union
+    + one vertex-bucket max-merge over the two distance tables.
+    Vertices outside the sweep component drop (both distances
+    infinite)."""
+    from ..stages.join import _BUCKET, add_bucket
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    s0 = _min_vertex(sf_dir, "lineitem")
+    res1 = _run_cached(
+        sf_dir, "lineitem", "sssp", source_id=lookup_vertex_id(man, str(s0))
+    )
+    far1, _ecc1 = _far_vertex(res1)
+    res2 = _run_cached(
+        sf_dir, "lineitem", "sssp", source_id=lookup_vertex_id(man, str(far1))
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64())
+        return pa.table({"vertex": v, "d": t["value"]})
+
+    both = res1.map_batches(tag, batch_format="pyarrow").union(
+        res2.map_batches(tag, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("vertex")["d"].agg(["max", "count"])
+        keep = g[(g["count"] == 2) & np.isfinite(g["max"])]
+        return pd.DataFrame(
+            {"vertex": keep.index.to_numpy().astype("int64"),
+             "ecc_lb": keep["max"].to_numpy().astype("int64")}
+        )
+
+    return (
+        add_bucket(both, ["vertex"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_sssp_paths(sf_dir: str, max_depth: int = 8):
+    """Single-source shortest-path COUNTS (Brandes' sigma): per
+    vertex within max_depth hops of the min vertex, its hop distance
+    and the NUMBER of distinct shortest paths — the forward pass of
+    betweenness, vectorized over the broadcast CSR (one task; above
+    the edge cap it becomes the engine's level-synchronous frontier
+    joins, as q_stress_centrality documents). sigma values stay
+    integer-exact."""
+    from ..stages.walks import MAX_BROADCAST_EDGES
+
+    adj = edges_orders(sf_dir).to_pandas()
+    if 2 * len(adj) > MAX_BROADCAST_EDGES:
+        raise ValueError("adjacency exceeds broadcast cap; use the BSP path")
+    a = adj["src"].to_numpy().astype(np.int64)
+    b = adj["dst"].to_numpy().astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    verts, starts = np.unique(src, return_index=True)
+    cnts = np.diff(np.concatenate([starts, [len(src)]]))
+    vmax = int(verts.max()) + 1
+    deg = np.zeros(vmax, np.int64)
+    ptr = np.zeros(vmax, np.int64)
+    deg[verts] = cnts
+    ptr[verts] = starts
+    state = ray.put((ptr, deg, dst, vmax))
+    s0 = int(verts.min())
+
+    def forward(t: pa.Table) -> pa.Table:
+        p, d, nb, n = ray.get(state)
+        dist = np.full(n, -1, np.int64)
+        sigma = np.zeros(n, np.int64)
+        s = int(t["s"][0].as_py())
+        dist[s] = 0
+        sigma[s] = 1
+        frontier = np.array([s], np.int64)
+        lev = 0
+        while len(frontier) and lev < max_depth:
+            c = d[frontier]
+            starts_ = p[frontier]
+            tot = int(c.sum())
+            eidx = np.repeat(starts_, c) + np.arange(tot) - np.repeat(
+                np.cumsum(c) - c, c
+            )
+            es = np.repeat(frontier, c)
+            en = nb[eidx]
+            fresh = dist[en] == -1
+            if fresh.any():
+                dist[en[fresh]] = lev + 1
+            dag = dist[en] == lev + 1
+            np.add.at(sigma, en[dag], sigma[es[dag]])
+            frontier = np.unique(en[fresh])
+            lev += 1
+        got = np.flatnonzero(dist >= 0)
+        return pa.table(
+            {"vertex": pa.array(got), "dist": pa.array(dist[got]),
+             "n_paths": pa.array(sigma[got])}
+        )
+
+    return rd.from_items([{"s": s0}]).map_batches(forward, batch_format="pyarrow")
+
+
 def q_reciprocity(sf_dir: str, n_buckets: int = 16):
     """Link reciprocity of the DIRECTED lineitem graph: the fraction
     of directed edges whose reverse edge also exists (a standard web
