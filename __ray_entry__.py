@@ -674,6 +674,42 @@ def _anf_sql() -> str:
     )
 
 
+def _robustness_sql(ks=(0, 20, 50)) -> str:
+    """Attack-tolerance oracle: per k, drop the top-k hubs (deg desc,
+    id asc) and run the min-label CC recursion over the survivors;
+    report vertices / components / largest component."""
+    parts = [
+        f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, ",
+        "degs AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), ",
+        "topk AS (SELECT id, row_number() OVER (ORDER BY d DESC, id) AS r FROM degs), ",
+    ]
+    for k in ks:
+        parts.append(
+            f"es{k} AS (SELECT src, dst FROM es "
+            f"WHERE src NOT IN (SELECT id FROM topk WHERE r <= {k}) "
+            f"AND dst NOT IN (SELECT id FROM topk WHERE r <= {k})), "
+            f"v{k} AS (SELECT DISTINCT src AS id FROM es{k}), "
+            f"relax{k} AS (SELECT src, dst FROM es{k} "
+            f"             UNION ALL SELECT id, id FROM v{k}), "
+            f"c{k} AS ( "
+            f"  SELECT 0 AS it, id, id AS lab FROM v{k} "
+            "  UNION ALL "
+            f"  SELECT p.it + 1, rr.dst, MIN(p.lab) FROM c{k} p "
+            f"  JOIN relax{k} rr ON rr.src = p.id WHERE p.it < 60 "
+            "  GROUP BY p.it, rr.dst), "
+            f"s{k} AS (SELECT lab, count(*) AS n FROM c{k} WHERE it = 60 GROUP BY lab), "
+        )
+    selects = [
+        f"SELECT {k} AS k_removed, (SELECT sum(n) FROM s{k})::BIGINT AS n_vertices, "
+        f"(SELECT count(*) FROM s{k})::BIGINT AS n_components, "
+        f"(SELECT max(n) FROM s{k})::BIGINT AS largest_cc"
+        for k in ks
+    ]
+    body = "".join(parts)
+    # strip the trailing comma-space from the last CTE
+    return body.rstrip(", ") + " " + " UNION ALL ".join(selects)
+
+
 def _embedding_neardup_sql() -> str:
     """Oracle for testdata.q_embedding_neardup: reproduce the planted
     augmentation (x + 0.02 copies of vec_id < 16), the 12-hyperplane
@@ -986,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coarsen": T.q_graph_coarsen,
         "anchor_stats": T.q_anchor_stats,
         "ecc_bounds": T.q_ecc_bounds,
+        "graph_robustness": T.q_graph_robustness,
         "sssp_paths": T.q_sssp_paths,
         "square_count": T.q_square_count,
         "events_running_total": T.q_events_running_total,
@@ -1594,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex"
         ),
         "maximal_matching": _matching_sql(),
+        "graph_robustness": _robustness_sql(),
         "ecc_bounds": (
             # two BFS recursions (s0 = min id, far1 = argmax dist of the
             # first sweep, tie -> lowest id) + per-vertex GREATEST

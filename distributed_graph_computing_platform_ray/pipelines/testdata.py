@@ -713,6 +713,80 @@ def q_sssp_paths(sf_dir: str, max_depth: int = 8):
     return rd.from_items([{"s": s0}]).map_batches(forward, batch_format="pyarrow")
 
 
+def q_graph_robustness(sf_dir: str, ks=(0, 20, 50)):
+    """Attack-tolerance curve (Albert-Jeong-Barabasi style): remove
+    the top-k highest-degree hubs (ties -> lowest id) and measure the
+    fragmentation — surviving vertices, component count, largest
+    component. Degrees reduce from edge partials; the hub set is a
+    top-k sort (k rows on the driver); each k's CC runs the engine on
+    the hub-filtered edges (broadcast removal set). The classic
+    robustness analysis for web graphs, one engine run per k."""
+    import shutil as _shutil
+
+    from ..stages.join import bucket_sum
+
+    edges = edges_lineitem(sf_dir).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    deg = bucket_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow"), ["v"], ["d"], n_buckets=8
+    )
+    top = (
+        deg.sort(["d", "v"], descending=[True, False])
+        .limit(max(ks))
+        .to_pandas()["v"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+    rows = []
+    for k in ks:
+        removed = ray.put(np.sort(top[:k]))
+
+        def filt(t: pa.Table) -> pa.Table:
+            bad = ray.get(removed)
+            a = t["src"].to_numpy()
+            b = t["dst"].to_numpy()
+            keep = ~(np.isin(a, bad) | np.isin(b, bad))
+            return pa.table(
+                {"src_key": pa.array(a[keep].astype(str)),
+                 "dst_key": pa.array(b[keep].astype(str))}
+            )
+
+        root = _cache(sf_dir, "robustness", f"k{k}")
+        _shutil.rmtree(root, ignore_errors=True)
+        build_graph(
+            edges.map_batches(filt, batch_format="pyarrow"),
+            f"{root}/graph", n_parts=8, n_buckets=16, dedup=False,
+            small_graph_edges=5_000_000,
+        )
+        cc = run_algorithm(f"{root}/graph", f"{root}/cc", "cc")
+
+        def label_partial(t: pa.Table) -> pa.Table:
+            lab = t["value"].to_numpy().astype(np.int64)
+            u, c = np.unique(lab, return_counts=True)
+            return pa.table({"lab": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+        sizes = bucket_sum(
+            cc.map_batches(label_partial, batch_format="pyarrow"), ["lab"], ["n"], n_buckets=4
+        ).to_pandas()
+        rows.append(
+            (k, int(sizes["n"].sum()), len(sizes), int(sizes["n"].max()))
+        )
+    return pd.DataFrame(
+        {
+            "k_removed": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_vertices": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n_components": pd.Series([r[2] for r in rows], dtype="int64"),
+            "largest_cc": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def q_reciprocity(sf_dir: str, n_buckets: int = 16):
     """Link reciprocity of the DIRECTED lineitem graph: the fraction
     of directed edges whose reverse edge also exists (a standard web
