@@ -1023,6 +1023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": T.q_anchor_stats,
         "ecc_bounds": T.q_ecc_bounds,
         "graph_robustness": T.q_graph_robustness,
+        "block_conductance": T.q_block_conductance,
+        "events_transitions": T.q_events_transitions,
         "sssp_paths": T.q_sssp_paths,
         "square_count": T.q_square_count,
         "events_running_total": T.q_events_running_total,
@@ -1632,6 +1634,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "maximal_matching": _matching_sql(),
         "graph_robustness": _robustness_sql(),
+        "block_conductance": (
+            f"WITH {_EB_CLIQUEY}, "
+            "e2 AS (SELECT a // 8 AS ba, b // 8 AS bb FROM ebq), "
+            "pb AS (SELECT ba AS block, 1 AS vol, "
+            "       CASE WHEN ba <> bb THEN 1 ELSE 0 END AS cut, "
+            "       CASE WHEN ba = bb THEN 1 ELSE 0 END AS internal FROM e2 "
+            "       UNION ALL SELECT bb, 1, "
+            "       CASE WHEN ba <> bb THEN 1 ELSE 0 END, 0 FROM e2), "
+            "s AS (SELECT block, sum(vol)::BIGINT AS vol, sum(cut)::BIGINT AS cut, "
+            "      sum(internal)::BIGINT AS internal FROM pb GROUP BY block), "
+            "t AS (SELECT sum(vol) AS tv FROM s) "
+            "SELECT block::BIGINT AS block, internal AS internal_edges, "
+            "cut AS cut_edges, vol AS volume, "
+            "CASE WHEN least(vol, t.tv - vol) > 0 "
+            "THEN cut * 1000000 // least(vol, t.tv - vol) ELSE -1 END::BIGINT "
+            "AS phi_e6 FROM s CROSS JOIN t"
+        ),
+        "events_transitions": (
+            "WITH p AS (SELECT user_id, event_type, LAG(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "c AS (SELECT prev AS from_type, event_type AS to_type, "
+            "count(*)::BIGINT AS cnt FROM p WHERE prev IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, cnt, "
+            "(cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_type))::BIGINT "
+            "AS p_e6 FROM c"
+        ),
         "ecc_bounds": (
             # two BFS recursions (s0 = min id, far1 = argmax dist of the
             # first sweep, tie -> lowest id) + per-vertex GREATEST

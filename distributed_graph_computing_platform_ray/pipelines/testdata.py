@@ -4189,6 +4189,95 @@ def q_graph_coarsen(sf_dir: str):
     )
 
 
+def q_block_conductance(sf_dir: str):
+    """Community cut quality: per planted 8-id block of the cliquey
+    graph, internal vs boundary edge counts and the conductance
+    phi_e6 = cut * 1e6 // min(vol, total_vol - vol) — the metric a
+    partitioner/community detector is judged by. ONE vectorized pass
+    over the edges emits per-block partials (internal / cut / volume
+    contributions); a tiny bucket_sum merges them; the min() needs
+    total volume, an O(blocks) driver value."""
+    from ..stages.join import bucket_sum
+    from .triangles import canonical_edges
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy().astype(np.int64)
+        b = t["dst"].to_numpy().astype(np.int64)
+        ba, bb = a // 8, b // 8
+        internal = ba == bb
+        blk = np.concatenate([ba, bb])
+        vol = np.ones(2 * len(a), np.int64)  # each endpoint adds degree 1
+        cut = np.concatenate([(~internal).astype(np.int64)] * 2)
+        ein = np.concatenate([internal.astype(np.int64), np.zeros(len(a), np.int64)])
+        g = pd.DataFrame({"block": blk, "vol": vol, "cut": cut, "internal": ein})
+        return pa.Table.from_pandas(
+            g.groupby("block", as_index=False).sum(), preserve_index=False
+        )
+
+    edges = canonical_edges(edges_cliquey(sf_dir))
+    s = bucket_sum(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["block"], ["vol", "cut", "internal"], n_buckets=4,
+    ).to_pandas()
+    total_vol = int(s["vol"].sum())
+    vol = s["vol"].to_numpy().astype(np.int64)
+    cut = s["cut"].to_numpy().astype(np.int64)
+    denom = np.minimum(vol, total_vol - vol)
+    phi = np.where(denom > 0, cut * 1_000_000 // np.maximum(denom, 1), -1)
+    return pd.DataFrame(
+        {
+            "block": s["block"].astype("int64"),
+            "internal_edges": s["internal"].astype("int64"),
+            "cut_edges": cut,
+            "volume": vol,
+            "phi_e6": phi.astype("int64"),
+        }
+    )
+
+
+def q_events_transitions(sf_dir: str):
+    """Clickstream Markov transitions: counts of consecutive
+    event-type pairs within each user's timeline (ties broken on
+    event_id, like every ordered scan here) plus the integer
+    transition probability p_e6 = cnt * 1e6 // from-type total. ONE
+    user-bucket shuffle; consecutive pairs are a vectorized shift
+    compare inside the bucket; the per-from normalization is an
+    O(types^2) driver step."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df["ts"])
+        order = np.lexsort((df["event_id"].to_numpy(), ts, df["user_id"].to_numpy()))
+        uid = df["user_id"].to_numpy()[order]
+        et = df["event_type"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        g = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same],
+             "cnt": np.ones(int(same.sum()), np.int64)}
+        )
+        return g.groupby(["from_type", "to_type"], as_index=False, sort=False).sum()
+
+    src = _table(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    nb = _scaled_buckets(sf_dir, "events")
+    s = (
+        add_bucket(src, ["user_id"], nb)
+        .groupby(_BUCKET)
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .groupby(["from_type", "to_type"], as_index=False)["cnt"]
+        .sum()
+    )
+    tot = s.groupby("from_type")["cnt"].transform("sum")
+    return pd.DataFrame(
+        {
+            "from_type": s["from_type"],
+            "to_type": s["to_type"],
+            "cnt": s["cnt"].astype("int64"),
+            "p_e6": (s["cnt"] * 1_000_000 // tot).astype("int64"),
+        }
+    )
+
+
 def q_square_count(sf_dir: str):
     """4-cycle (square) motif count of the orders graph: squares =
     (sum over vertex pairs of C(cn, 2)) / 2 where cn = common-neighbor

@@ -44,7 +44,14 @@ def _deletion_keys(df: pd.DataFrame, col: str) -> pd.DataFrame:
     orig: list[np.ndarray] = [s]
     for ln in np.unique(lens):
         grp = s[lens == ln]
-        if ln < 2:
+        if ln < 1:
+            continue
+        if ln == 1:
+            # the 1-deletion variant of a single char is the EMPTY string
+            # — without it 'a'/'b' never share a key and the distance-1
+            # substitution pair is lost (caught by a hypothesis property)
+            keys.append(np.full(len(grp), "", dtype=object))
+            orig.append(grp)
             continue
         mat = _char_matrix(grp, int(ln))
         for i in range(int(ln)):
@@ -91,7 +98,10 @@ def _verify_d1(df: pd.DataFrame) -> pd.DataFrame:
     lhi = np.maximum(la, lb)
     for ln in np.unique(lhi[diff]):
         m = diff & (lhi == ln)
-        if ln < 2 or not m.any():
+        if not m.any():
+            continue
+        if ln == 1:  # ('', 'x'): one insertion — always distance 1
+            keep[np.flatnonzero(m)] = True
             continue
         hm = _char_matrix(hi[m], int(ln))
         lm = _char_matrix(lo[m], int(ln) - 1)
