@@ -1040,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
         "lineitem_median": T.q_lineitem_median,
+        "lineitem_weighted_median": T.q_lineitem_weighted_median,
         "orders_rank": T.q_orders_rank,
         "events_user_mode": T.q_events_user_mode,
         "customer_pareto": T.q_customer_pareto,
@@ -1773,6 +1774,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, revenue_cents, rnk, "
             "CASE WHEN cum * 100 <= 80 * tot THEN 'A' "
             "WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END AS abc FROM t"
+        ),
+        "lineitem_weighted_median": (
+            "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+            "CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem), "
+            "s AS (SELECT sum(w)::BIGINT AS W, (sum(w) + 1) // 2 AS k FROM c), "
+            "o AS (SELECT v, sum(w) OVER (ORDER BY v "
+            "      ROWS UNBOUNDED PRECEDING) AS cw "
+            "      FROM (SELECT v, sum(w) AS w FROM c GROUP BY v)) "
+            "SELECT s.W AS total_w, s.k::BIGINT AS k, "
+            "(SELECT min(v) FROM o WHERE cw >= s.k)::BIGINT AS wmedian_cents "
+            "FROM s"
         ),
         "orders_rank": (
             # global row_number by (price desc, orderkey) — engine does it

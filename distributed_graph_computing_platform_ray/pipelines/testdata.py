@@ -6164,6 +6164,66 @@ def q_entity_resolution(sf_dir: str):
     ).sort_values("name").reset_index(drop=True)
 
 
+def q_lineitem_weighted_median(sf_dir: str):
+    """WEIGHTED median (price weighted by quantity) without a sort —
+    the same two-pass histogram selection as q_lineitem_median but
+    over cumulative WEIGHT: pass 1 bins weighted counts (quantities
+    are whole numbers, so weights are exact int64), the driver finds
+    the k = (W+1)//2 bucket from O(buckets) state, pass 2 resolves
+    the exact value inside that one bucket."""
+    from ..stages.join import bucket_sum
+
+    lo_c, hi_c = 0, 10_500_001
+    nb = 4096
+    width = (hi_c - lo_c) // nb + 1
+
+    def vw(t: pa.Table):
+        v = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        w = np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+        return v, w
+
+    def hist(t: pa.Table) -> pa.Table:
+        v, w = vw(t)
+        h = np.bincount((v - lo_c) // width, weights=w.astype(np.float64), minlength=nb)
+        return pa.table(
+            {"b": pa.array(np.arange(nb, dtype=np.int64)),
+             "n": pa.array(h.astype(np.int64))}
+        )
+
+    src = _table(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    hp = (
+        bucket_sum(src.map_batches(hist, batch_format="pyarrow"), ["b"], ["n"], n_buckets=4)
+        .to_pandas()
+        .sort_values("b")
+    )
+    counts = np.zeros(nb, dtype=np.int64)
+    counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
+    W = int(counts.sum())
+    k = (W + 1) // 2
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, k))
+    before = int(cum[b - 1]) if b > 0 else 0
+    blo, bhi = lo_c + b * width, lo_c + (b + 1) * width
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        v, w = vw(t)
+        m = (v >= blo) & (v < bhi)
+        g = pd.DataFrame({"v": v[m], "n": w[m]}).groupby("v", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vals = (
+        bucket_sum(src.map_batches(in_bucket, batch_format="pyarrow"), ["v"], ["n"], n_buckets=4)
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum2 = before + np.cumsum(vals["n"].to_numpy())
+    kth = int(vals["v"].to_numpy()[int(np.searchsorted(cum2, k))])
+    return pd.DataFrame(
+        {"total_w": pd.Series([W], dtype="int64"), "k": pd.Series([k], dtype="int64"),
+         "wmedian_cents": pd.Series([kth], dtype="int64")}
+    )
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
