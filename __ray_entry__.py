@@ -1041,6 +1041,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_longest": T.q_dag_longest,
         "lineitem_median": T.q_lineitem_median,
         "lineitem_weighted_median": T.q_lineitem_weighted_median,
+        "nation_share": T.q_nation_share,
+        "orders_zorder": T.q_orders_zorder,
+        "events_bounce": T.q_events_bounce,
         "orders_rank": T.q_orders_rank,
         "events_user_mode": T.q_events_user_mode,
         "customer_pareto": T.q_customer_pareto,
@@ -1774,6 +1777,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, revenue_cents, rnk, "
             "CASE WHEN cum * 100 <= 80 * tot THEN 'A' "
             "WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END AS abc FROM t"
+        ),
+        "nation_share": (
+            "WITH nr AS (SELECT r.r_name AS region, n.n_name AS nation, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1, 2) "
+            "SELECT region, nation, rev AS revenue_cents, "
+            "(rev * 1000000 // sum(rev) OVER (PARTITION BY region))::BIGINT "
+            "AS share_e6 FROM nr"
+        ),
+        "orders_zorder": (
+            "WITH q AS (SELECT "
+            "CAST(round(o_totalprice * 100) AS BIGINT) * 256 // 50000001 AS px, "
+            "least(greatest((epoch_us(o_orderdate) // 86400000000 - 8035) // 16, 0), 255) AS dy "
+            "FROM orders), "
+            "z AS (SELECT px, dy, ("
+            + " + ".join(
+                f"(((px >> {i}) & 1) << {2 * i}) + (((dy >> {i}) & 1) << {2 * i + 1})"
+                for i in range(8)
+            )
+            + ") AS zi FROM q) "
+            "SELECT (zi >> 12)::BIGINT AS part, count(*)::BIGINT AS n, "
+            "min(px)::BIGINT AS pmin, max(px)::BIGINT AS pmax, "
+            "min(dy)::BIGINT AS dmin, max(dy)::BIGINT AS dmax "
+            "FROM z GROUP BY part"
+        ),
+        "events_bounce": (
+            "WITH e AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN LAG(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e), "
+            "g AS (SELECT event_type, "
+            "count(*) OVER (PARTITION BY user_id, sid) AS n, "
+            "row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) "
+            "AS rn FROM s) "
+            "SELECT event_type AS entry_type, count(*)::BIGINT AS sessions, "
+            "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS bounces, "
+            "(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*))"
+            "::BIGINT AS bounce_rate_e6 FROM g WHERE rn = 1 GROUP BY event_type"
         ),
         "lineitem_weighted_median": (
             "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "

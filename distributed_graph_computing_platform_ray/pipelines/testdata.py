@@ -6224,6 +6224,135 @@ def q_lineitem_weighted_median(sf_dir: str):
     )
 
 
+def q_nation_share(sf_dir: str):
+    """Hierarchical percent-of-parent: each nation's revenue share of
+    its REGION (exact integer share_e6 = nat*1e6 // region). Customer
+    revenue reduces via bucket partials; nation/region are broadcast
+    dimension lookups (driver pyarrow reads — the ~1 s fixed cost
+    rule); the share normalization is O(nations) driver arithmetic."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(), "rev": cents})
+        return g.groupby("o_custkey", as_index=False, sort=False).sum()
+
+    from ..stages.join import bucket_sum
+
+    rev = bucket_sum(
+        _table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["o_custkey"], ["rev"], n_buckets=16,
+    ).to_pandas()
+    cust = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _dim_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    m = (
+        rev.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    n_rev = m.groupby(["r_name", "n_name"], as_index=False)["rev"].sum()
+    r_rev = n_rev.groupby("r_name")["rev"].transform("sum")
+    return pd.DataFrame(
+        {
+            "region": n_rev["r_name"],
+            "nation": n_rev["n_name"],
+            "revenue_cents": n_rev["rev"].astype("int64"),
+            "share_e6": (n_rev["rev"] * 1_000_000 // r_rev).astype("int64"),
+        }
+    )
+
+
+def q_orders_zorder(sf_dir: str, bits: int = 8):
+    """Z-order (Morton) data-layout audit: interleave 8-bit quantized
+    (price, order-day) coordinates into a space-filling-curve index,
+    partition by its top 4 bits, and report each partition's row
+    count and per-dimension bounding box — tight boxes are WHY
+    z-clustering enables multi-dimension row-group pruning at scale.
+    Pure vectorized map + bounded per-batch partials (min/max/count
+    per partition)."""
+    day0 = 8035  # 1992-01-01 in epoch days; order days fit 8 bits / 16
+    price_hi = 50_000_001
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        day = _ts_us(df["o_orderdate"]) // 86_400_000_000 - day0
+        px = cents * (1 << bits) // price_hi  # 0..255
+        dy = np.clip(day // 16, 0, (1 << bits) - 1)  # ~7 years / 16d
+        z = np.zeros(len(df), dtype=np.int64)
+        for i in range(bits):
+            z |= ((px >> i) & 1) << (2 * i)
+            z |= ((dy >> i) & 1) << (2 * i + 1)
+        part = z >> (2 * bits - 4)
+        g = pd.DataFrame({"part": part, "n": 1, "pmin": px, "pmax": px,
+                          "dmin": dy, "dmax": dy})
+        return g.groupby("part", as_index=False).agg(
+            n=("n", "sum"), pmin=("pmin", "min"), pmax=("pmax", "max"),
+            dmin=("dmin", "min"), dmax=("dmax", "max"),
+        )
+
+    src = _table(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+    p = src.map_batches(partial, batch_format="pandas").to_pandas()
+    g = p.groupby("part", as_index=False).agg(
+        n=("n", "sum"), pmin=("pmin", "min"), pmax=("pmax", "max"),
+        dmin=("dmin", "min"), dmax=("dmax", "max"),
+    )
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g
+
+
+def q_events_bounce(sf_dir: str, gap_s: int = 1800):
+    """Bounce rate per entry action: sessions (same 30-min-gap rule as
+    q_events_sessionize) grouped by their FIRST event type; a bounce
+    is a single-event session. One user-bucket shuffle; per-type
+    counts are additive across buckets; rate is exact integer e6."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            ts_us = _ts_us(g["ts"])
+            new_s = np.ones(len(g), dtype=np.int64)
+            new_s[1:] = (np.diff(ts_us) > gap_s * 1_000_000).astype(np.int64)
+            sid = np.cumsum(new_s)
+            et = g["event_type"].to_numpy()
+            first = np.ones(len(g), dtype=bool)
+            first[1:] = sid[1:] != sid[:-1]
+            sizes = np.bincount(sid)[sid[first]]
+            rows.append(pd.DataFrame({"entry_type": et[first], "bounce": (sizes == 1).astype(np.int64)}))
+        if not rows:
+            return pd.DataFrame({"entry_type": pd.Series([], dtype=str),
+                                 "sessions": pd.Series([], dtype="int64"),
+                                 "bounces": pd.Series([], dtype="int64")})
+        t = pd.concat(rows, ignore_index=True)
+        g2 = t.groupby("entry_type", as_index=False).agg(
+            sessions=("bounce", "size"), bounces=("bounce", "sum")
+        )
+        return g2
+
+    src = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    nb = _scaled_buckets(sf_dir, "events")
+    s = (
+        add_bucket(src, ["user_id"], nb)
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("entry_type", as_index=False)[["sessions", "bounces"]]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "entry_type": s["entry_type"],
+            "sessions": s["sessions"].astype("int64"),
+            "bounces": s["bounces"].astype("int64"),
+            "bounce_rate_e6": (s["bounces"] * 1_000_000 // s["sessions"]).astype("int64"),
+        }
+    )
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
