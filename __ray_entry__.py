@@ -994,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": T.q_inverted_index,
         "doc_repetition": T.q_doc_repetition,
         "dedup_report": T.q_dedup_report,
+        "skipgram_counts": T.q_skipgram_counts,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1455,6 +1456,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, "
             "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "skipgram_counts": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE trim(text) <> ''), "
+            "pos AS (SELECT doc_id, i, t[i] AS w FROM toks, "
+            "unnest(range(1, len(t) + 1)) AS r(i)), "
+            "p AS (SELECT a.w AS center, b.w AS context FROM pos a "
+            "JOIN pos b ON b.doc_id = a.doc_id AND b.i <> a.i "
+            "AND abs(b.i - a.i) <= 2) "
+            "SELECT center, context, count(*)::BIGINT AS cnt "
+            "FROM p GROUP BY center, context"
         ),
         "dedup_report": (
             "SELECT source, count(*)::BIGINT AS n_docs, "

@@ -1210,6 +1210,45 @@ def q_dedup_report(sf_dir: str):
     )
 
 
+def q_skipgram_counts(sf_dir: str, window: int = 2):
+    """Skip-gram co-occurrence counts (the word2vec / GloVe
+    preprocessing pass): ordered token pairs within +-window
+    positions inside a document, counted corpus-wide. Per-batch the
+    pairs come from VECTORIZED array shifts (one slice per offset,
+    never a per-position loop), pre-reduced per batch (combiner),
+    then one bucket_sum — the co-occurrence matrix build that feeds
+    embedding training at 100 TB."""
+    from ..stages.join import bucket_sum
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ctr, ctx = [], []
+        for text in df["text"].astype(str):
+            toks = np.array(text.split(), dtype=object)
+            for d in range(1, window + 1):
+                if len(toks) <= d:
+                    continue
+                ctr.append(toks[:-d])
+                ctx.append(toks[d:])
+                ctr.append(toks[d:])
+                ctx.append(toks[:-d])
+        if not ctr:
+            return pd.DataFrame(
+                {"center": pd.Series([], dtype=str), "context": pd.Series([], dtype=str),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        g = pd.DataFrame(
+            {"center": np.concatenate(ctr), "context": np.concatenate(ctx),
+             "cnt": np.int64(1)}
+        )
+        return g.groupby(["center", "context"], as_index=False, sort=False).sum()
+
+    src = _table(sf_dir, "documents", ["text"])
+    return bucket_sum(
+        src.map_batches(pairs, batch_format="pandas"),
+        ["center", "context"], ["cnt"], n_buckets=8,
+    )
+
+
 _HLL_P = 8  # 2^8 = 256 registers
 
 
