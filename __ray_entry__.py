@@ -995,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": T.q_doc_repetition,
         "dedup_report": T.q_dedup_report,
         "skipgram_counts": T.q_skipgram_counts,
+        "charclass_stats": T.q_charclass_stats,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1456,6 +1457,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, "
             "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "charclass_stats": (
+            # strlen == byte length for this ASCII corpus; class counts
+            # via length minus length-after-removal
+            "WITH c AS (SELECT lang, strlen(text) AS nb, "
+            "strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g')) AS lt, "
+            "strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')) AS dg, "
+            "strlen(text) - strlen(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS sp "
+            "FROM documents) "
+            "SELECT lang, sum(nb)::BIGINT AS n_bytes, sum(lt)::BIGINT AS letters, "
+            "sum(dg)::BIGINT AS digits, sum(sp)::BIGINT AS spaces, "
+            "(sum(nb) - sum(lt) - sum(dg) - sum(sp))::BIGINT AS other "
+            "FROM c GROUP BY lang"
         ),
         "skipgram_counts": (
             "WITH toks AS (SELECT doc_id, "

@@ -1249,6 +1249,48 @@ def q_skipgram_counts(sf_dir: str, window: int = 2):
     )
 
 
+def q_charclass_stats(sf_dir: str):
+    """Character-class audit per language (tokenizer/vocab design
+    input): corpus totals of letters / digits / whitespace / other.
+    Vectorized per batch with numpy byte-class masks over the
+    concatenated text (ASCII corpus); bounded per-batch partials
+    (<= |langs| rows) driver-reduce — O(langs) state at any scale."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            s = "".join(g["text"].astype(str).tolist())
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            letters = int((((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122))).sum())
+            digits = int(((b >= 48) & (b <= 57)).sum())
+            spaces = int(((b == 32) | (b == 9) | (b == 10) | (b == 13)).sum())
+            rows.append((lang, len(b), letters, digits, spaces))
+        return pd.DataFrame(
+            rows, columns=["lang", "n_bytes", "letters", "digits", "spaces"]
+        )
+
+    src = _table(sf_dir, "documents", ["lang", "text"])
+    s = (
+        src.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+    )
+    out = pd.DataFrame(
+        {
+            "lang": s["lang"],
+            "n_bytes": s["n_bytes"].astype("int64"),
+            "letters": s["letters"].astype("int64"),
+            "digits": s["digits"].astype("int64"),
+            "spaces": s["spaces"].astype("int64"),
+            "other": (s["n_bytes"] - s["letters"] - s["digits"] - s["spaces"]).astype(
+                "int64"
+            ),
+        }
+    )
+    return out
+
+
 _HLL_P = 8  # 2^8 = 256 registers
 
 
