@@ -996,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": T.q_dedup_report,
         "skipgram_counts": T.q_skipgram_counts,
         "charclass_stats": T.q_charclass_stats,
+        "collocation_lift": T.q_collocation_lift,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1457,6 +1458,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, "
             "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "collocation_lift": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE trim(text) <> ''), "
+            "pos AS (SELECT doc_id, i, t[i] AS w FROM toks, "
+            "unnest(range(1, len(t) + 1)) AS r(i)), "
+            "p AS (SELECT a.w AS center, b.w AS context, count(*)::HUGEINT AS cnt "
+            "FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i <> a.i "
+            "AND abs(b.i - a.i) <= 2 GROUP BY center, context), "
+            "u AS (SELECT w AS term, count(*)::HUGEINT AS n FROM pos GROUP BY w), "
+            "nn AS (SELECT sum(n) AS N FROM u) "
+            "SELECT p.center, p.context, p.cnt::BIGINT AS cnt, "
+            "CAST(p.cnt * nn.N * 1000000 // (ua.n * ub.n) AS BIGINT) AS lift_e6 "
+            "FROM p JOIN u ua ON ua.term = p.center "
+            "JOIN u ub ON ub.term = p.context CROSS JOIN nn"
         ),
         "charclass_stats": (
             # strlen == byte length for this ASCII corpus; class counts

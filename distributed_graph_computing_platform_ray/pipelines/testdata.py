@@ -1291,6 +1291,45 @@ def q_charclass_stats(sf_dir: str):
     return out
 
 
+def q_collocation_lift(sf_dir: str):
+    """Collocation mining: integer LIFT (the exact-arithmetic stand-in
+    for PMI) per co-occurring pair — lift_e6 = cnt_ab * N_tokens *
+    1e6 // (cnt_a * cnt_b), composing the skip-gram co-occurrence
+    reduction with unigram counts. Both reductions are distributed
+    (bucket_sum); the final join is O(vocab^2) driver rows on this
+    31-term corpus — at web scale the unigram table broadcasts and
+    the division runs inside the pair reduction."""
+    from ..stages.join import bucket_sum
+
+    pairs = q_skipgram_counts(sf_dir).to_pandas()
+
+    def uni(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["text"].astype(str).str.split().explode().value_counts()
+        return pd.DataFrame({"term": c.index.astype(str), "n": c.to_numpy().astype("int64")})
+
+    u = (
+        bucket_sum(
+            _table(sf_dir, "documents", ["text"]).map_batches(uni, batch_format="pandas"),
+            ["term"], ["n"], n_buckets=4,
+        )
+        .to_pandas()
+        .set_index("term")["n"]
+    )
+    N = int(u.sum())
+    ca = u.reindex(pairs["center"]).to_numpy().astype(object)
+    cb = u.reindex(pairs["context"]).to_numpy().astype(object)
+    cnt = pairs["cnt"].to_numpy().astype(object)
+    lift = [int(c * N * 1_000_000 // (a * b)) for c, a, b in zip(cnt, ca, cb)]
+    return pd.DataFrame(
+        {
+            "center": pairs["center"],
+            "context": pairs["context"],
+            "cnt": pairs["cnt"].astype("int64"),
+            "lift_e6": pd.Series(lift, dtype="int64"),
+        }
+    )
+
+
 _HLL_P = 8  # 2^8 = 256 registers
 
 
