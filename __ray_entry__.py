@@ -997,6 +997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_counts": T.q_skipgram_counts,
         "charclass_stats": T.q_charclass_stats,
         "collocation_lift": T.q_collocation_lift,
+        "nation_momentum": T.q_nation_momentum,
+        "knn_graph": T.q_knn_graph,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1458,6 +1460,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, "
             "'[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "nation_momentum": (
+            "WITH m AS (SELECT n.n_name AS nation, "
+            "CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END AS late, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1, 2), "
+            "w AS (SELECT nation, "
+            "COALESCE(sum(CASE WHEN late = 0 THEN rev END), 0)::BIGINT AS rev_early, "
+            "COALESCE(sum(CASE WHEN late = 1 THEN rev END), 0)::BIGINT AS rev_late "
+            "FROM m GROUP BY nation), "
+            "r AS (SELECT nation, rev_early, rev_late, "
+            "row_number() OVER (ORDER BY rev_early DESC, nation) AS rank_early, "
+            "row_number() OVER (ORDER BY rev_late DESC, nation) AS rank_late FROM w) "
+            "SELECT nation, rev_early, rev_late, rank_early, rank_late, "
+            "(rank_early - rank_late)::BIGINT AS rank_delta FROM r"
+        ),
+        "knn_graph": (
+            # floor(x*1024) quantization: dot products are integer-valued
+            # doubles < 2^53, so list_dot_product is exact cross-engine
+            "WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> floor(x * 1024)) AS e FROM embeddings), "
+            "p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr, "
+            "CAST(list_dot_product(a.e, b.e) AS BIGINT) AS dot_q "
+            "FROM q a JOIN q b ON b.vec_id <> a.vec_id WHERE a.vec_id < 500), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dot_q DESC, nbr) AS rnk FROM p) "
+            "SELECT vec_id, nbr, rnk::BIGINT AS rnk, dot_q FROM r WHERE rnk <= 3"
         ),
         "collocation_lift": (
             "WITH toks AS (SELECT doc_id, "

@@ -6473,6 +6473,118 @@ def q_events_bounce(sf_dir: str, gap_s: int = 1800):
     )
 
 
+def q_nation_momentum(sf_dir: str, split_year: int = 1995):
+    """Rank-shift analytics: each nation's revenue rank in the EARLY
+    period (orderdate < split_year) vs the LATE period, and the rank
+    delta — snapshot-over-snapshot momentum. One streaming pass emits
+    (nation, period) partials; ranking/delta is O(nations) driver
+    arithmetic. Ranks tie-break on nation name in both engines."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        yr = (
+            pd.to_datetime(pd.Series(_ts_us(df["o_orderdate"])), unit="us")
+            .dt.year.to_numpy()
+        )
+        g = pd.DataFrame(
+            {"o_custkey": df["o_custkey"].to_numpy(),
+             "late": (yr >= split_year).astype(np.int64), "rev": cents}
+        )
+        return g.groupby(["o_custkey", "late"], as_index=False, sort=False).sum()
+
+    from ..stages.join import bucket_sum
+
+    rev = bucket_sum(
+        _table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["o_custkey", "late"], ["rev"], n_buckets=16,
+    ).to_pandas()
+    cust = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    m = rev.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    g = m.groupby(["n_name", "late"], as_index=False)["rev"].sum()
+    wide = g.pivot(index="n_name", columns="late", values="rev").fillna(0).astype("int64")
+    early = wide.get(0, pd.Series(0, index=wide.index)).astype("int64")
+    late = wide.get(1, pd.Series(0, index=wide.index)).astype("int64")
+    names = wide.index.to_numpy()
+
+    def rank_of(vals: pd.Series) -> np.ndarray:
+        order = np.lexsort((names, -vals.to_numpy()))
+        r = np.empty(len(names), dtype=np.int64)
+        r[order] = np.arange(1, len(names) + 1)
+        return r
+
+    re_, rl = rank_of(early), rank_of(late)
+    return pd.DataFrame(
+        {
+            "nation": names,
+            "rev_early": early.to_numpy(),
+            "rev_late": late.to_numpy(),
+            "rank_early": re_,
+            "rank_late": rl,
+            "rank_delta": re_ - rl,
+        }
+    )
+
+
+def q_knn_graph(sf_dir: str, n_queries: int = 500, k: int = 3):
+    """KNN-graph block construction: for each of the first n_queries
+    vectors, its k nearest corpus neighbors by INTEGER-quantized dot
+    product (floor(x*1024) — cross-engine exact, ties -> lowest
+    neighbor id, self excluded). The corpus matrix broadcasts once
+    (ray.put); each batch's queries matmul against it — the
+    embedding-graph build for graph-based ANN (NSW/NN-descent
+    seeding) and semantic dedup."""
+    import pyarrow.parquet as _pq
+
+    dim = 64
+    tab = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tab["vec_id"].to_numpy()
+    flat = tab["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    Q = np.floor(flat.astype(np.float64).reshape(-1, dim) * 1024.0).astype(np.int64)
+    order = np.argsort(ids)
+    corpus = ray.put((ids[order], Q[order]))
+
+    src = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def knn(t: pa.Table) -> pa.Table:
+        cid, cq = ray.get(corpus)
+        vid = t["vec_id"].to_numpy()
+        sel = vid < n_queries
+        if not sel.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "nbr": pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64()), "dot_q": pa.array([], pa.int64())}
+            )
+        flat_b = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(flat_b.astype(np.float64).reshape(-1, dim) * 1024.0).astype(np.int64)[sel]
+        vid = vid[sel]
+        dots = q @ cq.T  # int64 exact
+        out_v, out_n, out_r, out_d = [], [], [], []
+        for row, v in enumerate(vid):
+            d = dots[row]
+            mask = cid != v
+            dd, nn_ = d[mask], cid[mask]
+            o = np.lexsort((nn_, -dd))[:k]
+            out_v.extend([v] * len(o))
+            out_n.extend(nn_[o])
+            out_r.extend(range(1, len(o) + 1))
+            out_d.extend(dd[o])
+        return pa.table(
+            {"vec_id": pa.array(np.array(out_v, np.int64)),
+             "nbr": pa.array(np.array(out_n, np.int64)),
+             "rnk": pa.array(np.array(out_r, np.int64)),
+             "dot_q": pa.array(np.array(out_d, np.int64))}
+        )
+
+    return src.map_batches(knn, batch_format="pyarrow")
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
