@@ -999,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocation_lift": T.q_collocation_lift,
         "nation_momentum": T.q_nation_momentum,
         "knn_graph": T.q_knn_graph,
+        "page_degree_profile": T.q_page_degree_profile,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1779,6 +1780,20 @@ def oracle_sql() -> dict[str, str]:
             "dm AS (SELECT id, min(it) AS dist FROM w GROUP BY id) "
             "SELECT w.id AS vertex, dm.dist::BIGINT AS dist, w.sig::BIGINT AS n_paths "
             "FROM w JOIN dm ON dm.id = w.id AND dm.dist = w.it"
+        ),
+        "page_degree_profile": (
+            # per-instance out/in rows from the shared generator CTE,
+            # full-outer merged per url
+            f"WITH {_pages_edges_cte(2000, 42)}, "
+            "src AS (SELECT printf('https://site-%05d.example/p/%04d', "
+            "i // 16, i % 16) AS url, count(*)::BIGINT AS out_links "
+            "FROM res GROUP BY 1), "
+            "dst AS (SELECT href AS url, count(*)::BIGINT AS in_links "
+            "FROM res GROUP BY 1) "
+            "SELECT COALESCE(s.url, d.url) AS url, "
+            "COALESCE(s.out_links, 0)::BIGINT AS out_links, "
+            "COALESCE(d.in_links, 0)::BIGINT AS in_links "
+            "FROM src s FULL OUTER JOIN dst d ON d.url = s.url"
         ),
         "anchor_stats": (
             # per-instance links from the shared generator CTE (res keeps

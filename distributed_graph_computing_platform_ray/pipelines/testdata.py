@@ -3402,6 +3402,48 @@ def q_anchor_stats(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     )
 
 
+def q_page_degree_profile(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """Per-url link-degree profile over the REAL extraction: out-link
+    instances (what the page says) and in-link instances (what the
+    web says about it), for every url that appears as source or
+    target. One extraction pass emits tagged (url, is_in) rows; ONE
+    bucket shuffle merges both directions per url. n PINNED to the
+    oracle's 2000 (fixed-string oracle rule)."""
+    from ..functions.html import decode_html, extract_links
+    from ..sources.pages import generate_pages
+    from ..stages.join import _BUCKET, add_bucket
+
+    def inst(t: pa.Table) -> pa.Table:
+        urls, flags = [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            targets = extract_links(decode_html(h), u)
+            urls.extend([u] * len(targets))
+            flags.extend([0] * len(targets))
+            urls.extend(targets)
+            flags.extend([1] * len(targets))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "is_in": pa.array(np.array(flags, np.int64))}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url")["is_in"].agg(["sum", "count"])
+        return pd.DataFrame(
+            {
+                "url": g.index.to_numpy(),
+                "out_links": (g["count"] - g["sum"]).astype("int64").to_numpy(),
+                "in_links": g["sum"].astype("int64").to_numpy(),
+            }
+        )
+
+    pages = generate_pages(n)
+    return (
+        add_bucket(pages.map_batches(inst, batch_format="pyarrow"), ["url"], n_buckets)
+        .groupby(_BUCKET)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def q_domain_pagerank(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     """Link-graph contraction: page-level links from the deterministic
     page generator, globally exact-deduped in hash buckets (same-pair
