@@ -1000,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_momentum": T.q_nation_momentum,
         "knn_graph": T.q_knn_graph,
         "page_degree_profile": T.q_page_degree_profile,
+        "audience_overlap": T.q_audience_overlap,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1780,6 +1781,19 @@ def oracle_sql() -> dict[str, str]:
             "dm AS (SELECT id, min(it) AS dist FROM w GROUP BY id) "
             "SELECT w.id AS vertex, dm.dist::BIGINT AS dist, w.sig::BIGINT AS n_paths "
             "FROM w JOIN dm ON dm.id = w.id AND dm.dist = w.it"
+        ),
+        "audience_overlap": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "sz AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1), "
+            "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*)::BIGINT AS n_both FROM ut a JOIN ut b "
+            "ON b.user_id = a.user_id AND b.event_type > a.event_type "
+            "GROUP BY 1, 2) "
+            "SELECT p.type_a, p.type_b, p.n_both, "
+            "(sa.n + sb.n - p.n_both)::BIGINT AS n_either, "
+            "(p.n_both * 1000000 // (sa.n + sb.n - p.n_both))::BIGINT AS jaccard_e6 "
+            "FROM p JOIN sz sa ON sa.event_type = p.type_a "
+            "JOIN sz sb ON sb.event_type = p.type_b"
         ),
         "page_degree_profile": (
             # per-instance out/in rows from the shared generator CTE,

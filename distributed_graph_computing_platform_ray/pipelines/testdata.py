@@ -6627,6 +6627,59 @@ def q_knn_graph(sf_dir: str, n_queries: int = 500, k: int = 3):
     return src.map_batches(knn, batch_format="pyarrow")
 
 
+def q_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix: Jaccard similarity between every pair
+    of event types' USER BASES — the segment-overlap analytics behind
+    campaign planning. ONE user-bucket shuffle: each bucket emits its
+    users' distinct-type PAIR partials (<= C(|types|,2) rows per
+    user) plus per-type user counts; both are additive across buckets
+    (a user lives in one bucket). jaccard_e6 exact integer."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ut = df.drop_duplicates(["user_id", "event_type"])
+        m = ut.merge(ut, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        both = (
+            m.groupby(["event_type_x", "event_type_y"], as_index=False)
+            .size()
+            .rename(columns={"event_type_x": "ta", "event_type_y": "tb", "size": "n_both"})
+        )
+        sizes = ut.groupby("event_type", as_index=False)["user_id"].size()
+        sizes = pd.DataFrame(
+            {"ta": sizes["event_type"], "tb": "", "n_both": -sizes["size"]}
+        )  # negative rows tag per-type sizes (tb='')
+        return pd.concat([both, sizes], ignore_index=True)
+
+    src = _table(sf_dir, "events", ["user_id", "event_type"])
+    nb = _scaled_buckets(sf_dir, "events")
+    s = (
+        add_bucket(src, ["user_id"], nb)
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby(["ta", "tb"], as_index=False)["n_both"]
+        .sum()
+    )
+    sizes = {
+        r["ta"]: -int(r["n_both"]) for _, r in s[s["tb"] == ""].iterrows()
+    }
+    pairs = s[s["tb"] != ""]
+    both = pairs["n_both"].astype("int64")
+    either = np.array(
+        [sizes[a] + sizes[b] for a, b in zip(pairs["ta"], pairs["tb"])], dtype=np.int64
+    ) - both.to_numpy()
+    return pd.DataFrame(
+        {
+            "type_a": pairs["ta"],
+            "type_b": pairs["tb"],
+            "n_both": both,
+            "n_either": either,
+            "jaccard_e6": (both.to_numpy() * 1_000_000 // either).astype("int64"),
+        }
+    )
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
