@@ -1001,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": T.q_knn_graph,
         "page_degree_profile": T.q_page_degree_profile,
         "audience_overlap": T.q_audience_overlap,
+        "leadtime_quantiles": T.q_leadtime_quantiles,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1781,6 +1782,18 @@ def oracle_sql() -> dict[str, str]:
             "dm AS (SELECT id, min(it) AS dist FROM w GROUP BY id) "
             "SELECT w.id AS vertex, dm.dist::BIGINT AS dist, w.sig::BIGINT AS n_paths "
             "FROM w JOIN dm ON dm.id = w.id AND dm.dist = w.it"
+        ),
+        "leadtime_quantiles": (
+            "WITH t AS (SELECT o.o_orderpriority AS priority, "
+            "(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS day "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey), "
+            "w AS (SELECT priority, day, "
+            "row_number() OVER (PARTITION BY priority ORDER BY day) AS r, "
+            "count(*) OVER (PARTITION BY priority) AS n FROM t) "
+            "SELECT priority, max(n)::BIGINT AS n, "
+            "max(CASE WHEN r = (n + 1) // 2 THEN day END)::BIGINT AS p50_days, "
+            "max(CASE WHEN r = (9 * n + 9) // 10 THEN day END)::BIGINT AS p90_days "
+            "FROM w GROUP BY priority"
         ),
         "audience_overlap": (
             "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "

@@ -6680,6 +6680,70 @@ def q_audience_overlap(sf_dir: str):
     )
 
 
+def q_leadtime_quantiles(sf_dir: str):
+    """Fulfillment lead time (ship date minus order date, whole days)
+    p50/p90 per order priority: a lineitem-orders key join (orders
+    broadcast as sorted arrays at this scale; the bucket-join is the
+    documented path above the broadcast bound) feeding BOUNDED-DOMAIN
+    exact quantiles — lead times span ~122 days, so per-(priority,
+    day) counts reduce to O(priorities x days) rows and the exact
+    ranks come from a driver cumsum, never a sort."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.join import bucket_sum
+
+    ot = _pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    ok = ot["o_orderkey"].to_numpy()
+    odate = ot["o_orderdate"].cast(pa.int64()).to_numpy()
+    pri, pri_codes = np.unique(ot["o_orderpriority"].to_numpy(), return_inverse=True)
+    order = np.argsort(ok)
+    lookup = ray.put((ok[order], odate[order], pri_codes[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        k_s, od, pc = ray.get(lookup)
+        lk = t["l_orderkey"].to_numpy()
+        idx = np.searchsorted(k_s, lk)
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        day = (ship - od[idx]) // 86_400_000_000
+        g = pd.DataFrame({"p": pc[idx], "day": day})
+        c = g.groupby(["p", "day"], as_index=False).size()
+        return pa.table(
+            {"p": pa.array(c["p"].to_numpy().astype(np.int64)),
+             "day": pa.array(c["day"].to_numpy().astype(np.int64)),
+             "n": pa.array(c["size"].to_numpy().astype(np.int64))}
+        )
+
+    src = _table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    s = (
+        bucket_sum(
+            src.map_batches(partial, batch_format="pyarrow"), ["p", "day"], ["n"], n_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["p", "day"])
+    )
+    rows = []
+    for p, g in s.groupby("p"):
+        n = int(g["n"].sum())
+        cum = np.cumsum(g["n"].to_numpy())
+        days = g["day"].to_numpy()
+        k50, k90 = (n + 1) // 2, (9 * n + 9) // 10
+        rows.append(
+            (str(pri[p]), n, int(days[np.searchsorted(cum, k50)]),
+             int(days[np.searchsorted(cum, k90)]))
+        )
+    return pd.DataFrame(
+        {
+            "priority": [r[0] for r in rows],
+            "n": pd.Series([r[1] for r in rows], dtype="int64"),
+            "p50_days": pd.Series([r[2] for r in rows], dtype="int64"),
+            "p90_days": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured payload extraction (§2.8 json/map functions):
     parse the integer `k` out of the JSON `props` string with ONE
