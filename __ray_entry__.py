@@ -1002,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_degree_profile": T.q_page_degree_profile,
         "audience_overlap": T.q_audience_overlap,
         "leadtime_quantiles": T.q_leadtime_quantiles,
+        "two_hop_size": T.q_two_hop_size,
         "top_terms_per_lang": T.q_top_terms_per_lang,
         "revenue_by_nation": T.q_revenue_by_nation,
         "revenue_rollup": T.q_revenue_rollup,
@@ -1782,6 +1783,15 @@ def oracle_sql() -> dict[str, str]:
             "dm AS (SELECT id, min(it) AS dist FROM w GROUP BY id) "
             "SELECT w.id AS vertex, dm.dist::BIGINT AS dist, w.sig::BIGINT AS n_paths "
             "FROM w JOIN dm ON dm.id = w.id AND dm.dist = w.it"
+        ),
+        "two_hop_size": (
+            f"WITH {_U_ORDERS}, "
+            "es2 AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b, a FROM u), "
+            "n2 AS (SELECT a.src AS v, b.dst AS w FROM es2 a "
+            "       JOIN es2 b ON b.src = a.dst "
+            "       UNION ALL SELECT src, dst FROM es2) "
+            "SELECT v AS vertex, count(DISTINCT w)::BIGINT AS n_two_hop "
+            "FROM n2 WHERE w <> v GROUP BY v"
         ),
         "leadtime_quantiles": (
             "WITH t AS (SELECT o.o_orderpriority AS priority, "

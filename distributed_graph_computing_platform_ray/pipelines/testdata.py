@@ -4440,6 +4440,53 @@ def q_events_transitions(sf_dir: str):
     )
 
 
+def q_two_hop_size(sf_dir: str):
+    """Two-hop neighborhood size |N(v, <=2) \\ {v}| per vertex — the
+    friend-of-friend audience estimate. Vertices partition across
+    batches; each task expands its vertices' neighbor-of-neighbor
+    lists against the broadcast CSR (random-walks pattern, same
+    edge cap) with one sort+unique per vertex slice. At web scale
+    this is the 2-round ANF sketch instead of exact expansion
+    (q_anf) — this query is the exact small-graph counterpart."""
+    from ..stages.walks import MAX_BROADCAST_EDGES
+
+    adj = edges_orders(sf_dir).to_pandas()
+    if 2 * len(adj) > MAX_BROADCAST_EDGES:
+        raise ValueError("adjacency exceeds broadcast cap; use q_anf at scale")
+    a = adj["src"].to_numpy().astype(np.int64)
+    b = adj["dst"].to_numpy().astype(np.int64)
+    src_ = np.concatenate([a, b])
+    dst_ = np.concatenate([b, a])
+    o = np.lexsort((dst_, src_))
+    src_, dst_ = src_[o], dst_[o]
+    verts, starts = np.unique(src_, return_index=True)
+    cnts = np.diff(np.concatenate([starts, [len(src_)]]))
+    vmax = int(verts.max()) + 1
+    deg = np.zeros(vmax, np.int64)
+    ptr = np.zeros(vmax, np.int64)
+    deg[verts] = cnts
+    ptr[verts] = starts
+    state = ray.put((ptr, deg, dst_))
+
+    def expand(t: pa.Table) -> pa.Table:
+        p, d, nb = ray.get(state)
+        out_v, out_n = [], []
+        for v in t["v"].to_numpy():
+            n1 = nb[p[v]: p[v] + d[v]]
+            chunks = [n1] + [nb[p[u]: p[u] + d[u]] for u in np.unique(n1)]
+            n2 = np.unique(np.concatenate(chunks))
+            out_v.append(v)
+            out_n.append(len(n2) - int(v in n2))
+        return pa.table(
+            {"vertex": pa.array(np.array(out_v, np.int64)),
+             "n_two_hop": pa.array(np.array(out_n, np.int64))}
+        )
+
+    return rd.from_items([{"v": int(v)} for v in verts]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
 def q_square_count(sf_dir: str):
     """4-cycle (square) motif count of the orders graph: squares =
     (sum over vertex pairs of C(cn, 2)) / 2 where cn = common-neighbor
