@@ -379,6 +379,14 @@ def q_pagerank_top25(sf_dir: str):
     return ds.sort(["score_e8", "vertex"], descending=[True, False]).limit(25)
 
 
+def _seed_vertices(sf_dir: str, n_seeds: int) -> np.ndarray:
+    """The n_seeds smallest vertex ids of the lineitem graph via a
+    distributed sort + limit — only n_seeds rows ever reach the driver
+    (the old full-table ``to_pandas`` was O(|V|) driver memory)."""
+    picked = q_degrees(sf_dir).sort("vertex").limit(n_seeds).to_pandas()
+    return picked["vertex"].to_numpy().astype(np.int64)
+
+
 def _min_vertex(sf_dir: str, kind: str) -> int:
     edges = edges_lineitem(sf_dir) if kind == "lineitem" else edges_orders(sf_dir)
     return int(edges.min("src"))
@@ -412,8 +420,7 @@ def q_sssp_multi(sf_dir: str, n_seeds: int = 3):
 
     gdir = _graph_for(sf_dir, "lineitem")
     man = GraphManifest.load(gdir)
-    degs = q_degrees(sf_dir).to_pandas()
-    seeds_orig = np.sort(degs["vertex"].to_numpy())[:n_seeds]
+    seeds_orig = _seed_vertices(sf_dir, n_seeds)
     sids = tuple(sorted(lookup_vertex_id(man, str(int(s))) for s in seeds_orig))
     res = _run_cached(sf_dir, "lineitem", "sssp_multi", source_ids=sids)
 
@@ -911,8 +918,7 @@ def q_closeness_sampled(sf_dir: str, n_seeds: int = 4):
 
     gdir = _graph_for(sf_dir, "lineitem")
     man = GraphManifest.load(gdir)
-    degs = q_degrees(sf_dir).to_pandas()
-    seeds_orig = np.sort(degs["vertex"].to_numpy())[:n_seeds]
+    seeds_orig = _seed_vertices(sf_dir, n_seeds)
 
     parts = []
     for s in seeds_orig:
@@ -1871,13 +1877,25 @@ def q_orders_left_join(sf_dir: str, min_acctbal: float = 5000.0):
     )
 
 
-def q_lineitem_antijoin(sf_dir: str):
-    """Broadcast ANTI join + aggregate: items per order for orders
-    that are NOT urgent. The exclusion key set is collected from
-    per-block distinct partials (bounded by priority selectivity; at
-    100 TB the broadcast side becomes a Bloom filter with a verify
-    pass); probe is ~np.isin per batch, then one bucket_sum."""
-    from ..stages.join import bucket_sum
+def q_lineitem_antijoin(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """ANTI join + aggregate: items per order for orders that are NOT
+    urgent. Two paths selected on the orders row count (parquet
+    metadata — no scan):
+
+    - small build side: the exclusion key set is collected from
+      per-block distinct partials and broadcast once; probe is
+      ~np.isin per batch, then one bucket_sum.
+    - above ``broadcast_limit``: fully distributed bucketed anti-join
+      fused with the aggregate in ONE shuffle — lineitem per-batch
+      partial counts and urgent order keys union tagged, bucket on the
+      key, per bucket drop excluded keys then sum. No O(table) driver
+      or broadcast structure; hot keys stay bounded by their bucket.
+    """
+    import pyarrow.dataset as pads
+
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    n_orders = pads.dataset(os.path.join(sf_dir, "orders.parquet")).count_rows()
 
     def urgent_keys(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc2
@@ -1885,27 +1903,74 @@ def q_lineitem_antijoin(sf_dir: str):
         m = pc2.equal(t["o_orderpriority"], "1-URGENT")
         return pa.table({"k": pc2.unique(t.filter(m)["o_orderkey"].cast(pa.int64()))})
 
-    parts = (
-        _table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-        .map_batches(urgent_keys, batch_format="pyarrow")
-        .take_all()
-    )
-    excl = np.unique(np.array([r["k"] for r in parts], dtype=np.int64))
-    excl_ref = ray.put(excl)
-
-    def anti_count(t: pa.Table) -> pa.Table:
-        ex = ray.get(excl_ref)
+    def li_partial(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy().astype(np.int64)
-        keep = ok[~np.isin(ok, ex)]
-        u, c = np.unique(keep, return_counts=True)
+        u, c = np.unique(ok, return_counts=True)
         return pa.table(
             {"l_orderkey": pa.array(u), "n_items": pa.array(c.astype(np.int64))}
         )
 
-    ds = _table(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
-        anti_count, batch_format="pyarrow"
-    )
-    agg = bucket_sum(ds, ["l_orderkey"], ["n_items"], n_buckets=16)
+    if n_orders <= broadcast_limit:
+        parts = (
+            _table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+            .map_batches(urgent_keys, batch_format="pyarrow")
+            .take_all()
+        )
+        excl = np.unique(np.array([r["k"] for r in parts], dtype=np.int64))
+        excl_ref = ray.put(excl)
+
+        def anti_count(t: pa.Table) -> pa.Table:
+            ex = ray.get(excl_ref)
+            ok = t["l_orderkey"].to_numpy().astype(np.int64)
+            keep = ok[~np.isin(ok, ex)]
+            u, c = np.unique(keep, return_counts=True)
+            return pa.table(
+                {"l_orderkey": pa.array(u), "n_items": pa.array(c.astype(np.int64))}
+            )
+
+        ds = _table(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            anti_count, batch_format="pyarrow"
+        )
+        agg = bucket_sum(ds, ["l_orderkey"], ["n_items"], n_buckets=16)
+    else:
+        def urgent_tagged(t: pa.Table) -> pa.Table:
+            k = urgent_keys(t)["k"]
+            n = len(k)
+            return pa.table(
+                {
+                    "l_orderkey": k,
+                    "n_items": pa.array(np.zeros(n, np.int64)),
+                    "__side": pa.array(np.ones(n, np.int8)),
+                }
+            )
+
+        def li_tagged(t: pa.Table) -> pa.Table:
+            p = li_partial(t)
+            return p.append_column(
+                "__side", pa.array(np.zeros(p.num_rows, np.int8))
+            )
+
+        tagged = (
+            _table(sf_dir, "lineitem", ["l_orderkey"])
+            .map_batches(li_tagged, batch_format="pyarrow")
+            .union(
+                _table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+                    urgent_tagged, batch_format="pyarrow"
+                )
+            )
+        )
+
+        def anti_sum(g: pd.DataFrame) -> pd.DataFrame:
+            bad = g.loc[g["__side"] == 1, "l_orderkey"].unique()
+            keep = g[(g["__side"] == 0) & ~g["l_orderkey"].isin(bad)]
+            return keep.groupby("l_orderkey", as_index=False)["n_items"].sum()
+
+        nb = _scaled_buckets(sf_dir, "lineitem")
+        agg = (
+            add_bucket(tagged, ["l_orderkey"], nb)
+            .groupby(_BUCKET)
+            .map_groups(anti_sum, batch_format="pandas")
+        )
     return agg.map_batches(
         lambda df: df.astype({"l_orderkey": "int64", "n_items": "int64"}),
         batch_format="pandas",
@@ -4119,8 +4184,7 @@ def q_sssp_parents(sf_dir: str):
 
     gdir = _graph_for(sf_dir, "lineitem")
     man = GraphManifest.load(gdir)
-    degs = q_degrees(sf_dir).to_pandas()
-    s_orig = int(np.sort(degs["vertex"].to_numpy())[0])
+    s_orig = int(_seed_vertices(sf_dir, 1)[0])
     sid = lookup_vertex_id(man, str(s_orig))
     res = _run_cached(sf_dir, "lineitem", "sssp", source_id=sid)
 

@@ -207,6 +207,8 @@ def embedding_neardup(
 
     bucketed = ds.map_batches(bucket_batch, batch_format="pyarrow")
 
+    from ..stages.dedup import MAX_BUCKET_PAIRS
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_c = [], [], []
         for _, g in df.groupby("lsh"):
@@ -215,12 +217,35 @@ def embedding_neardup(
             if len(ids) < 2:
                 continue
             X = _norm_rows(np.stack(g[emb_col].to_numpy()).astype(np.float64))
-            S = X @ X.T
-            i, j = np.triu_indices(len(ids), k=1)
-            keep = S[i, j] >= threshold
+            n = len(ids)
+            if n * (n - 1) // 2 > MAX_BUCKET_PAIRS:
+                # hot-bucket cap (degenerate LSH bucket, e.g. near-
+                # constant embeddings): emit only the first cap pairs
+                # in triu order WITHOUT materializing the O(n^2) index
+                # set or gram matrix. Same policy as dedup.py's
+                # minhash cap.
+                print(
+                    f"embedding_neardup: capping bucket of {n} "
+                    f"vecs to {MAX_BUCKET_PAIRS} pairs"
+                )
+                ii, jj, need = [], [], MAX_BUCKET_PAIRS
+                for r in range(n - 1):
+                    m = min(n - 1 - r, need)
+                    ii.append(np.full(m, r, np.int64))
+                    jj.append(r + 1 + np.arange(m, dtype=np.int64))
+                    need -= m
+                    if need == 0:
+                        break
+                i = np.concatenate(ii)
+                j = np.concatenate(jj)
+                s = np.einsum("ij,ij->i", X[i], X[j])
+            else:
+                i, j = np.triu_indices(n, k=1)
+                s = (X @ X.T)[i, j]
+            keep = s >= threshold
             out_a.extend(ids[i][keep])
             out_b.extend(ids[j][keep])
-            out_c.extend(np.round(S[i, j][keep] * 1e6).astype(np.int64))
+            out_c.extend(np.round(s[keep] * 1e6).astype(np.int64))
         return pd.DataFrame(
             {
                 "a": pd.Series(out_a, dtype="int64"),

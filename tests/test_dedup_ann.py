@@ -254,6 +254,47 @@ def test_embedding_neardup_finds_planted():
     assert found >= 8  # LSH recall; planted pairs are ~identical
 
 
+def test_embedding_neardup_degenerate_bucket_capped():
+    """Near-constant embeddings collapse into ONE LSH bucket; the
+    hot-bucket cap must bound output (and memory) instead of emitting
+    all C(n,2) pairs."""
+    from distributed_graph_computing_platform_ray.stages.dedup import MAX_BUCKET_PAIRS
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=32)
+    X = base + rng.normal(scale=1e-4, size=(300, 32))  # all ~identical
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(X)})
+    out = embedding_neardup(
+        rd.from_pandas(df), threshold=0.9, n_planes=8, n_buckets=8
+    ).to_pandas()
+    assert 0 < len(out) <= MAX_BUCKET_PAIRS
+    # capped pairs are still real near-dups
+    assert (out["cos_e6"] >= 900_000).all()
+
+
+def test_lineitem_antijoin_distributed_parity():
+    """Forcing the bucketed anti-join path (broadcast_limit=0) must
+    reproduce the broadcast path bit-for-bit."""
+    from distributed_graph_computing_platform_ray.pipelines.testdata import (
+        q_lineitem_antijoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_lineitem_antijoin(sf)
+        .to_pandas()
+        .sort_values("l_orderkey")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_lineitem_antijoin(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("l_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_multimodal_stub_plumbing():
     import pyarrow as pa
 
