@@ -481,6 +481,163 @@ class ANFPropagation(Algorithm):
         return self.num_rounds
 
 
+class BFSSigma(Algorithm):
+    """Level-synchronous BFS with shortest-path COUNTING (the forward
+    pass of Brandes' betweenness, Brandes 2001) as a sum-combined
+    vertex program — the distributed fallback for the broadcast-CSR
+    ``q_sssp_paths`` when the graph exceeds the object-store cap.
+
+    Value packs two exact integers into one float64:
+      bits 48..52   dist + 1  (0 = unvisited; needs max_depth <= 30)
+      bits  0..47   sigma = number of distinct shortest paths
+
+    At superstep s exactly the frontier (vertices first reached at
+    dist s) scatters sigma; a vertex still unvisited that receives
+    messages at superstep s is at dist s+1 and its sigma is the SUM of
+    its DAG-parents' sigmas — precisely the message aggregate, since
+    every neighbor of a fresh vertex that scattered this round is at
+    dist s (level-synchronous BFS invariant). Exactness contract (same
+    as Katz/HITS): sigma < 2^48 and the packed value < 2^53, asserted,
+    so float64 sums are exact in any summation order and a SQL
+    recursive CTE reproduces the run bit-for-bit. Multigraph: parallel
+    edges multiply path counts, matching the exact broadcast kernel
+    (np.add.at per edge).
+    """
+
+    combine = "sum"
+    _SIGMA_BITS = 48
+    _SIGMA_MASK = (1 << 48) - 1
+
+    def __init__(self, source_id: int, max_depth: int = 8):
+        if max_depth > 30:
+            raise ValueError("bfs_sigma packs dist+1 in bits 48..52: max_depth <= 30")
+        self.name = "bfs_sigma"
+        self.source = source_id
+        self.max_depth = max_depth
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        src = ids == self.source
+        # source: dist 0, sigma 1 -> (0+1) << 48 | 1
+        return np.where(src, float((1 << 48) + 1), 0.0), src
+
+    def message_base(self, ids, values, degrees, superstep):
+        iv = values.astype(np.int64)
+        return ScatterOut(base=(iv & self._SIGMA_MASK).astype(np.float64))
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        iv = old_values.astype(np.int64)
+        fresh = (iv == 0) & has_msg
+        if bool(np.any(fresh)):
+            sig = agg[fresh]
+            if float(sig.max()) >= float(1 << 48):
+                raise ValueError("bfs_sigma: sigma >= 2^48; exactness bound exceeded")
+        newv = np.where(
+            fresh, float((superstep + 2) << 48) + agg, old_values
+        )
+        return newv, fresh, fresh
+
+    def max_supersteps(self):
+        return self.max_depth
+
+    @classmethod
+    def unpack(cls, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(dist, sigma) per vertex; dist = -1 for unvisited."""
+        iv = np.asarray(values).astype(np.int64)
+        return (iv >> cls._SIGMA_BITS) - 1, iv & cls._SIGMA_MASK
+
+
+class BrandesStress(Algorithm):
+    """One-run forward+backward stress-centrality pass per source
+    (Brandes 2008's all-integer variant of betweenness): after
+    2*max_depth supersteps every vertex v reached from the source
+    carries (dist, sigma, t) where sigma = shortest-path count and
+    t = number of shortest-path-DAG paths STARTING at v, so
+    stress contribution = sigma * t. Distributed fallback for the
+    broadcast-CSR ``q_stress_centrality`` above the object-store cap.
+
+    Value packs three exact integers into one float64:
+      bits 48..52   dist + 1  (0 = unvisited)
+      bits 24..47   t         (< 2^24, asserted)
+      bits  0..23   sigma     (< 2^24, asserted)
+
+    Schedule with M = max_depth (fixed; BFS must finish within M,
+    matching the exact kernel's assert):
+      supersteps 0..M-1   forward: frontier at dist s scatters sigma;
+                          fresh vertices set dist s+1, sigma = agg.
+      supersteps M..2M-1  backward, level-synchronous from the deepest
+                          possible level: at superstep s the vertices
+                          at dist L(s) = 2M - s scatter 1 + t along
+                          ALL their edges; only vertices at dist
+                          L(s)-1 accept (sum = exactly the DAG-edge
+                          sum, since every neighbor-at-L of a vertex
+                          at L-1 is a DAG successor). Activity is
+                          recomputed from dist levels each apply, so
+                          an early-emptied forward frontier cannot
+                          halt the run (halt_on_no_change is False).
+    """
+
+    combine = "sum"
+    _F24 = (1 << 24) - 1
+
+    def __init__(self, source_id: int, max_depth: int = 8):
+        if max_depth > 30:
+            raise ValueError("stress packs dist+1 in bits 48..52: max_depth <= 30")
+        self.name = "stress"
+        self.source = source_id
+        self.max_depth = max_depth
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        src = ids == self.source
+        return np.where(src, float((1 << 48) + 1), 0.0), src
+
+    def _unpack(self, values: np.ndarray):
+        iv = np.asarray(values).astype(np.int64)
+        return iv, iv & self._F24, (iv >> 24) & self._F24, iv >> 48
+
+    def message_base(self, ids, values, degrees, superstep):
+        _, sigma, t, _ = self._unpack(values)
+        if superstep < self.max_depth:
+            return ScatterOut(base=sigma.astype(np.float64))
+        return ScatterOut(base=(1 + t).astype(np.float64))
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        iv, sigma, t, dplus1 = self._unpack(old_values)
+        M = self.max_depth
+        if superstep < M:  # forward BFS + sigma
+            fresh = (dplus1 == 0) & has_msg
+            if bool(np.any(fresh)) and float(agg[fresh].max()) > float(self._F24):
+                raise ValueError("stress: sigma >= 2^24; exactness bound exceeded")
+            newv = np.where(fresh, float((superstep + 2) << 48) + agg, old_values)
+            # next superstep's senders: the fresh frontier (forward) or,
+            # entering the backward phase, the dist == M level — which
+            # is exactly the frontier apply(M-1) just set.
+            return newv, fresh, fresh
+        # backward: senders this superstep were at L = 2M - s;
+        # receivers at L - 1 accept the (1 + t) sum.
+        recv_level = 2 * M - superstep - 1
+        is_recv = (dplus1 == recv_level + 1) & has_msg
+        if bool(np.any(is_recv)) and float(agg[is_recv].max()) > float(self._F24):
+            raise ValueError("stress: t >= 2^24; exactness bound exceeded")
+        t_new = np.where(is_recv, agg.astype(np.int64), t)
+        newv = ((dplus1 << 48) + (t_new << 24) + sigma).astype(np.float64)
+        # senders at superstep s+1 are the level L(s+1) = recv_level
+        # vertices — ALL of them (t = 0 vertices still send the bare 1).
+        nxt = dplus1 == recv_level + 1
+        return newv, nxt, is_recv
+
+    def max_supersteps(self):
+        return 2 * self.max_depth
+
+    def halt_on_no_change(self):
+        return False
+
+    @classmethod
+    def unpack_result(cls, values: np.ndarray):
+        """(dist, sigma, t); dist = -1 for unreached."""
+        iv = np.asarray(values).astype(np.int64)
+        return (iv >> 48) - 1, iv & cls._F24, (iv >> 24) & cls._F24
+
+
 class MaximalIndependentSet(Algorithm):
     """Luby's maximal independent set (Luby 1986), two supersteps per
     round on the undirected graph. Values encode vertex state:
@@ -710,6 +867,10 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return KatzPropagation(**params)
     if name == "anf":
         return ANFPropagation(**params)
+    if name == "bfs_sigma":
+        return BFSSigma(**params)
+    if name == "stress":
+        return BrandesStress(**params)
     if name in ("mis", "maximal_independent_set"):
         return MaximalIndependentSet(**params)
     if name in ("coloring", "greedy_coloring"):

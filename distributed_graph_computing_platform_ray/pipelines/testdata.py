@@ -657,19 +657,23 @@ def q_ecc_bounds(sf_dir: str, n_buckets: int = 16):
     )
 
 
-def q_sssp_paths(sf_dir: str, max_depth: int = 8):
+def q_sssp_paths(sf_dir: str, max_depth: int = 8, max_edges: int | None = None):
     """Single-source shortest-path COUNTS (Brandes' sigma): per
     vertex within max_depth hops of the min vertex, its hop distance
     and the NUMBER of distinct shortest paths — the forward pass of
-    betweenness, vectorized over the broadcast CSR (one task; above
-    the edge cap it becomes the engine's level-synchronous frontier
-    joins, as q_stress_centrality documents). sigma values stay
-    integer-exact."""
+    betweenness. Two paths, auto-selected on the doubled edge count:
+    below the object-store cap, one vectorized task over the
+    broadcast CSR; above it, the engine's level-synchronous BSP run
+    (``algorithms.BFSSigma``, dist+sigma packed exactly in one
+    float64) — same integers either way (parity-tested)."""
     from ..stages.walks import MAX_BROADCAST_EDGES
 
-    adj = edges_orders(sf_dir).to_pandas()
-    if 2 * len(adj) > MAX_BROADCAST_EDGES:
-        raise ValueError("adjacency exceeds broadcast cap; use the BSP path")
+    if max_edges is None:
+        max_edges = MAX_BROADCAST_EDGES
+    edges = edges_orders(sf_dir).materialize()
+    if 2 * edges.count() > max_edges:
+        return _sssp_paths_bsp(sf_dir, max_depth)
+    adj = edges.to_pandas()
     a = adj["src"].to_numpy().astype(np.int64)
     b = adj["dst"].to_numpy().astype(np.int64)
     src = np.concatenate([a, b])
@@ -718,6 +722,35 @@ def q_sssp_paths(sf_dir: str, max_depth: int = 8):
         )
 
     return rd.from_items([{"s": s0}]).map_batches(forward, batch_format="pyarrow")
+
+
+def _sssp_paths_bsp(sf_dir: str, max_depth: int):
+    """Distributed q_sssp_paths: BFSSigma on the engine over the
+    symmetrized orders CSR — O(depth) supersteps, never materializes
+    the adjacency anywhere. Bit-identical to the broadcast kernel
+    (tests/test_graph_conformance.py parity test)."""
+    from ..algorithms import BFSSigma
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "orders")
+    man = GraphManifest.load(gdir)
+    s0 = _min_vertex(sf_dir, "orders")
+    sid = lookup_vertex_id(man, str(s0))
+    res = _run_cached(sf_dir, "orders", "bfs_sigma", source_id=sid, max_depth=max_depth)
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["vertex"].cast(pa.int64()).to_numpy()
+        dist, sigma = BFSSigma.unpack(t["value"].to_numpy())
+        got = dist >= 0
+        return pa.table(
+            {
+                "vertex": pa.array(v[got]),
+                "dist": pa.array(dist[got]),
+                "n_paths": pa.array(sigma[got]),
+            }
+        )
+
+    return res.map_batches(conv, batch_format="pyarrow")
 
 
 def q_graph_robustness(sf_dir: str, ks=(0, 20, 50)):
@@ -3989,7 +4022,9 @@ def q_bipartite_check(sf_dir: str):
     )
 
 
-def q_stress_centrality(sf_dir: str, n_seeds: int = 4, max_depth: int = 8):
+def q_stress_centrality(
+    sf_dir: str, n_seeds: int = 4, max_depth: int = 8, max_edges: int | None = None
+):
     """Sampled STRESS centrality (Brandes 2008 variant of betweenness
     that stays ALL-INTEGER): stress(v) = sum over sampled sources s of
     sigma_s(v) * t_s(v), where sigma is the shortest-path count and
@@ -3999,13 +4034,18 @@ def q_stress_centrality(sf_dir: str, n_seeds: int = 4, max_depth: int = 8):
     (BFS + sigma) and backward (t) passes vectorized over a
     broadcast CSR (the random-walks pattern, same 5M-edge cap); the
     per-source partials merge with ONE bucket_sum. Above the cap each
-    pass becomes the engine's level-synchronous frontier joins."""
+    source runs the engine's one-pass forward+backward BSP program
+    (``algorithms.BrandesStress``) instead — auto-selected,
+    parity-tested bit-identical."""
     from ..stages.join import bucket_sum
     from ..stages.walks import MAX_BROADCAST_EDGES
 
-    adj = edges_orders(sf_dir).to_pandas()
-    if 2 * len(adj) > MAX_BROADCAST_EDGES:
-        raise ValueError("adjacency exceeds broadcast cap; use the BSP path")
+    if max_edges is None:
+        max_edges = MAX_BROADCAST_EDGES
+    edges = edges_orders(sf_dir).materialize()
+    if 2 * edges.count() > max_edges:
+        return _stress_centrality_bsp(sf_dir, n_seeds, max_depth)
+    adj = edges.to_pandas()
     a = adj["src"].to_numpy().astype(np.int64)
     b = adj["dst"].to_numpy().astype(np.int64)
     src = np.concatenate([a, b])
@@ -4076,6 +4116,59 @@ def q_stress_centrality(sf_dir: str, n_seeds: int = 4, max_depth: int = 8):
     seed_ds = rd.from_arrow(pa.table({"s": pa.array(seeds.astype(np.int64))}))
     parts = seed_ds.map_batches(brandes, batch_format="pyarrow", batch_size=1)
     agg = bucket_sum(parts, ["vertex"], ["stress"], n_buckets=16)
+    return agg.map_batches(
+        lambda df: df.astype({"vertex": "int64", "stress": "int64"}),
+        batch_format="pandas",
+    )
+
+
+def _stress_centrality_bsp(sf_dir: str, n_seeds: int, max_depth: int):
+    """Distributed q_stress_centrality: per seed, ONE engine run does
+    both Brandes passes (``algorithms.BrandesStress`` — forward
+    BFS+sigma supersteps, then the backward t accumulation scheduled
+    level-synchronously from the deepest level). Per-seed stress
+    partials (sigma * t) union and reduce with one bucket_sum; the
+    adjacency lives only in the CSR shards. Bit-identical to the
+    broadcast kernel (parity test)."""
+    from ..algorithms import BrandesStress
+    from ..stages.join import bucket_sum
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "orders")
+    man = GraphManifest.load(gdir)
+    # n_seeds smallest vertex ids: bounded per-block min-k partials
+    # (blocks * n_seeds rows reach the driver, never the vertex set)
+    def mink(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()]))
+        return pa.table({"v": pa.array(v[:n_seeds].astype(np.int64))})
+
+    rows = edges_orders(sf_dir).map_batches(mink, batch_format="pyarrow").take_all()
+    seeds = np.unique(np.array([r["v"] for r in rows], dtype=np.int64))[:n_seeds]
+
+    parts = []
+    for s in seeds:
+        sid = lookup_vertex_id(man, str(int(s)))
+        res = _run_cached(
+            sf_dir, "orders", "stress", source_id=sid, max_depth=max_depth
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            v = t["vertex"].cast(pa.int64()).to_numpy()
+            dist, sigma, tt = BrandesStress.unpack_result(t["value"].to_numpy())
+            keep = dist >= 1  # reached, excluding the source itself
+            return pa.table(
+                {
+                    "vertex": pa.array(v[keep]),
+                    "stress": pa.array((sigma[keep] * tt[keep]).astype(np.int64)),
+                }
+            )
+
+        parts.append(res.map_batches(contrib, batch_format="pyarrow"))
+
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.union(p)
+    agg = bucket_sum(uni, ["vertex"], ["stress"], n_buckets=16)
     return agg.map_batches(
         lambda df: df.astype({"vertex": "int64", "stress": "int64"}),
         batch_format="pandas",
@@ -4504,19 +4597,25 @@ def q_events_transitions(sf_dir: str):
     )
 
 
-def q_two_hop_size(sf_dir: str):
+def q_two_hop_size(sf_dir: str, max_edges: int | None = None):
     """Two-hop neighborhood size |N(v, <=2) \\ {v}| per vertex — the
-    friend-of-friend audience estimate. Vertices partition across
-    batches; each task expands its vertices' neighbor-of-neighbor
-    lists against the broadcast CSR (random-walks pattern, same
-    edge cap) with one sort+unique per vertex slice. At web scale
-    this is the 2-round ANF sketch instead of exact expansion
-    (q_anf) — this query is the exact small-graph counterpart."""
+    friend-of-friend audience estimate. Below the broadcast cap,
+    vertices partition across batches and each task expands its
+    vertices' neighbor-of-neighbor lists against the broadcast CSR
+    (random-walks pattern) with one sort+unique per vertex slice.
+    Above it, the exact distributed path: one bucketed self-join of
+    the edge table through the middle vertex (wedge expansion), a
+    global pair distinct and one bucket_sum — parity-tested
+    bit-identical. (The APPROXIMATE scale path is still the 2-round
+    ANF sketch, q_anf, when exactness isn't required.)"""
     from ..stages.walks import MAX_BROADCAST_EDGES
 
-    adj = edges_orders(sf_dir).to_pandas()
-    if 2 * len(adj) > MAX_BROADCAST_EDGES:
-        raise ValueError("adjacency exceeds broadcast cap; use q_anf at scale")
+    if max_edges is None:
+        max_edges = MAX_BROADCAST_EDGES
+    edges = edges_orders(sf_dir).materialize()
+    if 2 * edges.count() > max_edges:
+        return _two_hop_size_distributed(edges)
+    adj = edges.to_pandas()
     a = adj["src"].to_numpy().astype(np.int64)
     b = adj["dst"].to_numpy().astype(np.int64)
     src_ = np.concatenate([a, b])
@@ -4548,6 +4647,89 @@ def q_two_hop_size(sf_dir: str):
 
     return rd.from_items([{"v": int(v)} for v in verts]).map_batches(
         expand, batch_format="pyarrow"
+    )
+
+
+def _two_hop_size_distributed(edges: rd.Dataset, n_buckets: int = 32):
+    """Exact distributed two-hop size: wedge-expand (v, mid) x (mid, w)
+    with one bucketed equi-join on the middle vertex, union the one-hop
+    pairs, filter w != v, global (v, w) distinct, count per v with one
+    bucket_sum. Three shuffles total; the adjacency never leaves the
+    object store. Per-mid cost is deg(mid)^2 rows — the inherent exact
+    wedge volume (the sketch alternative is q_anf)."""
+    from ..stages.join import bucket_join, bucket_sum, distinct
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b])),
+                "mid": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "mid2": pa.array(np.concatenate([a, b])),
+                "w": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    left = edges.map_batches(left_rows, batch_format="pyarrow")
+    right = edges.map_batches(right_rows, batch_format="pyarrow")
+    two_hop = bucket_join(
+        left,
+        right,
+        left_on="mid",
+        right_on="mid2",
+        n_buckets=n_buckets,
+        left_schema=pa.schema([("v", pa.int64()), ("mid", pa.int64())]),
+        right_schema=pa.schema([("mid2", pa.int64()), ("w", pa.int64())]),
+    )
+
+    def vw(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["v"], "w": t["w"]})
+
+    def one_hop(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b])),
+                "w": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        keep = t["v"].to_numpy() != t["w"].to_numpy()
+        return t.filter(pa.array(keep))
+
+    pairs = (
+        two_hop.map_batches(vw, batch_format="pyarrow")
+        .union(edges.map_batches(one_hop, batch_format="pyarrow"))
+        .map_batches(drop_self, batch_format="pyarrow")
+    )
+    uniq = distinct(pairs, ["v", "w"], n_buckets)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["v"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"vertex": pa.array(u.astype(np.int64)), "n_two_hop": pa.array(c.astype(np.int64))}
+        )
+
+    agg = bucket_sum(
+        uniq.map_batches(count_partial, batch_format="pyarrow"),
+        ["vertex"],
+        ["n_two_hop"],
+        n_buckets=16,
+    )
+    return agg.map_batches(
+        lambda df: df.astype({"vertex": "int64", "n_two_hop": "int64"}),
+        batch_format="pandas",
     )
 
 
