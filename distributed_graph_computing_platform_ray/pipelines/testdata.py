@@ -3251,21 +3251,25 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str, k: int = 10):
-    """IVF search exercised at FULL probe (nprobe = n_centroids), which
-    is exact by construction — the same distributed machinery
-    (centroid train, per-batch assignment, probed scoring, per-query
-    merge) with a result the brute-force SQL oracle can check
-    hash-exactly. Approximation quality at nprobe < nlist is bounded
-    separately in pytest (tests/test_dedup_ann.py: recall >= 0.8)."""
-    from ..stages.ann import ivf_topk
+    """IVF search over the MATERIALIZED index (one-time centroid
+    assignment + write_partitioned by centroid, then probed-partition
+    reads — stages/ann.py build_ivf_index / ivf_topk_indexed),
+    exercised at FULL probe (nprobe = n_centroids), which is exact by
+    construction — so the brute-force SQL oracle checks it
+    hash-exactly. Approximation quality and the partial-read property
+    at nprobe < nlist are bounded separately in pytest
+    (tests/test_dedup_ann.py)."""
+    from ..stages.ann import build_ivf_index, ivf_topk_indexed
 
     emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = sorted(emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"])
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    idx_dir = _cache(sf_dir, "ivf_index")
+    build_ivf_index(emb, idx_dir, n_centroids=16)
     # over-fetch so integer-scaled ties at the rank-k boundary are
     # resolved identically to the oracle's (score_e6, vec_id) window
-    res = ivf_topk(emb, Q, qids, k=k + 16, n_centroids=16, nprobe=16)
+    res = ivf_topk_indexed(idx_dir, Q, qids, k=k + 16, nprobe=16)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(score_e6=np.round(df["score"].to_numpy() * 1e6).astype("int64"))

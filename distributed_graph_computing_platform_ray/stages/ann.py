@@ -167,6 +167,141 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def build_ivf_index(
+    ds: rd.Dataset, index_dir: str, n_centroids: int = 16,
+    id_col="vec_id", emb_col="embedding",
+) -> np.ndarray:
+    """ONE-TIME IVF index build: train centroids on a bounded sample,
+    assign every vector in one distributed map, and write the corpus
+    re-partitioned BY CENTROID (stages.sink.write_partitioned — atomic
+    per-partition files + done markers, so a crashed 100 TB build
+    resumes per partition). Queries then read only their probed
+    partitions (``ivf_topk_indexed``) — the nprobe/nlist saving that a
+    query-time re-scan can never deliver. Returns the centroids (also
+    persisted at index_dir/centroids.npy; an existing complete index
+    is reused)."""
+    import os
+
+    from .sink import finished_partitions, write_partitioned
+
+    os.makedirs(index_dir, exist_ok=True)
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cpath) and finished_partitions(index_dir):
+        return np.load(cpath)
+    C = train_centroids(ds, n_centroids, emb_col=emb_col)
+    ref = ray.put(C)
+    _akey = ("ivf_assign", ref.hex())
+
+    def assign(t: pa.Table) -> pa.Table:
+        from .taskify import worker_cached
+
+        C_ = worker_cached(_akey, lambda: ray.get(ref))
+        Xn = _norm_rows(_stack(t[emb_col]))
+        part = np.argmax(Xn @ C_.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                emb_col: t[emb_col],
+                "part": pa.array(part),
+            }
+        )
+
+    write_partitioned(
+        ds.map_batches(assign, batch_format="pyarrow"), index_dir, part_col="part"
+    )
+    tmp = f"{cpath}.tmp{os.getpid()}.npy"  # .npy suffix: np.save won't rename
+    np.save(tmp, C)
+    os.replace(tmp, cpath)
+    return C
+
+
+def probed_partition_paths(index_dir: str, probe_ids) -> list[str]:
+    """Parquet paths of the probed (and existing) index partitions."""
+    import os
+
+    from .sink import _part_dir, finished_partitions
+
+    done = finished_partitions(index_dir)
+    return [
+        os.path.join(_part_dir(index_dir, int(p)), "data.parquet")
+        for p in sorted(set(int(x) for x in np.asarray(probe_ids).ravel()))
+        if int(p) in done
+    ]
+
+
+def ivf_topk_indexed(
+    index_dir: str, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+    nprobe: int = 4, id_col="vec_id", emb_col="embedding",
+) -> rd.Dataset:
+    """Approximate cosine top-k over a MATERIALIZED IVF index: reads
+    ONLY the union of the queries' nprobe probed partitions (column-
+    pruned read_parquet over the partition files), scores each batch
+    against the query matrix with per-query probe-membership masks
+    from the stored ``part`` column, and merges per query. Identical
+    results to ``ivf_topk`` given the same centroids (same argmax
+    assignment), at nprobe/nlist of the read volume."""
+    import os
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    Qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, : min(nprobe, len(C))]
+    paths = probed_partition_paths(index_dir, probe)
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+    if not paths:
+        return rd.from_arrow(empty)
+    ds = rd.read_parquet(paths, columns=[id_col, emb_col, "part"])
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), Qn, probe))
+    _skey = ("ann_ivf_idx", ref.hex())
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Qn, self.probe = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy()
+            part = t["part"].to_numpy()
+            Xn = _norm_rows(_stack(t[emb_col]))
+            q_out, v_out, s_out = [], [], []
+            for qi in range(len(self.qids)):
+                m = np.isin(part, self.probe[qi])
+                if not m.any():
+                    continue
+                S = Xn[m] @ self.Qn[qi]
+                keep = min(k, len(S))
+                sel = np.argpartition(-S, keep - 1)[:keep]
+                q_out.append(np.full(keep, self.qids[qi], dtype=np.int64))
+                v_out.append(ids[m][sel])
+                s_out.append(S[sel])
+            if not q_out:
+                return empty
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(q_out)),
+                    "vec_id": pa.array(np.concatenate(v_out), pa.int64()),
+                    "score": pa.array(np.concatenate(s_out)),
+                }
+            )
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        from .taskify import worker_cached
+
+        return worker_cached(_skey, Score)(t)
+
+    partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["score", "vec_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def embedding_neardup(
     ds: rd.Dataset, threshold: float = 0.95, n_planes: int = 12,
     id_col="vec_id", emb_col="embedding", n_buckets: int = 64, dim: int | None = None,

@@ -245,6 +245,61 @@ def test_ivf_recall_vs_brute():
     assert float(np.mean(recalls)) >= 0.8, recalls
 
 
+def test_ivf_index_matches_scan_and_reads_partial(tmp_path):
+    """The materialized IVF index must (a) reproduce query-time-scan
+    ivf_topk exactly (same centroids => same assignment), and (b) at
+    nprobe < nlist actually READ fewer rows than the corpus — the
+    asymptotic point of IVF."""
+    from distributed_graph_computing_platform_ray.stages.ann import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        probed_partition_paths,
+    )
+    from distributed_graph_computing_platform_ray.stages.sink import (
+        finished_partitions,
+        read_partitioned,
+    )
+
+    df = _emb_table(600)
+    ds = rd.from_pandas(df)
+    qids = list(range(6))
+    Q = np.stack(
+        df[df["vec_id"].isin(qids)].sort_values("vec_id")["embedding"].to_numpy()
+    )
+    idx = str(tmp_path / "ivf")
+    C = build_ivf_index(ds, idx, n_centroids=12)
+    assert len(finished_partitions(idx)) > 1
+
+    for nprobe in (12, 4):  # full probe and partial probe
+        a = (
+            ivf_topk_indexed(idx, Q, np.array(qids), k=10, nprobe=nprobe)
+            .to_pandas()
+            .sort_values(["query_id", "score", "vec_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            ivf_topk(ds, Q, np.array(qids), k=10, n_centroids=12, nprobe=nprobe)
+            .to_pandas()
+            .sort_values(["query_id", "score", "vec_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    # partial-read property: the probed partitions hold fewer rows
+    # than the corpus (and the path list is a strict subset)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-(Qn @ Cn.T), axis=1)[:, :4]
+    paths = probed_partition_paths(idx, probe)
+    assert len(paths) < len(finished_partitions(idx))
+    import pyarrow.parquet as pq
+
+    probed_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+    total_rows = read_partitioned(idx).count()
+    assert total_rows == len(df)
+    assert probed_rows < total_rows
+
+
 def test_embedding_neardup_finds_planted():
     df = _emb_table()
     n = len(df)
