@@ -1049,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring": T.q_coloring,
         "dag_longest": T.q_dag_longest,
         "lineitem_median": T.q_lineitem_median,
+        "quantiles_sketch": T.q_quantiles_sketch,
         "lineitem_weighted_median": T.q_lineitem_weighted_median,
         "nation_share": T.q_nation_share,
         "orders_zorder": T.q_orders_zorder,
@@ -1883,6 +1884,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.n::BIGINT AS n, s.k::BIGINT AS k, "
             "(SELECT v FROM c ORDER BY v LIMIT 1 OFFSET (SELECT k - 1 FROM s)"
             ")::BIGINT AS median_cents FROM s"
+        ),
+        "quantiles_sketch": (
+            # rank-bracket assertion for the KLL sketch: the oracle
+            # emits the EXACT order statistics at rank +- 2% (integer
+            # slack arithmetic identical to the query's) and a literal
+            # in_bracket = 1; the Ray side sets in_bracket from the
+            # sketch estimate, so an out-of-tolerance sketch
+            # hash-fails here. Estimates are not hashed (see
+            # q_quantiles_sketch docstring).
+            "WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c "
+            "           FROM lineitem), "
+            "cnt AS (SELECT count(*)::BIGINT AS n FROM v), "
+            "qs(q_pct) AS (VALUES (10), (25), (50), (75), (90), (99)), "
+            "rk AS (SELECT q_pct::BIGINT AS q_pct, "
+            "  GREATEST(1, GREATEST(1, (q_pct * n) // 100) - "
+            "              (20000 * n + 999999) // 1000000)::BIGINT AS rank_lo, "
+            "  LEAST(n, GREATEST(1, (q_pct * n) // 100) + "
+            "           (20000 * n + 999999) // 1000000)::BIGINT AS rank_hi "
+            "  FROM qs, cnt), "
+            "ordered AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v) "
+            "SELECT r.q_pct AS q_pct, r.rank_lo AS rank_lo, r.rank_hi AS rank_hi, "
+            "o1.c AS lo_cents, o2.c AS hi_cents, 1::BIGINT AS in_bracket "
+            "FROM rk r JOIN ordered o1 ON o1.rn = r.rank_lo "
+            "JOIN ordered o2 ON o2.rn = r.rank_hi ORDER BY q_pct"
         ),
         "events_user_mode": (
             "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n "

@@ -5628,6 +5628,98 @@ def q_lineitem_median(sf_dir: str):
     )
 
 
+_QSK_EPS_E6 = 20_000  # 2% rank slack; measured KLL(k=256) error ~0.3%
+_QSK_PCTS = (10, 25, 50, 75, 90, 99)
+
+
+def q_quantiles_sketch(sf_dir: str, k: int = 256):
+    """MERGEABLE-SKETCH quantiles (KLL, stages/quantiles.py) of
+    lineitem price-cents — the open-domain 100 TB swap for the exact
+    bounded-domain histogram selection (q_lineitem_median). One
+    streaming pass builds per-block KLL partials that merge
+    associatively; estimates answer any quantile within a rank-error
+    bound. The SQL-checkable contract is a RANK BRACKET: for each
+    percentile the output carries the EXACT order statistics at
+    rank +- 2% (computed by histogram selection, two more streaming
+    passes) and ``in_bracket`` = whether the sketch estimate landed
+    inside — the oracle emits the same brackets with a literal 1, so
+    a sketch drifting out of tolerance hash-fails the gate. Estimates
+    themselves are deliberately NOT hashed (block boundaries may vary
+    across cluster shapes); their accuracy is pytest-bounded at 1%."""
+    from ..stages.join import bucket_sum
+    from ..stages.quantiles import sketch_column
+
+    lo_c, hi_c = 0, 10_500_001  # price domain in cents (bounded by gen)
+    nb = 4096
+    width = (hi_c - lo_c) // nb + 1
+
+    def cents(t: pa.Table) -> np.ndarray:
+        return np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+
+    src = _table(sf_dir, "lineitem", ["l_extendedprice"])
+    sk = sketch_column(src, cents, k=k)
+
+    def hist(t: pa.Table) -> pa.Table:
+        h = np.bincount((cents(t) - lo_c) // width, minlength=nb)
+        return pa.table(
+            {"b": pa.array(np.arange(nb, dtype=np.int64)),
+             "n": pa.array(h.astype(np.int64))}
+        )
+
+    hp = (
+        bucket_sum(src.map_batches(hist, batch_format="pyarrow"), ["b"], ["n"], n_buckets=4)
+        .to_pandas()
+        .sort_values("b")
+    )
+    counts = np.zeros(nb, dtype=np.int64)
+    counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+
+    slack = (_QSK_EPS_E6 * n + 999_999) // 1_000_000
+    brackets = []
+    for q in _QSK_PCTS:
+        r = max(1, (q * n) // 100)
+        brackets.append((q, max(1, r - slack), min(n, r + slack)))
+    all_ranks = sorted({r for _, lo, hi in brackets for r in (lo, hi)})
+    need_b = np.unique(np.searchsorted(cum, np.array(all_ranks, dtype=np.int64)))
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        c = cents(t)
+        m = np.isin((c - lo_c) // width, need_b)
+        u, cc = np.unique(c[m], return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "n": pa.array(cc.astype(np.int64))})
+
+    vals = (
+        bucket_sum(
+            src.map_batches(in_buckets, batch_format="pyarrow"), ["v"], ["n"], n_buckets=4
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    vv = vals["v"].to_numpy().astype(np.int64)
+    vn = vals["n"].to_numpy().astype(np.int64)
+
+    def order_stat(r: int) -> int:
+        b = int(np.searchsorted(cum, r))
+        before = int(cum[b - 1]) if b > 0 else 0
+        sel = (vv - lo_c) // width == b
+        cv = np.cumsum(vn[sel])
+        return int(vv[sel][int(np.searchsorted(cv, r - before))])
+
+    rows = []
+    for q, rank_lo, rank_hi in brackets:
+        lo_v, hi_v = order_stat(rank_lo), order_stat(rank_hi)
+        est = sk.quantile(q / 100.0)
+        rows.append((q, rank_lo, rank_hi, lo_v, hi_v, int(lo_v <= est <= hi_v)))
+    out = pd.DataFrame(
+        rows,
+        columns=["q_pct", "rank_lo", "rank_hi", "lo_cents", "hi_cents", "in_bracket"],
+    )
+    return out.astype("int64")
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention: users grouped by their FIRST active day
     (cohort), counted as retained at each later day offset. ONE
