@@ -1015,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_deltas": T.q_events_deltas,
         "orders_left_join": T.q_orders_left_join,
         "lineitem_antijoin": T.q_lineitem_antijoin,
+        "antijoin_bloom": T.q_antijoin_bloom,
         "doc_sample_stratified": T.q_doc_sample_stratified,
         "clustering_coeff": T.q_clustering_coeff,
         "events_pivot": T.q_events_pivot,
@@ -1050,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_longest": T.q_dag_longest,
         "lineitem_median": T.q_lineitem_median,
         "quantiles_sketch": T.q_quantiles_sketch,
+        "sorted_export": T.q_sorted_export,
         "lineitem_weighted_median": T.q_lineitem_weighted_median,
         "nation_share": T.q_nation_share,
         "orders_zorder": T.q_orders_zorder,
@@ -1909,6 +1911,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM rk r JOIN ordered o1 ON o1.rn = r.rank_lo "
             "JOIN ordered o2 ON o2.rn = r.rank_hi ORDER BY q_pct"
         ),
+        "sorted_export": (
+            # range-partitioned global sort: exact splitters at ranks
+            # i*n/8, part(x) = #(splitters < x) (boundary duplicates
+            # -> lower part on both sides); empty ranges (duplicate
+            # splitters) emit no row in either engine.
+            "WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c "
+            "           FROM lineitem), "
+            "cnt AS (SELECT count(*)::BIGINT AS n FROM v), "
+            "vc AS (SELECT c, count(*)::BIGINT AS m FROM v GROUP BY c), "
+            "idx(i) AS (VALUES (1), (2), (3), (4), (5), (6), (7)), "
+            "ordered AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v), "
+            "spl AS (SELECT o.c AS b FROM idx CROSS JOIN cnt CROSS JOIN ordered o "
+            "        WHERE o.rn = GREATEST(1, (idx.i * cnt.n) // 8)), "
+            "pc AS (SELECT vc.c, vc.m, "
+            "       count(*) FILTER (WHERE spl.b < vc.c)::BIGINT AS part "
+            "       FROM vc CROSS JOIN spl GROUP BY vc.c, vc.m) "
+            "SELECT part, sum(m)::BIGINT AS n_rows, min(c)::BIGINT AS min_cents, "
+            "max(c)::BIGINT AS max_cents FROM pc GROUP BY part ORDER BY part"
+        ),
         "events_user_mode": (
             "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n "
             "FROM events GROUP BY user_id, event_type) "
@@ -2748,4 +2769,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF at full probe is exact by construction, so the brute-force
     # cosine top-k oracle applies verbatim (see testdata.q_ann_ivf).
     sql["ann_ivf"] = sql["ann_topk"]
+    # Bloom prefilter + verify is EXACT (fps removed, fns impossible):
+    # the plain anti-join oracle applies verbatim (testdata.q_antijoin_bloom).
+    sql["antijoin_bloom"] = sql["lineitem_antijoin"]
     return sql

@@ -34,13 +34,10 @@ def token_count_bpe_ish(text: str) -> int:
     return len(_TOKEN_BPE.findall(text))
 
 
-def lang_id_counts(text: str) -> tuple[str, int, int]:
-    """(lang, stopword_hits, n_words_considered) over the first 200
-    whitespace tokens, lowercased. Ties break by profile order
-    (en, de, fr, es); zero hits -> 'und'. Integer outputs so callers
-    can scale confidence with exact integer arithmetic (the SQL oracle
-    reproduces the same formula)."""
-    words = [w.lower() for w in text.split()[:200]]
+def lang_id_counts_lwords(lwords: list[str]) -> tuple[str, int, int]:
+    """``lang_id_counts`` over pre-lowercased words (first 200 used) —
+    the allocation-free path for fused stages that already split."""
+    words = lwords[:200]
     if not words:
         return "und", 0, 0
     best, best_hits = "und", 0
@@ -53,6 +50,15 @@ def lang_id_counts(text: str) -> tuple[str, int, int]:
     return best, best_hits, len(words)
 
 
+def lang_id_counts(text: str) -> tuple[str, int, int]:
+    """(lang, stopword_hits, n_words_considered) over the first 200
+    whitespace tokens, lowercased. Ties break by profile order
+    (en, de, fr, es); zero hits -> 'und'. Integer outputs so callers
+    can scale confidence with exact integer arithmetic (the SQL oracle
+    reproduces the same formula)."""
+    return lang_id_counts_lwords([w.lower() for w in text.split()[:200]])
+
+
 def lang_id(text: str) -> tuple[str, float]:
     """Stopword-profile language id over {en,de,fr,es}; returns
     (lang, confidence). 'und' (undetermined) when nothing matches —
@@ -63,15 +69,15 @@ def lang_id(text: str) -> tuple[str, float]:
     return lang, round(hits / n, 6)
 
 
-def quality_features(text: str) -> dict:
-    """Raw quality-signal features (C4/Gopher-style heuristics)."""
+def quality_features_words(text: str, words: list[str], lwords: list[str]) -> dict:
+    """``quality_features`` over a pre-split (and pre-lowercased)
+    token list — identical outputs, no re-splitting (fused stages)."""
     n_chars = len(text)
-    words = text.split()
     n_words = len(words)
     mean_wlen = (sum(len(w) for w in words) / n_words) if n_words else 0.0
     n_punct = len(_PUNCT.findall(text))
     n_upper = sum(1 for c in text if c.isupper())
-    stop_hits = sum(1 for w in words if w.lower() in _LANG_STOPS["en"])
+    stop_hits = sum(1 for w in lwords if w in _LANG_STOPS["en"])
     return {
         "n_chars": n_chars,
         "n_words": n_words,
@@ -82,10 +88,13 @@ def quality_features(text: str) -> dict:
     }
 
 
-def quality_score(text: str) -> float:
-    """[0,1] composite: length in a sane band, some stopwords, not
-    punctuation soup, plausible word lengths. Deterministic."""
-    f = quality_features(text)
+def quality_features(text: str) -> dict:
+    """Raw quality-signal features (C4/Gopher-style heuristics)."""
+    words = text.split()
+    return quality_features_words(text, words, [w.lower() for w in words])
+
+
+def _quality_score_from(f: dict) -> float:
     score = 1.0
     if f["n_words"] < 5:
         score *= 0.2
@@ -100,10 +109,31 @@ def quality_score(text: str) -> float:
     return round(score, 6)
 
 
+def quality_score(text: str) -> float:
+    """[0,1] composite: length in a sane band, some stopwords, not
+    punctuation soup, plausible word lengths. Deterministic."""
+    return _quality_score_from(quality_features(text))
+
+
+def quality_score_words(text: str, words: list[str], lwords: list[str]) -> float:
+    """``quality_score`` over a pre-split token list (fused stages)."""
+    return _quality_score_from(quality_features_words(text, words, lwords))
+
+
 def word_ngrams(words: list[str], k: int) -> list[str]:
     if len(words) < k:
         return [" ".join(words)] if words else []
     return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def shingle_hashes_lwords(lwords: list[str], k: int = 3) -> np.ndarray:
+    """``shingle_hashes`` over pre-lowercased words (fused stages)."""
+    from .hashing import fnv1a64
+
+    grams = word_ngrams(lwords, k)
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(fnv1a64(grams))
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -112,12 +142,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     FNV-1a so the minhash SQL oracle can recompute identical shingle
     hashes; collisions at 64 bits are negligible, so set Jaccard over
     these hashes equals Jaccard over the shingle strings."""
-    from .hashing import fnv1a64
-
-    grams = word_ngrams([w.lower() for w in text.split()], k)
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(fnv1a64(grams))
+    return shingle_hashes_lwords([w.lower() for w in text.split()], k)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

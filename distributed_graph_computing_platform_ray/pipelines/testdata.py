@@ -2010,6 +2010,101 @@ def q_lineitem_antijoin(sf_dir: str, broadcast_limit: int = 2_000_000):
     )
 
 
+def q_antijoin_bloom(sf_dir: str, m_bits: int = 1 << 18, k_hashes: int = 4):
+    """EXACT anti-join via Bloom prefilter + verify — the 100 TB
+    pattern the plain broadcast anti-join documents: the exclusion
+    set's BITMAP (m_bits/8 bytes, built from mergeable per-block
+    partials) broadcasts instead of the key array; probe marks each
+    lineitem key maybe/definitely-not; definitely-not partial counts
+    are final with NO join at all, and only the maybe subset
+    (|urgent| + false positives — a sliver of the fact table) enters
+    the bucketed verify anti-join. Output is EXACT (false positives
+    are removed by the verify, false negatives are impossible), so
+    this shares the plain anti-join's SQL oracle. m_bits is
+    deliberately small here so false positives actually occur and the
+    verify path is exercised at every test sf."""
+    from ..stages.bloom import bloom_build, bloom_probe_stage
+    from ..stages.join import _BUCKET, add_bucket, bucket_sum
+
+    def urgent_keys(t: pa.Table) -> np.ndarray:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return t.filter(m)["o_orderkey"].to_numpy().astype(np.int64)
+
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    words = bloom_build(orders, urgent_keys, m_bits=m_bits, k_hashes=k_hashes)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        u, c = np.unique(ok, return_counts=True)
+        return pa.table(
+            {"l_orderkey": pa.array(u), "n_items": pa.array(c.astype(np.int64))}
+        )
+
+    probed = bloom_probe_stage(
+        _table(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            li_partial, batch_format="pyarrow"
+        ),
+        words,
+        lambda t: t["l_orderkey"].to_numpy(),
+        m_bits,
+        k_hashes,
+    )
+
+    def split_clean(t: pa.Table) -> pa.Table:
+        # definitely-not-urgent: final partial counts, bypass the join
+        keep = ~t["__maybe"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t.filter(pa.array(keep))["l_orderkey"],
+                "n_items": t.filter(pa.array(keep))["n_items"],
+            }
+        )
+
+    def split_maybe(t: pa.Table) -> pa.Table:
+        keep = t["__maybe"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_orderkey": f["l_orderkey"],
+                "n_items": f["n_items"],
+                "__side": pa.array(np.zeros(f.num_rows, np.int8)),
+            }
+        )
+
+    probed = probed.materialize()  # probe once, feed both splits
+    clean = probed.map_batches(split_clean, batch_format="pyarrow")
+
+    def urgent_tagged(t: pa.Table) -> pa.Table:
+        k = np.unique(urgent_keys(t))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(k),
+                "n_items": pa.array(np.zeros(len(k), np.int64)),
+                "__side": pa.array(np.ones(len(k), np.int8)),
+            }
+        )
+
+    tagged = probed.map_batches(split_maybe, batch_format="pyarrow").union(
+        orders.map_batches(urgent_tagged, batch_format="pyarrow")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        bad = g.loc[g["__side"] == 1, "l_orderkey"].unique()
+        keep = g[(g["__side"] == 0) & ~g["l_orderkey"].isin(bad)]
+        return keep[["l_orderkey", "n_items"]]
+
+    survivors = (
+        add_bucket(tagged, ["l_orderkey"], 16)
+        .groupby(_BUCKET)
+        .map_groups(verify, batch_format="pandas")
+    )
+    agg = bucket_sum(clean.union(survivors), ["l_orderkey"], ["n_items"], n_buckets=16)
+    return agg.map_batches(
+        lambda df: df.astype({"l_orderkey": "int64", "n_items": "int64"}),
+        batch_format="pandas",
+    )
+
+
 _STRATA_PERMILLE = {"en": 500, "fr": 250, "es": 250, "zh": 125}  # else 125
 
 
@@ -5632,6 +5727,82 @@ _QSK_EPS_E6 = 20_000  # 2% rank slack; measured KLL(k=256) error ~0.3%
 _QSK_PCTS = (10, 25, 50, 75, 90, 99)
 
 
+class _CentsSelector:
+    """Exact order statistics of lineitem price-cents by two-pass
+    histogram selection (the q_lineitem_median pattern, generalized to
+    arbitrary rank sets): pass 1 histograms the bounded integer
+    domain, pass 2 reads exact values only inside the buckets the
+    requested ranks land in. Driver state O(buckets)."""
+
+    LO_C, HI_C, NB = 0, 10_500_001, 4096
+
+    def __init__(self, sf_dir: str):
+        from ..stages.join import bucket_sum
+
+        self.width = (self.HI_C - self.LO_C) // self.NB + 1
+        self.src = _table(sf_dir, "lineitem", ["l_extendedprice"])
+
+        def hist(t: pa.Table) -> pa.Table:
+            h = np.bincount(
+                (self.cents(t) - self.LO_C) // self.width, minlength=self.NB
+            )
+            return pa.table(
+                {"b": pa.array(np.arange(self.NB, dtype=np.int64)),
+                 "n": pa.array(h.astype(np.int64))}
+            )
+
+        hp = (
+            bucket_sum(
+                self.src.map_batches(hist, batch_format="pyarrow"), ["b"], ["n"],
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("b")
+        )
+        counts = np.zeros(self.NB, dtype=np.int64)
+        counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
+        self.n = int(counts.sum())
+        self.cum = np.cumsum(counts)
+
+    @staticmethod
+    def cents(t: pa.Table) -> np.ndarray:
+        return np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+
+    def order_stats(self, ranks) -> dict[int, int]:
+        """{rank: exact value} for 1-indexed ranks (one more pass)."""
+        from ..stages.join import bucket_sum
+
+        ranks = sorted({int(r) for r in ranks})
+        need_b = np.unique(np.searchsorted(self.cum, np.array(ranks, dtype=np.int64)))
+
+        def in_buckets(t: pa.Table) -> pa.Table:
+            c = self.cents(t)
+            m = np.isin((c - self.LO_C) // self.width, need_b)
+            u, cc = np.unique(c[m], return_counts=True)
+            return pa.table({"v": pa.array(u.astype(np.int64)),
+                             "n": pa.array(cc.astype(np.int64))})
+
+        vals = (
+            bucket_sum(
+                self.src.map_batches(in_buckets, batch_format="pyarrow"), ["v"], ["n"],
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("v")
+        )
+        vv = vals["v"].to_numpy().astype(np.int64)
+        vn = vals["n"].to_numpy().astype(np.int64)
+
+        out = {}
+        for r in ranks:
+            b = int(np.searchsorted(self.cum, r))
+            before = int(self.cum[b - 1]) if b > 0 else 0
+            sel = (vv - self.LO_C) // self.width == b
+            cv = np.cumsum(vn[sel])
+            out[r] = int(vv[sel][int(np.searchsorted(cv, r - before))])
+        return out
+
+
 def q_quantiles_sketch(sf_dir: str, k: int = 256):
     """MERGEABLE-SKETCH quantiles (KLL, stages/quantiles.py) of
     lineitem price-cents — the open-domain 100 TB swap for the exact
@@ -5646,71 +5817,22 @@ def q_quantiles_sketch(sf_dir: str, k: int = 256):
     a sketch drifting out of tolerance hash-fails the gate. Estimates
     themselves are deliberately NOT hashed (block boundaries may vary
     across cluster shapes); their accuracy is pytest-bounded at 1%."""
-    from ..stages.join import bucket_sum
     from ..stages.quantiles import sketch_column
 
-    lo_c, hi_c = 0, 10_500_001  # price domain in cents (bounded by gen)
-    nb = 4096
-    width = (hi_c - lo_c) // nb + 1
+    sel = _CentsSelector(sf_dir)
+    sk = sketch_column(sel.src, sel.cents, k=k)
 
-    def cents(t: pa.Table) -> np.ndarray:
-        return np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-
-    src = _table(sf_dir, "lineitem", ["l_extendedprice"])
-    sk = sketch_column(src, cents, k=k)
-
-    def hist(t: pa.Table) -> pa.Table:
-        h = np.bincount((cents(t) - lo_c) // width, minlength=nb)
-        return pa.table(
-            {"b": pa.array(np.arange(nb, dtype=np.int64)),
-             "n": pa.array(h.astype(np.int64))}
-        )
-
-    hp = (
-        bucket_sum(src.map_batches(hist, batch_format="pyarrow"), ["b"], ["n"], n_buckets=4)
-        .to_pandas()
-        .sort_values("b")
-    )
-    counts = np.zeros(nb, dtype=np.int64)
-    counts[hp["b"].to_numpy()] = hp["n"].to_numpy()
-    n = int(counts.sum())
-    cum = np.cumsum(counts)
-
+    n = sel.n
     slack = (_QSK_EPS_E6 * n + 999_999) // 1_000_000
     brackets = []
     for q in _QSK_PCTS:
         r = max(1, (q * n) // 100)
         brackets.append((q, max(1, r - slack), min(n, r + slack)))
-    all_ranks = sorted({r for _, lo, hi in brackets for r in (lo, hi)})
-    need_b = np.unique(np.searchsorted(cum, np.array(all_ranks, dtype=np.int64)))
-
-    def in_buckets(t: pa.Table) -> pa.Table:
-        c = cents(t)
-        m = np.isin((c - lo_c) // width, need_b)
-        u, cc = np.unique(c[m], return_counts=True)
-        return pa.table({"v": pa.array(u.astype(np.int64)),
-                         "n": pa.array(cc.astype(np.int64))})
-
-    vals = (
-        bucket_sum(
-            src.map_batches(in_buckets, batch_format="pyarrow"), ["v"], ["n"], n_buckets=4
-        )
-        .to_pandas()
-        .sort_values("v")
-    )
-    vv = vals["v"].to_numpy().astype(np.int64)
-    vn = vals["n"].to_numpy().astype(np.int64)
-
-    def order_stat(r: int) -> int:
-        b = int(np.searchsorted(cum, r))
-        before = int(cum[b - 1]) if b > 0 else 0
-        sel = (vv - lo_c) // width == b
-        cv = np.cumsum(vn[sel])
-        return int(vv[sel][int(np.searchsorted(cv, r - before))])
+    stats = sel.order_stats([r for _, lo, hi in brackets for r in (lo, hi)])
 
     rows = []
     for q, rank_lo, rank_hi in brackets:
-        lo_v, hi_v = order_stat(rank_lo), order_stat(rank_hi)
+        lo_v, hi_v = stats[rank_lo], stats[rank_hi]
         est = sk.quantile(q / 100.0)
         rows.append((q, rank_lo, rank_hi, lo_v, hi_v, int(lo_v <= est <= hi_v)))
     out = pd.DataFrame(
@@ -5718,6 +5840,80 @@ def q_quantiles_sketch(sf_dir: str, k: int = 256):
         columns=["q_pct", "rank_lo", "rank_hi", "lo_cents", "hi_cents", "in_bracket"],
     )
     return out.astype("int64")
+
+
+def q_sorted_export(sf_dir: str, n_parts: int = 8):
+    """RANGE-PARTITIONED GLOBAL SORT (the TeraSort sink shape): pick
+    exact splitters at ranks i*n/P (histogram selection, two streaming
+    passes, driver state O(buckets) — at open-domain 100 TB the KLL
+    sketch supplies approximate splitters instead, which only affects
+    BALANCE, never order), range-partition lineitem price-cents by
+    the broadcast splitter array, and write one SORTED parquet file
+    per partition through the resumable sink (write_partitioned
+    sort_by) — the partition sequence concatenates to a globally
+    sorted dataset without any single machine holding more than its
+    range. Output = per-partition (n_rows, min, max) read BACK from
+    the written files, plus a driver assertion that ranges chain
+    monotonically; the oracle reproduces the same exact splitters and
+    range assignment in SQL. part(x) = #(splitters < x), so boundary
+    duplicates land in the lower part on both sides."""
+    import shutil as _shutil
+
+    from ..stages.sink import read_partitioned, write_partitioned
+
+    sel = _CentsSelector(sf_dir)
+    n = sel.n
+    ranks = sorted({max(1, (i * n) // n_parts) for i in range(1, n_parts)})
+    stats = sel.order_stats(ranks)
+    splitters = np.sort(
+        np.array(
+            [stats[max(1, (i * n) // n_parts)] for i in range(1, n_parts)],
+            dtype=np.int64,
+        )
+    )
+    spl_ref = ray.put(splitters)
+
+    def assign(t: pa.Table) -> pa.Table:
+        spl = ray.get(spl_ref)
+        c = _CentsSelector.cents(t)
+        part = np.searchsorted(spl, c, side="left").astype(np.int64)  # #(b < c)
+        return pa.table({"part": pa.array(part), "cents": pa.array(c)})
+
+    out_dir = _cache(sf_dir, "sorted_export")
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    write_partitioned(
+        sel.src.map_batches(assign, batch_format="pyarrow"), out_dir,
+        sort_by=["cents"],
+    )
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"part": t["part"].to_numpy(), "c": t["cents"].to_numpy()})
+        g = df.groupby("part")["c"].agg(["size", "min", "max"]).reset_index()
+        return pa.table(
+            {
+                "part": pa.array(g["part"].to_numpy().astype(np.int64)),
+                "n_rows": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "min_cents": pa.array(g["min"].to_numpy().astype(np.int64)),
+                "max_cents": pa.array(g["max"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    rows = (
+        read_partitioned(out_dir)
+        .map_batches(part_stats, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("part", as_index=False)
+        .agg(n_rows=("n_rows", "sum"), min_cents=("min_cents", "min"),
+             max_cents=("max_cents", "max"))
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    # global sortedness: consecutive ranges must chain monotonically
+    assert (
+        rows["min_cents"].to_numpy()[1:] >= rows["max_cents"].to_numpy()[:-1]
+    ).all()
+    assert int(rows["n_rows"].sum()) == n
+    return rows.astype("int64")
 
 
 def q_events_retention(sf_dir: str):

@@ -22,7 +22,12 @@ import ray.data as rd
 
 from ..functions import html as H
 from ..functions.hashing import band_hashes, minhash_params, minhash_signature, simhash64
-from ..functions.text import lang_id, quality_score, shingle_hashes, token_count_bpe_ish
+from ..functions.text import (
+    lang_id_counts_lwords,
+    quality_score_words,
+    shingle_hashes_lwords,
+    token_count_bpe_ish,
+)
 from ..utils import stable_hash_array
 from .extract import _pool_size
 
@@ -51,15 +56,22 @@ class PageAnalyze:
             html = H.decode_html(htmls[i])
             text = H.extract_text(html)
             links = H.extract_links(html, urls[i])
+            # split/lowercase ONCE per doc and feed every consumer the
+            # precomputed lists: identical outputs (conformance-tested),
+            # ~5x fewer token-list allocations — allocation/store
+            # bandwidth is what limits per-core throughput at high
+            # concurrency on one socket (BASELINE.md scaling analysis)
+            words = text.split()
+            lwords = [w.lower() for w in words]
             out["n_links"][i] = len(links)
-            out["lang_pred"][i] = lang_id(text)[0]
-            out["quality_e6"][i] = int(quality_score(text) * 1e6)
-            out["n_tokens"][i] = len(text.split())
+            out["lang_pred"][i] = lang_id_counts_lwords(lwords)[0]
+            out["quality_e6"][i] = int(quality_score_words(text, words, lwords) * 1e6)
+            out["n_tokens"][i] = len(words)
             out["n_bpe_tokens"][i] = token_count_bpe_ish(text)
-            toks = np.array([w.lower() for w in text.split()], dtype=object)
+            toks = np.array(lwords, dtype=object)
             th = stable_hash_array(toks) if len(toks) else np.empty(0, dtype=np.uint64)
             out["simhash"][i] = np.int64(np.uint64(simhash64(th)).astype(np.int64))
-            sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+            sig = minhash_signature(shingle_hashes_lwords(lwords, self.k), self.a, self.b)
             out["band_hashes"][i] = band_hashes(sig, self.n_bands).astype(np.int64)
         return pa.table(
             {

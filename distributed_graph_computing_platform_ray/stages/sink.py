@@ -58,11 +58,15 @@ def write_partitioned(
     out_dir: str,
     part_col: str = "part",
     skip_done: bool = True,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Write ``ds`` as one Parquet file + done marker per partition.
 
     Returns {"written": [...], "skipped": [...]} partition ids.
-    Rows of already-done partitions never enter the shuffle."""
+    Rows of already-done partitions never enter the shuffle.
+    ``sort_by`` sorts each partition's rows before writing — with a
+    RANGE part_col this yields globally sorted output across the
+    partition sequence (the TeraSort sink shape)."""
     os.makedirs(out_dir, exist_ok=True)
     done = finished_partitions(out_dir) if skip_done else set()
 
@@ -77,6 +81,8 @@ def write_partitioned(
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g[part_col].iloc[0])
+        if sort_by:
+            g = g.sort_values(sort_by, kind="stable")
         pdir = _part_dir(out_dir, part)
         os.makedirs(pdir, exist_ok=True)
         tab = pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False)

@@ -78,6 +78,31 @@ def test_sketch_column_distributed():
         assert _rank_err(data, sk.quantile(q), q) <= 0.01
 
 
+def test_sorted_export_globally_sorted():
+    """Range-partitioned sort: partition ranges chain monotonically,
+    counts are roughly balanced, and the written files are each
+    internally sorted."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from distributed_graph_computing_platform_ray.pipelines.testdata import (
+        _cache,
+        q_sorted_export,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_sorted_export(sf)
+    assert (out["min_cents"].to_numpy()[1:] >= out["max_cents"].to_numpy()[:-1]).all()
+    n = out["n_rows"].sum()
+    assert (out["n_rows"] >= n // 16).all()  # splitters balance within 2x
+    pdir = _cache(sf, "sorted_export")
+    parts = sorted(d for d in os.listdir(pdir) if d.startswith("part="))
+    assert len(parts) == len(out)
+    c = pq.read_table(os.path.join(pdir, parts[0], "data.parquet"))["cents"].to_numpy()
+    assert (np.diff(c) >= 0).all()  # within-file sortedness
+
+
 def test_quantiles_sketch_query_in_bracket():
     from distributed_graph_computing_platform_ray.pipelines.testdata import (
         q_quantiles_sketch,
