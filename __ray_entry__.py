@@ -972,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": T.q_bowtie,
         "graph_diameter": T.q_graph_diameter,
         "reciprocity": T.q_reciprocity,
+        "degree_assortativity": T.q_degree_assortativity,
         "community_stats": T.q_community_stats,
         "closeness_sampled": T.q_closeness_sampled,
         "pagerank_weighted": T.q_pagerank_weighted,
@@ -1353,6 +1354,26 @@ def oracle_sql() -> dict[str, str]:
             "      FROM ed LEFT JOIN ed r ON r.src = ed.dst AND r.dst = ed.src) "
             "SELECT n::BIGINT AS n_edges, nm::BIGINT AS n_mutual, "
             "  ((2 * nm * 1000000 + n) // (2 * n))::BIGINT AS reciprocity_e6 FROM m"
+        ),
+        "degree_assortativity": (
+            # symmetrized edge list => x/y moments coincide, so Pearson
+            # r is the exact rational (n*Sxy - Sx^2)/(n*Sxx - Sx^2);
+            # HUGEINT products, signed half-up e6 via sign*abs (DuckDB
+            # // truncates toward zero, Python floors — CLAUDE.md rule)
+            f"WITH {_U_ORDERS}, "
+            "es AS (SELECT a AS s, b AS d FROM u UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT s AS v, count(*) AS dg FROM es GROUP BY 1), "
+            "j AS (SELECT ds.dg AS x, dd.dg AS y FROM es "
+            "      JOIN deg ds ON ds.v = es.s JOIN deg dd ON dd.v = es.d), "
+            "m AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx, "
+            "      sum(x*x)::HUGEINT AS sxx, sum(x*y)::HUGEINT AS sxy FROM j) "
+            "SELECT n::BIGINT AS n_pairs, sx::BIGINT AS sum_deg, "
+            "  sxx::BIGINT AS sum_deg2, sxy::BIGINT AS sum_xy, "
+            "  (CASE WHEN n*sxx - sx*sx = 0 THEN 0 ELSE "
+            "    (CASE WHEN n*sxy - sx*sx >= 0 THEN 1 ELSE -1 END) * "
+            "    ((2 * abs(n*sxy - sx*sx) * 1000000 + (n*sxx - sx*sx)) "
+            "     // (2 * (n*sxx - sx*sx))) END)::BIGINT AS r_e6 "
+            "FROM m"
         ),
         "community_stats": (
             # LP labels (same 10-iteration recurrence as the

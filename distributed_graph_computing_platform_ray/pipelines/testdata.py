@@ -871,6 +871,92 @@ def q_reciprocity(sf_dir: str, n_buckets: int = 16):
     )
 
 
+def q_degree_assortativity(sf_dir: str, n_buckets: int = 16):
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected orders graph — the classic web-graph "do hubs link to
+    hubs" statistic. On the SYMMETRIZED edge list the x- and y-moment
+    sums coincide (every edge appears in both orientations), so
+    Pearson r collapses to the exact rational
+        r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2)
+    — no square root — emitted as exact signed half-up e6 alongside
+    the raw integer moments. Degrees come from one bucket_sum over
+    the symmetrized endpoints, broadcast once (bounded 500-vertex
+    universe; above the broadcast limit this becomes two bucket joins
+    of deg onto the edge endpoints and the same moment partials).
+    Per-batch int64 moment partials driver-reduce as Python ints, so
+    the n*Sxy products can never overflow."""
+    import ray
+
+    from ..stages.join import bucket_sum
+
+    simple = edges_orders(sf_dir).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b]).astype(np.int64)),
+                "d": pa.array(np.concatenate([b, a]).astype(np.int64)),
+            }
+        )
+
+    es2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    dp = (
+        bucket_sum(
+            es2.map_batches(
+                lambda t: pa.table(
+                    {"v": t["s"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["v"],
+            ["one"],
+            n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    deg_ref = ray.put(
+        (dp["v"].to_numpy().astype(np.int64), dp["one"].to_numpy().astype(np.int64))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        vs, ds = ray.get(deg_ref)
+        x = ds[np.searchsorted(vs, t["s"].to_numpy())]
+        y = ds[np.searchsorted(vs, t["d"].to_numpy())]
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(x))]),
+                "sx": pa.array([x.sum(dtype=np.int64)]),
+                "sxx": pa.array([np.dot(x, x).astype(np.int64)]),
+                "sxy": pa.array([np.dot(x, y).astype(np.int64)]),
+            }
+        )
+
+    parts = es2.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    if den == 0:
+        r_e6 = 0
+    else:
+        sign = 1 if num >= 0 else -1
+        r_e6 = sign * ((2 * abs(num) * 1_000_000 + den) // (2 * den))
+    return pd.DataFrame(
+        {
+            "n_pairs": [n],
+            "sum_deg": [sx],
+            "sum_deg2": [sxx],
+            "sum_xy": [sxy],
+            "r_e6": [r_e6],
+        }
+    )
+
+
 def q_community_stats(sf_dir: str, num_iters: int = 10, n_buckets: int = 16):
     """Community-quality statistics for the label-propagation
     communities (shared cached LP run): per community its size, degree
