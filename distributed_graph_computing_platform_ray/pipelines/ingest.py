@@ -320,14 +320,9 @@ def build_graph_encoded(
     if symmetrize_edges:
         edges = symmetrize(edges)
 
-    def with_part(t: pa.Table) -> pa.Table:
-        part = pa.array(t["src"].to_numpy() // part_size, pa.int64())
-        return t.append_column("part", part)
-
-    def write_group(t: pa.Table) -> pa.Table:
+    def write_part(part: int, t: pa.Table):
         import numpy as _np
 
-        part = int(t["part"][0].as_py())
         lo, hi = manifest.part_bounds(part)
         w = t["weight"].to_numpy() if weighted else None
         indptr, indices, ww = build_shard_arrays(
@@ -339,13 +334,17 @@ def build_graph_encoded(
             manifest.vertices_path(part),
             pa.table({"id": pa.array(ids), "key": pa.array(ids.astype(str), pa.string())}),
         )
-        return pa.table({k: [v] for k, v in row.items()})
+        return row
 
-    part_rows = (
-        edges.map_batches(with_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(write_group, batch_format="pyarrow")
-        .take_all()
+    from ..stages.exchange import exchange_reduce
+
+    # no-sort split/reduce exchange instead of groupby("part") — see
+    # stages/exchange.py (same CSR bytes: build_shard_arrays lexsorts)
+    part_rows = exchange_reduce(
+        edges,
+        n_parts,
+        lambda t: t["src"].to_numpy() // part_size,
+        write_part,
     )
     seen = {r["part"] for r in part_rows}
     for p in range(n_parts):
@@ -572,13 +571,15 @@ def build_graph(
         else:
             edges = symmetrize(edges)
 
-    # ---- CSR shards: ONE range-partition shuffle, side-write per part ----
-    def with_part(t: pa.Table) -> pa.Table:
-        part = pa.array(t["src"].to_numpy() // part_size, pa.int64())
-        return t.append_column("part", part)
-
-    def write_csr_group(t: pa.Table) -> pa.Table:
-        part = int(t["part"][0].as_py())
+    # ---- CSR shards: ONE range-partition exchange, side-write per part ----
+    # raw split/reduce tasks (stages/exchange.py), NOT groupby("part"):
+    # the partition id is pure arithmetic, and the Dataset groupby's
+    # sort-based all-to-all pays a serial sample/sort stage the
+    # exchange avoids (same rationale as the engine's superstep path,
+    # engine.py:255-268). Shard bytes are identical either way —
+    # build_shard_arrays lexsorts its rows (asserted by
+    # tests/test_ingest.py's local-fast-path equality).
+    def write_csr_part(part: int, t: pa.Table):
         lo, hi = manifest.part_bounds(part)
         s = t["src"].to_numpy()
         d = t["dst"].to_numpy()
@@ -604,14 +605,15 @@ def build_graph(
             s, d = ss[keep], dd[keep]
             w = ws_[keep] if weighted else None
         indptr, indices, ww = build_shard_arrays(s, d, w, lo, hi)
-        row = write_shard(manifest, part, indptr, indices, ww)
-        return pa.table({k: [v] for k, v in row.items()})
+        return write_shard(manifest, part, indptr, indices, ww)
 
-    part_rows = (
-        edges.map_batches(with_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(write_csr_group, batch_format="pyarrow")
-        .take_all()
+    from ..stages.exchange import exchange_reduce
+
+    part_rows = exchange_reduce(
+        edges,
+        n_parts,
+        lambda t: t["src"].to_numpy() // part_size,
+        write_csr_part,
     )
 
     # Parts whose id range got no out-edges (possible only when
@@ -643,22 +645,15 @@ def build_graph(
             atomic_write_parquet(manifest.vertices_path(p), t)
     else:
 
-        def write_vertices_group(g: pd.DataFrame) -> pd.DataFrame:
-            part = int(g["part"].iloc[0])
-            g = g.sort_values("id", kind="stable")
-            t = pa.table({"id": g["id"].to_numpy(), "key": g["key"].astype(str).to_numpy()})
-            atomic_write_parquet(manifest.vertices_path(part), t)
-            return pd.DataFrame({"part": [part], "n_rows": [len(g)]})
+        def write_vertices_part(part: int, t: pa.Table):
+            g = t.to_pandas().sort_values("id", kind="stable")
+            vt = pa.table({"id": g["id"].to_numpy(), "key": g["key"].astype(str).to_numpy()})
+            atomic_write_parquet(manifest.vertices_path(part), vt)
+            return {"part": int(part), "n_rows": len(g)}
 
-        (
-            dict_ds.map_batches(
-                lambda t: t.append_column("part", pa.array(t["id"].to_numpy() // part_size, pa.int64())),
-                batch_format="pyarrow",
-            )
-            .groupby("part")
-            .map_groups(write_vertices_group, batch_format="pandas")
-            .take_all()
-        )
+        from ..stages.exchange import exchange_reduce as _xr
+
+        _xr(dict_ds, n_parts, lambda t: t["id"].to_numpy() // part_size, write_vertices_part)
 
     manifest.parts = sorted(part_rows, key=lambda r: int(r["part"]))
     manifest.n_edges_directed = int(sum(r["n_edges"] for r in manifest.parts))
