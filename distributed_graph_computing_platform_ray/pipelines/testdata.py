@@ -5969,7 +5969,7 @@ def q_sorted_export(sf_dir: str, n_parts: int = 8):
     _shutil.rmtree(out_dir, ignore_errors=True)
     write_partitioned(
         sel.src.map_batches(assign, batch_format="pyarrow"), out_dir,
-        sort_by=["cents"],
+        sort_by=["cents"], n_parts=len(splitters) + 1,
     )
 
     def part_stats(t: pa.Table) -> pa.Table:

@@ -207,7 +207,8 @@ def build_ivf_index(
         )
 
     write_partitioned(
-        ds.map_batches(assign, batch_format="pyarrow"), index_dir, part_col="part"
+        ds.map_batches(assign, batch_format="pyarrow"), index_dir, part_col="part",
+        n_parts=len(C),
     )
     tmp = f"{cpath}.tmp{os.getpid()}.npy"  # .npy suffix: np.save won't rename
     np.save(tmp, C)

@@ -49,38 +49,13 @@ def exchange_reduce(
     """
 
     @ray.remote
-    def split_task(block):
-        t = (
-            block
-            if isinstance(block, pa.Table)
-            else pa.Table.from_pandas(block, preserve_index=False)
-        )
-        if t.num_rows == 0:
-            return [None] * n_parts if n_parts > 1 else None
-        parts = np.asarray(part_of(t), dtype=np.int64)
-        order = np.argsort(parts, kind="stable")
-        ts = t.take(pa.array(order))
-        ps = parts[order]
-        starts = np.concatenate(
-            [[0], np.flatnonzero(np.diff(ps)) + 1, [len(ps)]]
-        )
-        out: list = [None] * n_parts
-        for i in range(len(starts) - 1):
-            a, b = int(starts[i]), int(starts[i + 1])
-            if a < b:
-                out[int(ps[a])] = ts.slice(a, b - a)
-        # with num_returns == 1 Ray passes the return list through
-        # verbatim (same quirk the engine's scatter_task unwraps)
-        return out[0] if n_parts == 1 else out
-
-    @ray.remote
     def reduce_task(part, *chunks):
         tabs = [c for c in chunks if c is not None]
         if not tabs:
             return None
         return reduce_fn(part, pa.concat_tables(tabs, promote_options="default"))
 
-    split_task = split_task.options(num_returns=n_parts)
+    split_task = _make_split_task(n_parts, part_of)
     per_part: list[list] = [[] for _ in range(n_parts)]
     for bundle in ds.iter_internal_ref_bundles():
         for bref in bundle.block_refs:
@@ -95,3 +70,95 @@ def exchange_reduce(
         if per_part[p]
     ]
     return [r for r in ray.get(pending) if r is not None]
+
+
+def _make_split_task(n_parts: int, part_of):
+    @ray.remote
+    def split_task(block):
+        t = (
+            block
+            if isinstance(block, pa.Table)
+            else pa.Table.from_pandas(block, preserve_index=False)
+        )
+        if t.num_rows == 0:
+            return [None] * n_parts if n_parts > 1 else None
+        parts = np.asarray(part_of(t), dtype=np.int64)
+        order = np.argsort(parts, kind="stable")
+        ts = t.take(pa.array(order))
+        ps = parts[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ps)) + 1, [len(ps)]])
+        out: list = [None] * n_parts
+        for i in range(len(starts) - 1):
+            a, b = int(starts[i]), int(starts[i + 1])
+            if a < b:
+                out[int(ps[a])] = ts.slice(a, b - a)
+        return out[0] if n_parts == 1 else out
+
+    return split_task.options(num_returns=n_parts)
+
+
+def exchange_map_groups(
+    ds: rd.Dataset,
+    n_parts: int,
+    part_of: Callable[[pa.Table], np.ndarray],
+    fn: Callable,
+    *,
+    batch_format: str = "pandas",
+) -> rd.Dataset:
+    """``groupby(part).map_groups(fn)`` without the sort shuffle.
+
+    Same split/reduce shape as :func:`exchange_reduce`, but each
+    reduce's output table becomes a block of the RETURNED Dataset
+    (``from_arrow_refs`` — the tables never visit the driver). ``fn``
+    sees one partition's rows concatenated in upstream block order, as
+    a pandas DataFrame (``batch_format="pandas"``) or pyarrow Table;
+    callers whose kernels are order-sensitive must sort inside ``fn``
+    (the bucket kernels in stages/join.py all do, or are reductions).
+
+    EAGER, unlike the groupby chain: the upstream plan executes inside
+    this call and the result is a materialized-in-object-store Dataset.
+    Downstream chaining works normally; re-consumption is free (no
+    plan re-execution).
+    """
+
+    @ray.remote(num_returns=2)
+    def reduce_task(part, *chunks):
+        tabs = [c for c in chunks if c is not None]
+        if not tabs:
+            return None, -1  # -1: no rows even reached this partition
+        t = pa.concat_tables(tabs, promote_options="default")
+        if batch_format == "pandas":
+            out = fn(t.to_pandas())
+        else:
+            out = fn(t)
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+        return out, out.num_rows
+
+    split_task = _make_split_task(n_parts, part_of)
+    per_part: list[list] = [[] for _ in range(n_parts)]
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            refs = split_task.remote(bref)
+            if n_parts == 1:
+                refs = [refs]
+            for p, r in enumerate(refs):
+                per_part[p].append(r)
+    tab_refs, n_refs = [], []
+    for p in range(n_parts):
+        if per_part[p]:
+            tr, nr = reduce_task.remote(p, *per_part[p])
+            tab_refs.append(tr)
+            n_refs.append(nr)
+    if not tab_refs:
+        return rd.from_items([])
+    ns = ray.get(n_refs)
+    keep = [r for r, n in zip(tab_refs, ns) if n > 0]
+    if not keep:
+        # keep one (empty) fn output so the schema survives — empty
+        # Datasets created blockless lose their schema (NOTES.md)
+        empties = [r for r, n in zip(tab_refs, ns) if n == 0]
+        if not empties:
+            return rd.from_items([])
+        keep = [empties[0]]
+    return rd.from_arrow_refs(keep)

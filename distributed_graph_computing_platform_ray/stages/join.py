@@ -16,6 +16,7 @@ exactly once per shuffle. Small-side joins should instead broadcast
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -28,6 +29,32 @@ from ..utils import bucket_of, stable_hash_rows
 
 _BUCKET = "__bucket"
 _SIDE = "__side"
+
+# All four bucket primitives below finish with "one kernel call per
+# bucket". By default that runs on the no-sort split/reduce exchange
+# (stages/exchange.py) instead of Dataset.groupby's sort-based
+# all-to-all — the bucket id is already a pure hash of the key, so the
+# sort (and its serial sample stage) bought nothing. Set
+# GRAFT_BUCKET_EXCHANGE=0 to fall back to the groupby path (kept for
+# A/B and as the lazy-plan variant; kernels are shared, results equal
+# up to row order, and every kernel is order-insensitive or sorts).
+_USE_EXCHANGE = os.environ.get("GRAFT_BUCKET_EXCHANGE", "1") == "1"
+
+
+def _bucket_groups(
+    keyed: rd.Dataset, n_buckets: int, fn, batch_format: str
+) -> rd.Dataset:
+    if _USE_EXCHANGE:
+        from .exchange import exchange_map_groups
+
+        return exchange_map_groups(
+            keyed,
+            n_buckets,
+            lambda t: t[_BUCKET].to_numpy(),
+            fn,
+            batch_format=batch_format,
+        )
+    return keyed.groupby(_BUCKET).map_groups(fn, batch_format=batch_format)
 
 
 def _add_bucket_batch(t: pa.Table, cols: list[str], n_buckets: int) -> pa.Table:
@@ -63,10 +90,8 @@ def bucket_sum(
         out = g.groupby(key_cols, as_index=False, sort=False)[sum_cols].sum()
         return out
 
-    return (
-        add_bucket(ds, key_cols, n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(per_bucket, batch_format="pandas")
+    return _bucket_groups(
+        add_bucket(ds, key_cols, n_buckets), n_buckets, per_bucket, "pandas"
     )
 
 
@@ -87,14 +112,15 @@ def distinct(ds: rd.Dataset, cols: list[str], n_buckets: int = 64) -> rd.Dataset
         out = g[cols].drop_duplicates()
         return out.sort_values(cols).reset_index(drop=True)
 
-    return (
+    return _bucket_groups(
         add_bucket(
             ds.select_columns(cols).map_batches(predrop, batch_format="pandas"),
             cols,
             n_buckets,
-        )
-        .groupby(_BUCKET)
-        .map_groups(dedup, batch_format="pandas")
+        ),
+        n_buckets,
+        dedup,
+        "pandas",
     )
 
 
@@ -112,8 +138,8 @@ def distinct_keep_first(
         out = g.drop_duplicates(subset=key_cols, keep="first")
         return out.drop(columns=[_BUCKET]).reset_index(drop=True)
 
-    return (
-        add_bucket(ds, key_cols, n_buckets).groupby(_BUCKET).map_groups(keep_first, batch_format="pandas")
+    return _bucket_groups(
+        add_bucket(ds, key_cols, n_buckets), n_buckets, keep_first, "pandas"
     )
 
 
@@ -217,10 +243,8 @@ def bucket_join(
             out = out.drop(columns=[right_on])
         return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
-    return (
-        add_bucket(tagged, [left_on], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(join_bucket, batch_format="pyarrow")
+    return _bucket_groups(
+        add_bucket(tagged, [left_on], n_buckets), n_buckets, join_bucket, "pyarrow"
     )
 
 

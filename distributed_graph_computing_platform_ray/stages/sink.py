@@ -59,6 +59,7 @@ def write_partitioned(
     part_col: str = "part",
     skip_done: bool = True,
     sort_by: list[str] | None = None,
+    n_parts: int | None = None,
 ) -> dict:
     """Write ``ds`` as one Parquet file + done marker per partition.
 
@@ -66,7 +67,12 @@ def write_partitioned(
     Rows of already-done partitions never enter the shuffle.
     ``sort_by`` sorts each partition's rows before writing — with a
     RANGE part_col this yields globally sorted output across the
-    partition sequence (the TeraSort sink shape)."""
+    partition sequence (the TeraSort sink shape).
+
+    Pass ``n_parts`` when partition ids are dense in [0, n_parts) —
+    the shuffle then runs on the no-sort split/reduce exchange
+    (stages/exchange.py) instead of a Dataset groupby; identical
+    output files (each partition is sorted or whole before writing)."""
     os.makedirs(out_dir, exist_ok=True)
     done = finished_partitions(out_dir) if skip_done else set()
 
@@ -97,6 +103,16 @@ def write_partitioned(
         )
         return pd.DataFrame({"part": [part], "rows": [len(g)]})
 
+    if n_parts is not None:
+        from .exchange import exchange_reduce
+
+        written = exchange_reduce(
+            ds,
+            n_parts,
+            lambda t: t[part_col].to_numpy(),
+            lambda part, t: int(write_group(t.to_pandas()).iloc[0]["part"]),
+        )
+        return {"written": sorted(written), "skipped": sorted(done)}
     rows = ds.groupby(part_col).map_groups(write_group, batch_format="pandas").to_pandas()
     return {
         "written": sorted(int(p) for p in rows["part"]) if len(rows) else [],

@@ -200,6 +200,38 @@ def test_partitioned_sink_resumes_skipping_done():
     assert (back["v"].to_numpy() == np.arange(1000)).all()
 
 
+def test_partitioned_sink_exchange_path_matches_groupby():
+    """n_parts routes through the no-sort exchange; files must be
+    identical (same rows, same resume semantics) to the groupby path."""
+    import os, shutil
+
+    from distributed_graph_computing_platform_ray.stages.sink import (
+        finished_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    df = pd.DataFrame(
+        {"part": np.arange(1000) % 7, "v": np.arange(1000, dtype=np.int64)}
+    )
+    outs = {}
+    for name, kw in [("gb", {}), ("xc", {"n_parts": 7})]:
+        out = f"/tmp/graft_tests/sink_{name}"
+        shutil.rmtree(out, ignore_errors=True)
+        r = write_partitioned(rd.from_pandas(df), out, sort_by=["v"], **kw)
+        assert r["written"] == list(range(7))
+        assert finished_partitions(out) == set(range(7))
+        outs[name] = (
+            read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["gb"], outs["xc"])
+    # resume on the exchange path skips done partitions too
+    out = "/tmp/graft_tests/sink_xc"
+    shutil.rmtree(os.path.join(out, "part=00002"))
+    r2 = write_partitioned(rd.from_pandas(df), out, sort_by=["v"], n_parts=7)
+    assert r2["written"] == [2] and r2["skipped"] == [0, 1, 3, 4, 5, 6]
+
+
 def test_asof_join_string_keys():
     left = pd.DataFrame({"eid": [1, 2], "k": ["x", "y"], "lts": _ts(5, 5)})
     right = pd.DataFrame({"k2": ["x", "y"], "rts": _ts(2, 8), "payload": [10, 20]})
