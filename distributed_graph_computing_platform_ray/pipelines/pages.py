@@ -77,10 +77,10 @@ def contract_link_graph(links: rd.Dataset, n_buckets: int = 32) -> rd.Dataset:
             .rename(columns={"size": "weight"})
         )
 
-    partial = (
-        add_bucket(links, ["src_key", "dst_key"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(per_bucket, batch_format="pandas")
+    from ..stages.join import bucket_map_groups
+
+    partial = bucket_map_groups(
+        add_bucket(links, ["src_key", "dst_key"], n_buckets), n_buckets, per_bucket
     )
     return bucket_sum(partial, ["src_key", "dst_key"], ["weight"], 16)
 

@@ -225,12 +225,13 @@ def triangle_count(
                 {"vertex": pa.array(np.concatenate(out_v)), "cnt": pa.array(np.concatenate(out_c))}
             )
 
-        from ..stages.join import _BUCKET, add_bucket
+        from ..stages.join import add_bucket, bucket_map_groups
 
-        fused = (
-            add_bucket(oriented, ["u"], n_buckets)
-            .groupby(_BUCKET)
-            .map_groups(wedge_close_group, batch_format="pyarrow")
+        fused = bucket_map_groups(
+            add_bucket(oriented, ["u"], n_buckets),
+            n_buckets,
+            wedge_close_group,
+            "pyarrow",
         )
         if not per_vertex:
             # one scalar per group — the wedge set never leaves the task

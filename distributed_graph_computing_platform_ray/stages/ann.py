@@ -390,7 +390,7 @@ def embedding_neardup(
             }
         )
 
-    from ..stages.join import distinct
+    from ..stages.join import bucket_map_groups, distinct
 
-    cand = add_bucket(bucketed, ["lsh"], n_buckets).groupby(_BUCKET).map_groups(pairs, batch_format="pandas")
+    cand = bucket_map_groups(add_bucket(bucketed, ["lsh"], n_buckets), n_buckets, pairs)
     return distinct(cand, ["a", "b", "cos_e6"], n_buckets)

@@ -137,8 +137,8 @@ def asof_join(
         # exact integers once the NaN rows are gone)
         return tab.cast(pa.schema([(c, types[c]) for c in all_cols]))
 
-    return (
-        add_bucket(tagged, ["__asof_key"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(join_bucket, batch_format="pyarrow")
+    from .join import bucket_map_groups
+
+    return bucket_map_groups(
+        add_bucket(tagged, ["__asof_key"], n_buckets), n_buckets, join_bucket, "pyarrow"
     )

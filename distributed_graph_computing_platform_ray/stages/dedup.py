@@ -32,7 +32,7 @@ import ray.data as rd
 
 from ..functions.hashing import band_hashes, fnv1a64, hamming64, minhash_params, minhash_signature, simhash64
 from ..functions.text import jaccard, shingle_hashes
-from ..stages.join import _BUCKET, add_bucket, bucket_join
+from ..stages.join import _BUCKET, add_bucket, bucket_join, bucket_map_groups
 
 MAX_BUCKET_PAIRS = 2000  # cap pairs generated per LSH bucket (logged)
 
@@ -60,7 +60,7 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", 
         )
         return g[["winner_id", "n_copies", "h"]]
 
-    return add_bucket(hashed, ["h"], n_buckets).groupby(_BUCKET).map_groups(group, batch_format="pandas")
+    return bucket_map_groups(add_bucket(hashed, ["h"], n_buckets), n_buckets, group)
 
 
 class MinHashStage:
@@ -140,10 +140,8 @@ def minhash_candidates(
             out_b.extend(ids[j])
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")})
 
-    cand = (
-        add_bucket(bands, ["band_id", "band_hash"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(pairs, batch_format="pandas")
+    cand = bucket_map_groups(
+        add_bucket(bands, ["band_id", "band_hash"], n_buckets), n_buckets, pairs
     )
     if not dedup:
         return cand
@@ -416,16 +414,14 @@ def ngram_jaccard_join(
     # int key, pandas does the vectorized aggregation per bucket) —
     # Dataset.groupby's multi-key sample/sort path is orders of
     # magnitude slower at millions of pair rows (measured; NOTES.md)
-    inter = (
+    inter = bucket_map_groups(
         add_bucket(
-            add_bucket(posts, ["sh"], n_buckets)
-            .groupby(_BUCKET)
-            .map_groups(pairs, batch_format="pandas"),
+            bucket_map_groups(add_bucket(posts, ["sh"], n_buckets), n_buckets, pairs),
             ["a", "b"],
             n_buckets,
-        )
-        .groupby(_BUCKET)
-        .map_groups(sum_pairs, batch_format="pandas")
+        ),
+        n_buckets,
+        sum_pairs,
     )
 
     thr = int(threshold * 1e6)
@@ -511,7 +507,7 @@ def simhash_dedup(ds: rd.Dataset, id_col="doc_id", text_col="text", max_hamming=
             )
 
         outs.append(
-            add_bucket(sigs, [f"sb{band}"], n_buckets).groupby(_BUCKET).map_groups(pairs, batch_format="pandas")
+            bucket_map_groups(add_bucket(sigs, [f"sb{band}"], n_buckets), n_buckets, pairs)
         )
     allpairs = outs[0].union(*outs[1:])
     from ..stages.join import distinct
@@ -582,10 +578,8 @@ def strip_dup_spans(
             }
         )
 
-    dup = (
-        add_bucket(occ, ["gram"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(dup_positions, batch_format="pandas")
+    dup = bucket_map_groups(
+        add_bucket(occ, ["gram"], n_buckets), n_buckets, dup_positions
     )
 
     # tagged union in ARROW (null padding through pandas would float-cast
@@ -652,8 +646,6 @@ def strip_dup_spans(
             }
         )
 
-    return (
-        add_bucket(uni, ["doc_id"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(rebuild, batch_format="pyarrow")
+    return bucket_map_groups(
+        add_bucket(uni, ["doc_id"], n_buckets), n_buckets, rebuild, "pyarrow"
     )

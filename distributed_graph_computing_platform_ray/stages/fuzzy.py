@@ -122,10 +122,10 @@ def fuzzy_pairs_d1(
     uniq = distinct(ds, [col]).map_batches(
         lambda df: _deletion_keys(df, col), batch_format="pandas"
     )
-    cand = (
-        add_bucket(uniq, ["key"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(_pairs_in_bucket, batch_format="pandas")
+    from .join import bucket_map_groups
+
+    cand = bucket_map_groups(
+        add_bucket(uniq, ["key"], n_buckets), n_buckets, _pairs_in_bucket
     )
     return distinct(cand, ["a", "b"]).map_batches(
         _verify_d1, batch_format="pandas"

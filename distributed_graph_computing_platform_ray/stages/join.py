@@ -41,6 +41,15 @@ _SIDE = "__side"
 _USE_EXCHANGE = os.environ.get("GRAFT_BUCKET_EXCHANGE", "1") == "1"
 
 
+def bucket_map_groups(
+    keyed: rd.Dataset, n_buckets: int, fn, batch_format: str = "pandas"
+) -> rd.Dataset:
+    """``keyed.groupby(_BUCKET).map_groups(fn)`` on the no-sort
+    exchange (the public face of the switch below — use this instead
+    of a literal ``groupby(_BUCKET)`` chain for any bucketed kernel)."""
+    return _bucket_groups(keyed, n_buckets, fn, batch_format)
+
+
 def _bucket_groups(
     keyed: rd.Dataset, n_buckets: int, fn, batch_format: str
 ) -> rd.Dataset:

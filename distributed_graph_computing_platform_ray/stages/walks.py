@@ -124,12 +124,11 @@ def _walks_distributed(
         out["deg"] = out.groupby("src")["dst"].transform("size").astype(np.int64)
         return out
 
-    adj = (
-        add_bucket(edges, ["src"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(rank_bucket, batch_format="pandas")
-        .materialize()
-    )
+    from .join import bucket_map_groups
+
+    adj = bucket_map_groups(
+        add_bucket(edges, ["src"], n_buckets), n_buckets, rank_bucket
+    ).materialize()
 
     seeds = distinct(edges, ["src"], n_buckets).map_batches(
         lambda t: pa.table(
@@ -238,12 +237,9 @@ def _walks_distributed(
         tagged = frontier.map_batches(tag_frontier, batch_format="pyarrow").union(
             adj_tagged
         )
-        frontier = (
-            add_bucket(tagged, ["key"], n_buckets)
-            .groupby(_BUCKET)
-            .map_groups(advance, batch_format="pyarrow")
-            .materialize()
-        )
+        frontier = bucket_map_groups(
+            add_bucket(tagged, ["key"], n_buckets), n_buckets, advance, "pyarrow"
+        ).materialize()
         outputs.append(
             frontier.map_batches(
                 lambda t, _s=s: step_rows(t, _s + 1), batch_format="pyarrow"
