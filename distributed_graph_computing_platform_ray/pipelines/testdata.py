@@ -39,6 +39,7 @@ from ..state.manifest import GraphManifest
 from .graph import run_algorithm, top_k
 from .ingest import build_graph
 from .triangles import triangle_count
+from ..stages.join import bucket_map_groups as _BMG
 
 CACHE_ROOT = os.environ.get("GRAFT_CACHE", "/tmp/graft_cache")
 
@@ -651,9 +652,7 @@ def q_ecc_bounds(sf_dir: str, n_buckets: int = 16):
         )
 
     return (
-        add_bucket(both, ["vertex"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(merge, batch_format="pandas")
+        _BMG(add_bucket(both, ["vertex"], n_buckets), n_buckets, merge, "pandas")
     )
 
 
@@ -855,9 +854,7 @@ def q_reciprocity(sf_dir: str, n_buckets: int = 16):
         return pd.DataFrame({"n_edges": [len(fwd)], "n_mutual": [n_mut]})
 
     parts = (
-        add_bucket(keyed, ["pk"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(per_bucket, batch_format="pandas")
+        _BMG(add_bucket(keyed, ["pk"], n_buckets), n_buckets, per_bucket, "pandas")
         .take_all()
     )
     n = sum(r["n_edges"] for r in parts)
@@ -1242,9 +1239,7 @@ def q_inverted_index(sf_dir: str):
     src = _table(sf_dir, "documents", ["doc_id", "text"])
     nb = _scaled_buckets(sf_dir, "documents", rows_per_bucket=50_000, floor=16)
     return (
-        add_bucket(src.map_batches(pairs, batch_format="pandas"), ["term"], nb)
-        .groupby(_BUCKET)
-        .map_groups(build, batch_format="pandas")
+        _BMG(add_bucket(src.map_batches(pairs, batch_format="pandas"), ["term"], nb), nb, build, "pandas")
     )
 
 
@@ -1885,9 +1880,7 @@ def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
         return pd.concat(out, ignore_index=True)
 
     return (
-        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
-        .groupby(_BUCKET)
-        .map_groups(sessionize, batch_format="pandas")
+        _BMG(add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events")), _scaled_buckets(sf_dir, "events"), sessionize, "pandas")
     )
 
 
@@ -1918,9 +1911,7 @@ def q_events_latest(sf_dir: str):
         prep, batch_format="pandas"
     )
     return (
-        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
-        .groupby(_BUCKET)
-        .map_groups(latest, batch_format="pandas")
+        _BMG(add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events")), _scaled_buckets(sf_dir, "events"), latest, "pandas")
     )
 
 
@@ -1955,9 +1946,7 @@ def q_events_deltas(sf_dir: str):
         prep, batch_format="pandas"
     )
     return (
-        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
-        .groupby(_BUCKET)
-        .map_groups(deltas, batch_format="pandas")
+        _BMG(add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events")), _scaled_buckets(sf_dir, "events"), deltas, "pandas")
     )
 
 
@@ -2086,9 +2075,7 @@ def q_lineitem_antijoin(sf_dir: str, broadcast_limit: int = 2_000_000):
 
         nb = _scaled_buckets(sf_dir, "lineitem")
         agg = (
-            add_bucket(tagged, ["l_orderkey"], nb)
-            .groupby(_BUCKET)
-            .map_groups(anti_sum, batch_format="pandas")
+            _BMG(add_bucket(tagged, ["l_orderkey"], nb), nb, anti_sum, "pandas")
         )
     return agg.map_batches(
         lambda df: df.astype({"l_orderkey": "int64", "n_items": "int64"}),
@@ -2180,9 +2167,7 @@ def q_antijoin_bloom(sf_dir: str, m_bits: int = 1 << 18, k_hashes: int = 4):
         return keep[["l_orderkey", "n_items"]]
 
     survivors = (
-        add_bucket(tagged, ["l_orderkey"], 16)
-        .groupby(_BUCKET)
-        .map_groups(verify, batch_format="pandas")
+        _BMG(add_bucket(tagged, ["l_orderkey"], 16), 16, verify, "pandas")
     )
     agg = bucket_sum(clean.union(survivors), ["l_orderkey"], ["n_items"], n_buckets=16)
     return agg.map_batches(
@@ -2712,7 +2697,7 @@ def q_doc_dup_ngrams(sf_dir: str, n: int = 5, n_buckets: int = 64):
         )
 
     part = (
-        add_bucket(ds, ["gram"], n_buckets).groupby(_BUCKET).map_groups(per_bucket, batch_format="pandas")
+        _BMG(add_bucket(ds, ["gram"], n_buckets), n_buckets, per_bucket, "pandas")
     )
     # second shuffle: per-doc sums via the bucket pattern (Ray's
     # sort-aggregate pays ~7ms PER GROUP — 37 s at 5000 docs)
@@ -2777,9 +2762,9 @@ def q_doc_tfidf_top(sf_dir: str, k: int = 3, n_buckets: int = 64):
             }
         )
 
-    scored = (
-        add_bucket(ds, ["term"], n_buckets).groupby(_BUCKET).map_groups(score_bucket, batch_format="pandas")
-    )
+    from ..stages.join import bucket_map_groups as _bmg
+
+    scored = _bmg(add_bucket(ds, ["term"], n_buckets), n_buckets, score_bucket)
 
     def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-BUCKET top-k (one sort + groupby-head over the
@@ -2790,11 +2775,7 @@ def q_doc_tfidf_top(sf_dir: str, k: int = 3, n_buckets: int = 64):
         out = df.groupby("doc_id", sort=False).head(k)
         return out[["doc_id", "term", "score"]].astype({"score": "int64"})
 
-    return (
-        add_bucket(scored, ["doc_id"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(topk_bucket, batch_format="pandas")
-    )
+    return _bmg(add_bucket(scored, ["doc_id"], n_buckets), n_buckets, topk_bucket)
 
 
 def q_random_walks(sf_dir: str, num_steps: int = 8, walker_mod: int = 5):
@@ -2982,7 +2963,7 @@ def q_part_cooccurrence(sf_dir: str, k: int = 100, n_buckets: int = 64):
         )
         return pdf.groupby(["a", "b"], as_index=False, sort=False)["cnt"].sum()
 
-    part = b.groupby(_BUCKET).map_groups(pairs, batch_format="pandas")
+    part = _BMG(b, n_buckets, pairs, "pandas")
     agg = bucket_sum(part, ["a", "b"], ["cnt"], n_buckets)
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
@@ -3067,9 +3048,7 @@ def q_events_range_join(sf_dir: str, window_s: int = 300, n_buckets: int = 32):
         )
 
     return (
-        add_bucket(ds, ["user_id"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(per_bucket, batch_format="pandas")
+        _BMG(add_bucket(ds, ["user_id"], n_buckets), n_buckets, per_bucket, "pandas")
     )
 
 
@@ -3135,9 +3114,7 @@ def q_order_quartiles(sf_dir: str, k: int = 4, n_buckets: int = 16):
         )
 
     return (
-        add_bucket(ds, ["nation"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(ntile_bucket, batch_format="pandas")
+        _BMG(add_bucket(ds, ["nation"], n_buckets), n_buckets, ntile_bucket, "pandas")
     )
 
 
@@ -3197,7 +3174,7 @@ def q_doc_pack(sf_dir: str, cap: int = 512, range_size: int = 64):
         )
 
     return (
-        add_bucket(ds, ["rb"], 16).groupby(_BUCKET).map_groups(place, batch_format="pandas")
+        _BMG(add_bucket(ds, ["rb"], 16), 16, place, "pandas")
     )
 
 
@@ -3299,7 +3276,7 @@ def q_corpus_curation(
         )
 
     return (
-        add_bucket(tagged, ["rb"], 16).groupby(_BUCKET).map_groups(place, batch_format="pandas")
+        _BMG(add_bucket(tagged, ["rb"], 16), 16, place, "pandas")
     )
 
 
@@ -3679,9 +3656,7 @@ def q_anchor_stats(sf_dir: str, n: int = 2000, n_buckets: int = 32):
 
     pages = generate_pages(n)
     return (
-        add_bucket(pages.map_batches(inst, batch_format="pyarrow"), ["dst"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(agg, batch_format="pandas")
+        _BMG(add_bucket(pages.map_batches(inst, batch_format="pyarrow"), ["dst"], n_buckets), n_buckets, agg, "pandas")
     )
 
 
@@ -3721,9 +3696,7 @@ def q_page_degree_profile(sf_dir: str, n: int = 2000, n_buckets: int = 32):
 
     pages = generate_pages(n)
     return (
-        add_bucket(pages.map_batches(inst, batch_format="pyarrow"), ["url"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(merge, batch_format="pandas")
+        _BMG(add_bucket(pages.map_batches(inst, batch_format="pyarrow"), ["url"], n_buckets), n_buckets, merge, "pandas")
     )
 
 
@@ -3866,9 +3839,7 @@ def q_orders_full_join(sf_dir: str, min_acctbal: float = 5000.0):
         )
 
     return (
-        add_bucket(orders.union(cust), ["custkey"], 32)
-        .groupby(_BUCKET)
-        .map_groups(join_bucket, batch_format="pandas")
+        _BMG(add_bucket(orders.union(cust), ["custkey"], 32), 32, join_bucket, "pandas")
     )
 
 
@@ -3937,7 +3908,7 @@ def q_vocab_build(sf_dir: str, min_df: int = 1):
         )
 
     vocab = (
-        add_bucket(dfs, ["df"], 8).groupby(_BUCKET).map_groups(rank, batch_format="pandas")
+        _BMG(add_bucket(dfs, ["df"], 8), 8, rank, "pandas")
     )
     if min_df > 1:
         vocab = vocab.filter(lambda r: r["df"] >= min_df)
@@ -4103,9 +4074,7 @@ def q_link_prediction(sf_dir: str, k: int = 100):
         )
 
     pairs = (
-        add_bucket(es2, ["src"], 16)
-        .groupby(_BUCKET)
-        .map_groups(wedge_pairs, batch_format="pandas")
+        _BMG(add_bucket(es2, ["src"], 16), 16, wedge_pairs, "pandas")
     )
     scored = bucket_sum(pairs, ["a", "b"], ["cn", "ra_e6"], n_buckets=32)
 
@@ -4403,9 +4372,7 @@ def q_events_funnel(sf_dir: str):
         prep, batch_format="pandas"
     )
     return (
-        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
-        .groupby(_BUCKET)
-        .map_groups(funnel, batch_format="pandas")
+        _BMG(add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events")), _scaled_buckets(sf_dir, "events"), funnel, "pandas")
     )
 
 
@@ -4505,9 +4472,7 @@ def q_sssp_parents(sf_dir: str):
 
     cands = edges_lineitem(sf_dir).map_batches(cand, batch_format="pyarrow")
     parents = (
-        add_bucket(cands, ["vertex"], 16)
-        .groupby(_BUCKET)
-        .map_groups(reduce_min, batch_format="pandas")
+        _BMG(add_bucket(cands, ["vertex"], 16), 16, reduce_min, "pandas")
     )
     root = rd.from_arrow(
         pa.table(
@@ -4589,11 +4554,16 @@ def q_maximal_matching(sf_dir: str, max_rounds: int = 40):
             return out[["v", "pri", "argkey"]].astype("int64")
 
         vm = (
-            add_bucket(
-                live.map_batches(vmin_partial_shift, batch_format="pyarrow"), ["v"], 16
+            _BMG(
+                add_bucket(
+                    live.map_batches(vmin_partial_shift, batch_format="pyarrow"),
+                    ["v"],
+                    16,
+                ),
+                16,
+                vmin_reduce,
+                "pandas",
             )
-            .groupby(_BUCKET)
-            .map_groups(vmin_reduce, batch_format="pandas")
             .to_pandas()
             .sort_values("v")
         )
@@ -4764,9 +4734,7 @@ def q_events_transitions(sf_dir: str):
     src = _table(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
     nb = _scaled_buckets(sf_dir, "events")
     s = (
-        add_bucket(src, ["user_id"], nb)
-        .groupby(_BUCKET)
-        .map_groups(pairs, batch_format="pandas")
+        _BMG(add_bucket(src, ["user_id"], nb), nb, pairs, "pandas")
         .to_pandas()
         .groupby(["from_type", "to_type"], as_index=False)["cnt"]
         .sum()
@@ -4960,9 +4928,7 @@ def q_square_count(sf_dir: str):
 
     es2 = simple.map_batches(both_dirs, batch_format="pyarrow")
     pairs = (
-        add_bucket(es2, ["src"], 16)
-        .groupby(_BUCKET)
-        .map_groups(wedge_pairs, batch_format="pandas")
+        _BMG(add_bucket(es2, ["src"], 16), 16, wedge_pairs, "pandas")
     )
     cn = bucket_sum(pairs, ["k"], ["cn"], n_buckets=16)
 
@@ -5010,9 +4976,7 @@ def q_events_running_total(sf_dir: str):
         prep, batch_format="pandas"
     )
     return (
-        add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events"))
-        .groupby(_BUCKET)
-        .map_groups(running, batch_format="pandas")
+        _BMG(add_bucket(ds, ["user_id"], _scaled_buckets(sf_dir, "events")), _scaled_buckets(sf_dir, "events"), running, "pandas")
     )
 
 
@@ -5074,9 +5038,7 @@ def _edge_support(simple: rd.Dataset, n_buckets: int = 16) -> rd.Dataset:
         )
 
     pairs = (
-        add_bucket(es2, ["src"], n_buckets)
-        .groupby(_BUCKET)
-        .map_groups(wedge_cn, batch_format="pandas")
+        _BMG(add_bucket(es2, ["src"], n_buckets), n_buckets, wedge_cn, "pandas")
     )
     return bucket_sum(
         pairs.union(simple.map_batches(edge_rows, batch_format="pyarrow")),
@@ -6026,9 +5988,7 @@ def q_events_retention(sf_dir: str):
     src = _table(sf_dir, "events", ["user_id", "ts"])
     nb = _scaled_buckets(sf_dir, "events")
     partials = (
-        add_bucket(src, ["user_id"], nb)
-        .groupby(_BUCKET)
-        .map_groups(per_bucket, batch_format="pandas")
+        _BMG(add_bucket(src, ["user_id"], nb), nb, per_bucket, "pandas")
     )
     return bucket_sum(partials, ["cohort_day", "day_offset"], ["n_users"], n_buckets=4)
 
@@ -6121,9 +6081,7 @@ def q_orders_diff(sf_dir: str):
     src = _table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     nb = _scaled_buckets(sf_dir, "orders", rows_per_bucket=100_000, floor=16)
     return (
-        add_bucket(src.map_batches(versions, batch_format="pyarrow"), ["key"], nb)
-        .groupby(_BUCKET)
-        .map_groups(diff, batch_format="pandas")
+        _BMG(add_bucket(src.map_batches(versions, batch_format="pyarrow"), ["key"], nb), nb, diff, "pandas")
     )
 
 
@@ -6151,9 +6109,7 @@ def q_events_new_users(sf_dir: str):
     src = _table(sf_dir, "events", ["user_id", "event_type", "ts"])
     nb = _scaled_buckets(sf_dir, "events")
     per_day = (
-        add_bucket(src, ["user_id"], nb)
-        .groupby(_BUCKET)
-        .map_groups(first_day, batch_format="pandas")
+        _BMG(add_bucket(src, ["user_id"], nb), nb, first_day, "pandas")
         .to_pandas()
         .groupby(["event_type", "day"], as_index=False)["new_users"]
         .sum()
@@ -6250,9 +6206,7 @@ def q_data_quality(sf_dir: str):
         return pd.DataFrame({"v": [int((c - 1).clip(lower=0).sum())]})
 
     dup = int(
-        add_bucket(orders, ["o_orderkey"], 16)
-        .groupby(_BUCKET)
-        .map_groups(dup_partial, batch_format="pandas")
+        _BMG(add_bucket(orders, ["o_orderkey"], 16), 16, dup_partial, "pandas")
         .to_pandas()["v"]
         .sum()
     )
@@ -6320,7 +6274,7 @@ def q_events_user_mode(sf_dir: str):
     src = _table(sf_dir, "events", ["user_id", "event_type"])
     nb = _scaled_buckets(sf_dir, "events")
     return (
-        add_bucket(src, ["user_id"], nb).groupby(_BUCKET).map_groups(mode, batch_format="pandas")
+        _BMG(add_bucket(src, ["user_id"], nb), nb, mode, "pandas")
     )
 
 
@@ -6640,9 +6594,7 @@ def q_events_ewma(sf_dir: str):
     src = _table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     nb = _scaled_buckets(sf_dir, "events")
     return (
-        add_bucket(src, ["user_id"], nb)
-        .groupby(_BUCKET)
-        .map_groups(scan, batch_format="pandas")
+        _BMG(add_bucket(src, ["user_id"], nb), nb, scan, "pandas")
     )
 
 
@@ -7169,9 +7121,7 @@ def q_events_bounce(sf_dir: str, gap_s: int = 1800):
     src = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
     nb = _scaled_buckets(sf_dir, "events")
     s = (
-        add_bucket(src, ["user_id"], nb)
-        .groupby(_BUCKET)
-        .map_groups(per_bucket, batch_format="pandas")
+        _BMG(add_bucket(src, ["user_id"], nb), nb, per_bucket, "pandas")
         .to_pandas()
         .groupby("entry_type", as_index=False)[["sessions", "bounces"]]
         .sum()
@@ -7325,9 +7275,7 @@ def q_audience_overlap(sf_dir: str):
     src = _table(sf_dir, "events", ["user_id", "event_type"])
     nb = _scaled_buckets(sf_dir, "events")
     s = (
-        add_bucket(src, ["user_id"], nb)
-        .groupby(_BUCKET)
-        .map_groups(per_bucket, batch_format="pandas")
+        _BMG(add_bucket(src, ["user_id"], nb), nb, per_bucket, "pandas")
         .to_pandas()
         .groupby(["ta", "tb"], as_index=False)["n_both"]
         .sum()
@@ -7449,7 +7397,5 @@ def q_events_props_agg(sf_dir: str):
         partial, batch_format="pandas"
     )
     return (
-        add_bucket(ds, ["event_type"], 4)
-        .groupby(_BUCKET)
-        .map_groups(merge, batch_format="pandas")
+        _BMG(add_bucket(ds, ["event_type"], 4), 4, merge, "pandas")
     )
