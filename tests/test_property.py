@@ -128,3 +128,46 @@ def test_fuzzy_d1_matches_dp_levenshtein(words):
     else:
         got_pairs = {(min(a, b), max(a, b)) for a, b in zip(got["a"], got["b"])}
     assert got_pairs == exp, (got_pairs, exp)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-9, 9), st.text(alphabet="xyz", max_size=3), st.integers(-50, 50)),
+        min_size=0,
+        max_size=120,
+    ),
+    n_buckets=st.sampled_from([1, 2, 7]),
+)
+@settings(**_SETTINGS)
+def test_exchange_matches_groupby_bucket_path(rows, n_buckets):
+    """bucket kernels give identical results on the split/reduce
+    exchange and the Dataset.groupby fallback (the two sides of
+    GRAFT_BUCKET_EXCHANGE) — including empty inputs, n_buckets=1 (the
+    num_returns=1 unwrap quirk) and string keys."""
+    import distributed_graph_computing_platform_ray.stages.join as J
+
+    df = pd.DataFrame(
+        {"k": [r[0] for r in rows], "s": [r[1] for r in rows], "v": [r[2] for r in rows]}
+    )
+    outs = {}
+    old = J._USE_EXCHANGE
+    try:
+        for flag in (True, False):
+            J._USE_EXCHANGE = flag
+            ds = rd.from_pandas(df) if len(df) else rd.from_items([])
+            if len(df) == 0:
+                outs[flag] = pd.DataFrame({"k": [], "s": [], "v": []})
+                continue
+            got = J.bucket_sum(ds, ["k", "s"], ["v"], n_buckets=n_buckets).to_pandas()
+            outs[flag] = got.sort_values(["k", "s"]).reset_index(drop=True)
+    finally:
+        J._USE_EXCHANGE = old
+    pd.testing.assert_frame_equal(outs[True], outs[False], check_dtype=False)
+    if len(df):
+        exp = (
+            df.groupby(["k", "s"], as_index=False)["v"].sum()
+            .sort_values(["k", "s"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            outs[True].astype({"v": "int64"}), exp.astype({"v": "int64"}), check_dtype=False
+        )
