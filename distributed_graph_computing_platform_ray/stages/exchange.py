@@ -55,15 +55,7 @@ def exchange_reduce(
             return None
         return reduce_fn(part, pa.concat_tables(tabs, promote_options="default"))
 
-    split_task = _make_split_task(n_parts, part_of)
-    per_part: list[list] = [[] for _ in range(n_parts)]
-    for bundle in ds.iter_internal_ref_bundles():
-        for bref in bundle.block_refs:
-            refs = split_task.remote(bref)
-            if n_parts == 1:
-                refs = [refs]
-            for p, r in enumerate(refs):
-                per_part[p].append(r)
+    per_part = _launch_splits(ds, n_parts, part_of)
     pending = [
         reduce_task.remote(p, *per_part[p])
         for p in range(n_parts)
@@ -72,14 +64,23 @@ def exchange_reduce(
     return [r for r in ray.get(pending) if r is not None]
 
 
+# Object-count governor: a split makes n_parts returns, so B input
+# blocks create B*n_parts objects. Past this many split tasks the
+# launcher starts grouping input blocks (group size doubles each time
+# the cap is re-hit), bounding total objects at ~cap*log(B)*n_parts
+# regardless of input block count — the knob that keeps a 100 TB input
+# (10^5-10^6 blocks) from flooding the object directory.
+_MAX_SPLIT_TASKS = 2048
+
+
 def _make_split_task(n_parts: int, part_of):
     @ray.remote
-    def split_task(block):
-        t = (
-            block
-            if isinstance(block, pa.Table)
-            else pa.Table.from_pandas(block, preserve_index=False)
-        )
+    def split_task(*blocks):
+        tabs = [
+            b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+            for b in blocks
+        ]
+        t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs, promote_options="default")
         if t.num_rows == 0:
             return [None] * n_parts if n_parts > 1 else None
         parts = np.asarray(part_of(t), dtype=np.int64)
@@ -92,9 +93,45 @@ def _make_split_task(n_parts: int, part_of):
             a, b = int(starts[i]), int(starts[i + 1])
             if a < b:
                 out[int(ps[a])] = ts.slice(a, b - a)
+        # with num_returns == 1 Ray passes the return list through
+        # verbatim (same quirk the engine's scatter_task unwraps)
         return out[0] if n_parts == 1 else out
 
     return split_task.options(num_returns=n_parts)
+
+
+def _launch_splits(ds, n_parts: int, part_of) -> list[list]:
+    """Stream the upstream plan's blocks into split tasks (launched as
+    blocks arrive), grouping blocks adaptively past _MAX_SPLIT_TASKS.
+    Block order is preserved through grouping, so reducers still see
+    their rows in deterministic upstream order."""
+    split_task = _make_split_task(n_parts, part_of)
+    per_part: list[list] = [[] for _ in range(n_parts)]
+    buf: list = []
+    group_size = 1
+    launched = 0
+
+    def flush():
+        nonlocal launched, group_size
+        if not buf:
+            return
+        refs = split_task.remote(*buf)
+        buf.clear()
+        if n_parts == 1:
+            refs = [refs]
+        for p, r in enumerate(refs):
+            per_part[p].append(r)
+        launched += 1
+        if launched % _MAX_SPLIT_TASKS == 0:
+            group_size *= 2
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            buf.append(bref)
+            if len(buf) >= group_size:
+                flush()
+    flush()
+    return per_part
 
 
 def exchange_map_groups(
@@ -135,15 +172,7 @@ def exchange_map_groups(
             out = pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
         return out, out.num_rows
 
-    split_task = _make_split_task(n_parts, part_of)
-    per_part: list[list] = [[] for _ in range(n_parts)]
-    for bundle in ds.iter_internal_ref_bundles():
-        for bref in bundle.block_refs:
-            refs = split_task.remote(bref)
-            if n_parts == 1:
-                refs = [refs]
-            for p, r in enumerate(refs):
-                per_part[p].append(r)
+    per_part = _launch_splits(ds, n_parts, part_of)
     tab_refs, n_refs = [], []
     for p in range(n_parts):
         if per_part[p]:
