@@ -960,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_lineitem": T.q_edges_lineitem,
         "degrees": T.q_degrees,
         "pagerank": T.q_pagerank,
+        "pagerank_trace": T.q_pagerank_trace,
         "pagerank_directed": T.q_pagerank_directed,
         "hits": T.q_hits,
         "pagerank_top25": T.q_pagerank_top25,
@@ -1137,6 +1138,27 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.d, nn.n) "
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM pr WHERE it = 30"
+        ),
+        "pagerank_trace": (
+            # per-checkpoint L1 movement of the SAME recurrence — the
+            # engine's checkpoint at iter k is per-vertex e8-exact vs
+            # CTE iteration k (verified), so the trace is hash-exact
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+            "  UNION ALL "
+            "  SELECT p.it + 1, e.dst, 0.15/nn.n + 0.85 * SUM(p.val / p.d), dd.d "
+            "  FROM pr p CROSS JOIN nn JOIN es e ON e.src = p.id "
+            "       JOIN deg dd ON dd.id = e.dst "
+            "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.d, nn.n), "
+            "sc AS (SELECT it, id, CAST(ROUND(val * 1e8) AS BIGINT) AS e8 "
+            "       FROM pr WHERE it % 5 = 0) "
+            "SELECT cur.it::BIGINT AS it, "
+            "  sum(abs(cur.e8 - prev.e8))::BIGINT AS l1_e8 "
+            "FROM sc cur JOIN sc prev ON prev.id = cur.id AND prev.it = cur.it - 5 "
+            "WHERE cur.it > 0 GROUP BY cur.it"
         ),
         "pagerank_personalized": (
             f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -317,6 +318,65 @@ def q_pagerank_directed(sf_dir: str):
     redistribution, matching the reference recurrence's shape."""
     res = _run_cached(sf_dir, "lineitem_directed", "pagerank")
     return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_pagerank_trace(sf_dir: str, stride: int = 5, num_iters: int = 30):
+    """Convergence trace of the PageRank run read straight off the
+    ENGINE'S OWN checkpoint lineage (ST2 parity: the reference master
+    logs per-superstep progress, master/master.go:391-453; here the
+    checkpointed iteration state IS the log): for every checkpoint
+    iteration k, the L1 movement sum(|e8(v_k) - e8(v_{k-stride})|)
+    over all vertices, integer-exact at e8 scaling. The engine's
+    checkpoint at iter k is bit-aligned with the oracle recurrence's
+    iteration k (verified per-vertex exact), so a recursive-CTE oracle
+    reproduces the trace. Per-partition partials are computed by
+    reading each partition's two state files (no shuffle — states are
+    range-partitioned identically); the driver reduces
+    n_parts * n_checkpoints small ints."""
+    import pyarrow.parquet as _pq
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    work = _cache(sf_dir, "pr_trace")
+    final_done = os.path.join(
+        work, "state", f"iter={num_iters:04d}", "_DONE.json"
+    )
+    if not os.path.exists(final_done):
+        shutil.rmtree(work, ignore_errors=True)
+        run_algorithm(gdir, work, "pagerank", checkpoint_interval=stride)
+
+    state_root = os.path.join(work, "state")
+    ks = list(range(stride, num_iters + 1, stride))
+
+    def part_l1(t: pa.Table) -> pa.Table:
+        out_it, out_l1 = [], []
+        for p in t["id"].to_numpy():
+            fname = f"part-{int(p):05d}.parquet"
+            vals = {}
+            for k in [0] + ks:
+                tb = _pq.read_table(
+                    os.path.join(state_root, f"iter={k:04d}", fname),
+                    columns=["value"],
+                )
+                vals[k] = np.round(tb["value"].to_numpy() * 1e8).astype(np.int64)
+            for k in ks:
+                out_it.append(k)
+                out_l1.append(int(np.abs(vals[k] - vals[k - stride]).sum()))
+        return pa.table(
+            {"it": pa.array(out_it, pa.int64()), "l1_e8": pa.array(out_l1, pa.int64())}
+        )
+
+    parts = (
+        rd.range(man.n_parts)
+        .map_batches(part_l1, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[int, int] = {k: 0 for k in ks}
+    for r in parts:
+        agg[int(r["it"])] += int(r["l1_e8"])
+    return pd.DataFrame(
+        {"it": list(agg.keys()), "l1_e8": [agg[k] for k in agg]}
+    )
 
 
 def q_hits(sf_dir: str, num_iters: int = 6):
