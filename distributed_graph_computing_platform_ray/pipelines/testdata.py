@@ -2707,18 +2707,34 @@ def q_revenue_rollup(sf_dir: str):
     )
 
 
-def q_doc_dup_ngrams(sf_dir: str, n: int = 5, n_buckets: int = 64):
+FP_DUP_NGRAMS_DOCS = 100_000  # docs; above this the gram shuffle fingerprints
+
+
+def q_doc_dup_ngrams(
+    sf_dir: str, n: int = 5, n_buckets: int = 64, fingerprint: bool | None = None
+):
     """Cross-document duplicate-n-gram statistics (a Gopher-style
     repetition signal): per doc, the number of word 5-gram positions
     whose 5-gram also occurs in at least one OTHER document. Two
     shuffles: gram-hash buckets (distinct-doc counts + per-doc partial
-    sums computed in-bucket), then a doc_id sum. At 100 TB the gram
-    strings would be fingerprinted to u64 before the shuffle (the
-    minhash machinery); strings are shuffled here so the oracle can
-    group on them verbatim."""
+    sums computed in-bucket), then a doc_id sum.
+
+    ``fingerprint`` replaces the shuffled gram STRINGS with u64
+    fingerprints (stable_hash_array) — ~8 bytes/gram through the
+    exchange instead of the ~40-byte text, the 100 TB path. Results
+    are identical absent a 64-bit collision (parity-tested at every
+    test sf); default: auto-on above FP_DUP_NGRAMS_DOCS docs, strings
+    below so the DuckDB oracle can group on them verbatim."""
     from ray.data.aggregate import Sum
 
     from ..stages.join import _BUCKET, add_bucket
+    from ..utils import stable_hash_array
+
+    if fingerprint is None:
+        import pyarrow.dataset as pads
+
+        n_docs = pads.dataset(os.path.join(sf_dir, "documents.parquet")).count_rows()
+        fingerprint = n_docs > FP_DUP_NGRAMS_DOCS
 
     def grams(df: pd.DataFrame) -> pd.DataFrame:
         out_d, out_g = [], []
@@ -2729,6 +2745,8 @@ def q_doc_dup_ngrams(sf_dir: str, n: int = 5, n_buckets: int = 64):
             out_g.extend(" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1))
             out_d.extend([doc_id] * (len(ts) - n + 1))
         g = pd.DataFrame({"doc_id": np.asarray(out_d, dtype=np.int64), "gram": out_g})
+        if fingerprint and len(g):
+            g["gram"] = stable_hash_array(g["gram"].to_numpy()).view(np.int64)
         return g.groupby(["doc_id", "gram"], as_index=False).size().rename(columns={"size": "c"})
 
     ds = _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(

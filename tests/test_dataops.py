@@ -293,3 +293,20 @@ def test_bucket_sum_hot_key_bounded():
     assert len(m) == len(exp) == len(out)
     assert (m["v_got"] == m["v_exp"]).all()
     assert int(out.loc[out["k"] == 7, "v"].iloc[0]) == int(exp.loc[exp["k"] == 7, "v"].iloc[0])
+
+
+def test_dup_ngrams_fingerprint_path_matches_strings():
+    """The u64-fingerprint gram shuffle (the 100 TB path) must produce
+    the same per-doc dup statistics as the verbatim-string shuffle."""
+    from distributed_graph_computing_platform_ray.pipelines.testdata import q_doc_dup_ngrams
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_doc_dup_ngrams(sf, fingerprint=False).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        q_doc_dup_ngrams(sf, fingerprint=True).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
