@@ -1101,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": T.q_doc_decontaminate,
         "domain_pagerank": T.q_domain_pagerank,
         "random_walks": T.q_random_walks,
+        "walk_skipgrams": T.q_walk_skipgrams,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2690,6 +2691,17 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3"
         ),
         "random_walks": _random_walks_sql(),
+        "walk_skipgrams": (
+            # replay the identical deterministic walks, then self-join
+            # within the skip-gram window (unordered pair, distance<=2)
+            f"WITH w AS ({_random_walks_sql()}) "
+            "SELECT least(w1.vertex, w2.vertex)::BIGINT AS ctx_a, "
+            "  greatest(w1.vertex, w2.vertex)::BIGINT AS ctx_b, "
+            "  count(*)::BIGINT AS cnt "
+            "FROM w w1 JOIN w w2 ON w2.walker = w1.walker "
+            "  AND w2.step > w1.step AND w2.step <= w1.step + 2 "
+            "GROUP BY 1, 2"
+        ),
         "doc_pii_scrub": (
             # patterns must stay in sync with functions/pii.py
             "WITH aug AS (SELECT doc_id, text || ' Contact: user' || doc_id || "

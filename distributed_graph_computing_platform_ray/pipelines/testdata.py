@@ -2880,6 +2880,53 @@ def q_random_walks(sf_dir: str, num_steps: int = 8, walker_mod: int = 5):
     return random_walks(sym, num_steps=num_steps, walker_mod=walker_mod)
 
 
+def q_walk_skipgrams(
+    sf_dir: str, window: int = 2, num_steps: int = 8, walker_mod: int = 5
+):
+    """DeepWalk/node2vec corpus preprocessing: skip-gram context-pair
+    counts over the deterministic random-walk corpus — for every
+    walker, every unordered vertex pair within ``window`` steps, summed
+    globally. One walker-bucket kernel (per-walker rows are contiguous
+    and step-complete, so the window join is an array-offset compare,
+    no per-row loop) + one pair bucket_sum. The oracle replays the
+    identical walks (same splitmix64 step choice) and self-joins on
+    step distance."""
+    from ..stages.join import add_bucket, bucket_sum
+
+    walks = q_random_walks(sf_dir, num_steps=num_steps, walker_mod=walker_mod)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["walker", "step"], kind="stable")
+        w = df["walker"].to_numpy()
+        v = df["vertex"].to_numpy()
+        out_a, out_b = [], []
+        for d in range(1, window + 1):
+            if d >= len(v):
+                break
+            m = w[d:] == w[:-d]  # same walker => step distance exactly d
+            a, b = v[:-d][m], v[d:][m]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pd.DataFrame(
+                {"ctx_a": pd.Series([], dtype="int64"),
+                 "ctx_b": pd.Series([], dtype="int64"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        pdf = pd.DataFrame(
+            {"ctx_a": np.concatenate(out_a), "ctx_b": np.concatenate(out_b)}
+        )
+        g = pdf.groupby(["ctx_a", "ctx_b"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype("int64")
+
+    part = _BMG(add_bucket(walks, ["walker"], 16), 16, pairs, "pandas")
+    agg = bucket_sum(part, ["ctx_a", "ctx_b"], ["cnt"], n_buckets=16)
+    return agg.map_batches(
+        lambda df: df.astype({"ctx_a": "int64", "ctx_b": "int64", "cnt": "int64"}),
+        batch_format="pandas",
+    )
+
+
 _CMS_D, _CMS_W = 4, 1024
 
 
