@@ -983,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution": T.q_entity_resolution,
         "mis": T.q_mis,
         "kcore": T.q_kcore,
+        "kcore_rounds": T.q_kcore_rounds,
         "densest_subgraph": T.q_densest_subgraph,
         "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
@@ -1645,6 +1646,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": _doc_split_sql(),
         "mis": _mis_sql(),
         "kcore": _kcore_sql(),
+        "kcore_rounds": (
+            # same recursive peel as _kcore_sql; per-vertex last
+            # surviving round -> peel_round (0 = in core at fixpoint,
+            # which replicates rows through the 60-round cap)
+            f"WITH RECURSIVE {_EB_LINEITEM}, "
+            "r AS ( "
+            "  SELECT 0 AS it, u, v FROM "
+            "    (SELECT src AS u, dst AS v FROM eb UNION ALL SELECT dst, src FROM eb) "
+            "  UNION ALL "
+            "  SELECT it + 1, u, v FROM ( "
+            "    SELECT it, u, v, "
+            "      min(du) OVER (PARTITION BY it, least(u, v), greatest(u, v)) AS mindeg "
+            "    FROM (SELECT it, u, v, count(*) OVER (PARTITION BY it, u) AS du FROM r "
+            "          WHERE it < 60)) "
+            "  WHERE mindeg >= 20), "
+            "pres AS (SELECT u AS vertex, max(it) AS last_it FROM r GROUP BY u) "
+            "SELECT vertex::BIGINT AS vertex, "
+            "  (CASE WHEN last_it = 60 THEN 0 ELSE last_it + 1 END)::BIGINT AS peel_round, "
+            "  (CASE WHEN last_it = 60 THEN 1 ELSE 0 END)::BIGINT AS in_core "
+            "FROM pres"
+        ),
         "densest_subgraph": _densest_sql(),
         "user_distinct_hll": _user_hll_sql(),
         "revenue_by_nation": (

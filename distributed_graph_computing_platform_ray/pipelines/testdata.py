@@ -1566,8 +1566,6 @@ def q_kcore(sf_dir: str, k: int = 20):
     graph held as symmetric directed rows."""
     import ray as _ray
 
-    from ray.data.aggregate import Count
-
     edges = edges_lineitem(sf_dir)
 
     def sym(t: pa.Table) -> pa.Table:
@@ -1577,11 +1575,24 @@ def q_kcore(sf_dir: str, k: int = 20):
             {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
         )
 
+    from ..stages.join import bucket_sum as _bsum
+
+    def _ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": t["u"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
     cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
     while True:
-        deg = cur.groupby("u").aggregate(Count(alias_name="d"))
-        bad = deg.filter(expr=f"d < {k}")
-        bad_ids = np.sort(np.array([r["u"] for r in bad.take_all()], dtype=np.int64))
+        # bucket_sum, not Dataset aggregate: the per-GROUP cost of the
+        # sort-aggregate (~7 ms/group, NOTES.md) made each peel round
+        # O(universe) driver-visible seconds
+        deg_rows = _bsum(
+            cur.map_batches(_ones, batch_format="pyarrow"), ["u"], ["one"], 16
+        ).take_all()
+        bad_ids = np.sort(
+            np.array([r["u"] for r in deg_rows if r["one"] < k], dtype=np.int64)
+        )
         if len(bad_ids) == 0:
             break
         ref = _ray.put(bad_ids)
@@ -1618,6 +1629,89 @@ def q_kcore(sf_dir: str, k: int = 20):
     from ..stages.join import distinct
 
     return distinct(cur.map_batches(verts, batch_format="pyarrow"), ["vertex"])
+
+
+def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
+    """Peeling-round observability for the k-core (onion-style): per
+    vertex, the round its last incident edge vanished (``peel_round``;
+    0 = still in the core at fixpoint) plus the ``in_core`` flag.
+    Same peel rule as q_kcore (drop edges incident to a
+    degree-<k vertex, rounds to fixpoint); presence per round is read
+    off the round's degree table, which is bounded by the vertex
+    universe (the same broadcast-budget family as the peel frontier;
+    at web scale both become hash semi-joins). The oracle replays the
+    identical rounds with the mirror-window recursive CTE and takes
+    max(it) per vertex."""
+    import ray as _ray
+
+    edges = edges_lineitem(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table(
+            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
+        )
+
+    from ..stages.join import bucket_sum as _bsum
+
+    def _ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": t["u"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    last_seen: dict[int, int] = {}
+    in_core: set[int] = set()
+    r = 0
+    while r < max_rounds:
+        deg_rows = _bsum(
+            cur.map_batches(_ones, batch_format="pyarrow"), ["u"], ["one"], 16
+        ).take_all()
+        present = np.array([row["u"] for row in deg_rows], dtype=np.int64)
+        for u in present:
+            last_seen[int(u)] = r
+        bad_ids = np.sort(
+            np.array([row["u"] for row in deg_rows if row["one"] < k], dtype=np.int64)
+        )
+        if len(bad_ids) == 0:
+            in_core = set(int(u) for u in present)
+            break
+        ref = _ray.put(bad_ids)
+        _pkey = ("kcore_rounds_peel", ref.hex())
+
+        class Peel:
+            def __init__(self):
+                self.bad = _ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy()
+                v = t["v"].to_numpy()
+                drop = np.isin(u, self.bad) | np.isin(v, self.bad)
+                return t.filter(pa.array(~drop))
+
+        def peel_batch(t: pa.Table) -> pa.Table:
+            from ..stages.taskify import worker_cached
+
+            return worker_cached(_pkey, Peel)(t)
+
+        cur = cur.map_batches(peel_batch, batch_format="pyarrow").materialize()
+        r += 1
+        if cur.count() == 0:
+            break
+    verts = sorted(last_seen)
+    return pd.DataFrame(
+        {
+            "vertex": pd.Series(verts, dtype="int64"),
+            "peel_round": pd.Series(
+                [0 if v in in_core else last_seen[v] + 1 for v in verts],
+                dtype="int64",
+            ),
+            "in_core": pd.Series(
+                [1 if v in in_core else 0 for v in verts], dtype="int64"
+            ),
+        }
+    )
 
 
 BROADCAST_DIM_ROWS = 2_000_000  # same threshold family as the dictionary encode
