@@ -21,6 +21,7 @@ matches the brute-force oracle exactly.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -237,16 +238,20 @@ def triangle_count(
             # one scalar per group — the wedge set never leaves the task
             return int(fused.sum("cnt") or 0), None
 
-        from ray.data.aggregate import Sum
+        # bucket_sum, not the sort-aggregate: per-vertex groups pay the
+        # ~7 ms/group Dataset-aggregate cost (NOTES.md)
+        from ..stages.join import bucket_sum
 
         per_all = (
-            fused.groupby("vertex")
-            .aggregate(Sum("cnt", alias_name="triangles"))
+            bucket_sum(fused, ["vertex"], ["cnt"], n_buckets=16)
             .map_batches(
-                lambda t: pa.table(
-                    {"vertex": t["vertex"], "triangles": t["triangles"].cast(pa.int64())}
+                lambda df: pd.DataFrame(
+                    {
+                        "vertex": df["vertex"].astype("int64"),
+                        "triangles": df["cnt"].astype("int64"),
+                    }
                 ),
-                batch_format="pyarrow",
+                batch_format="pandas",
             )
             .materialize()
         )
