@@ -1098,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_doc_positions": T.q_bloom_doc_positions,
         "events_sample": T.q_events_sample,
         "degree_histogram": T.q_degree_histogram,
+        "degree_gini": T.q_degree_gini,
         "doc_tfidf_top": T.q_doc_tfidf_top,
         "doc_decontaminate": T.q_doc_decontaminate,
         "domain_pagerank": T.q_domain_pagerank,
@@ -2647,6 +2648,24 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EB_LINEITEM}, {_ES}, "
             "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src) "
             "SELECT d::BIGINT AS degree, count(*)::BIGINT AS n FROM deg GROUP BY 1"
+        ),
+        "degree_gini": (
+            # exact rank-weighted sum over the sorted degree histogram;
+            # HUGEINT products, integer // (c*(c+1) is even, so //2 is
+            # exact; DuckDB / would go float)
+            f"WITH {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "h AS (SELECT d, count(*) AS c FROM deg GROUP BY d), "
+            "o AS (SELECT d::HUGEINT AS d, c::HUGEINT AS c, "
+            "      COALESCE(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED "
+            "      PRECEDING AND 1 PRECEDING), 0)::HUGEINT AS off_ FROM h), "
+            "m AS (SELECT (SELECT count(*) FROM deg)::HUGEINT AS n, "
+            "      (SELECT sum(d) FROM deg)::HUGEINT AS sd, "
+            "      SUM(d * (c * off_ + (c * (c + 1)) // 2))::HUGEINT AS s FROM o) "
+            "SELECT n::BIGINT AS n_vertices, sd::BIGINT AS sum_deg, "
+            "  (CASE WHEN n * sd = 0 THEN 0 ELSE "
+            "   (2 * (2*s - (n+1)*sd) * 1000000 + n*sd) // (2 * n * sd) "
+            "  END)::BIGINT AS gini_e6 FROM m"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

@@ -3143,6 +3143,43 @@ def q_degree_histogram(sf_dir: str):
     )
 
 
+def q_degree_gini(sf_dir: str):
+    """Gini coefficient of the degree distribution (hub-concentration
+    inequality — the single-number companion to the histogram), exact
+    integers end-to-end: from the (degree, count) histogram sorted by
+    degree, the rank-weighted sum is
+        S = Σ_d d·(c·o + c(c+1)/2)   (o = vertices with smaller degree)
+    and G = (2S − (n+1)·Σd) / (n·Σd), emitted half-up e6 with the raw
+    moments. The histogram is the distributed part (per-shard partials
+    + one bucket_sum, bounded by the distinct-degree count — the same
+    driver-smallness argument as q_degree_histogram itself)."""
+    h = (
+        q_degree_histogram(sf_dir)
+        .to_pandas()
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+    d = h["degree"].to_numpy().astype(object)  # Python ints: no overflow
+    c = h["n"].to_numpy().astype(object)
+    n = int(sum(c))
+    sd = int(sum(dd * cc for dd, cc in zip(d, c)))
+    off = 0
+    s = 0
+    for dd, cc in zip(d, c):
+        s += int(dd) * (int(cc) * off + (int(cc) * (int(cc) + 1)) // 2)
+        off += int(cc)
+    num = 2 * s - (n + 1) * sd
+    den = n * sd
+    gini_e6 = 0 if den == 0 else (2 * num * 1_000_000 + den) // (2 * den)
+    return pd.DataFrame(
+        {
+            "n_vertices": [n],
+            "sum_deg": [sd],
+            "gini_e6": [gini_e6],
+        }
+    )
+
+
 def q_part_cooccurrence(sf_dir: str, k: int = 100, n_buckets: int = 64):
     """Bipartite co-occurrence projection (market-basket): two part
     nodes are linked when they share an order node in the lineitem
