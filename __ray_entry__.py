@@ -1102,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top": T.q_doc_tfidf_top,
         "doc_decontaminate": T.q_doc_decontaminate,
         "domain_pagerank": T.q_domain_pagerank,
+        "domain_top_pages": T.q_domain_top_pages,
         "random_walks": T.q_random_walks,
         "walk_skipgrams": T.q_walk_skipgrams,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -1901,6 +1902,17 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(s.out_links, 0)::BIGINT AS out_links, "
             "COALESCE(d.in_links, 0)::BIGINT AS in_links "
             "FROM src s FULL OUTER JOIN dst d ON d.url = s.url"
+        ),
+        "domain_top_pages": (
+            # per-instance in-link counts from the shared generator CTE,
+            # row_number per target domain (ties broken by url)
+            f"WITH {_pages_edges_cte(2000, 42)}, "
+            "d AS (SELECT href AS url, count(*)::BIGINT AS n_inlinks "
+            "      FROM res GROUP BY href), "
+            "t AS (SELECT split_part(url, '/', 3) AS domain, url, n_inlinks, "
+            "      row_number() OVER (PARTITION BY split_part(url, '/', 3) "
+            "        ORDER BY n_inlinks DESC, url) AS rk FROM d) "
+            "SELECT domain, url, n_inlinks, rk::BIGINT AS rk FROM t WHERE rk <= 3"
         ),
         "anchor_stats": (
             # per-instance links from the shared generator CTE (res keeps

@@ -3956,6 +3956,56 @@ def q_page_degree_profile(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     )
 
 
+def q_domain_top_pages(sf_dir: str, n: int = 2000, k: int = 3, n_buckets: int = 32):
+    """Grouped top-k over the web graph: the k most-linked pages of
+    every target domain (in-link INSTANCES from the real extraction,
+    offsite targets included), rank ties broken by url. Two bounded
+    shuffles: per-url in-link bucket_sum, then a domain-bucket top-k
+    kernel (each domain's candidate set is its own url count — top-k
+    never leaves the bucket). n PINNED to the oracle's 2000."""
+    from ..functions.html import decode_html, extract_links
+    from ..sources.pages import generate_pages
+    from ..stages.join import add_bucket, bucket_sum
+
+    def inst(t: pa.Table) -> pa.Table:
+        urls = []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            urls.extend(extract_links(decode_html(h), u))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "one": pa.array(np.ones(len(urls), np.int64))}
+        )
+
+    pages = generate_pages(n)
+    counts = bucket_sum(
+        pages.map_batches(inst, batch_format="pyarrow"), ["url"], ["one"], n_buckets
+    )
+
+    def with_domain(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "domain": df["url"].astype(str).str.split("/").str[2],
+                "url": df["url"].astype(str),
+                "n_inlinks": df["one"].astype("int64"),
+            }
+        )
+
+    dom = counts.map_batches(with_domain, batch_format="pandas")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["domain", "n_inlinks", "url"], ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rk"] = df.groupby("domain", sort=False).cumcount() + 1
+        out = df[df["rk"] <= k]
+        return out[["domain", "url", "n_inlinks", "rk"]].astype(
+            {"n_inlinks": "int64", "rk": "int64"}
+        )
+
+    return _BMG(add_bucket(dom, ["domain"], 16), 16, topk, "pandas")
+
+
 def q_domain_pagerank(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     """Link-graph contraction: page-level links from the deterministic
     page generator, globally exact-deduped in hash buckets (same-pair
