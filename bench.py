@@ -405,7 +405,11 @@ def main():
         json.dumps(
             {
                 "metric": "total_bench_sec",
-                "value": total_min_stages,
+                # headline = best ACTUAL run (a total a single run
+                # achieved); the sum of per-stage minima — which no
+                # run achieved — is kept as total_min_stages_sec
+                "value": min(totals),
+                "total_min_stages_sec": total_min_stages,
                 "unit": "sec",
                 "queries": queries,
                 "reps": reps,

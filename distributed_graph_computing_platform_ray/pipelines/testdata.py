@@ -1699,6 +1699,14 @@ def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
         r += 1
         if cur.count() == 0:
             break
+    if r >= max_rounds and not in_core and cur.count() > 0:
+        # round cap hit before fixpoint: mirror the oracle's capped
+        # recursion (last_it == max_rounds), which reports vertices
+        # still present at the cap as in-core (peel_round=0/in_core=1)
+        deg_rows = _bsum(
+            cur.map_batches(_ones, batch_format="pyarrow"), ["u"], ["one"], 16
+        ).take_all()
+        in_core = set(int(row["u"]) for row in deg_rows)
     verts = sorted(last_seen)
     return pd.DataFrame(
         {

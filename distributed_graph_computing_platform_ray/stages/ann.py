@@ -182,13 +182,27 @@ def build_ivf_index(
     is reused)."""
     import os
 
-    from .sink import finished_partitions, write_partitioned
+    from ..utils import atomic_write_bytes
+    from .sink import write_partitioned
 
     os.makedirs(index_dir, exist_ok=True)
     cpath = os.path.join(index_dir, "centroids.npy")
-    if os.path.exists(cpath) and finished_partitions(index_dir):
-        return np.load(cpath)
-    C = train_centroids(ds, n_centroids, emb_col=emb_col)
+    done_marker = os.path.join(index_dir, "_INDEX_DONE")
+    # Centroids are persisted (atomically) BEFORE any partition write
+    # and reloaded on resume, so partition files and centroids.npy can
+    # never come from different training runs (train_centroids samples
+    # via ds.limit(), which is not stable across executions). The
+    # index-level marker — not finished_partitions(), which empty
+    # partitions never join — is what declares the build complete.
+    if os.path.exists(cpath):
+        C = np.load(cpath)
+        if os.path.exists(done_marker):
+            return C
+    else:
+        C = train_centroids(ds, n_centroids, emb_col=emb_col)
+        tmp = f"{cpath}.tmp{os.getpid()}.npy"  # .npy suffix: np.save won't rename
+        np.save(tmp, C)
+        os.replace(tmp, cpath)
     ref = ray.put(C)
     _akey = ("ivf_assign", ref.hex())
 
@@ -210,9 +224,7 @@ def build_ivf_index(
         ds.map_batches(assign, batch_format="pyarrow"), index_dir, part_col="part",
         n_parts=len(C),
     )
-    tmp = f"{cpath}.tmp{os.getpid()}.npy"  # .npy suffix: np.save won't rename
-    np.save(tmp, C)
-    os.replace(tmp, cpath)
+    atomic_write_bytes(done_marker, b"{}")
     return C
 
 

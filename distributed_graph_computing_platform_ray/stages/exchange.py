@@ -84,6 +84,13 @@ def _make_split_task(n_parts: int, part_of):
         if t.num_rows == 0:
             return [None] * n_parts if n_parts > 1 else None
         parts = np.asarray(part_of(t), dtype=np.int64)
+        if parts.size and (parts.min() < 0 or parts.max() >= n_parts):
+            # a negative id would silently wrap via Python indexing
+            # (out[-1] misroutes rows to the last partition); fail loud
+            raise ValueError(
+                f"part_of produced partition ids in [{parts.min()}, "
+                f"{parts.max()}] outside [0, {n_parts})"
+            )
         order = np.argsort(parts, kind="stable")
         ts = t.take(pa.array(order))
         ps = parts[order]

@@ -310,3 +310,49 @@ def test_dup_ngrams_fingerprint_path_matches_strings():
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kcore_rounds_cap_matches_oracle_semantics():
+    """When peeling hits max_rounds before fixpoint, vertices still
+    present at the cap must report in_core=1 / peel_round=0 — exactly
+    what the capped recursive-CTE oracle reports (last_it == cap).
+    Verified against an independent dense replay of the oracle's
+    round semantics (E_{r+1} = edges with min-endpoint-degree >= k in
+    E_r, presence replicated through the cap)."""
+    from distributed_graph_computing_platform_ray.pipelines import testdata as T
+
+    sf = "/root/testdata/sf0.001"
+    k, cap = 3, 1  # at k=3 a core survives round 1, so the cap is hit
+    got = T.q_kcore_rounds(sf, k=k, max_rounds=cap)
+    got = got.sort_values("vertex").reset_index(drop=True)
+
+    e = T.edges_lineitem(sf).to_pandas()
+    u = np.concatenate([e["src"].to_numpy(), e["dst"].to_numpy()])
+    v = np.concatenate([e["dst"].to_numpy(), e["src"].to_numpy()])
+    last: dict[int, int] = {}
+    for r in range(cap + 1):
+        if len(u) == 0:
+            break
+        for x in np.unique(u):
+            last[int(x)] = r
+        if r == cap:
+            break
+        uu = np.unique(u)
+        deg = np.bincount(np.searchsorted(uu, u))
+        keep = (deg[np.searchsorted(uu, u)] >= k) & (deg[np.searchsorted(uu, v)] >= k)
+        u, v = u[keep], v[keep]
+    verts = sorted(last)
+    exp = pd.DataFrame(
+        {
+            "vertex": pd.Series(verts, dtype="int64"),
+            "peel_round": pd.Series(
+                [0 if last[x] == cap else last[x] + 1 for x in verts], dtype="int64"
+            ),
+            "in_core": pd.Series(
+                [1 if last[x] == cap else 0 for x in verts], dtype="int64"
+            ),
+        }
+    )
+    assert int(exp["in_core"].sum()) > 0, "cap not hit — test is vacuous"
+    assert int((exp["peel_round"] == 1).sum()) > 0
+    pd.testing.assert_frame_equal(got, exp)
