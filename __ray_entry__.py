@@ -1105,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_top_pages": T.q_domain_top_pages,
         "random_walks": T.q_random_walks,
         "walk_skipgrams": T.q_walk_skipgrams,
+        "local_clustering": T.q_local_clustering,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2678,6 +2679,25 @@ def oracle_sql() -> dict[str, str]:
             "  (CASE WHEN n * sd = 0 THEN 0 ELSE "
             "   (2 * (2*s - (n+1)*sd) * 1000000 + n*sd) // (2 * n * sd) "
             "  END)::BIGINT AS gini_e6 FROM m"
+        ),
+        "local_clustering": (
+            # lcc = 2*tri/(deg*(deg-1)) exact-integer half-up at e6:
+            # (2*X + Y) // (2*Y) with X = 2*tri*1e6, Y = deg*(deg-1)
+            f"WITH {_U_ORDERS}, "
+            "ep AS (SELECT a AS c FROM u UNION ALL SELECT b FROM u), "
+            "deg AS (SELECT c AS vertex, count(*)::BIGINT AS degree FROM ep GROUP BY c), "
+            "tri0 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "         FROM u e1 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "         JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "tri AS (SELECT vertex, count(*)::BIGINT AS t FROM ( "
+            "  SELECT x AS vertex FROM tri0 UNION ALL SELECT y FROM tri0 "
+            "  UNION ALL SELECT z FROM tri0) GROUP BY vertex) "
+            "SELECT d.vertex::BIGINT AS vertex, d.degree, "
+            "  COALESCE(t.t, 0)::BIGINT AS triangles, "
+            "  (CASE WHEN d.degree < 2 THEN 0 ELSE "
+            "   (4 * COALESCE(t.t, 0) * 1000000 + d.degree * (d.degree - 1)) "
+            "   // (2 * d.degree * (d.degree - 1)) END)::BIGINT AS lcc_e6 "
+            "FROM deg d LEFT JOIN tri t ON t.vertex = d.vertex"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

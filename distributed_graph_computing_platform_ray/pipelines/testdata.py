@@ -7713,3 +7713,69 @@ def q_events_props_agg(sf_dir: str):
     return (
         _BMG(add_bucket(ds, ["event_type"], 4), 4, merge, "pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: link-graph analysis extensions
+
+
+def q_local_clustering(sf_dir: str):
+    """Per-vertex local clustering coefficient over the orders graph:
+    lcc = 2*tri(v) / (deg(v)*(deg(v)-1)), exact-integer half-up at e6
+    scale ((2*X + Y) // (2*Y), all positive — CLAUDE.md rule), 0 when
+    deg < 2. Triangles come from the bucketed wedge-closure engine
+    (pipelines/triangles.py); degrees and triangle counts meet in ONE
+    tagged bucket_sum (union of (vertex, deg=1, tri=0) endpoint rows
+    and (vertex, deg=0, tri=t) corner rows) — no join stage at all, so
+    the only shuffles are the ones triangle_count already pays."""
+    from ..stages.join import bucket_sum
+    from .triangles import triangle_count
+
+    edges = edges_orders(sf_dir).materialize()
+    _, per = triangle_count(edges, n_buckets=32, per_vertex=True)
+
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        n2 = 2 * t.num_rows
+        return pa.table(
+            {
+                "vertex": pa.chunked_array([s, d]),
+                "deg": pa.array(np.ones(n2, np.int64)),
+                "tri": pa.array(np.zeros(n2, np.int64)),
+            }
+        )
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "vertex": t["vertex"].cast(pa.int64()),
+                "deg": pa.array(np.zeros(n, np.int64)),
+                "tri": t["triangles"].cast(pa.int64()),
+            }
+        )
+
+    both = edges.map_batches(endpoint_rows, batch_format="pyarrow").union(
+        per.map_batches(tri_rows, batch_format="pyarrow")
+    )
+    agg = bucket_sum(both, ["vertex"], ["deg", "tri"], n_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df["deg"].to_numpy().astype(np.int64)
+        tri = df["tri"].to_numpy().astype(np.int64)
+        den = deg * (deg - 1)
+        den_safe = np.maximum(den, 1)
+        lcc = np.where(
+            deg >= 2, (4 * tri * 1_000_000 + den_safe) // (2 * den_safe), 0
+        )
+        return pd.DataFrame(
+            {
+                "vertex": df["vertex"].astype("int64"),
+                "degree": deg,
+                "triangles": tri,
+                "lcc_e6": lcc.astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
