@@ -1106,6 +1106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": T.q_random_walks,
         "walk_skipgrams": T.q_walk_skipgrams,
         "local_clustering": T.q_local_clustering,
+        "cocitation": T.q_cocitation,
+        "bibcoupling": T.q_bibcoupling,
+        "domain_link_locality": T.q_domain_link_locality,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2698,6 +2701,37 @@ def oracle_sql() -> dict[str, str]:
             "   (4 * COALESCE(t.t, 0) * 1000000 + d.degree * (d.degree - 1)) "
             "   // (2 * d.degree * (d.degree - 1)) END)::BIGINT AS lcc_e6 "
             "FROM deg d LEFT JOIN tri t ON t.vertex = d.vertex"
+        ),
+        "cocitation": (
+            # top co-cited url pairs: citer-side self-join on the
+            # generator's distinct link edges (mirrors _pages_links)
+            f"WITH {_pages_edges_cte()}, "
+            "p AS (SELECT e1.dst AS a, e2.dst AS b, count(*)::BIGINT AS n_common "
+            "      FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+            "      GROUP BY 1, 2) "
+            "SELECT a, b, n_common FROM p ORDER BY n_common DESC, a, b LIMIT 100"
+        ),
+        "bibcoupling": (
+            # top coupled citer pairs; cited urls with global in-degree
+            # > 400 excluded (stop-hub removal, mirrored in the engine)
+            f"WITH {_pages_edges_cte()}, "
+            "ind AS (SELECT dst, count(*)::BIGINT AS c FROM e GROUP BY dst), "
+            "kept AS (SELECT e.src, e.dst FROM e JOIN ind ON ind.dst = e.dst "
+            "         WHERE ind.c <= 400), "
+            "p AS (SELECT e1.src AS a, e2.src AS b, count(*)::BIGINT AS n_common "
+            "      FROM kept e1 JOIN kept e2 ON e1.dst = e2.dst AND e1.src < e2.src "
+            "      GROUP BY 1, 2) "
+            "SELECT a, b, n_common FROM p ORDER BY n_common DESC, a, b LIMIT 100"
+        ),
+        "domain_link_locality": (
+            f"WITH {_pages_edges_cte()}, "
+            "h AS (SELECT split_part(src, '/', 3) AS src_host, "
+            "             split_part(dst, '/', 3) AS dst_host FROM e) "
+            "SELECT src_host, count(*)::BIGINT AS n_links, "
+            "  count(*) FILTER (dst_host = src_host)::BIGINT AS n_intra, "
+            "  ((2 * count(*) FILTER (dst_host = src_host) * 1000000 + count(*)) "
+            "   // (2 * count(*)))::BIGINT AS share_e6 "
+            "FROM h GROUP BY src_host"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

@@ -7779,3 +7779,138 @@ def q_local_clustering(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def _pages_links(n_pages: int = 2000) -> rd.Dataset:
+    """Distinct (src_key, dst_key) page-level link edges from the
+    deterministic generator (sources/pages.py) — shared by the
+    co-citation / coupling / locality queries, mirroring the SQL
+    oracles' shared ``_pages_edges_cte`` (__ray_entry__.py)."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from ..stages.join import distinct
+
+    return distinct(extract_links(generate_pages(n_pages)), ["src_key", "dst_key"])
+
+
+def q_cocitation(sf_dir: str, n_pages: int = 2000, k: int = 100, n_buckets: int = 16):
+    """Top co-cited url pairs (Small 1973): (a, b) ranked by how many
+    pages cite BOTH — the classic link-graph relatedness signal. The
+    citer side is grouped, and the generator bounds out-degree (<= 15
+    hrefs/page), so per-group pair expansion is O(deg^2) <= ~120 rows:
+    ONE citer-bucket shuffle emits additive pair partials (each citer
+    lives in exactly one bucket), ONE pair-keyed bucket_sum reduces
+    them, and a distributed sort picks top-k — nothing pair-shaped ever
+    lands on the driver. Ties broken (n_common DESC, a, b) on both
+    sides."""
+    from ..stages.join import add_bucket, bucket_sum
+
+    links = _pages_links(n_pages)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="src_key")
+        m = m[m["dst_key_x"] < m["dst_key_y"]]
+        return (
+            m.groupby(["dst_key_x", "dst_key_y"], as_index=False)
+            .size()
+            .rename(columns={"dst_key_x": "a", "dst_key_y": "b", "size": "n_common"})
+        )
+
+    partial = _BMG(add_bucket(links, ["src_key"], n_buckets), n_buckets, per_bucket, "pandas")
+    agg = bucket_sum(partial, ["a", "b"], ["n_common"], n_buckets=16)
+
+    def as_i64(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_common"] = df["n_common"].astype("int64")
+        return df
+
+    return (
+        agg.map_batches(as_i64, batch_format="pandas")
+        .sort(["n_common", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def q_bibcoupling(
+    sf_dir: str, n_pages: int = 2000, k: int = 100, cap: int = 400, n_buckets: int = 16
+):
+    """Top bibliographically-coupled url pairs (Kessler 1963): citing
+    pages (a, b) ranked by how many targets they BOTH cite. Grouping is
+    by the cited url, where the generator's Zipf skew makes hubs: page
+    0 collects O(n^{1/3})-fraction of all links, and C(indeg, 2) on
+    such a hub dwarfs the rest of the join. Cited urls with GLOBAL
+    in-degree > cap are excluded (stop-hub removal — the same global
+    df-cap discipline as the n-gram similarity join, stages/dedup.py);
+    a cited url's rows all share one bucket, so the per-bucket
+    in-degree IS global and the cap needs no extra pass. Mirrored in
+    SQL via a HAVING-style filter. Ties (n_common DESC, a, b)."""
+    from ..stages.join import add_bucket, bucket_sum
+
+    links = _pages_links(n_pages)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ind = df.groupby("dst_key")["src_key"].transform("size")
+        df = df[ind <= cap]
+        m = df.merge(df, on="dst_key")
+        m = m[m["src_key_x"] < m["src_key_y"]]
+        return (
+            m.groupby(["src_key_x", "src_key_y"], as_index=False)
+            .size()
+            .rename(columns={"src_key_x": "a", "src_key_y": "b", "size": "n_common"})
+        )
+
+    partial = _BMG(add_bucket(links, ["dst_key"], n_buckets), n_buckets, per_bucket, "pandas")
+    agg = bucket_sum(partial, ["a", "b"], ["n_common"], n_buckets=16)
+
+    def as_i64(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_common"] = df["n_common"].astype("int64")
+        return df
+
+    return (
+        agg.map_batches(as_i64, batch_format="pandas")
+        .sort(["n_common", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def q_domain_link_locality(sf_dir: str, n_pages: int = 2000):
+    """Per-site link locality: for each source host, how many of its
+    distinct outbound links stay on-site (dst host == src host) —
+    share_e6 exact-integer half-up. One host-keyed bucket_sum over
+    per-batch (host, 1, is_intra) rows; host extraction (third
+    '/'-segment) is vectorized pandas string ops, mirrored by SQL
+    split_part."""
+    from ..stages.join import bucket_sum
+
+    links = _pages_links(n_pages)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["src_key"].str.split("/").str[2]
+        dh = df["dst_key"].str.split("/").str[2]
+        return pd.DataFrame(
+            {
+                "src_host": sh,
+                "n_links": np.ones(len(df), np.int64),
+                "n_intra": (sh == dh).to_numpy().astype(np.int64),
+            }
+        )
+
+    agg = bucket_sum(
+        links.map_batches(per_batch, batch_format="pandas"),
+        ["src_host"],
+        ["n_links", "n_intra"],
+        n_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_links"].to_numpy().astype(np.int64)
+        i = df["n_intra"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src_host": df["src_host"],
+                "n_links": n,
+                "n_intra": i,
+                "share_e6": (2 * i * 1_000_000 + n) // (2 * n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
