@@ -348,6 +348,33 @@ def _domain_pr_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+def _trustrank_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for TrustRank on the contracted domain graph: same
+    weighted symmetrized recursion as _domain_pr_sql, but the restart
+    mass 0.15/|S| lands only on the three trusted seed hosts. Mirrors
+    testdata.q_trustrank_domains / algorithms.TrustRank."""
+    seeds = ", ".join(f"'site-{i:05d}.example'" for i in range(3))
+    return (
+        f"WITH RECURSIVE {_pages_edges_cte(n, seed)}, "
+        "de AS (SELECT split_part(src, '/', 3) AS s, split_part(dst, '/', 3) AS d, "
+        "       count(*)::BIGINT AS w FROM e GROUP BY 1, 2), "
+        "esw AS (SELECT s AS src, d AS dst, w FROM de UNION ALL SELECT d, s, w FROM de), "
+        "deg AS (SELECT src AS id, sum(w) AS wd FROM esw GROUP BY src), "
+        f"sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM deg WHERE id IN ({seeds})), "
+        "pr AS ( "
+        "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, wd FROM deg "
+        "  UNION ALL "
+        f"  SELECT p.it + 1, e2.dst, "
+        f"    (CASE WHEN e2.dst IN ({seeds}) THEN 0.15/sn.ns ELSE 0.0 END) "
+        "     + 0.85 * SUM(p.val * e2.w / p.wd), dd.wd "
+        "  FROM pr p CROSS JOIN sn JOIN esw e2 ON e2.src = p.id "
+        "       JOIN deg dd ON dd.id = e2.dst "
+        "  WHERE p.it < 30 GROUP BY p.it, e2.dst, dd.wd, sn.ns) "
+        "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+        "FROM pr WHERE it = 30 ORDER BY score_e8 DESC, vertex LIMIT 25"
+    )
+
+
 def _user_hll_sql(p: int = 8) -> str:
     """Mirror testdata.q_user_hll: FNV-1a of the decimal user_id,
     register = top p bits, rho = leading zeros of the low 64-p bits +1
@@ -1109,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation": T.q_cocitation,
         "bibcoupling": T.q_bibcoupling,
         "domain_link_locality": T.q_domain_link_locality,
+        "trustrank_domains": T.q_trustrank_domains,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2904,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(),
         "pages_linkgraph_pagerank": _pages_pr_sql(),
         "domain_pagerank": _domain_pr_sql(),
+        "trustrank_domains": _trustrank_sql(),
         "doc_quality": _quality_sql(),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

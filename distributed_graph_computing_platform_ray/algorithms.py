@@ -150,6 +150,30 @@ class PersonalizedPageRank(PageRank):
         return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
 
 
+class TrustRank(PersonalizedPageRank):
+    """TrustRank (Gyongyi et al., VLDB 2004): personalized restart onto
+    a trusted seed set COMBINED with edge-weight-proportional rank
+    flow — x <- (1-d)·1_{v∈S}/|S| + d·W^T_wdeg x over the weighted
+    domain graph. A pure mixin of the two PageRank extensions: the
+    engine sees ``wants_ids`` (seed teleport, inherited) plus
+    ``use_weighted_degrees`` (weighted scatter), so both backends work
+    unchanged."""
+
+    use_weighted_degrees = True
+
+    def __init__(self, seed_ids, n_vertices=None, num_iters: int = 30, damping: float = 0.85):
+        super().__init__(
+            seed_ids, n_vertices=n_vertices, num_iters=num_iters, damping=damping
+        )
+        self.name = "trustrank"
+
+    def message_base(self, ids, values, degrees, superstep):
+        # degrees here are WEIGHTED sums (floats, >= smallest weight)
+        return ScatterOut(
+            base=values / np.where(degrees > 0, degrees, 1.0), mul_edge_weight=True
+        )
+
+
 class PageRankWeighted(PageRank):
     """PageRank with edge-weight-proportional rank distribution:
     vertex v sends value(v) * w_e / wdeg(v) along each edge, where
@@ -849,6 +873,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return PageRankWeighted(**params)
     if name in ("ppr", "personalized_pagerank"):
         return PersonalizedPageRank(**params)
+    if name == "trustrank":
+        return TrustRank(**params)
     if name == "sssp":
         return SSSP(**params)
     if name in ("sssp_multi", "multi_source_sssp"):

@@ -7914,3 +7914,55 @@ def q_domain_link_locality(sf_dir: str, n_pages: int = 2000):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_trustrank_domains(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """TrustRank over the contracted domain graph: page links are
+    exact-deduped and contracted to weighted host-level edges (same
+    distributed contraction as q_domain_pagerank), then 30 iterations
+    of weight-proportional personalized PageRank whose restart mass
+    lands only on the three trusted seed hosts — the classic web-spam
+    demotion signal (trust decays with weighted link distance from the
+    seeds). n PINNED to the fixed oracle's 2000; seeds absent from the
+    graph are dropped on both sides. Top-25 hosts by score."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .graph import lookup_vertex_id
+    from .ingest import build_graph as _bg
+    from .pages import contract_link_graph
+
+    seeds_hosts = [f"site-{i:05d}.example" for i in range(3)]
+    root = f"/tmp/graft_trustrank_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    links = extract_links(generate_pages(n))
+    dom_edges = contract_link_graph(links, n_buckets)
+    man = _bg(
+        dom_edges,
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=True,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "domain_graph_trust", "n": n},
+    )
+    seeds = []
+    for h in seeds_hosts:
+        try:
+            seeds.append(lookup_vertex_id(man, h))
+        except KeyError:
+            pass
+    res = run_algorithm(
+        f"{root}/graph", f"{root}/tr", "trustrank", seed_ids=tuple(sorted(seeds))
+    )
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({"vertex": t["vertex"], "score_e8": _score_e8(t["value"])})
+
+    return (
+        res.map_batches(conv, batch_format="pyarrow")
+        .sort(["score_e8", "vertex"], descending=[True, False])
+        .limit(25)
+    )

@@ -244,3 +244,65 @@ def test_cc_warm_start_incremental_equals_cold():
             return json.load(f)["final_iter"]
 
     assert final_iter(f"{TMP}/inc/cc_warm") < final_iter(f"{TMP}/inc/cc_cold")
+
+
+def test_trustrank_weighted_personalized():
+    """TrustRank = personalized teleport x weighted scatter. Pinned two
+    ways: (1) on unit weights it equals the PPR numpy oracle exactly;
+    (2) on the weighted graph it matches 30 applications of
+    x <- 0.15/|S|·1_S + 0.85 * Wnorm^T x from zero init, on both
+    backends."""
+    edges = [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+        ("c", "d", 1.0), ("b", "d", 9.0), ("d", "a", 2.5),
+    ]
+    verts = sorted({v for e in edges for v in e[:2]})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+
+    # (1) unit weights: TrustRank == tests.oracle.personalized_pagerank
+    ds1 = rd.from_items(
+        [{"src_key": s, "dst_key": d} for s, d, _ in edges]
+    )
+    g1 = f"{TMP}/trust_unit/graph"
+    shutil.rmtree(g1, ignore_errors=True)
+    build_graph(ds1, g1, n_parts=2, n_buckets=4, dedup=False)
+    man1 = GraphManifest.load(g1)
+    seeds_keys = ["a", "d"]
+    sids = tuple(sorted(lookup_vertex_id(man1, k) for k in seeds_keys))
+    int_edges = [(idx[s], idx[d]) for s, d, _ in edges]
+    exp = oracle.personalized_pagerank(int_edges, {idx[k] for k in seeds_keys})
+    got = run_algorithm(g1, f"{TMP}/trust_unit/tr", "trustrank", seed_ids=sids).to_pandas()
+    g = got.set_index("vertex")["value"]
+    np.testing.assert_allclose(
+        g.loc[verts].to_numpy(), [exp[idx[v]] for v in verts], atol=1e-9
+    )
+
+    # (2) weighted graph vs dense numpy recurrence, both backends
+    ds2 = rd.from_items(
+        [{"src_key": s, "dst_key": d, "weight": w} for s, d, w in edges]
+    )
+    g2 = f"{TMP}/trust_w/graph"
+    shutil.rmtree(g2, ignore_errors=True)
+    build_graph(ds2, g2, n_parts=2, n_buckets=4, dedup=False)
+    man2 = GraphManifest.load(g2)
+    sids2 = tuple(sorted(lookup_vertex_id(man2, k) for k in seeds_keys))
+
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] += w
+        W[idx[d], idx[s]] += w
+    P = W / W.sum(axis=1)[:, None]
+    tele = np.array([0.15 / 2 if v in seeds_keys else 0.0 for v in verts])
+    x = np.zeros(n)
+    for _ in range(30):
+        x = tele + 0.85 * (P.T @ x)
+
+    for backend, wd in [("core", "tr_core"), ("dataset", "tr_ds")]:
+        got = run_algorithm(
+            g2, f"{TMP}/trust_w/{wd}", "trustrank", seed_ids=sids2, backend=backend
+        ).to_pandas()
+        gg = got.set_index("vertex")["value"]
+        np.testing.assert_allclose(
+            gg.loc[verts].to_numpy(), x, atol=1e-9, err_msg=backend
+        )
