@@ -1137,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bibcoupling": T.q_bibcoupling,
         "domain_link_locality": T.q_domain_link_locality,
         "trustrank_domains": T.q_trustrank_domains,
+        "pagerank_warm": T.q_pagerank_warm,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -1174,6 +1175,38 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.d, nn.n) "
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM pr WHERE it = 30"
+        ),
+        "pagerank_warm": (
+            # chained recurrences: 30 cold iterations on the sub5
+            # snapshot seed 10 warm iterations on the full graph
+            # (new-vertex init 0 via the COALESCE left join)
+            f"WITH RECURSIVE {_EB_LINEITEM}, "
+            "eb0 AS (SELECT src, dst FROM eb WHERE (src + dst) % 5 <> 0), "
+            "es0 AS (SELECT src, dst FROM eb0 UNION ALL SELECT dst, src FROM eb0), "
+            "deg0 AS (SELECT src AS id, count(*) AS d FROM es0 GROUP BY src), "
+            "nn0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg0), "
+            "pr0 AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg0 "
+            "  UNION ALL "
+            "  SELECT p.it + 1, e.dst, 0.15/nn0.n + 0.85 * SUM(p.val / p.d), dd.d "
+            "  FROM pr0 p CROSS JOIN nn0 JOIN es0 e ON e.src = p.id "
+            "       JOIN deg0 dd ON dd.id = e.dst "
+            "  WHERE p.it < 30 GROUP BY p.it, e.dst, dd.d, nn0.n), "
+            f"{_ES}, "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+            "init AS (SELECT deg.id, COALESCE(p.val, 0.0) AS val, deg.d FROM deg "
+            "         LEFT JOIN (SELECT id, val FROM pr0 WHERE it = 30) p "
+            "         ON p.id = deg.id), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, val, d FROM init "
+            "  UNION ALL "
+            "  SELECT p.it + 1, e.dst, 0.15/nn.n + 0.85 * SUM(p.val / p.d), dd.d "
+            "  FROM pr p CROSS JOIN nn JOIN es e ON e.src = p.id "
+            "       JOIN deg dd ON dd.id = e.dst "
+            "  WHERE p.it < 10 GROUP BY p.it, e.dst, dd.d, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 10"
         ),
         "pagerank_trace": (
             # per-checkpoint L1 movement of the SAME recurrence — the

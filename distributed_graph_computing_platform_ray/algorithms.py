@@ -150,6 +150,42 @@ class PersonalizedPageRank(PageRank):
         return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
 
 
+class PageRankWarmStart(PageRank):
+    """Incremental PageRank: re-rank after a crawl delta, seeded from a
+    prior run's scores instead of zero. Unlike CC (where the warm
+    fixpoint provably equals the cold one), a fixed-iteration warm PR
+    is its own well-defined recurrence — x_0 = prior scores (0 for
+    vertices new to the graph), then num_iters applications of
+    x <- 0.15/N + 0.85·A'^T x on the NEW graph — and converges toward
+    the stationary point far faster than a cold start because the
+    prior is already near-converged wherever the graph didn't change.
+    The prior map rides the pickled algorithm at test scale; at 10^12
+    vertices it becomes a state-table join at init (same range
+    partitioning as CC warm start, no shuffle). Keys arrive via the
+    engine's unconditional ``init(keys=...)`` contract; message/apply
+    are inherited PageRank, so ``wants_keys`` stays False."""
+
+    def __init__(self, prior_keys, prior_values, n_vertices: int, num_iters: int = 10, damping: float = 0.85):
+        super().__init__(n_vertices, num_iters=num_iters, damping=damping)
+        self.name = "pagerank_warm"
+        pk = np.asarray(prior_keys, dtype=np.int64)
+        pv = np.asarray(prior_values, dtype=np.float64)
+        order = np.argsort(pk)
+        self.pk, self.pv = pk[order], pv[order]
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        if keys is not None and keys_numeric:
+            k = np.asarray(keys, dtype=np.int64)
+        else:
+            k = ids.astype(np.int64)
+        if len(self.pk):
+            idx = np.clip(np.searchsorted(self.pk, k), 0, len(self.pk) - 1)
+            val = np.where(self.pk[idx] == k, self.pv[idx], 0.0)
+        else:
+            val = np.zeros(len(k))
+        return val.astype(np.float64), np.ones(len(ids), dtype=bool)
+
+
 class TrustRank(PersonalizedPageRank):
     """TrustRank (Gyongyi et al., VLDB 2004): personalized restart onto
     a trusted seed set COMBINED with edge-weight-proportional rank
@@ -875,6 +911,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return PersonalizedPageRank(**params)
     if name == "trustrank":
         return TrustRank(**params)
+    if name == "pagerank_warm":
+        return PageRankWarmStart(**params)
     if name == "sssp":
         return SSSP(**params)
     if name in ("sssp_multi", "multi_source_sssp"):

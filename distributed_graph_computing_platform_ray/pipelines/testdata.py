@@ -7966,3 +7966,38 @@ def q_trustrank_domains(sf_dir: str, n: int = 2000, n_buckets: int = 32):
         .sort(["score_e8", "vertex"], descending=[True, False])
         .limit(25)
     )
+
+
+def q_pagerank_warm(sf_dir: str):
+    """Incremental PageRank after a crawl delta: 30-iteration scores on
+    the 'previous snapshot' graph (sub5, ~80% of the edges — same
+    snapshot as cc_incremental) seed a 10-iteration warm re-rank on the
+    full lineitem graph, vertices new to the graph starting at 0 — the
+    recrawl-re-rank pattern (rank is near-converged wherever the graph
+    didn't change, so a short warm run replaces a full cold one). The
+    result is the exact chained recurrence, mirrored in SQL by two
+    chained recursive CTEs."""
+    import json
+
+    from ..algorithms import PageRankWarmStart
+
+    prior = _run_cached(sf_dir, "lineitem_sub5", "pagerank").to_pandas()
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    algo = PageRankWarmStart(
+        prior["vertex"].astype(np.int64).to_numpy(),
+        prior["value"].to_numpy(),
+        n_vertices=man.n_vertices,
+        num_iters=10,
+    )
+    wdir = _cache(sf_dir, "lineitem", "run_pagerank_warm")
+    run_json = os.path.join(wdir, "run.json")
+    if os.path.exists(run_json):
+        from .graph import result_dataset
+
+        with open(run_json) as f:
+            final = json.load(f)["final_iter"]
+        res = result_dataset(man, os.path.join(wdir, "state", f"iter={final:04d}"))
+    else:
+        res = run_algorithm(gdir, wdir, algo)
+    return _as_int_vertex(res, "score_e8", _score_e8)
