@@ -258,6 +258,11 @@ def _matching_sql() -> str:
     )
 
 
+def _PAGE_URL(x: str) -> str:
+    """SQL expression rebuilding sources/pages.py::url_of(x)."""
+    return f"printf('https://site-%05d.example/p/%04d', ({x}) // 16, ({x}) % 16)"
+
+
 def _pages_edges_cte(n: int = 2000, seed: int = 42) -> str:
     """Shared CTE chain ending at ``e(src, dst)``: the deterministic
     page generator's DISTINCT page-level link edges, rebuilt in SQL
@@ -1138,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_link_locality": T.q_domain_link_locality,
         "trustrank_domains": T.q_trustrank_domains,
         "pagerank_warm": T.q_pagerank_warm,
+        "redirect_resolve": T.q_redirect_resolve,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2793,6 +2799,27 @@ def oracle_sql() -> dict[str, str]:
             "  ((2 * count(*) FILTER (dst_host = src_host) * 1000000 + count(*)) "
             "   // (2 * count(*)))::BIGINT AS share_e6 "
             "FROM h GROUP BY src_host"
+        ),
+        "redirect_resolve": (
+            # redirect chains: page i redirects to i//3 iff
+            # mix64(seed+7, i) % 3 == 0 (testdata._is_redirect_ids);
+            # follow to the first non-redirect url. Chains are acyclic
+            # (target id strictly decreases), so the plain recursion
+            # terminates at the chain ends.
+            "WITH RECURSIVE "
+            "base AS (SELECT i::UBIGINT AS i FROM range(0, 2000) t(i)), "
+            f"hrc AS (SELECT i, xor({53876069782339}::UBIGINT, i) AS acc0, "
+            f"        {_splitmix_cols('acc0', 'hr')} FROM base), "
+            "r AS (SELECT i::BIGINT AS u, (i::BIGINT // 3)::BIGINT AS tgt "
+            "      FROM hrc WHERE i > 0 AND hr % 3 = 0), "
+            "chain AS ( "
+            "  SELECT u AS src, tgt AS cur, 1::BIGINT AS hops FROM r "
+            "  UNION ALL "
+            "  SELECT c.src, r.tgt, c.hops + 1 FROM chain c JOIN r ON r.u = c.cur), "
+            "fin AS (SELECT src, cur, hops FROM chain "
+            "        WHERE cur NOT IN (SELECT u FROM r)) "
+            f"SELECT {_PAGE_URL('src')} AS src_url, {_PAGE_URL('cur')} AS final_url, "
+            "  hops FROM fin"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

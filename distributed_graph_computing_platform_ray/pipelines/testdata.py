@@ -8001,3 +8001,133 @@ def q_pagerank_warm(sf_dir: str):
     else:
         res = run_algorithm(gdir, wdir, algo)
     return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+# ---------------------------------------------------------------------------
+# round 4: crawl-operations family (redirects, frontier, budget, site depth)
+
+
+def _is_redirect_ids(ids: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Pure counter-based predicate: page i is an HTTP redirect iff
+    mix64(seed+7, i) % 3 == 0 and i > 0 (same splitmix machinery as the
+    page generator, reproduced bit-exactly in SQL). Redirect target is
+    i // 3 — strictly decreasing, so chains are acyclic by
+    construction and bounded by log3(n)."""
+    from ..utils import mix64
+
+    ids = np.asarray(ids, dtype=np.int64)
+    hr = mix64(np.uint64(seed + 7), ids.astype(np.uint64))
+    return (ids > 0) & ((hr % np.uint64(3)) == np.uint64(0))
+
+
+def q_redirect_resolve(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Crawl canonicalization: resolve redirect CHAINS to their final
+    url by pointer doubling. The redirect map is a deterministic
+    function of the page id (see _is_redirect_ids; target = i // 3).
+    Each round composes the state table with itself via ONE bucket-join
+    shuffle (state[u] <- state[state[u].cur]), so hops covered double
+    per round and ceil(log2(max_chain)) rounds resolve every chain —
+    the 100 TB shape for canonical-url mapping over billions of
+    redirects (chains of length L cost O(log L) shuffles, never a
+    driver loop; per-round state is one row per redirect, checkpointed
+    like an engine superstep). Output: one row per redirect page with
+    its final (non-redirect) url and total hop count."""
+    import math
+
+    from ..sources.pages import url_of
+    from ..stages.join import bucket_join
+
+    def init_batch(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy().astype(np.int64)
+        u = ids[_is_redirect_ids(ids)]
+        cur = u // 3
+        return pa.table(
+            {
+                "u": u,
+                "cur": cur,
+                "hops": np.ones(len(u), np.int64),
+                "done": ~_is_redirect_ids(cur),
+            }
+        )
+
+    state = rd.range(n_pages).map_batches(init_batch, batch_format="pyarrow")
+    # chain length <= log3(n)+1; undone rows double their covered hops
+    # per round, so ceil(log2(max_chain)) rounds suffice.
+    max_chain = math.ceil(math.log(max(n_pages, 3), 3)) + 1
+    rounds = max(1, math.ceil(math.log2(max_chain)))
+
+    state_schema = pa.schema(
+        [("u", pa.int64()), ("cur", pa.int64()), ("hops", pa.int64()), ("done", pa.bool_())]
+    )
+    right_schema = pa.schema(
+        [("ru", pa.int64()), ("rcur", pa.int64()), ("rhops", pa.int64())]
+    )
+
+    for _ in range(rounds):
+        # iteration checkpoint (supersteps do the same): state is
+        # O(n_redirects), and the three reads below would otherwise
+        # re-execute the whole upstream plan per branch.
+        state = state.materialize()
+
+        def split(flag: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.filter(pc.equal(t["done"], flag))
+
+            return fn
+
+        undone = state.map_batches(split(False), batch_format="pyarrow")
+        done_rows = state.map_batches(split(True), batch_format="pyarrow")
+
+        def as_right(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"ru": t["u"], "rcur": t["cur"], "rhops": t["hops"]}
+            )
+
+        right = state.map_batches(as_right, batch_format="pyarrow")
+        j = bucket_join(
+            undone,
+            right,
+            left_on="cur",
+            right_on="ru",
+            n_buckets=n_buckets,
+            how="left",
+            left_schema=state_schema,
+            right_schema=right_schema,
+        )
+
+        def advance(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "u": pd.Series([], dtype="int64"),
+                        "cur": pd.Series([], dtype="int64"),
+                        "hops": pd.Series([], dtype="int64"),
+                        "done": pd.Series([], dtype="bool"),
+                    }
+                )
+            matched = df["rcur"].notna().to_numpy()
+            cur0 = df["cur"].astype("int64").to_numpy()
+            cur = np.where(matched, df["rcur"].fillna(0).astype("int64"), cur0)
+            hops = df["hops"].astype("int64").to_numpy() + np.where(
+                matched, df["rhops"].fillna(0).astype("int64"), 0
+            )
+            # unmatched => cur has no redirect entry => already final
+            done = np.where(matched, ~_is_redirect_ids(cur), True)
+            return pd.DataFrame(
+                {"u": df["u"].astype("int64"), "cur": cur, "hops": hops, "done": done}
+            )
+
+        state = done_rows.union(j.map_batches(advance, batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.pages import url_of as _u
+
+        return pd.DataFrame(
+            {
+                "src_url": [_u(int(i)) for i in df["u"]],
+                "final_url": [_u(int(i)) for i in df["cur"]],
+                "hops": df["hops"].astype("int64"),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pandas")
