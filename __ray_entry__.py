@@ -1144,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank_domains": T.q_trustrank_domains,
         "pagerank_warm": T.q_pagerank_warm,
         "redirect_resolve": T.q_redirect_resolve,
+        "frontier_candidates": T.q_frontier_candidates,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2820,6 +2821,18 @@ def oracle_sql() -> dict[str, str]:
             "        WHERE cur NOT IN (SELECT u FROM r)) "
             f"SELECT {_PAGE_URL('src')} AS src_url, {_PAGE_URL('cur')} AS final_url, "
             "  hops FROM fin"
+        ),
+        "frontier_candidates": (
+            # linked-but-uncrawled urls ranked by inlink evidence; the
+            # engine side is Bloom-prefiltered + verify (exact), so it
+            # shares this plain anti-join oracle
+            f"WITH {_pages_edges_cte()}, "
+            f"crawled AS (SELECT {_PAGE_URL('i')} AS url FROM range(0, 2000) t(i)), "
+            "f AS (SELECT e.dst, e.src FROM e "
+            "      WHERE e.dst NOT IN (SELECT url FROM crawled)) "
+            "SELECT dst AS frontier_url, count(*)::BIGINT AS n_inlinks, "
+            "  count(DISTINCT split_part(src, '/', 3))::BIGINT AS n_src_sites "
+            "FROM f GROUP BY dst ORDER BY n_inlinks DESC, frontier_url LIMIT 100"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

@@ -8131,3 +8131,101 @@ def q_redirect_resolve(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
         )
 
     return state.map_batches(finish, batch_format="pandas")
+
+
+def q_frontier_candidates(
+    sf_dir: str,
+    n_pages: int = 2000,
+    k: int = 100,
+    m_bits: int = 1 << 14,
+    n_buckets: int = 16,
+):
+    """Crawl-frontier discovery: urls LINKED from crawled pages but not
+    themselves in the crawl, ranked by inlink evidence — what a crawler
+    fetches next. The crawled-url set never ships as keys: a Bloom
+    bitmap of it broadcasts (mergeable per-block partials), each
+    extracted link probes locally, and definitely-uncrawled links skip
+    the join entirely; only the maybe sliver (crawled hits + Bloom
+    false positives — m_bits is kept small so FPs occur at every test
+    sf and the verify path is exercised) enters ONE bucketed verify
+    anti-join, making the result EXACT. Aggregation is one
+    frontier-url-bucketed shuffle. Output: top-k frontier urls by
+    (distinct citing pages, url), with distinct citing sites."""
+    from ..sources.pages import url_of
+    from ..stages.bloom import bloom_build, bloom_probe_stage
+    from ..stages.join import add_bucket
+    from ..utils import stable_hash_array
+
+    def urls_batch(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        return pa.table({"url": pa.array([url_of(int(i)) for i in ids], pa.string())})
+
+    crawled = rd.range(n_pages).map_batches(urls_batch, batch_format="pyarrow")
+    words = bloom_build(crawled, lambda t: stable_hash_array(t["url"]), m_bits=m_bits)
+
+    links = _pages_links(n_pages)  # distinct (src_key, dst_key)
+    probed = bloom_probe_stage(
+        links, words, lambda t: stable_hash_array(t["dst_key"]), m_bits
+    ).materialize()  # probe once, feed both splits below
+
+    def definitely_new(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(t["__maybe"]))
+        return pa.table({"src_key": f["src_key"], "dst_key": f["dst_key"]})
+
+    def maybe_tagged(t: pa.Table) -> pa.Table:
+        f = t.filter(t["__maybe"])
+        return pa.table(
+            {
+                "src_key": f["src_key"],
+                "dst_key": f["dst_key"],
+                "__side": pa.array(np.zeros(f.num_rows, np.int8)),
+            }
+        )
+
+    def crawled_tagged(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_key": pa.array([""] * t.num_rows, pa.string()),
+                "dst_key": t["url"],
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    tagged = probed.map_batches(maybe_tagged, batch_format="pyarrow").union(
+        crawled.map_batches(crawled_tagged, batch_format="pyarrow")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # remove Bloom false positives: dst urls actually crawled
+        bad = set(g.loc[g["__side"] == 1, "dst_key"])
+        keep = g[(g["__side"] == 0) & ~g["dst_key"].isin(bad)]
+        return keep[["src_key", "dst_key"]]
+
+    survivors = _BMG(
+        add_bucket(tagged, ["dst_key"], n_buckets), n_buckets, verify, "pandas"
+    )
+    frontier = survivors.union(
+        probed.map_batches(definitely_new, batch_format="pyarrow")
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        sites = g["src_key"].str.split("/").str[2]
+        out = g.assign(site=sites).groupby("dst_key").agg(
+            n_inlinks=("src_key", "size"), n_src_sites=("site", "nunique")
+        )
+        return out.reset_index().rename(columns={"dst_key": "frontier_url"})
+
+    res = _BMG(
+        add_bucket(frontier, ["dst_key"], n_buckets), n_buckets, agg, "pandas"
+    )
+
+    def as_i64(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_inlinks"] = df["n_inlinks"].astype("int64")
+        df["n_src_sites"] = df["n_src_sites"].astype("int64")
+        return df
+
+    return (
+        res.map_batches(as_i64, batch_format="pandas")
+        .sort(["n_inlinks", "frontier_url"], descending=[True, False])
+        .limit(k)
+    )
