@@ -1145,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_warm": T.q_pagerank_warm,
         "redirect_resolve": T.q_redirect_resolve,
         "frontier_candidates": T.q_frontier_candidates,
+        "crawl_budget": T.q_crawl_budget,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2833,6 +2834,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT dst AS frontier_url, count(*)::BIGINT AS n_inlinks, "
             "  count(DISTINCT split_part(src, '/', 3))::BIGINT AS n_src_sites "
             "FROM f GROUP BY dst ORDER BY n_inlinks DESC, frontier_url LIMIT 100"
+        ),
+        "crawl_budget": (
+            # Hamilton largest-remainder apportionment of 10000 fetch
+            # slots across dst hosts, weights = distinct-link inlinks
+            f"WITH {_pages_edges_cte()}, "
+            "hw AS (SELECT split_part(dst, '/', 3) AS host, "
+            "       count(*)::BIGINT AS w FROM e GROUP BY host), "
+            "t AS (SELECT sum(w)::BIGINT AS tw FROM hw), "
+            "b AS (SELECT host, w, (10000 * w) // t.tw AS base, "
+            "      (10000 * w) % t.tw AS rem FROM hw, t), "
+            "x AS (SELECT (10000 - sum(base))::BIGINT AS ne FROM b), "
+            "r AS (SELECT host, w, base, rem, "
+            "      row_number() OVER (ORDER BY rem DESC, host) AS rn FROM b) "
+            "SELECT host, w AS n_inlinks, "
+            "  (base + CASE WHEN rn <= x.ne THEN 1 ELSE 0 END)::BIGINT AS slots "
+            "FROM r, x"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

@@ -8229,3 +8229,74 @@ def q_frontier_candidates(
         .sort(["n_inlinks", "frontier_url"], descending=[True, False])
         .limit(k)
     )
+
+
+def q_crawl_budget(
+    sf_dir: str, n_pages: int = 2000, total_slots: int = 10000, n_buckets: int = 16
+):
+    """Crawl-budget apportionment: split a fixed fetch budget across
+    hosts proportionally to inlink evidence, EXACTLY (Hamilton /
+    largest-remainder — sum(slots) == total_slots by construction, no
+    float rounding drift). Host weights are one bucketed shuffle of
+    the link table; base slots and remainders are pure per-row integer
+    functions of the broadcast total W; the +1 extras go to the
+    n_extra largest remainders picked by a DISTRIBUTED sort+limit
+    (n_extra < total_slots, so the extras set is small and broadcasts
+    back as a set — the host table itself, ~100M rows at web scale,
+    never lands on the driver). Ties broken (remainder DESC, host ASC)
+    on both sides."""
+    from ..stages.join import bucket_sum
+
+    links = _pages_links(n_pages)
+
+    def host_ones(t: pa.Table) -> pa.Table:
+        hosts = pc.split_pattern(t["dst_key"], "/")
+        host = pc.list_element(hosts, 2)
+        return pa.table(
+            {"host": host, "w": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    hostw = bucket_sum(
+        links.map_batches(host_ones, batch_format="pyarrow"), ["host"], ["w"], n_buckets
+    ).materialize()  # domain-cardinality intermediate, read 3x below
+
+    big_w = int(hostw.sum("w"))
+
+    def base_rem(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "host": t["host"],
+                "w": pa.array(w),
+                "base": pa.array(total_slots * w // big_w),
+                "rem": pa.array((total_slots * w) % big_w),
+            }
+        )
+
+    br = hostw.map_batches(base_rem, batch_format="pyarrow").materialize()
+    n_extra = total_slots - int(br.sum("base"))
+    if n_extra > 0:
+        extras = set(
+            r["host"]
+            for r in br.sort(["rem", "host"], descending=[True, False])
+            .limit(n_extra)
+            .select_columns(["host"])
+            .take_all()
+        )
+    else:
+        extras = set()
+    extras_ref = ray.put(extras)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ex = ray.get(extras_ref)
+        host = t["host"].to_pylist()
+        plus = np.array([h in ex for h in host], dtype=np.int64)
+        return pa.table(
+            {
+                "host": t["host"],
+                "n_inlinks": t["w"],
+                "slots": pa.array(t["base"].to_numpy().astype(np.int64) + plus),
+            }
+        )
+
+    return br.map_batches(finish, batch_format="pyarrow")
