@@ -1146,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": T.q_redirect_resolve,
         "frontier_candidates": T.q_frontier_candidates,
         "crawl_budget": T.q_crawl_budget,
+        "site_depth": T.q_site_depth,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2850,6 +2851,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, w AS n_inlinks, "
             "  (base + CASE WHEN rn <= x.ne THEN 1 ELSE 0 END)::BIGINT AS slots "
             "FROM r, x"
+        ),
+        "site_depth": (
+            # multi-source BFS from every site root over intra-site
+            # directed links; Bellman-Ford style iteration-indexed
+            # recursion (self-loop relax keeps settled vertices), cap
+            # 30 >> max intra-site diameter (sites have 16 pages)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "v AS (SELECT DISTINCT u FROM "
+            "      (SELECT src AS u FROM ie UNION ALL SELECT dst FROM ie)), "
+            "relax AS (SELECT src, dst, 1 AS w FROM ie "
+            "          UNION ALL SELECT u, u, 0 FROM v), "
+            "d AS ( "
+            "  SELECT 0 AS it, u AS id, CASE WHEN u LIKE '%/p/0000' "
+            "         THEN CAST(0 AS DOUBLE) ELSE 1e18 END AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM d p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 30 GROUP BY p.it, r.dst) "
+            "SELECT id AS url, CAST(dist AS BIGINT) AS depth "
+            "FROM d WHERE it = 30 AND dist < 1e17"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

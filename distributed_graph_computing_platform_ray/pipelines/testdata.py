@@ -8300,3 +8300,62 @@ def q_crawl_budget(
         )
 
     return br.map_batches(finish, batch_format="pyarrow")
+
+
+def q_site_depth(sf_dir: str, n_pages: int = 2000):
+    """Per-page crawl depth: BFS hop distance from each site's root
+    page (/p/0000) over INTRA-site links only, following link
+    direction — the classic crawl-depth / url-priority signal. One
+    engine run does every site at once: the intra-site graph is built
+    directed (no symmetrize), all roots seed a single multi-source
+    min-combiner BFS at distance 0, and because intra-site edges never
+    cross hosts, each page's distance is exactly its own site's depth.
+    Root ids come from a predicate scan of the vertices files (one row
+    per site — at web scale, a vertices-partition filter, still one
+    scan, seeds broadcast to the engine). Unreachable pages are
+    excluded on both sides."""
+    from .graph import run_algorithm
+
+    gdir = f"/tmp/graft_site_depth_{n_pages}/graph"
+    wdir = f"/tmp/graft_site_depth_{n_pages}/run"
+    shutil.rmtree(f"/tmp/graft_site_depth_{n_pages}", ignore_errors=True)
+
+    links = _pages_links(n_pages)
+
+    def intra(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        return t.filter(pc.equal(sh, dh))
+
+    man = build_graph(
+        links.map_batches(intra, batch_format="pyarrow"),
+        gdir,
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,  # _pages_links is already globally distinct
+        symmetrize_edges=False,
+        source_info={"kind": "pages_intra_site"},
+    )
+
+    vts = rd.read_parquet(os.path.join(gdir, "vertices"))
+
+    def root_ids(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.ends_with(t["key"].cast(pa.string()), "/p/0000"))
+        return pa.table({"id": f["id"]})
+
+    roots = vts.map_batches(root_ids, batch_format="pyarrow")
+    sids = tuple(sorted(int(r["id"]) for r in roots.take_all()))
+    res = run_algorithm(gdir, wdir, "sssp_multi", source_ids=sids)
+
+    def conv(t: pa.Table) -> pa.Table:
+        val = t["value"].to_numpy()
+        fin = np.isfinite(val)
+        f = t.filter(pa.array(fin))
+        return pa.table(
+            {
+                "url": f["vertex"].cast(pa.string()),
+                "depth": pa.array(val[fin].astype(np.int64)),
+            }
+        )
+
+    return res.map_batches(conv, batch_format="pyarrow")
