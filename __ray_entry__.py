@@ -1147,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_candidates": T.q_frontier_candidates,
         "crawl_budget": T.q_crawl_budget,
         "site_depth": T.q_site_depth,
+        "modularity": T.q_modularity,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2872,6 +2873,36 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN relax r ON r.src = p.id WHERE p.it < 30 GROUP BY p.it, r.dst) "
             "SELECT id AS url, CAST(dist AS BIGINT) AS depth "
             "FROM d WHERE it = 30 AND dist < 1e17"
+        ),
+        "modularity": (
+            # exact-integer Newman modularity of the 10-round LP
+            # communities: contrib = 4*m*e_c - d_c^2 per community
+            # (Q = sum(contrib) / (4 m^2)); LP recursion identical to
+            # the label_propagation oracle
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, {_V}, "
+            "l AS ( "
+            "  SELECT 0 AS it, id, id AS lab FROM v "
+            "  UNION ALL "
+            "  SELECT it + 1, id, lab FROM ( "
+            "    SELECT p.it AS it, e.dst AS id, p.lab AS lab, count(*) AS c "
+            "    FROM l p JOIN es e ON e.src = p.id WHERE p.it < 10 "
+            "    GROUP BY p.it, e.dst, p.lab "
+            "    QUALIFY row_number() OVER (PARTITION BY p.it, e.dst "
+            "            ORDER BY count(*) DESC, p.lab ASC) = 1)), "
+            "lab AS (SELECT id, CAST(lab AS BIGINT) AS lab FROM l WHERE it = 10), "
+            "mm AS (SELECT count(*)::BIGINT AS m FROM eb), "
+            "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM es GROUP BY src), "
+            "ec AS (SELECT la.lab AS label, count(*)::BIGINT AS e_in "
+            "       FROM eb JOIN lab la ON la.id = eb.src "
+            "       JOIN lab lb ON lb.id = eb.dst "
+            "       WHERE la.lab = lb.lab GROUP BY la.lab), "
+            "dc AS (SELECT l2.lab AS label, count(*)::BIGINT AS n_vertices, "
+            "       sum(deg.d)::BIGINT AS d_sum "
+            "       FROM lab l2 JOIN deg ON deg.id = l2.id GROUP BY l2.lab) "
+            "SELECT dc.label, dc.n_vertices, COALESCE(ec.e_in, 0)::BIGINT AS e_in, "
+            "  dc.d_sum, (4 * mm.m * COALESCE(ec.e_in, 0) "
+            "             - dc.d_sum * dc.d_sum)::BIGINT AS contrib "
+            "FROM dc LEFT JOIN ec ON ec.label = dc.label, mm"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

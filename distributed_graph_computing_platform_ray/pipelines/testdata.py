@@ -8359,3 +8359,123 @@ def q_site_depth(sf_dir: str, n_pages: int = 2000):
         )
 
     return res.map_batches(conv, batch_format="pyarrow")
+
+
+def q_modularity(sf_dir: str, n_buckets: int = 16):
+    """Community quality: EXACT-integer Newman modularity of the
+    10-round label-propagation communities on the lineitem graph.
+    Q = sum_c (e_c/m - (d_c/2m)^2) is reported as the per-community
+    integer contribution 4*m*e_c - d_c^2 (Q = sum(contrib)/(4 m^2)),
+    so there is no float rounding to disagree on. Labels join onto the
+    edge table via two bucket joins (src then dst endpoint), intra-
+    community edges and degree sums reduce in ONE label-keyed shuffle
+    each, and only the scalar m crosses the driver — the standard
+    shape for community metrics over billions of edges."""
+    from ..stages.join import bucket_join, bucket_sum
+
+    labels = _as_int_vertex(
+        _run_cached(sf_dir, "lineitem", "lp", num_iters=10), "label",
+        lambda v: v.cast(pa.int64()),
+    )
+    edges = edges_lineitem(sf_dir).materialize()  # read twice below
+    m_edges = int(edges.count())
+
+    lab_schema = pa.schema([("vertex", pa.int64()), ("label", pa.int64())])
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    j1 = bucket_join(
+        edges, labels, left_on="src", right_on="vertex",
+        n_buckets=n_buckets, left_schema=e_schema, right_schema=lab_schema,
+    ).map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"], "la": t["label"]}),
+        batch_format="pyarrow",
+    )
+    j1_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("la", pa.int64())])
+    j2 = bucket_join(
+        j1, labels, left_on="dst", right_on="vertex",
+        n_buckets=n_buckets, left_schema=j1_schema, right_schema=lab_schema,
+    )
+
+    def intra(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["la"], t["label"]))
+        return pa.table(
+            {"label": f["la"], "e_in": pa.array(np.ones(f.num_rows, np.int64))}
+        )
+
+    ec = bucket_sum(
+        j2.map_batches(intra, batch_format="pyarrow"), ["label"], ["e_in"], n_buckets
+    )
+
+    # degree sums per community: degree from the symmetrized edge list
+    def deg_rows(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["src"].to_numpy().astype(np.int64), t["dst"].to_numpy().astype(np.int64)]
+        )
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"vertex": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    degs = bucket_sum(
+        edges.map_batches(deg_rows, batch_format="pyarrow"), ["vertex"], ["d"],
+        n_buckets,
+    )
+    deg_schema = pa.schema([("vertex", pa.int64()), ("d", pa.int64())])
+    ld = bucket_join(
+        degs, labels, left_on="vertex", right_on="vertex",
+        n_buckets=n_buckets, left_schema=deg_schema, right_schema=lab_schema,
+    )
+
+    def comm_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t["label"],
+                "n_vertices": pa.array(np.ones(t.num_rows, np.int64)),
+                "d_sum": t["d"],
+            }
+        )
+
+    dc = bucket_sum(
+        ld.map_batches(comm_rows, batch_format="pyarrow"),
+        ["label"], ["n_vertices", "d_sum"], n_buckets,
+    )
+
+    # align: every community has vertices; e_in may be absent -> 0
+    def dc_tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t["label"],
+                "n_vertices": t["n_vertices"].cast(pa.int64()),
+                "d_sum": t["d_sum"].cast(pa.int64()),
+                "e_in": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def ec_tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t["label"],
+                "n_vertices": pa.array(np.zeros(t.num_rows, np.int64)),
+                "d_sum": pa.array(np.zeros(t.num_rows, np.int64)),
+                "e_in": t["e_in"].cast(pa.int64()),
+            }
+        )
+
+    both = bucket_sum(
+        dc.map_batches(dc_tag, batch_format="pyarrow").union(
+            ec.map_batches(ec_tag, batch_format="pyarrow")
+        ),
+        ["label"], ["n_vertices", "d_sum", "e_in"], n_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        e_in = t["e_in"].to_numpy().astype(np.int64)
+        d_sum = t["d_sum"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "label": t["label"].cast(pa.int64()),
+                "n_vertices": t["n_vertices"].cast(pa.int64()),
+                "e_in": pa.array(e_in),
+                "d_sum": pa.array(d_sum),
+                "contrib": pa.array(4 * m_edges * e_in - d_sum * d_sum),
+            }
+        )
+
+    return both.map_batches(finish, batch_format="pyarrow")
