@@ -1148,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget": T.q_crawl_budget,
         "site_depth": T.q_site_depth,
         "modularity": T.q_modularity,
+        "salsa": T.q_salsa,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2903,6 +2904,35 @@ def oracle_sql() -> dict[str, str]:
             "  dc.d_sum, (4 * mm.m * COALESCE(ec.e_in, 0) "
             "             - dc.d_sum * dc.d_sum)::BIGINT AS contrib "
             "FROM dc LEFT JOIN ec ON ec.label = dc.label, mm"
+        ),
+        "salsa": (
+            # closed-form SALSA authority weights: component-relative
+            # in-degree; components of the co-hub pair graph via
+            # min-label propagation (60 rounds, self-loop relax)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ind AS (SELECT dst, count(*)::BIGINT AS ind FROM e GROUP BY dst), "
+            "auth AS (SELECT dst FROM ind), "
+            "pr AS (SELECT DISTINCT e1.dst AS a, e2.dst AS b "
+            "       FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst), "
+            "relax AS (SELECT a AS src, b AS dst FROM pr "
+            "          UNION ALL SELECT b, a FROM pr "
+            "          UNION ALL SELECT dst, dst FROM auth), "
+            "c AS ( "
+            "  SELECT 0 AS it, dst AS id, dst AS lab FROM auth "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.lab) FROM c p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 60 "
+            "  GROUP BY p.it, r.dst), "
+            "comp AS (SELECT id, lab FROM c WHERE it = 60), "
+            "cs AS (SELECT lab, count(*)::BIGINT AS na, "
+            "       sum(ind.ind)::BIGINT AS dsum "
+            "       FROM comp JOIN ind ON ind.dst = comp.id GROUP BY lab), "
+            "tot AS (SELECT count(*)::BIGINT AS n_auth FROM auth) "
+            "SELECT comp.id AS url, ind.ind AS n_inlinks, "
+            "  ((2 * cs.na * ind.ind * 100000000 + tot.n_auth * cs.dsum) "
+            "   // (2 * tot.n_auth * cs.dsum))::BIGINT AS score_e8 "
+            "FROM comp JOIN ind ON ind.dst = comp.id "
+            "JOIN cs ON cs.lab = comp.lab, tot"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

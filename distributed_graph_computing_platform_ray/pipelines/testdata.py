@@ -8479,3 +8479,115 @@ def q_modularity(sf_dir: str, n_buckets: int = 16):
         )
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+def q_salsa(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """SALSA authority scores (Lempel & Moran 2001) in closed form:
+    the authority-side random walk is reducible, and within a
+    component its stationary weight is proportional to in-degree, so
+    score(a) = (|A_c|/|A|) * (indeg(a)/D_c) exactly — no power
+    iteration. The pipeline computes the three ingredients
+    distributed: (1) authority co-hub pairs via per-citer bucket
+    expansion (out-degree is generator-bounded, so each group is
+    O(deg^2)), (2) components of the pair graph on the ENGINE's own CC
+    (self-loops keep singleton authorities), (3) in-degrees and
+    per-component sums via label-keyed bucket reduces. Scores are
+    integer-scaled half-up rationals — hash-exact vs the closed-form
+    SQL. Mirrors HITS' authority intent with SALSA's degree-normalized
+    semantics (reference has neither; cite: algorithms.py HITS)."""
+    from ..pipelines.graph import run_algorithm
+    from ..stages.join import add_bucket, bucket_join, bucket_sum
+
+    links = _pages_links(n_pages).materialize()  # pairs + indeg + selfloops
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="src_key")
+        m = m[m["dst_key_x"] < m["dst_key_y"]]
+        return m[["dst_key_x", "dst_key_y"]].drop_duplicates().rename(
+            columns={"dst_key_x": "src_key", "dst_key_y": "dst_key"}
+        )
+
+    pairs = _BMG(
+        add_bucket(links, ["src_key"], n_buckets), n_buckets, pair_bucket, "pandas"
+    )
+
+    def self_loops(t: pa.Table) -> pa.Table:
+        return pa.table({"src_key": t["dst_key"], "dst_key": t["dst_key"]})
+
+    pair_edges = pairs.union(links.map_batches(self_loops, batch_format="pyarrow"))
+
+    root = f"/tmp/graft_salsa_{n_pages}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_graph(
+        pair_edges,
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=True,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "salsa_authority_pairs"},
+    )
+    cc = run_algorithm(f"{root}/graph", f"{root}/cc", "cc")
+    comp = cc.map_batches(
+        lambda t: pa.table(
+            {"url": t["vertex"].cast(pa.string()), "comp": t["value"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["dst_key"], "ind": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    indeg = bucket_sum(
+        links.map_batches(ones, batch_format="pyarrow"), ["url"], ["ind"], n_buckets
+    ).materialize()
+    n_auth = int(indeg.count())
+
+    ind_schema = pa.schema([("url", pa.string()), ("ind", pa.int64())])
+    comp_schema = pa.schema([("url", pa.string()), ("comp", pa.int64())])
+    ic = bucket_join(
+        indeg, comp, left_on="url", right_on="url",
+        n_buckets=n_buckets, left_schema=ind_schema, right_schema=comp_schema,
+    ).materialize()  # authority-cardinality; read twice below
+
+    def comp_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "comp": t["comp"],
+                "na": pa.array(np.ones(t.num_rows, np.int64)),
+                "dsum": t["ind"].cast(pa.int64()),
+            }
+        )
+
+    csums = bucket_sum(
+        ic.map_batches(comp_partial, batch_format="pyarrow"),
+        ["comp"], ["na", "dsum"], n_buckets,
+    )
+    ic_schema = pa.schema(
+        [("url", pa.string()), ("ind", pa.int64()), ("comp", pa.int64())]
+    )
+    cs_schema = pa.schema(
+        [("comp", pa.int64()), ("na", pa.int64()), ("dsum", pa.int64())]
+    )
+    full = bucket_join(
+        ic, csums, left_on="comp", right_on="comp",
+        n_buckets=n_buckets, left_schema=ic_schema, right_schema=cs_schema,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ind = t["ind"].to_numpy().astype(np.int64)
+        na = t["na"].to_numpy().astype(np.int64)
+        dsum = t["dsum"].to_numpy().astype(np.int64)
+        num = na * ind * 100_000_000
+        den = n_auth * dsum
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_inlinks": pa.array(ind),
+                "score_e8": pa.array((2 * num + den) // (2 * den)),
+            }
+        )
+
+    return full.map_batches(score, batch_format="pyarrow")
