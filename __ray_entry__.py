@@ -1149,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_depth": T.q_site_depth,
         "modularity": T.q_modularity,
         "salsa": T.q_salsa,
+        "simrank": T.q_simrank,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2933,6 +2934,26 @@ def oracle_sql() -> dict[str, str]:
             "   // (2 * tot.n_auth * cs.dsum))::BIGINT AS score_e8 "
             "FROM comp JOIN ind ON ind.dst = comp.id "
             "JOIN cs ON cs.lab = comp.lab, tot"
+        ),
+        "simrank": (
+            # SimRank C=4/5, 3 unrolled exact-integer iterations over
+            # the intra-site graph (floor division at every step
+            # mirrors the engine); diagonal pinned at SCALE each round
+            f"WITH {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "ind AS (SELECT dst AS u, count(*)::BIGINT AS ind FROM ie GROUP BY dst), "
+            "v AS (SELECT DISTINCT u FROM "
+            "      (SELECT src AS u FROM ie UNION ALL SELECT dst FROM ie)), "
+            "s0 AS (SELECT u AS a, u AS b, 100000000::BIGINT AS s FROM v), "
+            "t1 AS (SELECT ea.dst AS a, eb.dst AS b, (4 * sum(p.s)) // (5 * ia.ind * ib.ind) AS s FROM s0 p JOIN ie ea ON ea.src = p.a JOIN ie eb ON eb.src = p.b JOIN ind ia ON ia.u = ea.dst JOIN ind ib ON ib.u = eb.dst WHERE ea.dst <> eb.dst GROUP BY ea.dst, eb.dst, ia.ind, ib.ind), "
+            "s1 AS (SELECT * FROM s0 UNION ALL SELECT a, b, s FROM t1 WHERE s > 0), "
+            "t2 AS (SELECT ea.dst AS a, eb.dst AS b, (4 * sum(p.s)) // (5 * ia.ind * ib.ind) AS s FROM s1 p JOIN ie ea ON ea.src = p.a JOIN ie eb ON eb.src = p.b JOIN ind ia ON ia.u = ea.dst JOIN ind ib ON ib.u = eb.dst WHERE ea.dst <> eb.dst GROUP BY ea.dst, eb.dst, ia.ind, ib.ind), "
+            "s2 AS (SELECT * FROM s0 UNION ALL SELECT a, b, s FROM t2 WHERE s > 0), "
+            "t3 AS (SELECT ea.dst AS a, eb.dst AS b, (4 * sum(p.s)) // (5 * ia.ind * ib.ind) AS s FROM s2 p JOIN ie ea ON ea.src = p.a JOIN ie eb ON eb.src = p.b JOIN ind ia ON ia.u = ea.dst JOIN ind ib ON ib.u = eb.dst WHERE ea.dst <> eb.dst GROUP BY ea.dst, eb.dst, ia.ind, ib.ind), "
+            "s3 AS (SELECT * FROM s0 UNION ALL SELECT a, b, s FROM t3 WHERE s > 0) "
+            "SELECT a, b, s AS sim_e8 FROM s3 WHERE a < b "
+            "ORDER BY sim_e8 DESC, a, b LIMIT 100"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

@@ -8591,3 +8591,139 @@ def q_salsa(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
         )
 
     return full.map_batches(score, batch_format="pyarrow")
+
+
+def _pages_intra_links(n_pages: int) -> rd.Dataset:
+    """Distinct intra-site (src_key, dst_key) page links — the
+    site-local subgraph (shared by site_depth / simrank)."""
+    links = _pages_links(n_pages)
+
+    def intra(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        return t.filter(pc.equal(sh, dh))
+
+    return links.map_batches(intra, batch_format="pyarrow")
+
+
+def q_simrank(sf_dir: str, n_pages: int = 2000, k_iters: int = 3, top: int = 100,
+              n_buckets: int = 16):
+    """SimRank (Jeh & Widom 2002) over the intra-site link graph:
+    "two pages are similar if similar pages link to them". C = 4/5,
+    k unrolled iterations, all arithmetic exact integers (floor at
+    every step, reproduced verbatim in SQL). The intra-site graph
+    decomposes SimRank per site (cross-site pairs have no common
+    ancestors, so their score is identically 0), which is exactly how
+    SimRank is deployed at scale — per-partition / landmark-set
+    universes, since the pair state is O(n^2) in the universe size.
+    Each iteration is two edge bucket-joins (i->a, then j->b) and ONE
+    pair-keyed reduce; in-degrees broadcast (universe-bounded).
+    Output: top pairs by similarity, self-pairs excluded."""
+    from ..stages.join import add_bucket, bucket_join, bucket_sum
+
+    SCALE = 100_000_000
+    ie = _pages_intra_links(n_pages).map_batches(
+        lambda t: pa.table({"src": t["src_key"], "dst": t["dst_key"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # in-degree per target (universe-bounded broadcast)
+    ind_rows = bucket_sum(
+        ie.map_batches(
+            lambda t: pa.table(
+                {"u": t["dst"], "ind": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["u"], ["ind"], n_buckets,
+    ).take_all()
+    ind = {r["u"]: int(r["ind"]) for r in ind_rows}
+    ind_ref = ray.put(ind)
+
+    # vertices of the intra-site graph (diagonal rows s(u,u) = SCALE)
+    verts = distinct_keys = None  # noqa: F841 (clarity below)
+    vs = (
+        ie.map_batches(
+            lambda t: pa.table(
+                {"u": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    from ..stages.join import distinct as _distinct
+
+    verts = _distinct(vs, ["u"], n_buckets=n_buckets).materialize()
+
+    def diag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["u"],
+                "b": t["u"],
+                "s": pa.array(np.full(t.num_rows, SCALE, np.int64)),
+            }
+        )
+
+    s = verts.map_batches(diag, batch_format="pyarrow")
+    e_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    for it in range(k_iters):
+        s = s.materialize()  # iteration state checkpoint (pair table)
+        s_schema = pa.schema([("a", pa.string()), ("b", pa.string()), ("s", pa.int64())])
+        # i -> a hop
+        j1 = bucket_join(
+            s, ie, left_on="a", right_on="src",
+            n_buckets=n_buckets, left_schema=s_schema, right_schema=e_schema,
+        ).map_batches(
+            lambda t: pa.table({"a": t["dst"], "b": t["b"], "s": t["s"]}),
+            batch_format="pyarrow",
+        )
+        # j -> b hop
+        j2 = bucket_join(
+            j1, ie, left_on="b", right_on="src",
+            n_buckets=n_buckets, left_schema=s_schema, right_schema=e_schema,
+        ).map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["dst"], "s": t["s"]}),
+            batch_format="pyarrow",
+        )
+
+        def offdiag_pre(t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.equal(t["a"], t["b"]))
+            return t.filter(keep)
+
+        sums = bucket_sum(
+            j2.map_batches(offdiag_pre, batch_format="pyarrow"),
+            ["a", "b"], ["s"], n_buckets,
+        )
+
+        def scale_down(t: pa.Table) -> pa.Table:
+            d = ray.get(ind_ref)
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            tot = t["s"].to_numpy().astype(np.int64)
+            den = np.array([5 * d[x] * d[y] for x, y in zip(a, b)], np.int64)
+            sv = (4 * tot) // den
+            keep = sv > 0
+            return pa.table(
+                {
+                    "a": pa.array(np.asarray(a, object)[keep].tolist(), t["a"].type),
+                    "b": pa.array(np.asarray(b, object)[keep].tolist(), t["b"].type),
+                    "s": pa.array(sv[keep]),
+                }
+            )
+
+        s = verts.map_batches(diag, batch_format="pyarrow").union(
+            sums.map_batches(scale_down, batch_format="pyarrow")
+        )
+
+    def canon_pairs(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["a"], t["b"])
+        f = t.filter(keep)
+        return pa.table({"a": f["a"], "b": f["b"], "sim_e8": f["s"]})
+
+    return (
+        s.map_batches(canon_pairs, batch_format="pyarrow")
+        .sort(["sim_e8", "a", "b"], descending=[True, False, False])
+        .limit(top)
+    )
