@@ -263,7 +263,7 @@ def _PAGE_URL(x: str) -> str:
     return f"printf('https://site-%05d.example/p/%04d', ({x}) // 16, ({x}) % 16)"
 
 
-def _pages_edges_cte(n: int = 2000, seed: int = 42) -> str:
+def _pages_edges_cte(n: int = 2000, seed: int = 42, prefix: str = "") -> str:
     """Shared CTE chain ending at ``e(src, dst)``: the deterministic
     page generator's DISTINCT page-level link edges, rebuilt in SQL
     (splitmix64 / mix64 reproduced exactly with HUGEINT split
@@ -280,28 +280,28 @@ def _pages_edges_cte(n: int = 2000, seed: int = 42) -> str:
         return f"printf('https://site-%05d.example/p/%04d', ({x}) // 16, ({x}) % 16)"
 
     return (
-        f"base AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)), "
-        f"h0c AS (SELECT i, xor({c_seed}::UBIGINT, i) AS acc0, "
-        f"        {_splitmix_cols('acc0', 'h0')} FROM base), "
-        "lk AS (SELECT i, k::UBIGINT AS k, "
+        f"{prefix}base AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)), "
+        f"{prefix}h0c AS (SELECT i, xor({c_seed}::UBIGINT, i) AS acc0, "
+        f"        {_splitmix_cols('acc0', 'h0')} FROM {prefix}base), "
+        f"{prefix}lk AS (SELECT i, k::UBIGINT AS k, "
         f"        xor({c_seed1}::UBIGINT, i) AS a1, "
         f"        xor(((a1::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT, k) AS a2, "
         f"        {_splitmix_cols('a2', 'hk')} "
-        "        FROM h0c, LATERAL unnest(generate_series(0, (4 + h0 % 12)::BIGINT - 1)) t(k)), "
-        "tc AS (SELECT i::BIGINT AS i, k::BIGINT AS k, hk, "
+        f"        FROM {prefix}h0c, LATERAL unnest(generate_series(0, (4 + h0 % 12)::BIGINT - 1)) t(k)), "
+        f"{prefix}tc AS (SELECT i::BIGINT AS i, k::BIGINT AS k, hk, "
         f"        CAST(floor({n} * power((hk >> 11)::DOUBLE / 9007199254740992.0, 3)) AS BIGINT) AS tgt "
-        "       FROM lk), "
-        "hrefs AS (SELECT i, k, "
+        f"       FROM {prefix}lk), "
+        f"{prefix}hrefs AS (SELECT i, k, "
         f"    CASE WHEN hk % 13 = 0 THEN {url('i')} "
         "         WHEN hk % 11 = 5 THEN printf('https://offsite-%04d.example/x', (hk % 997)::BIGINT) "
         f"         WHEN hk % 7 = 3 AND tgt // 16 = i // 16 THEN {url('tgt')} "
         "         WHEN hk % 5 = 2 AND k > 0 THEN NULL "
         f"         ELSE {url(f'tgt % {n}')} END AS base_href "
-        "    FROM tc), "
-        "res AS (SELECT i, k, last_value(base_href IGNORE NULLS) OVER "
+        f"    FROM {prefix}tc), "
+        f"{prefix}res AS (SELECT i, k, last_value(base_href IGNORE NULLS) OVER "
         "          (PARTITION BY i ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS href "
-        "        FROM hrefs), "
-        f"e AS (SELECT DISTINCT {url('i')} AS src, href AS dst FROM res)"
+        f"        FROM {prefix}hrefs), "
+        f"{prefix}e AS (SELECT DISTINCT {url('i')} AS src, href AS dst FROM {prefix}res)"
     )
 
 
@@ -1150,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": T.q_modularity,
         "salsa": T.q_salsa,
         "simrank": T.q_simrank,
+        "crawl_delta": T.q_crawl_delta,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2954,6 +2955,21 @@ def oracle_sql() -> dict[str, str]:
             "s3 AS (SELECT * FROM s0 UNION ALL SELECT a, b, s FROM t3 WHERE s > 0) "
             "SELECT a, b, s AS sim_e8 FROM s3 WHERE a < b "
             "ORDER BY sim_e8 DESC, a, b LIMIT 100"
+        ),
+        "crawl_delta": (
+            # per-host added/removed/kept link edges between the
+            # n=2000 and n=2200 crawl snapshots (prefixed CTE chains)
+            f"WITH {_pages_edges_cte(2000)}, "
+            f"{_pages_edges_cte(2200, 42, 'n_')}, "
+            "a AS (SELECT src, dst FROM n_e EXCEPT SELECT src, dst FROM e), "
+            "r AS (SELECT src, dst FROM e EXCEPT SELECT src, dst FROM n_e), "
+            "c AS (SELECT src, dst FROM e INTERSECT SELECT src, dst FROM n_e), "
+            "u AS (SELECT src, 1 AS ad, 0 AS rm, 0 AS cm FROM a "
+            "      UNION ALL SELECT src, 0, 1, 0 FROM r "
+            "      UNION ALL SELECT src, 0, 0, 1 FROM c) "
+            "SELECT split_part(src, '/', 3) AS host, sum(ad)::BIGINT AS n_added, "
+            "  sum(rm)::BIGINT AS n_removed, sum(cm)::BIGINT AS n_common "
+            "FROM u GROUP BY host"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

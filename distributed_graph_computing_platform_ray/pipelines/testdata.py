@@ -8727,3 +8727,53 @@ def q_simrank(sf_dir: str, n_pages: int = 2000, k_iters: int = 3, top: int = 100
         .sort(["sim_e8", "a", "b"], descending=[True, False, False])
         .limit(top)
     )
+
+
+def q_crawl_delta(sf_dir: str, n_old: int = 2000, n_new: int = 2200, n_buckets: int = 16):
+    """Crawl-to-crawl link-graph diff: per source host, how many link
+    edges were added / removed / kept between two snapshots (here the
+    generator at n_old vs n_new pages — a crawl that grew; targets
+    shift with n, so the diff is non-trivial on every host). Both
+    snapshots stream through ONE pair-bucketed tagged-union shuffle
+    (same-pair rows always share a bucket, so per-bucket min/max of the
+    side tag classifies each pair exactly), then host partials reduce
+    in one small shuffle — no snapshot ever materializes as a set. The
+    recrawl maintenance op for a 10^12-edge link table."""
+    from ..stages.join import add_bucket, bucket_sum
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_key": t["src_key"],
+                    "dst_key": t["dst_key"],
+                    "__side": pa.array(np.full(t.num_rows, side, np.int8)),
+                }
+            )
+
+        return fn
+
+    both = _pages_links(n_old).map_batches(tag(0), batch_format="pyarrow").union(
+        _pages_links(n_new).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["src_key", "dst_key"])["__side"].agg(["min", "max"])
+        added = (agg["min"] == 1).to_numpy()
+        removed = (agg["max"] == 0).to_numpy()
+        common = ((agg["min"] == 0) & (agg["max"] == 1)).to_numpy()
+        host = agg.index.get_level_values(0).str.split("/").str[2]
+        part = pd.DataFrame(
+            {
+                "host": host,
+                "n_added": added.astype("int64"),
+                "n_removed": removed.astype("int64"),
+                "n_common": common.astype("int64"),
+            }
+        )
+        return part.groupby("host", as_index=False).sum()
+
+    partial = _BMG(
+        add_bucket(both, ["src_key", "dst_key"], n_buckets), n_buckets, diff, "pandas"
+    )
+    return bucket_sum(partial, ["host"], ["n_added", "n_removed", "n_common"], 8)
