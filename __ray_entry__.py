@@ -1151,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa": T.q_salsa,
         "simrank": T.q_simrank,
         "crawl_delta": T.q_crawl_delta,
+        "site_centrality": T.q_site_centrality,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2970,6 +2971,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT split_part(src, '/', 3) AS host, sum(ad)::BIGINT AS n_added, "
             "  sum(rm)::BIGINT AS n_removed, sum(cm)::BIGINT AS n_common "
             "FROM u GROUP BY host"
+        ),
+        "site_centrality": (
+            # exact intra-site all-pairs BFS: OUT-harmonic centrality
+            # scaled by lcm(1..15)=360360 (every 1/d term exact),
+            # eccentricity, reachable count; Bellman-Ford style
+            # iteration-indexed recursion with self-loop relax
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "v AS (SELECT DISTINCT u FROM "
+            "      (SELECT src AS u FROM ie UNION ALL SELECT dst FROM ie)), "
+            "relax AS (SELECT src, dst, 1 AS w FROM ie "
+            "          UNION ALL SELECT u, u, 0 FROM v), "
+            "d AS ( "
+            "  SELECT 0 AS it, u AS root, u AS id, 0 AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.root, r.dst, MIN(p.dist + r.w) FROM d p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 16 "
+            "  GROUP BY p.it, p.root, r.dst), "
+            "dm AS (SELECT root, id, dist FROM d WHERE it = 16) "
+            "SELECT root AS url, "
+            "  sum(CASE WHEN dist > 0 THEN 360360 // dist ELSE 0 END)::BIGINT "
+            "    AS harmonic_x, "
+            "  max(dist)::BIGINT AS ecc, "
+            "  (count(*) FILTER (dist > 0))::BIGINT AS n_reach "
+            "FROM dm GROUP BY root"
         ),
         "doc_dup_ngrams": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "

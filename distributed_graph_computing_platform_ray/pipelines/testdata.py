@@ -8777,3 +8777,72 @@ def q_crawl_delta(sf_dir: str, n_old: int = 2000, n_new: int = 2200, n_buckets: 
         add_bucket(both, ["src_key", "dst_key"], n_buckets), n_buckets, diff, "pandas"
     )
     return bucket_sum(partial, ["host"], ["n_added", "n_removed", "n_common"], 8)
+
+
+def q_site_centrality(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Exact per-page centralities inside each site: OUT-harmonic
+    centrality (sum of 1/d to every reachable same-site page, scaled
+    by 360360 = lcm(1..15) so every term is an exact integer — site
+    graphs have <= 16 pages, so d <= 15), eccentricity, and reachable
+    count. The intra-site graph decomposes by host, so this is the
+    PARTITION-LOCAL EXACT KERNEL pattern: ONE host-bucketed shuffle,
+    then an all-pairs frontier BFS per site in numpy (boolean
+    reachability sweeps over a <=16-vertex adjacency) — the shape for
+    exact centralities over billions of small components (per-site /
+    per-community subgraphs), where sampling (q_closeness_sampled) is
+    the complement for the giant component."""
+    from ..stages.join import add_bucket
+
+    SCALE = 360360
+    ie = _pages_intra_links(n_pages).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["src_key"], "/"), 2),
+                "src": t["src_key"],
+                "dst": t["dst_key"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_url, out_h, out_e, out_r = [], [], [], []
+        for _, sg in g.groupby("host", sort=False):
+            urls = pd.unique(pd.concat([sg["src"], sg["dst"]], ignore_index=True))
+            idx = {u: i for i, u in enumerate(urls)}
+            n = len(urls)
+            adj = np.zeros((n, n), dtype=bool)
+            adj[
+                sg["src"].map(idx).to_numpy(), sg["dst"].map(idx).to_numpy()
+            ] = True
+            dist = np.full((n, n), -1, dtype=np.int64)
+            np.fill_diagonal(dist, 0)
+            frontier = np.eye(n, dtype=bool)
+            seen = frontier.copy()
+            d = 0
+            while frontier.any() and d < n:
+                d += 1
+                nxt = (frontier @ adj) & ~seen
+                dist = np.where(nxt, d, dist)
+                seen |= nxt
+                frontier = nxt
+            reach = dist > 0
+            with np.errstate(divide="ignore"):
+                harm = np.where(reach, SCALE // np.maximum(dist, 1), 0).sum(axis=1)
+            ecc = np.where(reach.any(axis=1), np.where(reach, dist, 0).max(axis=1), 0)
+            out_url.extend(urls.tolist())
+            out_h.extend(harm.astype("int64").tolist())
+            out_e.extend(ecc.astype("int64").tolist())
+            out_r.extend(reach.sum(axis=1).astype("int64").tolist())
+        return pd.DataFrame(
+            {
+                "url": out_url,
+                "harmonic_x": np.asarray(out_h, np.int64),
+                "ecc": np.asarray(out_e, np.int64),
+                "n_reach": np.asarray(out_r, np.int64),
+            }
+        )
+
+    return _BMG(
+        add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
