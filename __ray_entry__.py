@@ -380,6 +380,45 @@ def _trustrank_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+
+def _spam_mass_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for absolute spam mass: the _domain_pr_sql and
+    _trustrank_sql recursions over ONE shared contracted-graph chain,
+    joined at iteration 30; mass_e8 is the integer e8 difference."""
+    seeds = ", ".join(f"'site-{i:05d}.example'" for i in range(3))
+    return (
+        f"WITH RECURSIVE {_pages_edges_cte(n, seed)}, "
+        "de AS (SELECT split_part(src, '/', 3) AS s, split_part(dst, '/', 3) AS d, "
+        "       count(*)::BIGINT AS w FROM e GROUP BY 1, 2), "
+        "esw AS (SELECT s AS src, d AS dst, w FROM de UNION ALL SELECT d, s, w FROM de), "
+        "deg AS (SELECT src AS id, sum(w) AS wd FROM esw GROUP BY src), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+        f"sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM deg WHERE id IN ({seeds})), "
+        "pr AS ( "
+        "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, wd FROM deg "
+        "  UNION ALL "
+        "  SELECT p.it + 1, e2.dst, 0.15/nn.n + 0.85 * SUM(p.val * e2.w / p.wd), dd.wd "
+        "  FROM pr p CROSS JOIN nn JOIN esw e2 ON e2.src = p.id "
+        "       JOIN deg dd ON dd.id = e2.dst "
+        "  WHERE p.it < 30 GROUP BY p.it, e2.dst, dd.wd, nn.n), "
+        "tr AS ( "
+        "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, wd FROM deg "
+        "  UNION ALL "
+        f"  SELECT p.it + 1, e2.dst, "
+        f"    (CASE WHEN e2.dst IN ({seeds}) THEN 0.15/sn.ns ELSE 0.0 END) "
+        "     + 0.85 * SUM(p.val * e2.w / p.wd), dd.wd "
+        "  FROM tr p CROSS JOIN sn JOIN esw e2 ON e2.src = p.id "
+        "       JOIN deg dd ON dd.id = e2.dst "
+        "  WHERE p.it < 30 GROUP BY p.it, e2.dst, dd.wd, sn.ns) "
+        "SELECT p.id AS host, "
+        "  CAST(ROUND(p.val * 1e8) AS BIGINT) AS pr_e8, "
+        "  CAST(ROUND(t.val * 1e8) AS BIGINT) AS tr_e8, "
+        "  (CAST(ROUND(p.val * 1e8) AS BIGINT) "
+        "   - CAST(ROUND(t.val * 1e8) AS BIGINT)) AS mass_e8 "
+        "FROM (SELECT id, val FROM pr WHERE it = 30) p "
+        "JOIN (SELECT id, val FROM tr WHERE it = 30) t ON t.id = p.id"
+    )
+
 def _user_hll_sql(p: int = 8) -> str:
     """Mirror testdata.q_user_hll: FNV-1a of the decimal user_id,
     register = top p bits, rho = leading zeros of the low 64-p bits +1
@@ -1152,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simrank": T.q_simrank,
         "crawl_delta": T.q_crawl_delta,
         "site_centrality": T.q_site_centrality,
+        "spam_mass": T.q_spam_mass,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3170,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_linkgraph_pagerank": _pages_pr_sql(),
         "domain_pagerank": _domain_pr_sql(),
         "trustrank_domains": _trustrank_sql(),
+        "spam_mass": _spam_mass_sql(),
         "doc_quality": _quality_sql(),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

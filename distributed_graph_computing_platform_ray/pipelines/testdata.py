@@ -8846,3 +8846,74 @@ def q_site_centrality(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
     return _BMG(
         add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
     )
+
+
+def q_spam_mass(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """Web-spam demotion signal (Gyongyi et al. 2006): absolute spam
+    mass per domain = global weighted PageRank minus TrustRank (the
+    rank share NOT reachable from trusted seeds). ONE contracted
+    domain-graph build feeds BOTH engine runs (global restart vs
+    trusted-seed restart — same kernels, different restart vector),
+    results join on the host key in one bucket join. mass_e8 is a
+    plain integer difference of the two e8 scores, so no division
+    convention is needed; spam candidates rank by mass_e8 DESC."""
+    import shutil as _sh
+
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from ..stages.join import bucket_join
+    from .graph import lookup_vertex_id
+    from .ingest import build_graph as _bg
+    from .pages import contract_link_graph
+
+    seeds_hosts = [f"site-{i:05d}.example" for i in range(3)]
+    root = f"/tmp/graft_spam_mass_{n}"
+    _sh.rmtree(root, ignore_errors=True)
+    links = extract_links(generate_pages(n))
+    dom_edges = contract_link_graph(links, n_buckets)
+    man = _bg(
+        dom_edges,
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=True,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "domain_graph_spam_mass", "n": n},
+    )
+    pr = run_algorithm(f"{root}/graph", f"{root}/pr", "pagerank_weighted")
+    seeds = []
+    for h in seeds_hosts:
+        try:
+            seeds.append(lookup_vertex_id(man, h))
+        except KeyError:
+            pass
+    tr = run_algorithm(
+        f"{root}/graph", f"{root}/tr", "trustrank", seed_ids=tuple(sorted(seeds))
+    )
+
+    def conv(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"host": t["vertex"].cast(pa.string()), name: _score_e8(t["value"])}
+            )
+
+        return fn
+
+    pr_s = pr.map_batches(conv("pr_e8"), batch_format="pyarrow")
+    tr_s = tr.map_batches(conv("tr_e8"), batch_format="pyarrow")
+    j = bucket_join(
+        pr_s, tr_s, left_on="host", right_on="host", n_buckets=16,
+        left_schema=pa.schema([("host", pa.string()), ("pr_e8", pa.int64())]),
+        right_schema=pa.schema([("host", pa.string()), ("tr_e8", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t["pr_e8"].to_numpy().astype(np.int64)
+        r = t["tr_e8"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"host": t["host"], "pr_e8": pa.array(p), "tr_e8": pa.array(r),
+             "mass_e8": pa.array(p - r)}
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
