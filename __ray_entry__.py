@@ -1192,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": T.q_crawl_delta,
         "site_centrality": T.q_site_centrality,
         "spam_mass": T.q_spam_mass,
+        "doc_readability": T.q_doc_readability,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3211,6 +3212,20 @@ def oracle_sql() -> dict[str, str]:
         "domain_pagerank": _domain_pr_sql(),
         "trustrank_domains": _trustrank_sql(),
         "spam_mass": _spam_mass_sql(),
+        "doc_readability": (
+            # ARI with floor-1 sentence count + long-word share, all
+            # integer floor divisions (mirrors testdata.q_doc_readability)
+            "WITH f AS (SELECT doc_id, "
+            "  length(regexp_replace(text, '\\W', '', 'g'))::BIGINT AS chars, "
+            "  greatest(1, len(regexp_extract_all(text, '\\S+')))::BIGINT AS words, "
+            "  greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS sents, "
+            "  len(regexp_extract_all(text, '\\b\\w{6,}\\b'))::BIGINT AS nlong "
+            "  FROM documents WHERE trim(text) <> '') "
+            "SELECT doc_id, words AS n_words, sents AS n_sents, "
+            "  ((4710000 * chars) // words + (500000 * words) // sents "
+            "   - 21430000)::BIGINT AS ari_e6, "
+            "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
+        ),
         "doc_quality": _quality_sql(),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

@@ -8917,3 +8917,45 @@ def q_spam_mass(sf_dir: str, n: int = 2000, n_buckets: int = 32):
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_doc_readability(sf_dir: str):
+    """Readability / lexical-complexity features per document: the
+    Automated Readability Index (Senter & Smith 1967) plus word-length
+    features, all exact integers. chars counts word characters, words
+    are whitespace tokens, sentences are runs of terminal punctuation
+    (floor 1 so punctuation-free corpora stay defined). ari_e6 keeps
+    the classic 4.71/0.5/21.43 coefficients as e6-scaled integer floor
+    divisions so the engine and the SQL oracle agree bit-for-bit;
+    pct_long_e6 is the share of words with >= 6 characters (a LIX-style
+    long-word signal that varies even on unpunctuated text). One
+    vectorized pandas pass — regex counts only, no per-row Python."""
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        mask = text.str.strip() != ""
+        df, text = df[mask], text[mask]
+        chars = text.str.count(r"\w").astype("int64")
+        words = (
+            text.str.count(r"\S+").astype("int64").clip(lower=1)
+        )
+        sents = text.str.count(r"[.!?]+").astype("int64").clip(lower=1)
+        nlong = text.str.count(r"\b\w{6,}\b").astype("int64")
+        ari = (
+            (4_710_000 * chars) // words
+            + (500_000 * words) // sents
+            - 21_430_000
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_words": words,
+                "n_sents": sents,
+                "ari_e6": ari.astype("int64"),
+                "pct_long_e6": ((1_000_000 * nlong) // words).astype("int64"),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        feats, batch_format="pandas"
+    )
