@@ -1193,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_centrality": T.q_site_centrality,
         "spam_mass": T.q_spam_mass,
         "doc_readability": T.q_doc_readability,
+        "page_outlink_profile": T.q_page_outlink_profile,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3227,6 +3228,26 @@ def oracle_sql() -> dict[str, str]:
             "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
         ),
         "doc_quality": _quality_sql(),
+        "page_outlink_profile": (
+            # pre-dedup resolved-href multiset straight from the
+            # generator CTE chain (res = per-(page,k) href after
+            # relative/duplicate resolution, fragments never added) —
+            # mirrors testdata.q_page_outlink_profile over extract_links
+            f"WITH {_pages_edges_cte()}, "
+            f"r AS (SELECT {_PAGE_URL('i')} AS url, href FROM res), "
+            "p AS (SELECT url, count(*) AS n_hrefs, "
+            "  count(DISTINCT href) AS n_distinct, "
+            "  count(DISTINCT split_part(href, '/', 3)) AS n_hosts, "
+            "  count(*) FILTER (href = url) AS n_self, "
+            "  count(*) FILTER (split_part(href, '/', 3) <> split_part(url, '/', 3)) AS n_offsite "
+            "  FROM r GROUP BY url) "
+            "SELECT url, n_hrefs::BIGINT AS n_hrefs, "
+            "  n_distinct::BIGINT AS n_distinct, "
+            "  (n_hrefs - n_distinct)::BIGINT AS n_dup, "
+            "  n_self::BIGINT AS n_self, n_offsite::BIGINT AS n_offsite, "
+            "  (n_hrefs - n_self - n_offsite)::BIGINT AS n_intra, "
+            "  n_hosts::BIGINT AS n_hosts FROM p"
+        ),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "
             "  row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn, "

@@ -8959,3 +8959,55 @@ def q_doc_readability(sf_dir: str):
     return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         feats, batch_format="pandas"
     )
+
+
+def q_page_outlink_profile(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Pre-dedup outlink profile per page over REAL extraction: total
+    href instances, distinct targets, duplicate hrefs, self-links,
+    offsite links, intra-site non-self links, and distinct target
+    hosts — the crawl-quality signals (nepotistic linking, duplicate
+    nav blocks, outlink farms) computed BEFORE the graph-build dedup
+    collapses instances. extract_links keeps duplicates/self-links by
+    contract (functions/html.py:37-44), so this is one actor-pool
+    extraction pass -> one src-bucketed shuffle -> vectorized pandas
+    per-bucket profile; no page's links ever cross buckets."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from ..stages.join import add_bucket
+
+    links = extract_links(generate_pages(n_pages))
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["src_key"]
+        dst = g["dst_key"]
+        sh = src.str.split("/").str[2]
+        dh = dst.str.split("/").str[2]
+        t = pd.DataFrame(
+            {
+                "url": src,
+                "dst": dst,
+                "dh": dh,
+                "is_self": (dst == src).astype("int64"),
+                "is_off": (dh != sh).astype("int64"),
+            }
+        )
+        t["is_intra"] = ((t["is_self"] == 0) & (t["is_off"] == 0)).astype("int64")
+        agg = t.groupby("url", sort=False).agg(
+            n_hrefs=("dst", "size"),
+            n_distinct=("dst", "nunique"),
+            n_hosts=("dh", "nunique"),
+            n_self=("is_self", "sum"),
+            n_offsite=("is_off", "sum"),
+            n_intra=("is_intra", "sum"),
+        )
+        agg["n_dup"] = agg["n_hrefs"] - agg["n_distinct"]
+        return agg.reset_index().astype(
+            {c: "int64" for c in agg.columns}
+        )[
+            ["url", "n_hrefs", "n_distinct", "n_dup", "n_self",
+             "n_offsite", "n_intra", "n_hosts"]
+        ]
+
+    return _BMG(
+        add_bucket(links, ["src_key"], n_buckets), n_buckets, prof, "pandas"
+    )
