@@ -1194,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spam_mass": T.q_spam_mass,
         "doc_readability": T.q_doc_readability,
         "page_outlink_profile": T.q_page_outlink_profile,
+        "linkgraph_compress": T.q_linkgraph_compress,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3228,6 +3229,34 @@ def oracle_sql() -> dict[str, str]:
             "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
         ),
         "doc_quality": _quality_sql(),
+        "linkgraph_compress": (
+            # Elias-gamma gap-encoded adjacency size per host: labels =
+            # URL rank within host, first gap zigzag vs own label + 1,
+            # later gaps strict diffs; gamma(c) = 2*floor(log2 c)+1 =
+            # 2*(length(bin(c))-1)+1 (mirrors testdata.q_linkgraph_compress)
+            f"WITH {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "v AS (SELECT DISTINCT split_part(u, '/', 3) AS host, u FROM "
+            "      (SELECT src AS u FROM ie UNION ALL SELECT dst FROM ie)), "
+            "lab AS (SELECT host, u, "
+            "        row_number() OVER (PARTITION BY host ORDER BY u) - 1 AS lbl FROM v), "
+            "np AS (SELECT host, count(*) AS n_pages FROM lab GROUP BY host), "
+            "el AS (SELECT split_part(src, '/', 3) AS host, ls.lbl AS sl, ld.lbl AS dl "
+            "       FROM ie JOIN lab ls ON ls.u = src JOIN lab ld ON ld.u = dst), "
+            "gp AS (SELECT host, sl, dl, lag(dl) OVER "
+            "         (PARTITION BY host, sl ORDER BY dl) AS pv FROM el), "
+            "cd AS (SELECT host, CASE WHEN pv IS NULL THEN "
+            "         (CASE WHEN dl >= sl THEN 2 * (dl - sl) "
+            "               ELSE -2 * (dl - sl) - 1 END) + 1 "
+            "         ELSE dl - pv END AS c FROM gp), "
+            "bi AS (SELECT host, count(*) AS n_edges, "
+            "       sum(2 * (length(bin(c)) - 1) + 1) AS bits FROM cd GROUP BY host) "
+            "SELECT b.host, np.n_pages::BIGINT AS n_pages, "
+            "  b.n_edges::BIGINT AS n_edges, b.bits::BIGINT AS bits, "
+            "  ((1000000 * b.bits) // b.n_edges)::BIGINT AS bpe_e6 "
+            "FROM bi b JOIN np USING (host)"
+        ),
         "page_outlink_profile": (
             # pre-dedup resolved-href multiset straight from the
             # generator CTE chain (res = per-(page,k) href after
