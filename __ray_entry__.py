@@ -1195,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": T.q_doc_readability,
         "page_outlink_profile": T.q_page_outlink_profile,
         "linkgraph_compress": T.q_linkgraph_compress,
+        "site_bridges": T.q_site_bridges,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3229,6 +3230,26 @@ def oracle_sql() -> dict[str, str]:
             "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
         ),
         "doc_quality": _quality_sql(),
+        "site_bridges": (
+            # bridge test by definition: for every undirected simple
+            # intra-site edge (a,b), BFS from a with that edge removed
+            # (closure keyed by the removed edge); bridge iff b is not
+            # reached (mirrors testdata.q_site_bridges)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "      FROM ie WHERE src <> dst), "
+            "adj AS (SELECT a AS x, b AS y FROM u UNION ALL SELECT b, a FROM u), "
+            "reach AS ( "
+            "  SELECT a AS ea, b AS eb, a AS id FROM u "
+            "  UNION "
+            "  SELECT r.ea, r.eb, ad.y FROM reach r JOIN adj ad ON ad.x = r.id "
+            "  WHERE NOT (least(ad.x, ad.y) = r.ea AND greatest(ad.x, ad.y) = r.eb)) "
+            "SELECT a AS src, b AS dst FROM u "
+            "WHERE NOT EXISTS (SELECT 1 FROM reach r "
+            "                  WHERE r.ea = u.a AND r.eb = u.b AND r.id = u.b)"
+        ),
         "linkgraph_compress": (
             # Elias-gamma gap-encoded adjacency size per host: labels =
             # URL rank within host, first gap zigzag vs own label + 1,

@@ -9071,3 +9071,71 @@ def q_linkgraph_compress(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
     return _BMG(
         add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
     )
+
+
+def q_site_bridges(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Exact BRIDGE edges of each site's undirected intra-site graph —
+    the single points of failure of a site's internal navigation: an
+    undirected edge is a bridge iff its removal disconnects its
+    endpoints. Sites are <= 16 pages (sources/pages.py PAGES_PER_SITE),
+    so the partition-local exact kernel brute-forces per edge: drop the
+    edge, sweep a boolean BFS (16x16 matrix ops), test endpoint
+    reachability. ONE host-bucketed shuffle; at 10^12 edges the same
+    kernel runs per site shard and giant components route to the
+    sampled/BSP family instead. Output: (src, dst) canonical (src <
+    dst) bridge edges."""
+    from ..stages.join import add_bucket
+
+    ie = _pages_intra_links(n_pages).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["src_key"], "/"), 2),
+                "src": t["src_key"],
+                "dst": t["dst_key"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_d = [], []
+        for _, sg in g.groupby("host", sort=False):
+            urls = np.unique(
+                np.concatenate([sg["src"].to_numpy(), sg["dst"].to_numpy()])
+            )
+            idx = {u: i for i, u in enumerate(urls)}
+            n = len(urls)
+            adj = np.zeros((n, n), dtype=bool)
+            si = sg["src"].map(idx).to_numpy()
+            di = sg["dst"].map(idx).to_numpy()
+            adj[si, di] = True
+            adj |= adj.T
+            np.fill_diagonal(adj, False)  # self-loops are never bridges
+            ea, eb = np.nonzero(np.triu(adj, 1))
+            for a, b in zip(ea.tolist(), eb.tolist()):
+                adj[a, b] = adj[b, a] = False
+                reach = np.zeros(n, dtype=bool)
+                reach[a] = True
+                for _ in range(n):
+                    nxt = reach @ adj
+                    if not (nxt & ~reach).any():
+                        break
+                    reach |= nxt
+                if not reach[b]:
+                    out_s.append(urls[a])
+                    out_d.append(urls[b])
+                adj[a, b] = adj[b, a] = True
+        return pd.DataFrame({"src": out_s, "dst": out_d}).astype(
+            {"src": "string", "dst": "string"}
+        )
+
+    res = _BMG(
+        add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t["src"].cast(pa.string()), "dst": t["dst"].cast(pa.string())}
+        )
+
+    return res.map_batches(cast, batch_format="pyarrow")
