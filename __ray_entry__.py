@@ -1196,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_outlink_profile": T.q_page_outlink_profile,
         "linkgraph_compress": T.q_linkgraph_compress,
         "site_bridges": T.q_site_bridges,
+        "site_articulation": T.q_site_articulation,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3230,6 +3231,29 @@ def oracle_sql() -> dict[str, str]:
             "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
         ),
         "doc_quality": _quality_sql(),
+        "site_articulation": (
+            # w is an articulation point iff its neighbors are not all
+            # mutually reachable in G - w: closure keyed by the removed
+            # vertex, seeded at w's min neighbor (mirrors
+            # testdata.q_site_articulation)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "      FROM ie WHERE src <> dst), "
+            "adj AS (SELECT a AS x, b AS y FROM u UNION ALL SELECT b, a FROM u), "
+            "nb AS (SELECT x AS w, y AS nbr FROM adj), "
+            "dg AS (SELECT w, min(nbr) AS s, count(*) AS d FROM nb GROUP BY w), "
+            "reach AS ( "
+            "  SELECT w, s AS id FROM dg WHERE d >= 2 "
+            "  UNION "
+            "  SELECT r.w, ad.y FROM reach r JOIN adj ad ON ad.x = r.id "
+            "  WHERE ad.y <> r.w) "
+            "SELECT DISTINCT n.w AS url FROM nb n "
+            "JOIN dg ON dg.w = n.w AND dg.d >= 2 "
+            "WHERE NOT EXISTS (SELECT 1 FROM reach r "
+            "                  WHERE r.w = n.w AND r.id = n.nbr)"
+        ),
         "site_bridges": (
             # bridge test by definition: for every undirected simple
             # intra-site edge (a,b), BFS from a with that edge removed

@@ -9139,3 +9139,63 @@ def q_site_bridges(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
         )
 
     return res.map_batches(cast, batch_format="pyarrow")
+
+
+def q_site_articulation(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Exact ARTICULATION PAGES of each site's undirected intra-site
+    graph — pages whose removal disconnects part of their site (w is an
+    articulation point iff its neighbors are not all mutually reachable
+    in G - w; leaves never qualify). Same partition-local exact-kernel
+    shape as q_site_bridges: sites are <= 16 pages, so per page the
+    kernel drops the page, BFS-sweeps from its smallest neighbor, and
+    checks the remaining neighbors. ONE host-bucketed shuffle."""
+    from ..stages.join import add_bucket
+
+    ie = _pages_intra_links(n_pages).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["src_key"], "/"), 2),
+                "src": t["src_key"],
+                "dst": t["dst_key"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sg in g.groupby("host", sort=False):
+            urls = np.unique(
+                np.concatenate([sg["src"].to_numpy(), sg["dst"].to_numpy()])
+            )
+            idx = {u: i for i, u in enumerate(urls)}
+            n = len(urls)
+            adj = np.zeros((n, n), dtype=bool)
+            adj[sg["src"].map(idx).to_numpy(), sg["dst"].map(idx).to_numpy()] = True
+            adj |= adj.T
+            np.fill_diagonal(adj, False)
+            for w in range(n):
+                nbrs = np.nonzero(adj[w])[0]
+                if len(nbrs) < 2:
+                    continue
+                sub = adj.copy()
+                sub[w, :] = False
+                sub[:, w] = False
+                reach = np.zeros(n, dtype=bool)
+                reach[nbrs[0]] = True  # min neighbor: urls sorted => idx order
+                for _ in range(n):
+                    nxt = reach @ sub
+                    if not (nxt & ~reach).any():
+                        break
+                    reach |= nxt
+                if not reach[nbrs].all():
+                    out.append(urls[w])
+        return pd.DataFrame({"url": pd.array(out, dtype="string")})
+
+    res = _BMG(
+        add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
+    return res.map_batches(
+        lambda t: pa.table({"url": t["url"].cast(pa.string())}),
+        batch_format="pyarrow",
+    )
