@@ -1197,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkgraph_compress": T.q_linkgraph_compress,
         "site_bridges": T.q_site_bridges,
         "site_articulation": T.q_site_articulation,
+        "site_effective_diameter": T.q_site_effective_diameter,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3231,6 +3232,34 @@ def oracle_sql() -> dict[str, str]:
             "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
         ),
         "doc_quality": _quality_sql(),
+        "site_effective_diameter": (
+            # exact 50th/90th-percentile intra-site distance: the
+            # site_centrality BFS closure reduced to ONE histogram row
+            # (integer rank tests, e6-floor mean) — mirrors
+            # testdata.q_site_effective_diameter
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "v AS (SELECT DISTINCT u FROM "
+            "      (SELECT src AS u FROM ie UNION ALL SELECT dst FROM ie)), "
+            "relax AS (SELECT src, dst, 1 AS w FROM ie "
+            "          UNION ALL SELECT u, u, 0 FROM v), "
+            "dcl AS ( "
+            "  SELECT 0 AS it, u AS root, u AS id, 0 AS dist FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.root, r.dst, MIN(p.dist + r.w) FROM dcl p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 16 "
+            "  GROUP BY p.it, p.root, r.dst), "
+            "h AS (SELECT dist AS d, count(*) AS c FROM dcl "
+            "      WHERE it = 16 AND dist > 0 GROUP BY dist), "
+            "t AS (SELECT sum(c) AS total, sum(d * c) AS sd FROM h), "
+            "cum AS (SELECT d, sum(c) OVER (ORDER BY d) AS cc FROM h) "
+            "SELECT t.total::BIGINT AS n_pairs, "
+            "  (SELECT min(d) FROM cum WHERE 2 * cc >= t.total)::BIGINT AS d50, "
+            "  (SELECT min(d) FROM cum WHERE 10 * cc >= 9 * t.total)::BIGINT AS d90, "
+            "  (SELECT max(d) FROM h)::BIGINT AS diameter, "
+            "  ((1000000 * t.sd) // t.total)::BIGINT AS mean_e6 FROM t"
+        ),
         "site_articulation": (
             # w is an articulation point iff its neighbors are not all
             # mutually reachable in G - w: closure keyed by the removed
