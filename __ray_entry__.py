@@ -1198,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_bridges": T.q_site_bridges,
         "site_articulation": T.q_site_articulation,
         "site_effective_diameter": T.q_site_effective_diameter,
+        "widest_path": T.q_widest_path,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3232,6 +3233,28 @@ def oracle_sql() -> dict[str, str]:
             "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
         ),
         "doc_quality": _quality_sql(),
+        "widest_path": (
+            # maximin fixpoint in the width domain directly (the engine
+            # negates instead): W' (v) = max over relax in-edges of
+            # least(W(u), w), self-relax capacity HUGE carries state;
+            # 40 rounds >= fixpoint depth (mirrors testdata.q_widest_path)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "de AS (SELECT split_part(src, '/', 3) AS s, split_part(dst, '/', 3) AS d, "
+            "       count(*)::BIGINT AS w FROM e GROUP BY 1, 2), "
+            "esw AS (SELECT s AS src, d AS dst, w FROM de UNION ALL SELECT d, s, w FROM de), "
+            "v AS (SELECT DISTINCT src AS id FROM esw), "
+            "relax AS (SELECT src, dst, w FROM esw "
+            "          UNION ALL SELECT id, id, 1000000000000000::BIGINT FROM v), "
+            "wp AS ( "
+            "  SELECT 0 AS it, id, CASE WHEN id = 'site-00000.example' "
+            "    THEN 1000000000000000::BIGINT ELSE 0::BIGINT END AS wd FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MAX(least(p.wd, r.w)) FROM wp p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 40 "
+            "  GROUP BY p.it, r.dst) "
+            "SELECT id AS host, CASE WHEN wd > 0 THEN wd END AS width "
+            "FROM wp WHERE it = 40 AND id <> 'site-00000.example'"
+        ),
         "site_effective_diameter": (
             # exact 50th/90th-percentile intra-site distance: the
             # site_centrality BFS closure reduced to ONE histogram row

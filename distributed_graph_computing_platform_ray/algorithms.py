@@ -36,6 +36,7 @@ class ScatterOut:
     add_edge_weight: bool = False  # msg = base[row] (+ weight per edge)
     mul_edge_weight: bool = False  # msg = base[row] (* weight per edge)
     max_edge_weight: bool = False  # msg = max(base[row], weight per edge)
+    max_neg_edge_weight: bool = False  # msg = max(base[row], -weight per edge)
 
 
 class Algorithm:
@@ -302,6 +303,32 @@ class EarliestArrival(SSSP):
 
     def message_base(self, ids, values, degrees, superstep):
         return ScatterOut(base=values, max_edge_weight=True)
+
+
+class WidestPath(SSSP):
+    """Maximin bottleneck capacity from a source over a weighted graph:
+    width(v) = max over in-edges (u,v,w) of min(width(u), w) — the
+    widest-path / maximum-capacity-path problem (link-strength routing:
+    the strongest chain of endorsement between domains). Runs on the
+    UNCHANGED min-combiner engine via negation duality: store
+    m = -width, then m(v) = min over edges of max(m(u), -w), which is
+    EarliestArrival's recurrence with the edge weight negated (the
+    'max_neg_edge_weight' scatter mode). init: m = -inf at the source,
+    +inf elsewhere; monotone min-fixpoint, halts on no change.
+    Unreachable vertices stay +inf (width -inf); consumers decode
+    width = -value. Target-side extension (the reference ships no
+    weighted-path semantics beyond SSSP's constant 1.0)."""
+
+    def __init__(self, source_id: int):
+        super().__init__(source_id=source_id)
+        self.name = "widest"
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        values = np.where(ids == self.source, -INF, INF)
+        return values, ids == self.source
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values, max_neg_edge_weight=True)
 
 
 class ConnectedComponents(Algorithm):
@@ -919,6 +946,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return MultiSourceSSSP(**params)
     if name in ("earliest", "earliest_arrival"):
         return EarliestArrival(**params)
+    if name in ("widest", "widest_path"):
+        return WidestPath(**params)
     if name in ("cc", "connected_components"):
         return ConnectedComponents(**params)
     if name == "cc_warm":

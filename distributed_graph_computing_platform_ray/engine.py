@@ -158,6 +158,8 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
                 val = val * w
             elif so.max_edge_weight and w is not None:
                 val = np.maximum(val, w)
+            elif so.max_neg_edge_weight and w is not None:
+                val = np.maximum(val, -w)
             d, v, c = _combine_block(combine, dst, val)
             out.append(
                 _unified_table(d // part_size, d, v, c, np.ones(len(d), dtype=np.int8))
@@ -313,6 +315,8 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
         val = val * w
     elif so.max_edge_weight and w is not None:
         val = np.maximum(val, w)
+    elif so.max_neg_edge_weight and w is not None:
+        val = np.maximum(val, -w)
 
     # one global sort by dst -> destination partitions are contiguous
     # runs; each run independently picks dense vs sparse based on ITS

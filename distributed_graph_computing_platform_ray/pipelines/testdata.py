@@ -9264,3 +9264,53 @@ def q_site_effective_diameter(sf_dir: str, n_pages: int = 2000, n_buckets: int =
             "mean_e6": [int(1_000_000 * int((d * c).sum()) // total)],
         }
     ).astype("int64")
+
+
+def q_widest_path(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """WIDEST (maximum-capacity) path from a seed domain over the
+    contracted weighted domain graph: width(v) = max over in-edges
+    (u,v,w) of min(width(u), w) where w = the number of distinct page
+    links between the two hosts — the strongest chain of endorsement
+    from the seed, the maximin-routing dual of SSSP. Runs the BSP
+    engine's min-combiner UNCHANGED via negation duality
+    (algorithms.WidestPath: m = -width, max_neg_edge_weight scatter)
+    to the monotone fixpoint. Capacities are integer link counts, so
+    width is integer-exact in float64; the seed row is excluded and
+    unreachable hosts report NULL. n PINNED to the fixed oracle's
+    2000 (same contraction as q_trustrank_domains)."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .graph import lookup_vertex_id
+    from .ingest import build_graph as _bg
+    from .pages import contract_link_graph
+
+    seed_host = "site-00000.example"
+    root = f"/tmp/graft_widest_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    links = extract_links(generate_pages(n))
+    dom_edges = contract_link_graph(links, n_buckets)
+    man = _bg(
+        dom_edges,
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=True,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "domain_graph_widest", "n": n},
+    )
+    sid = lookup_vertex_id(man, seed_host)
+    res = run_algorithm(f"{root}/graph", f"{root}/widest", "widest", source_id=sid)
+
+    def conv(t: pa.Table) -> pa.Table:
+        host = t["vertex"].cast(pa.string())
+        m = t["value"].to_numpy()
+        width = [None if not np.isfinite(-x) else int(-x) for x in m]
+        keep = pc.not_equal(host, seed_host)
+        return pa.table(
+            {"host": host, "width": pa.array(width, pa.int64())}
+        ).filter(keep)
+
+    return res.map_batches(conv, batch_format="pyarrow")
