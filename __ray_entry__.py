@@ -258,6 +258,42 @@ def _matching_sql() -> str:
     )
 
 
+def _coverage_greedy_sql(n: int = 2000, seed: int = 42, k: int = 5) -> str:
+    """Oracle for greedy max-coverage seed selection: FIXED-k unrolled
+    chained CTEs (s_r -> w_r -> c_r), the robust form for iterated
+    data-dependent argmax (see NOTES.md on unrolled vs recursive CTEs).
+    Mirrors testdata.q_coverage_greedy."""
+    parts = [f"WITH {_pages_edges_cte(n, seed)}, "]
+    parts.append("ph AS (SELECT DISTINCT src, split_part(dst, '/', 3) AS h FROM e), ")
+    prev = None
+    for r in range(1, k + 1):
+        if prev is None:
+            parts.append(f"s{r} AS (SELECT src, count(*) AS n FROM ph GROUP BY src), ")
+        else:
+            parts.append(
+                f"s{r} AS (SELECT src, count(*) AS n FROM ph "
+                f"WHERE h NOT IN (SELECT h FROM {prev}) GROUP BY src), "
+            )
+        parts.append(
+            f"w{r} AS (SELECT src, n FROM s{r} "
+            f"QUALIFY row_number() OVER (ORDER BY n DESC, src) = 1), "
+        )
+        if prev is None:
+            parts.append(f"c{r} AS (SELECT DISTINCT h FROM ph JOIN w{r} USING (src)), ")
+        else:
+            parts.append(
+                f"c{r} AS (SELECT DISTINCT h FROM (SELECT h FROM {prev} "
+                f"UNION ALL SELECT h FROM ph JOIN w{r} USING (src))), "
+            )
+        prev = f"c{r}"
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, src AS url, n::BIGINT AS n_new, "
+        f"(SELECT count(*) FROM c{r})::BIGINT AS n_covered FROM w{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts).rstrip(", ") + " " + sel
+
+
 def _PAGE_URL(x: str) -> str:
     """SQL expression rebuilding sources/pages.py::url_of(x)."""
     return f"printf('https://site-%05d.example/p/%04d', ({x}) // 16, ({x}) % 16)"
@@ -1199,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_articulation": T.q_site_articulation,
         "site_effective_diameter": T.q_site_effective_diameter,
         "widest_path": T.q_widest_path,
+        "coverage_greedy": T.q_coverage_greedy,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3233,6 +3270,7 @@ def oracle_sql() -> dict[str, str]:
             "  ((1000000 * nlong) // words)::BIGINT AS pct_long_e6 FROM f"
         ),
         "doc_quality": _quality_sql(),
+        "coverage_greedy": _coverage_greedy_sql(),
         "widest_path": (
             # maximin fixpoint in the width domain directly (the engine
             # negates instead): W' (v) = max over relax in-edges of

@@ -9314,3 +9314,70 @@ def q_widest_path(sf_dir: str, n: int = 2000, n_buckets: int = 32):
         ).filter(keep)
 
     return res.map_batches(conv, batch_format="pyarrow")
+
+
+def q_coverage_greedy(sf_dir: str, n_pages: int = 2000, k: int = 5, n_buckets: int = 16):
+    """Greedy maximum-coverage crawl-seed selection (the classic
+    (1 - 1/e) greedy): pick k source pages so their outlink HOST sets
+    cover as many distinct hosts as possible — seed-list construction
+    for a bounded recrawl. Each round is fully distributed: filter the
+    (src, host) pairs against the broadcast covered-host set (tiny by
+    construction: <= k * max-outdegree hosts), ONE bucket_sum scores
+    every page's uncovered-host count, a distributed sort+limit(1)
+    takes the argmax (ties by url), and only the winner's <= 15 hosts
+    come back to the driver. The pair table is materialized ONCE and
+    re-filtered per round — never re-extracted. Output: (round, url,
+    n_new, n_covered)."""
+    import ray as _ray
+
+    from ..stages.join import add_bucket, bucket_sum, distinct
+
+    def hostp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src_key"],
+                "h": pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2),
+            }
+        )
+
+    ph = distinct(
+        _pages_links(n_pages).map_batches(hostp, batch_format="pyarrow"),
+        ["src", "h"],
+        n_buckets,
+    ).materialize()
+
+    covered: set[str] = set()
+    rows = []
+    for r in range(1, k + 1):
+        cov_ref = _ray.put(np.array(sorted(covered), dtype=object))
+
+        def drop_covered(t: pa.Table, ref=cov_ref) -> pa.Table:
+            cov = _ray.get(ref)
+            if len(cov) == 0:
+                return t
+            keep = ~np.isin(t["h"].to_numpy(zero_copy_only=False), cov)
+            return t.filter(pa.array(keep))
+
+        remaining = ph.map_batches(drop_covered, batch_format="pyarrow")
+        ones = remaining.map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        top = (
+            bucket_sum(ones, ["src"], ["n"], n_buckets)
+            .sort(["n", "src"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )[0]
+        winner, n_new = top["src"], int(top["n"])
+        new_hosts = remaining.map_batches(
+            lambda t, w=winner: t.filter(pc.equal(t["src"], w)),
+            batch_format="pyarrow",
+        ).take_all()
+        covered |= {row["h"] for row in new_hosts}
+        rows.append((r, winner, n_new, len(covered)))
+    return pd.DataFrame(
+        rows, columns=["round", "url", "n_new", "n_covered"]
+    ).astype({"round": "int64", "n_new": "int64", "n_covered": "int64"})
