@@ -1236,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_effective_diameter": T.q_site_effective_diameter,
         "widest_path": T.q_widest_path,
         "coverage_greedy": T.q_coverage_greedy,
+        "feature_propagation": T.q_feature_propagation,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3271,6 +3272,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "feature_propagation": (
+            # closed kNN graph over vec_id < 500 (same quantized dot as
+            # knn_graph), two floor-mean layers + label agreement
+            # (mirrors testdata.q_feature_propagation)
+            "WITH q AS (SELECT vec_id, label::BIGINT AS label, "
+            "  list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1024)) AS e "
+            "  FROM embeddings WHERE vec_id < 500), "
+            "p AS (SELECT a.vec_id AS src, a.label AS src_label, b.vec_id AS nbr, "
+            "      CAST(list_dot_product(a.e, b.e) AS BIGINT) AS dq "
+            "      FROM q a JOIN q b ON b.vec_id <> a.vec_id), "
+            "ed AS (SELECT src, src_label, nbr FROM p "
+            "       QUALIFY row_number() OVER (PARTITION BY src ORDER BY dq DESC, nbr) <= 3), "
+            "h1 AS (SELECT e.src AS vec_id, max(e.src_label) AS label, "
+            "       (1000000 * sum(n.label)) // count(*) AS h, "
+            "       sum(CASE WHEN n.label = e.src_label THEN 1 ELSE 0 END) AS n_agree "
+            "       FROM ed e JOIN q n ON n.vec_id = e.nbr GROUP BY e.src), "
+            "h2 AS (SELECT e.src AS vec_id, sum(n.h) // count(*) AS h "
+            "       FROM ed e JOIN h1 n ON n.vec_id = e.nbr GROUP BY e.src) "
+            "SELECT h1.vec_id, h1.label, h1.h::BIGINT AS h1_e6, "
+            "  h2.h::BIGINT AS h2_e6, h1.n_agree::BIGINT AS n_agree "
+            "FROM h1 JOIN h2 USING (vec_id)"
+        ),
         "widest_path": (
             # maximin fixpoint in the width domain directly (the engine
             # negates instead): W' (v) = max over relax in-edges of

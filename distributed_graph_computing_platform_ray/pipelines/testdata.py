@@ -9381,3 +9381,155 @@ def q_coverage_greedy(sf_dir: str, n_pages: int = 2000, k: int = 5, n_buckets: i
     return pd.DataFrame(
         rows, columns=["round", "url", "n_new", "n_covered"]
     ).astype({"round": "int64", "n_new": "int64", "n_covered": "int64"})
+
+
+def q_feature_propagation(sf_dir: str, n_nodes: int = 500, k: int = 3, n_buckets: int = 8):
+    """Two GraphSAGE-style mean-aggregation layers expressed as PURE
+    DATAFLOW (join + groupby-sum per layer) over the closed kNN graph
+    of the first n_nodes embeddings: h0 = class label, h1(v) =
+    floor(1e6 * mean of neighbor h0), h2(v) = floor(mean of neighbor
+    h1) — plus n_agree (neighbors sharing v's label), the kNN label-
+    smoothing signal. kNN edges reuse q_knn_graph's broadcast
+    quantized-matmul (floor(x*1024) dot products, ties to lowest id);
+    each layer is ONE bucket_join (neighbor feature lookup) + ONE
+    bucket_sum — the shape of distributed GNN feature propagation,
+    where the per-layer exchange volume is |E|, never |V|^2. Integer
+    floors end-to-end, so the layers are bit-exact."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.join import bucket_join, bucket_sum
+
+    dim = 64
+    tab = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tab["vec_id"].to_numpy()
+    flat = tab["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    Q = np.floor(flat.astype(np.float64).reshape(-1, dim) * 1024.0).astype(np.int64)
+    sel = ids < n_nodes
+    order = np.argsort(ids[sel])
+    corpus = ray.put((ids[sel][order], Q[sel][order]))
+
+    src = _table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def knn(t: pa.Table) -> pa.Table:
+        cid, cq = ray.get(corpus)
+        vid = t["vec_id"].to_numpy()
+        m = vid < n_nodes
+        if not m.any():
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "src_label": pa.array([], pa.int64()),
+                 "nbr": pa.array([], pa.int64())}
+            )
+        f = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(f.astype(np.float64).reshape(-1, dim) * 1024.0).astype(np.int64)[m]
+        lab = t["label"].to_numpy()[m].astype(np.int64)
+        vid = vid[m]
+        dots = q @ cq.T  # (batch, n_nodes) integer-exact
+        out_s, out_l, out_n = [], [], []
+        for i in range(len(vid)):
+            d = dots[i].copy()
+            # exclude self: sentinel must stay negatable (int64.min
+            # would overflow under the lexsort's -d key)
+            d[cid == vid[i]] = -(2**62)
+            top = np.lexsort((cid, -d))[:k]  # dot DESC, nbr ASC
+            out_s.extend([int(vid[i])] * k)
+            out_l.extend([int(lab[i])] * k)
+            out_n.extend(cid[top].astype(np.int64).tolist())
+        return pa.table(
+            {"src": pa.array(out_s, pa.int64()), "src_label": pa.array(out_l, pa.int64()),
+             "nbr": pa.array(out_n, pa.int64())}
+        )
+
+    edges = src.map_batches(knn, batch_format="pyarrow")
+    e_schema = pa.schema(
+        [("src", pa.int64()), ("src_label", pa.int64()), ("nbr", pa.int64())]
+    )
+
+    def feat0(t: pa.Table) -> pa.Table:
+        m = pc.less(t["vec_id"], n_nodes)
+        tt = t.filter(m)
+        return pa.table(
+            {"vec_id": tt["vec_id"].cast(pa.int64()),
+             "h": tt["label"].cast(pa.int64())}
+        )
+
+    feats0 = src.map_batches(feat0, batch_format="pyarrow")
+    f_schema = pa.schema([("vec_id", pa.int64()), ("h", pa.int64())])
+
+    # layer 1: lookup neighbor h0 + agreement, aggregate per src
+    j1 = bucket_join(
+        edges, feats0, left_on="nbr", right_on="vec_id", n_buckets=n_buckets,
+        left_schema=e_schema, right_schema=f_schema,
+    )
+
+    def pre1(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": t["src"], "label": t["src_label"],
+                "sum_h": pa.array(h),
+                "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+                "agree": pa.array(
+                    (h == t["src_label"].to_numpy().astype(np.int64)).astype(np.int64)
+                ),
+            }
+        )
+
+    a1 = bucket_sum(
+        j1.map_batches(pre1, batch_format="pyarrow"),
+        ["src", "label"], ["sum_h", "cnt", "agree"], n_buckets,
+    )
+
+    def fin1(t: pa.Table) -> pa.Table:
+        s = t["sum_h"].to_numpy().astype(np.int64)
+        c = t["cnt"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"vec_id": t["src"], "label": t["label"],
+             "h": pa.array((1_000_000 * s) // c),
+             "n_agree": t["agree"]}
+        )
+
+    h1 = a1.map_batches(fin1, batch_format="pyarrow")
+    h1_schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()), ("h", pa.int64()),
+         ("n_agree", pa.int64())]
+    )
+
+    # layer 2: lookup neighbor h1, aggregate per src
+    j2 = bucket_join(
+        edges, h1, left_on="nbr", right_on="vec_id", n_buckets=n_buckets,
+        left_schema=e_schema, right_schema=h1_schema,
+    )
+
+    def pre2(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t["src"], "sum_h": t["h"],
+             "cnt": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    a2 = bucket_sum(
+        j2.map_batches(pre2, batch_format="pyarrow"), ["src"], ["sum_h", "cnt"],
+        n_buckets,
+    )
+
+    def fin2(t: pa.Table) -> pa.Table:
+        s = t["sum_h"].to_numpy().astype(np.int64)
+        c = t["cnt"].to_numpy().astype(np.int64)
+        return pa.table({"vec_id": t["src"], "h2_e6": pa.array(s // c)})
+
+    h2 = a2.map_batches(fin2, batch_format="pyarrow")
+    h2_schema = pa.schema([("vec_id", pa.int64()), ("h2_e6", pa.int64())])
+
+    out = bucket_join(
+        h1, h2, left_on="vec_id", right_on="vec_id", n_buckets=n_buckets,
+        left_schema=h1_schema, right_schema=h2_schema,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t["vec_id"], "label": t["label"],
+             "h1_e6": t["h"], "h2_e6": t["h2_e6"], "n_agree": t["n_agree"]}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
