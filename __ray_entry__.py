@@ -1237,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "widest_path": T.q_widest_path,
         "coverage_greedy": T.q_coverage_greedy,
         "feature_propagation": T.q_feature_propagation,
+        "domain_inlink_hll": T.q_domain_inlink_hll,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3272,6 +3273,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "domain_inlink_hll": (
+            # per-destination-host HLL registers over distinct
+            # in-linking hosts (self-host excluded); same FNV-1a +
+            # splitmix64 register recipe as _user_hll_sql (mirrors
+            # testdata.q_domain_inlink_hll)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "pairs AS (SELECT DISTINCT split_part(dst, '/', 3) AS host, "
+            "          split_part(src, '/', 3) AS tok FROM e "
+            "          WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "toks AS (SELECT tok FROM pairs), "
+            f"{_FNV_TOK}, "
+            f"mixed AS (SELECT tok, {_splitmix_cols('h', 'hs')} FROM tokh), "
+            "regs AS (SELECT p.host, (hs >> 56)::BIGINT AS reg, "
+            "  (CASE WHEN (hs & ((1::UBIGINT << 56) - 1)) = 0 THEN 57 "
+            "   ELSE 56 - length(bin(hs & ((1::UBIGINT << 56) - 1))) + 1 END)::BIGINT AS rho "
+            "  FROM pairs p JOIN mixed m ON m.tok = p.tok) "
+            "SELECT host, reg, max(rho)::BIGINT AS rho FROM regs GROUP BY host, reg"
+        ),
         "feature_propagation": (
             # closed kNN graph over vec_id < 500 (same quantized dot as
             # knn_graph), two floor-mean layers + label agreement

@@ -9533,3 +9533,51 @@ def q_feature_propagation(sf_dir: str, n_nodes: int = 500, k: int = 3, n_buckets
         )
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_domain_inlink_hll(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """HyperLogLog registers for DISTINCT IN-LINKING HOSTS per host —
+    the mergeable inlink-diversity sketch (nepotism detection / rank
+    spam triage: many links from few hosts vs few links from many).
+    Same register recipe as q_user_hll (FNV-1a + splitmix64 finalizer,
+    p=8) keyed by destination host; self-host links excluded. Per-batch
+    partial registers (distinct (host, src_host) pairs collapse before
+    the shuffle), then ONE bucketed max per (host, reg) — at 10^12
+    edges only sparse register rows move, never link rows."""
+    from ..functions.hashing import fnv1a64
+    from ..stages.join import add_bucket
+    from ..utils import splitmix64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["src_key"].str.split("/").str[2]
+        dh = df["dst_key"].str.split("/").str[2]
+        t = pd.DataFrame({"host": dh, "tok": sh})
+        t = t[t["host"] != t["tok"]].drop_duplicates()
+        if len(t) == 0:
+            return pd.DataFrame(
+                {"host": pd.Series(dtype="string"),
+                 "reg": pd.Series(dtype="int64"),
+                 "rho": pd.Series(dtype="int64")}
+            )
+        h = splitmix64(fnv1a64(t["tok"].tolist()))
+        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+        bl = np.zeros(len(rem), dtype=np.uint64)
+        for s in (32, 16, 8, 4, 2, 1):
+            m = rem >= np.left_shift(np.uint64(1), bl + np.uint64(s))
+            bl[m] += np.uint64(s)
+        bitlen = np.where(rem == 0, 0, bl + 1).astype(np.int64)
+        rho = np.where(rem == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+        out = pd.DataFrame({"host": t["host"].to_numpy(), "reg": reg, "rho": rho})
+        return out.groupby(["host", "reg"], as_index=False).max().astype(
+            {"reg": "int64", "rho": "int64"}
+        )
+
+    part = _pages_links(n_pages).map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["host", "reg"], as_index=False)["rho"].max()
+
+    return _BMG(
+        add_bucket(part, ["host", "reg"], n_buckets), n_buckets, merge, "pandas"
+    )
