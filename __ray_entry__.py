@@ -1238,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_greedy": T.q_coverage_greedy,
         "feature_propagation": T.q_feature_propagation,
         "domain_inlink_hll": T.q_domain_inlink_hll,
+        "anchor_majority": T.q_anchor_majority,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3273,6 +3274,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "anchor_majority": (
+            # anchor instances rebuilt from the generator chain
+            # ('link ' || k per resolved href); mode per target with
+            # (count DESC, anchor ASC) tie-break and e6-floor share
+            # (mirrors testdata.q_anchor_majority)
+            f"WITH {_pages_edges_cte()}, "
+            "inst AS (SELECT href AS url, 'link ' || k AS anchor FROM res), "
+            "cnt AS (SELECT url, anchor, count(*) AS c FROM inst GROUP BY url, anchor), "
+            "tot AS (SELECT url, sum(c) AS t FROM cnt GROUP BY url), "
+            "top AS (SELECT url, anchor, c FROM cnt "
+            "        QUALIFY row_number() OVER (PARTITION BY url ORDER BY c DESC, anchor) = 1) "
+            "SELECT p.url, tot.t::BIGINT AS n_inst, p.anchor AS top_anchor, "
+            "  ((1000000 * p.c) // tot.t)::BIGINT AS top_share_e6 "
+            "FROM top p JOIN tot USING (url)"
+        ),
         "domain_inlink_hll": (
             # per-destination-host HLL registers over distinct
             # in-linking hosts (self-host excluded); same FNV-1a +

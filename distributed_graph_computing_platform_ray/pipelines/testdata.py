@@ -9581,3 +9581,52 @@ def q_domain_inlink_hll(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
     return _BMG(
         add_bucket(part, ["host", "reg"], n_buckets), n_buckets, merge, "pandas"
     )
+
+
+def q_anchor_majority(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """Majority anchor text per link target — the canonical-label
+    signal for web search (the anchor most pages use for a url) plus
+    its exact e6-floor share of all anchor instances. Anchor INSTANCES
+    are kept (like q_anchor_stats); the mode and share reduce in ONE
+    dst-bucket shuffle with a vectorized per-bucket count + argmax
+    (ties break lexicographically on the anchor so the result is a
+    total order). n PINNED to the fixed oracle's 2000."""
+    from ..functions.html import decode_html, extract_links_with_anchors
+    from ..sources.pages import generate_pages
+    from ..stages.join import add_bucket
+
+    def inst(t: pa.Table) -> pa.Table:
+        dsts, anchors = [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for href, anch in extract_links_with_anchors(decode_html(h), u):
+                dsts.append(href)
+                anchors.append(anch)
+        return pa.table(
+            {"url": pa.array(dsts, pa.string()),
+             "anchor": pa.array(anchors, pa.string())}
+        )
+
+    insts = generate_pages(n).map_batches(inst, batch_format="pyarrow", batch_size=256)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby(["url", "anchor"], sort=False).size().reset_index(name="c")
+        )
+        tot = cnt.groupby("url", sort=False)["c"].transform("sum")
+        cnt["tot"] = tot
+        cnt = cnt.sort_values(["url", "c", "anchor"], ascending=[True, False, True])
+        top = cnt.drop_duplicates("url", keep="first")
+        return pd.DataFrame(
+            {
+                "url": top["url"].to_numpy(),
+                "n_inst": top["tot"].to_numpy(np.int64),
+                "top_anchor": top["anchor"].to_numpy(),
+                "top_share_e6": (
+                    1_000_000 * top["c"].to_numpy(np.int64)
+                ) // top["tot"].to_numpy(np.int64),
+            }
+        )
+
+    return _BMG(
+        add_bucket(insts, ["url"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
