@@ -1239,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_propagation": T.q_feature_propagation,
         "domain_inlink_hll": T.q_domain_inlink_hll,
         "anchor_majority": T.q_anchor_majority,
+        "domain_mutual_links": T.q_domain_mutual_links,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3274,6 +3275,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "domain_mutual_links": (
+            # directions folded onto the canonical pair in one GROUP BY
+            # (mirrors testdata.q_domain_mutual_links)
+            f"WITH {_pages_edges_cte()}, "
+            "de AS (SELECT split_part(src, '/', 3) AS s, split_part(dst, '/', 3) AS d, "
+            "       count(*)::BIGINT AS w FROM e GROUP BY 1, 2), "
+            "cd AS (SELECT least(s, d) AS a, greatest(s, d) AS b, "
+            "       sum(CASE WHEN s < d THEN w ELSE 0 END) AS w_ab, "
+            "       sum(CASE WHEN s > d THEN w ELSE 0 END) AS w_ba "
+            "       FROM de WHERE s <> d GROUP BY 1, 2) "
+            "SELECT a, b, w_ab::BIGINT AS w_ab, w_ba::BIGINT AS w_ba, "
+            "  least(w_ab, w_ba)::BIGINT AS w_min FROM cd "
+            "WHERE w_ab > 0 AND w_ba > 0"
+        ),
         "anchor_majority": (
             # anchor instances rebuilt from the generator chain
             # ('link ' || k per resolved href); mode per target with

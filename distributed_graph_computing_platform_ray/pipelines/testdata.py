@@ -9630,3 +9630,54 @@ def q_anchor_majority(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     return _BMG(
         add_bucket(insts, ["url"], n_buckets), n_buckets, per_bucket, "pandas"
     )
+
+
+def q_domain_mutual_links(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Reciprocal (mutually linking) host pairs — the link-exchange /
+    nepotism detector at domain granularity: for every unordered
+    cross-host pair with page links BOTH ways, the two directed
+    weights (distinct page-link counts, as in contract_link_graph) and
+    the reciprocal strength min(w_ab, w_ba). Directions are folded
+    onto the canonical (least, greatest) pair key in the SAME
+    bucket_sum — one shuffle, no self-join of the edge table."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from ..stages.join import bucket_sum
+    from .pages import contract_link_graph
+
+    de = contract_link_graph(extract_links(generate_pages(n_pages)), n_buckets)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src_key"].to_numpy(zero_copy_only=False)
+        d = t["dst_key"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy().astype(np.int64)
+        keep = s != d
+        s, d, w = s[keep], d[keep], w[keep]
+        fwd = s < d
+        a = np.where(fwd, s, d)
+        b = np.where(fwd, d, s)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "w_ab": pa.array(np.where(fwd, w, 0)),
+                "w_ba": pa.array(np.where(fwd, 0, w)),
+            }
+        )
+
+    agg = bucket_sum(
+        de.map_batches(canon, batch_format="pyarrow"), ["a", "b"],
+        ["w_ab", "w_ba"], n_buckets,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ab = t["w_ab"].to_numpy().astype(np.int64)
+        ba = t["w_ba"].to_numpy().astype(np.int64)
+        keep = (ab > 0) & (ba > 0)
+        tt = pa.table(
+            {"a": t["a"], "b": t["b"], "w_ab": pa.array(ab),
+             "w_ba": pa.array(ba), "w_min": pa.array(np.minimum(ab, ba))}
+        )
+        return tt.filter(pa.array(keep))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
