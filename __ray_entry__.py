@@ -1240,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_inlink_hll": T.q_domain_inlink_hll,
         "anchor_majority": T.q_anchor_majority,
         "domain_mutual_links": T.q_domain_mutual_links,
+        "site_edge_stress": T.q_site_edge_stress,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3275,6 +3276,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "site_edge_stress": (
+            # sigma via level-synchronous walk counts (cnt at MIN it =
+            # #shortest paths; longer walks are discarded by the dmin
+            # join), then stress(u,v) = sum sigma(s,u)*sigma(v,t) over
+            # pairs with dist(s,u)+1+dist(v,t) = dist(s,t) (mirrors
+            # testdata.q_site_edge_stress)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "v AS (SELECT DISTINCT u FROM "
+            "      (SELECT src AS u FROM ie UNION ALL SELECT dst FROM ie)), "
+            "pw AS ( "
+            "  SELECT u AS s, u AS vv, CAST(1 AS HUGEINT) AS cnt, 0 AS it FROM v "
+            "  UNION ALL "
+            "  SELECT pw.s, e2.dst, SUM(pw.cnt), pw.it + 1 FROM pw "
+            "  JOIN ie e2 ON e2.src = pw.vv WHERE pw.it < 16 "
+            "  GROUP BY pw.s, e2.dst, pw.it + 1), "
+            "dmin AS (SELECT s, vv, MIN(it) AS dist FROM pw GROUP BY 1, 2), "
+            "sig AS (SELECT pw.s, pw.vv, pw.cnt AS sigma FROM pw "
+            "        JOIN dmin ON dmin.s = pw.s AND dmin.vv = pw.vv "
+            "        AND dmin.dist = pw.it), "
+            "est AS (SELECT e3.src AS u, e3.dst AS vd, s1.sigma * s2.sigma AS w "
+            "  FROM ie e3 "
+            "  JOIN dmin d1 ON d1.vv = e3.src "
+            "  JOIN sig s1 ON s1.s = d1.s AND s1.vv = e3.src "
+            "  JOIN sig s2 ON s2.s = e3.dst "
+            "  JOIN dmin d2 ON d2.s = e3.dst AND d2.vv = s2.vv "
+            "  JOIN dmin d3 ON d3.s = d1.s AND d3.vv = s2.vv "
+            "   AND d3.dist = d1.dist + 1 + d2.dist "
+            "  WHERE e3.src <> e3.dst) "
+            "SELECT u AS src, vd AS dst, SUM(w)::BIGINT AS stress "
+            "FROM est GROUP BY 1, 2"
+        ),
         "domain_mutual_links": (
             # directions folded onto the canonical pair in one GROUP BY
             # (mirrors testdata.q_domain_mutual_links)

@@ -9681,3 +9681,80 @@ def q_domain_mutual_links(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16)
         return tt.filter(pa.array(keep))
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_site_edge_stress(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Exact EDGE STRESS inside each site: for every directed
+    intra-site edge, the number of shortest paths (over all ordered
+    reachable pairs) that traverse it — the integer-exact edge
+    analogue of stress centrality (edge betweenness without the
+    rational sigma ratios), the signal for which internal links carry
+    a site's navigation. Partition-local exact kernel: per site
+    (<= 16 pages) an all-roots BFS gives dist[s,v] and sigma[s,v]
+    (shortest-path counts via level DP), then stress(u,v) = sum over
+    (s,t) with dist[s,u] + 1 + dist[v,t] = dist[s,t] of
+    sigma[s,u] * sigma[v,t]. Self-loop edges lie on no shortest path
+    and drop out. ONE host-bucketed shuffle."""
+    from ..stages.join import add_bucket
+
+    INF = 10**6
+    ie = _pages_intra_links(n_pages).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["src_key"], "/"), 2),
+                "src": t["src_key"],
+                "dst": t["dst_key"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_d, out_w = [], [], []
+        for _, sg in g.groupby("host", sort=False):
+            urls = np.unique(
+                np.concatenate([sg["src"].to_numpy(), sg["dst"].to_numpy()])
+            )
+            idx = {u: i for i, u in enumerate(urls)}
+            n = len(urls)
+            adj = np.zeros((n, n), dtype=bool)
+            adj[sg["src"].map(idx).to_numpy(), sg["dst"].map(idx).to_numpy()] = True
+            noself = adj.copy()
+            np.fill_diagonal(noself, False)
+            dist = np.full((n, n), INF, dtype=np.int64)
+            np.fill_diagonal(dist, 0)
+            sig = np.eye(n, dtype=np.int64)
+            frontier = np.eye(n, dtype=bool)
+            seen = frontier.copy()
+            d = 0
+            while frontier.any() and d < n:
+                d += 1
+                nxt = (frontier @ noself) & ~seen
+                contrib = (sig * (dist == d - 1)) @ noself.astype(np.int64)
+                dist = np.where(nxt, d, dist)
+                sig = np.where(nxt, contrib, sig)
+                seen |= nxt
+                frontier = nxt
+            eu, ev = np.nonzero(noself)
+            for u, v in zip(eu.tolist(), ev.tolist()):
+                cond = dist[:, u, None] + 1 + dist[v, None, :] == dist
+                w = int((sig[:, u, None] * sig[v, None, :])[cond].sum())
+                if w > 0:
+                    out_s.append(urls[u])
+                    out_d.append(urls[v])
+                    out_w.append(w)
+        return pd.DataFrame(
+            {"src": out_s, "dst": out_d,
+             "stress": np.asarray(out_w, dtype=np.int64)}
+        ).astype({"src": "string", "dst": "string"})
+
+    res = _BMG(
+        add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
+    return res.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"].cast(pa.string()), "dst": t["dst"].cast(pa.string()),
+             "stress": t["stress"]}
+        ),
+        batch_format="pyarrow",
+    )
