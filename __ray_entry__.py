@@ -1241,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_majority": T.q_anchor_majority,
         "domain_mutual_links": T.q_domain_mutual_links,
         "site_edge_stress": T.q_site_edge_stress,
+        "pagerank_dangling": T.q_pagerank_dangling,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3276,6 +3277,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "pagerank_dangling": (
+            # dangling mass modeled as explicit pseudo-edges (each
+            # zero-outdegree url -> every vertex at weight 1/N) plus a
+            # zero-weight self-relax so rankless vertices keep their
+            # teleport row (mirrors testdata.q_pagerank_dangling)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "vset AS (SELECT DISTINCT u AS id FROM "
+            "         (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)), "
+            "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM e GROUP BY src), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM vset), "
+            "dang AS (SELECT v.id FROM vset v LEFT JOIN deg ON deg.id = v.id "
+            "         WHERE deg.id IS NULL), "
+            "relax AS ( "
+            "  SELECT e.src AS s, e.dst AS t, 1.0 / deg.d AS w FROM e "
+            "  JOIN deg ON deg.id = e.src "
+            "  UNION ALL SELECT d.id, v.id, (SELECT 1.0 / n FROM nn) "
+            "    FROM dang d CROSS JOIN vset v "
+            "  UNION ALL SELECT id, id, 0.0 FROM vset), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val FROM vset "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.t, 0.15/nn.n + 0.85 * SUM(p.val * r.w) "
+            "  FROM pr p CROSS JOIN nn JOIN relax r ON r.s = p.id "
+            "  WHERE p.it < 30 GROUP BY p.it, r.t, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 30 ORDER BY score_e8 DESC, vertex LIMIT 25"
+        ),
         "site_edge_stress": (
             # sigma via level-synchronous walk counts (cnt at MIN it =
             # #shortest paths; longer walks are discarded by the dmin

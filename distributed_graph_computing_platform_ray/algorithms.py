@@ -116,6 +116,34 @@ class PageRank(Algorithm):
         return False
 
 
+class PageRankDangling(PageRank):
+    """True web PageRank on a DIRECTED graph with dangling-mass
+    redistribution:  x <- (1-d)/N + d * (A^T_deg x + D/N)  where
+    D = sum of x over zero-outdegree vertices (offsite/uncrawled urls).
+    The reference cannot express this (it symmetrizes so nothing
+    dangles); the per-iteration global scalar D runs on the engine's
+    Pregel-style AGGREGATOR channel (Malewicz et al. 2010 §3.3):
+    ``scatter_aggregate`` emits each partition's SUM-mergeable partial,
+    the exchange carries it alongside the messages (kind-2 rows /
+    chunk-attached floats), and ``apply`` receives the exact global sum
+    as ``global_agg`` — no extra synchronization, supersteps still
+    chain lazily."""
+
+    wants_aggregate = True
+
+    def __init__(self, n_vertices: int, num_iters: int = 30, damping: float = 0.85):
+        super().__init__(n_vertices, num_iters, damping)
+        self.name = "pagerank_dangling"
+
+    def scatter_aggregate(self, ids, values, degrees, superstep):
+        return float(values[degrees == 0].sum())
+
+    def apply(self, old_values, agg, has_msg, superstep, global_agg=0.0):
+        new = self.teleport + self.damping * (agg + global_agg / self.n)
+        n = len(new)
+        return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
+
+
 class PersonalizedPageRank(PageRank):
     """Random-walk-with-restart scores toward a seed set: the teleport
     mass lands only on the seeds instead of uniformly —
@@ -934,6 +962,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return PageRank(**params)
     if name == "pagerank_weighted":
         return PageRankWeighted(**params)
+    if name == "pagerank_dangling":
+        return PageRankDangling(**params)
     if name in ("ppr", "personalized_pagerank"):
         return PersonalizedPageRank(**params)
     if name == "trustrank":

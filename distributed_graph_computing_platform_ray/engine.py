@@ -127,6 +127,9 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
     part_size = manifest.part_size
     combine = _combine_at(algo, superstep)
 
+    n_parts = manifest.n_parts
+    has_aggr = getattr(algo, "scatter_aggregate", None) is not None
+
     def scatter(t: pa.Table) -> pa.Table:
         ids = t["dst"].to_numpy()
         values = t["value"].to_numpy()
@@ -134,6 +137,32 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
         out = [t]
         for p in np.unique(ids // part_size):
             shard = load_shard(manifest, int(p))
+            if has_aggr:
+                # Pregel-style aggregator: SUM-mergeable partial over
+                # ALL of this block's rows of partition p (active or
+                # not), broadcast to every destination partition as
+                # kind-2 rows — the apply side sums them, so the
+                # global value is exact with zero extra synchronization
+                in_p = ids // part_size == p
+                loc_all = ids[in_p] - shard.lo
+                deg_all = (
+                    shard.indptr[loc_all + 1] - shard.indptr[loc_all]
+                ).astype(np.int64)
+                gp = float(
+                    algo.scatter_aggregate(
+                        ids[in_p], values[in_p], deg_all, superstep
+                    )
+                )
+                qs = np.arange(n_parts, dtype=np.int64)
+                out.append(
+                    _unified_table(
+                        qs,
+                        qs * part_size,
+                        np.full(n_parts, gp),
+                        np.zeros(n_parts, dtype=np.int64),
+                        np.full(n_parts, 2, dtype=np.int8),
+                    )
+                )
             sel = (ids // part_size == p) & active
             if not sel.any():
                 continue
@@ -226,17 +255,20 @@ def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int):
         cnt = t["count"].to_numpy()
 
         st = kind == 0
+        mg = kind == 1
         order = np.argsort(dst[st], kind="stable")
         ids = dst[st][order]
         old_values = val[st][order]
         agg, has_msg = _reduce_messages(
-            _combine_at(algo, superstep), n_local, lo, dst[~st], val[~st], cnt[~st]
+            _combine_at(algo, superstep), n_local, lo, dst[mg], val[mg], cnt[mg]
         )
         kw = {}
         if getattr(algo, "wants_ids", False):
             kw["ids"] = ids
         if getattr(algo, "wants_keys", False):
             kw["keys"] = load_vertex_keys_numeric(manifest, part)[ids - lo]
+        if getattr(algo, "wants_aggregate", False):
+            kw["global_agg"] = float(val[kind == 2].sum())
         new_values, new_active, _changed = algo.apply(
             old_values, agg, has_msg, superstep, **kw
         )
@@ -291,9 +323,23 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
     out = [None] * n_parts
     p = int(ids[0]) // part_size if len(ids) else 0
     shard = load_shard(manifest, p)
+
+    def _wrap(chunks):
+        # Pregel-style aggregator: attach this partition's SUM-mergeable
+        # partial (over ALL local vertices) to every destination chunk;
+        # apply sums the P partials — exact global value, no extra sync
+        if getattr(algo, "scatter_aggregate", None) is None:
+            return chunks
+        loc_all = ids - shard.lo
+        deg_all = (shard.indptr[loc_all + 1] - shard.indptr[loc_all]).astype(
+            np.int64
+        )
+        gp = float(algo.scatter_aggregate(ids, values, deg_all, superstep))
+        return [(c, gp) for c in chunks]
+
     sel = active
     if not sel.any():
-        return out
+        return _wrap(out)
     sel_ids = ids[sel]
     local = sel_ids - shard.lo
     if getattr(algo, "use_weighted_degrees", False):
@@ -307,7 +353,7 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
         so = algo.message_base(sel_ids, values[sel], degs, superstep)
     row_per_edge, dst, w = shard.gather(local)
     if len(dst) == 0:
-        return out
+        return _wrap(out)
     val = np.asarray(so.base, dtype=np.float64)[row_per_edge]
     if so.add_edge_weight:
         val = val + (w if w is not None else 1.0)
@@ -339,7 +385,7 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
         else:
             dd, vv, cc = _combine_block(_combine_at(algo, superstep), seg_d, seg_v)
             out[q] = ("sparse", dd, vv, cc)
-    return out
+    return _wrap(out)
 
 
 def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
@@ -350,6 +396,12 @@ def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
     p = int(ids[0]) // manifest.part_size
     lo, hi = manifest.part_bounds(p)
     n_local = hi - lo
+    gsum = 0.0
+    if getattr(algo, "scatter_aggregate", None) is not None:
+        # aggregator channel: each chunk is (payload, partial); the sum
+        # of the P partials is the exact global aggregate this superstep
+        gsum = float(sum(g for (_c, g) in msg_chunks))
+        msg_chunks = [c for (c, _g) in msg_chunks]
     dense_acc = None
     dense_has = None
     sp_d, sp_v, sp_c = [], [], []
@@ -386,6 +438,8 @@ def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
         kw["ids"] = ids
     if getattr(algo, "wants_keys", False):
         kw["keys"] = load_vertex_keys_numeric(manifest, p)[ids - lo]
+    if getattr(algo, "wants_aggregate", False):
+        kw["global_agg"] = gsum
     new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep, **kw)
     return new_values, new_active.astype(bool)
 

@@ -9758,3 +9758,46 @@ def q_site_edge_stress(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_pagerank_dangling(sf_dir: str, n: int = 2000):
+    """TRUE web PageRank on the DIRECTED page graph with dangling-mass
+    redistribution — the Common-Crawl formulation the symmetrized
+    variants sidestep: offsite urls have no outlinks, and their rank
+    D_t re-enters uniformly each iteration (x <- 0.15/N + 0.85*(A^T x
+    + D/N)). D_t rides the engine's Pregel-style aggregator channel
+    (algorithms.PageRankDangling): each scatter attaches its
+    partition's dangling partial to the exchange, apply receives the
+    exact global sum — supersteps still chain lazily, no extra driver
+    sync. Top-25 urls by e8-scaled score; n PINNED to the fixed
+    oracle's 2000."""
+    import shutil
+
+    from .graph import run_algorithm as _ra
+    from .ingest import build_graph as _bg
+
+    root = f"/tmp/graft_prdangling_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    _bg(
+        _pages_links(n),
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=False,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "pages_directed_dangling", "n": n},
+    )
+    res = _ra(f"{root}/graph", f"{root}/pr", "pagerank_dangling")
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": t["vertex"].cast(pa.string()),
+             "score_e8": _score_e8(t["value"])}
+        )
+
+    return (
+        res.map_batches(conv, batch_format="pyarrow")
+        .sort(["score_e8", "vertex"], descending=[True, False])
+        .limit(25)
+    )

@@ -12,6 +12,7 @@ from distributed_graph_computing_platform_ray.algorithms import (
     ConnectedComponents,
     LabelPropagation,
     PageRank,
+    PageRankDangling,
     PersonalizedPageRank,
     SSSP,
 )
@@ -53,6 +54,8 @@ def _final_state(man, algo, backend, tag):
         ("lp", lambda man: LabelPropagation(num_iters=5)),
         ("sssp", lambda man: SSSP(source_id=-1)),  # patched below
         ("ppr", lambda man: PersonalizedPageRank(seed_ids=[0], num_iters=6)),  # patched below
+        # aggregator channel (kind-2 rows vs chunk-attached partials)
+        ("prd", lambda man: PageRankDangling(man.n_vertices, num_iters=7)),
     ],
 )
 def test_backend_equivalence(graph, tag, make):
