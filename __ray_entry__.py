@@ -1242,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mutual_links": T.q_domain_mutual_links,
         "site_edge_stress": T.q_site_edge_stress,
         "pagerank_dangling": T.q_pagerank_dangling,
+        "orphan_pages": T.q_orphan_pages,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3277,6 +3278,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "orphan_pages": (
+            # Bloom + verify is exact, so the plain anti-join oracle
+            # applies (mirrors testdata.q_orphan_pages)
+            f"WITH {_pages_edges_cte()}, "
+            "tgt AS (SELECT DISTINCT dst AS url FROM e WHERE src <> dst), "
+            f"pg AS (SELECT {_PAGE_URL('i::BIGINT')} AS url FROM base), "
+            "orph AS (SELECT pg.url FROM pg LEFT JOIN tgt USING (url) "
+            "         WHERE tgt.url IS NULL) "
+            "SELECT split_part(url, '/', 3) AS host, count(*)::BIGINT AS n_orphans "
+            "FROM orph GROUP BY host"
+        ),
         "pagerank_dangling": (
             # dangling mass modeled as explicit pseudo-edges (each
             # zero-outdegree url -> every vertex at weight 1/N) plus a

@@ -9801,3 +9801,80 @@ def q_pagerank_dangling(sf_dir: str, n: int = 2000):
         .sort(["score_e8", "vertex"], descending=[True, False])
         .limit(25)
     )
+
+
+def q_orphan_pages(
+    sf_dir: str, n_pages: int = 2000, m_bits: int = 1 << 14, n_buckets: int = 16
+):
+    """ORPHAN detection: crawled pages with NO in-links from any OTHER
+    page (self-links don't count) — the pages a link-following recrawl
+    would lose, per host. The inverse of q_frontier_candidates, on the
+    same Bloom anti-join machinery: a Bloom bitmap of linked TARGETS
+    broadcasts, every crawled url probes locally, definite misses are
+    orphans immediately, and only the maybe sliver (true hits + Bloom
+    false positives) enters ONE bucketed verify anti-join — exact
+    result, and the big side never ships its key set. Output:
+    (host, n_orphans) per host with at least one orphan."""
+    from ..sources.pages import url_of
+    from ..stages.bloom import bloom_build, bloom_probe_stage
+    from ..stages.join import add_bucket, bucket_sum
+    from ..utils import stable_hash_array
+
+    links = _pages_links(n_pages)
+
+    def targets(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t["src_key"], t["dst_key"]))
+        return pa.table({"url": f["dst_key"]})
+
+    tgt = links.map_batches(targets, batch_format="pyarrow")
+    words = bloom_build(tgt, lambda t: stable_hash_array(t["url"]), m_bits=m_bits)
+
+    def urls_batch(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        return pa.table({"url": pa.array([url_of(int(i)) for i in ids], pa.string())})
+
+    pages = rd.range(n_pages).map_batches(urls_batch, batch_format="pyarrow")
+    probed = bloom_probe_stage(
+        pages, words, lambda t: stable_hash_array(t["url"]), m_bits
+    ).materialize()
+
+    def definite(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(t["__maybe"]))
+        return pa.table({"url": f["url"]})
+
+    def maybe_tagged(t: pa.Table) -> pa.Table:
+        f = t.filter(t["__maybe"])
+        return pa.table(
+            {"url": f["url"], "__side": pa.array(np.zeros(f.num_rows, np.int8))}
+        )
+
+    def target_tagged(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["url"], "__side": pa.array(np.ones(t.num_rows, np.int8))}
+        )
+
+    tagged = probed.map_batches(maybe_tagged, batch_format="pyarrow").union(
+        tgt.map_batches(target_tagged, batch_format="pyarrow")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        linked = set(g.loc[g["__side"] == 1, "url"])
+        keep = g[(g["__side"] == 0) & ~g["url"].isin(linked)]
+        return keep[["url"]]
+
+    orphans = _BMG(
+        add_bucket(tagged, ["url"], n_buckets), n_buckets, verify, "pandas"
+    ).union(probed.map_batches(definite, batch_format="pyarrow"))
+
+    def per_host(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["url"], "/"), 2),
+                "n_orphans": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return bucket_sum(
+        orphans.map_batches(per_host, batch_format="pyarrow"),
+        ["host"], ["n_orphans"], 8,
+    )
