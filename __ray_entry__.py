@@ -1243,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_edge_stress": T.q_site_edge_stress,
         "pagerank_dangling": T.q_pagerank_dangling,
         "orphan_pages": T.q_orphan_pages,
+        "host_lang_mix": T.q_host_lang_mix,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3278,6 +3279,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "host_lang_mix": (
+            # page lang rebuilt in SQL: lang = LANGS[mix64(seed+2, i) % 8]
+            # (sources/pages.py:_gen_batch), same splitmix reproduction
+            # as the edge CTE (mirrors testdata.q_host_lang_mix)
+            f"WITH lbase AS (SELECT i::UBIGINT AS i FROM range(0, 2000) t(i)), "
+            f"lh AS (SELECT i, xor({(44 * _FNV64) % _M64}::UBIGINT, i) AS acc0, "
+            f"       {_splitmix_cols('acc0', 'hl')} FROM lbase), "
+            "pl AS (SELECT "
+            f"  printf('https://site-%05d.example/p/%04d', (i::BIGINT) // 16, (i::BIGINT) % 16) AS url, "
+            "  CASE (hl % 8)::BIGINT WHEN 4 THEN 'de' WHEN 5 THEN 'fr' "
+            "       WHEN 6 THEN 'es' WHEN 7 THEN 'zh' ELSE 'en' END AS lang "
+            "  FROM lh), "
+            "cnt AS (SELECT split_part(url, '/', 3) AS host, lang, count(*) AS c "
+            "        FROM pl GROUP BY 1, 2), "
+            "tot AS (SELECT host, sum(c) AS t, count(*) AS n_langs FROM cnt GROUP BY host), "
+            "top AS (SELECT host, lang, c FROM cnt "
+            "        QUALIFY row_number() OVER (PARTITION BY host ORDER BY c DESC, lang) = 1) "
+            "SELECT p.host, tot.t::BIGINT AS n_pages, tot.n_langs::BIGINT AS n_langs, "
+            "  p.lang AS top_lang, ((1000000 * p.c) // tot.t)::BIGINT AS top_share_e6 "
+            "FROM top p JOIN tot USING (host)"
+        ),
         "orphan_pages": (
             # Bloom + verify is exact, so the plain anti-join oracle
             # applies (mirrors testdata.q_orphan_pages)

@@ -9878,3 +9878,46 @@ def q_orphan_pages(
         orphans.map_batches(per_host, batch_format="pyarrow"),
         ["host"], ["n_orphans"], 8,
     )
+
+
+def q_host_lang_mix(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
+    """Per-host language profile over the crawled pages table
+    (column-pruned read of url+lang only): page count, distinct
+    languages, majority language (ties break lexicographically) and
+    its exact e6-floor share — the routing signal for language-
+    specific processing pipelines. ONE host-bucketed shuffle."""
+    from ..sources.pages import generate_pages
+    from ..stages.join import add_bucket
+
+    pages = generate_pages(n_pages).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["url"], "/"), 2),
+                "lang": t["lang"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["host", "lang"], sort=False).size().reset_index(name="c")
+        tot = cnt.groupby("host", sort=False)["c"].transform("sum")
+        nl = cnt.groupby("host", sort=False)["lang"].transform("size")
+        cnt = cnt.assign(tot=tot, n_langs=nl).sort_values(
+            ["host", "c", "lang"], ascending=[True, False, True]
+        )
+        top = cnt.drop_duplicates("host", keep="first")
+        return pd.DataFrame(
+            {
+                "host": top["host"].to_numpy(),
+                "n_pages": top["tot"].to_numpy(np.int64),
+                "n_langs": top["n_langs"].to_numpy(np.int64),
+                "top_lang": top["lang"].to_numpy(),
+                "top_share_e6": (1_000_000 * top["c"].to_numpy(np.int64))
+                // top["tot"].to_numpy(np.int64),
+            }
+        )
+
+    return _BMG(
+        add_bucket(pages, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
