@@ -1244,6 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dangling": T.q_pagerank_dangling,
         "orphan_pages": T.q_orphan_pages,
         "host_lang_mix": T.q_host_lang_mix,
+        "stale_link_rate": T.q_stale_link_rate,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3279,6 +3280,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "stale_link_rate": (
+            # 'older target' = dst < src exactly (warc_ts monotone in
+            # page id, urls zero-padded) — mirrors
+            # testdata.q_stale_link_rate
+            f"WITH {_pages_edges_cte()}, "
+            "ol AS (SELECT split_part(src, '/', 3) AS host, "
+            "       count(*) AS n_links, "
+            "       count(*) FILTER (dst < src) AS n_stale "
+            "       FROM e WHERE dst LIKE 'https://site-%' GROUP BY 1) "
+            "SELECT host, n_links::BIGINT AS n_links, n_stale::BIGINT AS n_stale, "
+            "  ((1000000 * n_stale) // n_links)::BIGINT AS stale_share_e6 FROM ol"
+        ),
         "host_lang_mix": (
             # page lang rebuilt in SQL: lang = LANGS[mix64(seed+2, i) % 8]
             # (sources/pages.py:_gen_batch), same splitmix reproduction

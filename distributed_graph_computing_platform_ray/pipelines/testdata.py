@@ -9921,3 +9921,44 @@ def q_host_lang_mix(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
     return _BMG(
         add_bucket(pages, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
     )
+
+
+def q_stale_link_rate(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
+    """Link-freshness per host: among each host's distinct ONSITE link
+    targets (urls inside the crawl), the share pointing at pages
+    crawled EARLIER than the linking page — the recrawl-pressure
+    signal (stale-heavy hosts reference old content). warc_ts is
+    monotone in the page id (sources/pages.py: EPOCH_US + i sec) and
+    urls are zero-padded, so 'target older than source' is exactly the
+    string comparison dst < src — no timestamp join needed. Per-batch
+    partial counts, ONE tiny bucket_sum."""
+    from ..stages.join import bucket_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["dst_key"], "https://site-")
+        f = t.filter(keep)
+        src = f["src_key"].to_numpy(zero_copy_only=False)
+        dst = f["dst_key"].to_numpy(zero_copy_only=False)
+        host = pc.list_element(pc.split_pattern(f["src_key"], "/"), 2)
+        return pa.table(
+            {
+                "host": host,
+                "n_links": pa.array(np.ones(len(src), np.int64)),
+                "n_stale": pa.array((dst < src).astype(np.int64)),
+            }
+        )
+
+    agg = bucket_sum(
+        _pages_links(n_pages).map_batches(partial, batch_format="pyarrow"),
+        ["host"], ["n_links", "n_stale"], n_buckets,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_links"].to_numpy().astype(np.int64)
+        s = t["n_stale"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"host": t["host"], "n_links": pa.array(n), "n_stale": pa.array(s),
+             "stale_share_e6": pa.array((1_000_000 * s) // n)}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
