@@ -1245,6 +1245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_pages": T.q_orphan_pages,
         "host_lang_mix": T.q_host_lang_mix,
         "stale_link_rate": T.q_stale_link_rate,
+        "host_butterflies": T.q_host_butterflies,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3280,6 +3281,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "host_butterflies": (
+            # per-page distinct cross-host citations, self-joined into
+            # ordered pairs, butterfly count C(c,2) per pair (mirrors
+            # testdata.q_host_butterflies)
+            f"WITH {_pages_edges_cte()}, "
+            "ph AS (SELECT DISTINCT src, split_part(dst, '/', 3) AS h FROM e "
+            "       WHERE split_part(dst, '/', 3) <> split_part(src, '/', 3)), "
+            "pr AS (SELECT x.src, x.h AS ha, y.h AS hb FROM ph x "
+            "       JOIN ph y ON y.src = x.src AND x.h < y.h), "
+            "c AS (SELECT ha AS a, hb AS b, count(*) AS n_pages FROM pr GROUP BY 1, 2) "
+            "SELECT a, b, n_pages::BIGINT AS n_pages, "
+            "  (n_pages * (n_pages - 1) // 2)::BIGINT AS n_butterflies "
+            "FROM c WHERE n_pages >= 2"
+        ),
         "stale_link_rate": (
             # 'older target' = dst < src exactly (warc_ts monotone in
             # page id, urls zero-padded) — mirrors

@@ -9962,3 +9962,55 @@ def q_stale_link_rate(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_host_butterflies(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """BUTTERFLY (2x2 biclique) counting on the page->host citation
+    bipartite graph: for every cross-host pair cited together, the
+    number of citing pages c and the butterfly count C(c, 2) — the
+    bipartite clustering signal (link farms co-cite the same host
+    pairs from many pages). Per-page distinct cited-host sets are
+    bounded by the out-degree cap (<= 15), so the per-page pair
+    expansion is O(deg^2) <= ~105 rows; ONE pair-bucketed shuffle
+    sums c, and pairs with c >= 2 (the butterfly support) survive."""
+    from ..stages.join import add_bucket, bucket_sum, distinct
+
+    def hostp(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        f = pa.table({"src": t["src_key"], "h": dh}).filter(pc.not_equal(sh, dh))
+        return f
+
+    ph = distinct(
+        _pages_links(n_pages).map_batches(hostp, batch_format="pyarrow"),
+        ["src", "h"], n_buckets,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sg in g.groupby("src", sort=False):
+            hs = np.sort(sg["h"].to_numpy())
+            k = len(hs)
+            if k < 2:
+                continue
+            ia, ib = np.triu_indices(k, 1)
+            out_a.extend(hs[ia].tolist())
+            out_b.extend(hs[ib].tolist())
+        return pd.DataFrame(
+            {"a": out_a, "b": out_b,
+             "n_pages": np.ones(len(out_a), dtype=np.int64)}
+        )
+
+    pr = _BMG(add_bucket(ph, ["src"], n_buckets), n_buckets, pairs, "pandas")
+    agg = bucket_sum(pr, ["a", "b"], ["n_pages"], n_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        c = t["n_pages"].to_numpy().astype(np.int64)
+        keep = c >= 2
+        tt = pa.table(
+            {"a": t["a"], "b": t["b"], "n_pages": pa.array(c),
+             "n_butterflies": pa.array(c * (c - 1) // 2)}
+        )
+        return tt.filter(pa.array(keep))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
