@@ -1246,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_lang_mix": T.q_host_lang_mix,
         "stale_link_rate": T.q_stale_link_rate,
         "host_butterflies": T.q_host_butterflies,
+        "bfs_layers": T.q_bfs_layers,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3281,6 +3282,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "bfs_layers": (
+            # Bellman-Ford-style iteration-indexed recursion with
+            # self-loop relax (the site_centrality pattern) from the
+            # pinned seed over the directed page graph; 40 rounds >=
+            # fixpoint depth (mirrors testdata.q_bfs_layers)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "vset AS (SELECT DISTINCT u AS id FROM "
+            "         (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)), "
+            "relax AS (SELECT src, dst, 1 AS w FROM e "
+            "          UNION ALL SELECT id, id, 0 FROM vset), "
+            "bf AS ( "
+            "  SELECT 0 AS it, 'https://site-00000.example/p/0000' AS id, 0 AS dist "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM bf p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 40 "
+            "  GROUP BY p.it, r.dst) "
+            "SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_pages "
+            "FROM bf WHERE it = 40 GROUP BY dist"
+        ),
         "host_butterflies": (
             # per-page distinct cross-host citations, self-joined into
             # ordered pairs, butterfly count C(c,2) per pair (mirrors

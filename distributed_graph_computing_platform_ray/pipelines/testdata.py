@@ -10014,3 +10014,49 @@ def q_host_butterflies(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
         return tt.filter(pa.array(keep))
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_bfs_layers(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Crawl-wavefront profile: BFS layer sizes from the root page over
+    the DIRECTED page graph — how many new urls each additional hop of
+    a link-following crawl reaches (the frontier-growth curve that
+    sizes per-depth crawl budgets). Runs the engine's min-combiner SSSP
+    (hop counts) from a pinned seed url on the url-keyed graph, then
+    ONE tiny histogram bucket_sum over the integer distances;
+    unreachable pages are excluded (their count is n minus the layer
+    sum). n PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from .graph import lookup_vertex_id, run_algorithm as _ra
+    from .ingest import build_graph as _bg
+    from ..stages.join import bucket_sum
+
+    seed = "https://site-00000.example/p/0000"
+    root = f"/tmp/graft_bfslayers_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    man = _bg(
+        _pages_links(n),
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=False,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "pages_directed_bfs", "n": n},
+    )
+    sid = lookup_vertex_id(man, seed)
+    res = _ra(f"{root}/graph", f"{root}/bfs", "sssp", source_id=sid)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        fin = np.isfinite(v)
+        d = v[fin].astype(np.int64)
+        dd, cc = np.unique(d, return_counts=True)
+        return pa.table(
+            {"dist": pa.array(dd), "n_pages": pa.array(cc.astype(np.int64))}
+        )
+
+    return bucket_sum(
+        res.map_batches(hist, batch_format="pyarrow"), ["dist"], ["n_pages"],
+        n_buckets,
+    )
