@@ -258,6 +258,46 @@ def _matching_sql() -> str:
     )
 
 
+def _page_text_sql(n: int = 2000, seed: int = 42) -> str:
+    """Independent SQL reconstruction of the extractor's byte-identical
+    text surface: the generator template (sources/pages.py::_page_html)
+    collapses to 'Page i & friends Doc i <words> <escaped> link 0 ...'
+    under functions/html.py::extract_text, with the word stream
+    rebuilt from mix64(seed+3, i, j) % 23 splitmix recurrences —
+    verified byte-equal to the extractor. Mirrors
+    testdata.q_page_text_stats."""
+    words = (
+        "web crawl graph rank link data page site index query batch engine "
+        "stream shard vertex edge node hub spider fetch parse token shuffle"
+    ).split()
+    wl = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    c_seed = (seed * _FNV64) % _M64
+    c3 = ((seed + 3) * _FNV64) % _M64
+    return (
+        f"WITH tbase AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)), "
+        f"th0 AS (SELECT i, xor({c_seed}::UBIGINT, i) AS acc0, "
+        f"        {_splitmix_cols('acc0', 'h0')} FROM tbase), "
+        f"wj AS (SELECT i, j::UBIGINT AS j, xor({c3}::UBIGINT, i) AS a1, "
+        f"       xor(((a1::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT, j) AS a2, "
+        f"       {_splitmix_cols('a2', 'hw')} "
+        "       FROM th0, LATERAL unnest(generate_series(0, "
+        "            (20 + (h0 >> 8) % 60)::BIGINT - 1)) t(j)), "
+        f"ws AS (SELECT i, string_agg(({wl})[(hw % 23)::BIGINT + 1], ' ' ORDER BY j) "
+        "       AS wstr FROM wj GROUP BY i), "
+        "tlk AS (SELECT i, k::UBIGINT AS k FROM th0, "
+        "        LATERAL unnest(generate_series(0, (4 + h0 % 12)::BIGINT - 1)) t(k)), "
+        "ls AS (SELECT i, string_agg('link ' || k::BIGINT, ' ' ORDER BY k) AS lstr "
+        "       FROM tlk GROUP BY i), "
+        "txt AS (SELECT th0.i::BIGINT AS i, "
+        "  'Page ' || th0.i::BIGINT || ' & friends Doc ' || th0.i::BIGINT || ' ' "
+        "   || ws.wstr || ' <escaped> ' || ls.lstr AS text "
+        "  FROM th0 JOIN ws ON ws.i = th0.i JOIN ls ON ls.i = th0.i) "
+        "SELECT printf('https://site-%05d.example/p/%04d', i // 16, i % 16) AS url, "
+        "  text, length(text)::BIGINT AS n_chars, "
+        "  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM txt"
+    )
+
+
 def _coverage_greedy_sql(n: int = 2000, seed: int = 42, k: int = 5) -> str:
     """Oracle for greedy max-coverage seed selection: FIXED-k unrolled
     chained CTEs (s_r -> w_r -> c_r), the robust form for iterated
@@ -1247,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stale_link_rate": T.q_stale_link_rate,
         "host_butterflies": T.q_host_butterflies,
         "bfs_layers": T.q_bfs_layers,
+        "page_text_stats": T.q_page_text_stats,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3282,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
+        "page_text_stats": _page_text_sql(),
         "bfs_layers": (
             # Bellman-Ford-style iteration-indexed recursion with
             # self-loop relax (the site_centrality pattern) from the

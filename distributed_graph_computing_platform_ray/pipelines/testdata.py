@@ -10060,3 +10060,35 @@ def q_bfs_layers(sf_dir: str, n: int = 2000, n_buckets: int = 8):
         res.map_batches(hist, batch_format="pyarrow"), ["dist"], ["n_pages"],
         n_buckets,
     )
+
+
+def q_page_text_stats(sf_dir: str, n_pages: int = 2000):
+    """THE byte-identical-extracted-text invariant, oracle-checked:
+    the actor-pool extraction pass (decode -> strip comments/script/
+    style/tags -> unescape -> collapse whitespace, functions/html.py)
+    emits each page's url, FULL extracted text, and length/token
+    counts — and the SQL oracle REBUILDS the exact text independently
+    from the generator recurrence (title/h1/word-stream/anchor
+    template, splitmix64 word indices), so the hash gate compares the
+    extraction byte-for-byte per url, not just lengths. Golden files
+    (tests/golden/extracted_text/) pin the same surface; this query
+    pins it against an independent reconstruction at every sf."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_text
+
+    txt = extract_text(generate_pages(n_pages))
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = t["text"].cast(pa.string())
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": s,
+                "n_chars": pc.utf8_length(s).cast(pa.int64()),
+                "n_tokens": pc.list_value_length(
+                    pc.split_pattern_regex(s, r"\s+")
+                ).cast(pa.int64()),
+            }
+        )
+
+    return txt.map_batches(stats, batch_format="pyarrow")
