@@ -266,6 +266,18 @@ def _page_text_sql(n: int = 2000, seed: int = 42) -> str:
     rebuilt from mix64(seed+3, i, j) % 23 splitmix recurrences —
     verified byte-equal to the extractor. Mirrors
     testdata.q_page_text_stats."""
+    return (
+        f"WITH {_page_text_cte(n, seed)} "
+        "SELECT printf('https://site-%05d.example/p/%04d', i // 16, i % 16) AS url, "
+        "  text, length(text)::BIGINT AS n_chars, "
+        "  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM txt"
+    )
+
+
+def _page_text_cte(n: int = 2000, seed: int = 42) -> str:
+    """Shared CTE chain ending at ``txt(i, text)`` — the independent
+    reconstruction of the extractor's byte-identical text surface
+    (see _page_text_sql docstring)."""
     words = (
         "web crawl graph rank link data page site index query batch engine "
         "stream shard vertex edge node hub spider fetch parse token shuffle"
@@ -274,7 +286,7 @@ def _page_text_sql(n: int = 2000, seed: int = 42) -> str:
     c_seed = (seed * _FNV64) % _M64
     c3 = ((seed + 3) * _FNV64) % _M64
     return (
-        f"WITH tbase AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)), "
+        f"tbase AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)), "
         f"th0 AS (SELECT i, xor({c_seed}::UBIGINT, i) AS acc0, "
         f"        {_splitmix_cols('acc0', 'h0')} FROM tbase), "
         f"wj AS (SELECT i, j::UBIGINT AS j, xor({c3}::UBIGINT, i) AS a1, "
@@ -291,10 +303,7 @@ def _page_text_sql(n: int = 2000, seed: int = 42) -> str:
         "txt AS (SELECT th0.i::BIGINT AS i, "
         "  'Page ' || th0.i::BIGINT || ' & friends Doc ' || th0.i::BIGINT || ' ' "
         "   || ws.wstr || ' <escaped> ' || ls.lstr AS text "
-        "  FROM th0 JOIN ws ON ws.i = th0.i JOIN ls ON ls.i = th0.i) "
-        "SELECT printf('https://site-%05d.example/p/%04d', i // 16, i % 16) AS url, "
-        "  text, length(text)::BIGINT AS n_chars, "
-        "  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM txt"
+        "  FROM th0 JOIN ws ON ws.i = th0.i JOIN ls ON ls.i = th0.i)"
     )
 
 
@@ -1288,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_butterflies": T.q_host_butterflies,
         "bfs_layers": T.q_bfs_layers,
         "page_text_stats": T.q_page_text_stats,
+        "page_boilerplate": T.q_page_boilerplate,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3324,6 +3334,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "page_boilerplate": (
+            # token 4-grams over the rebuilt text; boilerplate = gram
+            # in >= 8 of the site's 16 pages; per-page instance share
+            # (mirrors testdata.q_page_boilerplate)
+            f"WITH {_page_text_cte()}, "
+            "ptk AS (SELECT printf('https://site-%05d.example/p/%04d', i // 16, i % 16) AS url, "
+            "        i // 16 AS site, regexp_split_to_array(text, ' ') AS ts FROM txt), "
+            "pg AS (SELECT url, site, array_to_string(ts[j:j+3], ' ') AS gram "
+            "       FROM ptk, LATERAL unnest(generate_series(1, len(ts) - 3)) t(j)), "
+            "bl AS (SELECT site, gram FROM pg GROUP BY site, gram "
+            "       HAVING count(DISTINCT url) >= 8), "
+            "tagged AS (SELECT pg.url, "
+            "  CASE WHEN bl.gram IS NOT NULL THEN 1 ELSE 0 END AS b "
+            "  FROM pg LEFT JOIN bl ON bl.site = pg.site AND bl.gram = pg.gram) "
+            "SELECT url, count(*)::BIGINT AS n_grams, sum(b)::BIGINT AS n_boiler, "
+            "  ((1000000 * sum(b)) // count(*))::BIGINT AS boiler_share_e6 "
+            "FROM tagged GROUP BY url"
+        ),
         "bfs_layers": (
             # Bellman-Ford-style iteration-indexed recursion with
             # self-loop relax (the site_centrality pattern) from the

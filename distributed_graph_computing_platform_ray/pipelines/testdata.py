@@ -10092,3 +10092,67 @@ def q_page_text_stats(sf_dir: str, n_pages: int = 2000):
         )
 
     return txt.map_batches(stats, batch_format="pyarrow")
+
+
+def q_page_boilerplate(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16,
+                       gram_n: int = 4, min_frac_den: int = 2):
+    """Site-TEMPLATE (boilerplate) detection over extracted page text:
+    a token 4-gram is boilerplate for a site when it occurs in at
+    least half of the site's pages (nav bars, footers, shared chrome);
+    each page reports its gram-instance count, boilerplate-instance
+    count, and e6-floor boilerplate share — the curation signal for
+    template stripping before training. Two (host, gram)-bucketed
+    shuffles (count distinct pages per site-gram, then tag instances)
+    + one url-bucketed sum; gram rows never leave their site-gram
+    bucket, so hot template grams cost their own group only."""
+    from ..sources.pages import PAGES_PER_SITE, generate_pages
+    from ..stages.extract import extract_text
+    from ..stages.join import add_bucket, bucket_sum
+
+    def grams(t: pa.Table) -> pa.Table:
+        urls, hosts, gs = [], [], []
+        for u, s in zip(
+            t["url"].to_pylist(), t["text"].cast(pa.string()).to_pylist()
+        ):
+            toks = s.split()
+            h = u.split("/")[2]
+            for i in range(len(toks) - gram_n + 1):
+                urls.append(u)
+                hosts.append(h)
+                gs.append(" ".join(toks[i : i + gram_n]))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "host": pa.array(hosts, pa.string()),
+             "gram": pa.array(gs, pa.string())}
+        )
+
+    g = extract_text(generate_pages(n_pages)).map_batches(
+        grams, batch_format="pyarrow", batch_size=256
+    ).materialize()  # feeds both the df pass and the tag pass
+
+    thresh = PAGES_PER_SITE // min_frac_den
+
+    def tag(gr: pd.DataFrame) -> pd.DataFrame:
+        npages = gr.groupby(["host", "gram"], sort=False)["url"].transform("nunique")
+        return pd.DataFrame(
+            {
+                "url": gr["url"].to_numpy(),
+                "n_grams": np.ones(len(gr), dtype=np.int64),
+                "n_boiler": (npages.to_numpy() >= thresh).astype(np.int64),
+            }
+        )
+
+    tagged = _BMG(
+        add_bucket(g, ["host", "gram"], n_buckets), n_buckets, tag, "pandas"
+    )
+    agg = bucket_sum(tagged, ["url"], ["n_grams", "n_boiler"], n_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_grams"].to_numpy().astype(np.int64)
+        b = t["n_boiler"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"url": t["url"], "n_grams": pa.array(n), "n_boiler": pa.array(b),
+             "boiler_share_e6": pa.array((1_000_000 * b) // n)}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
