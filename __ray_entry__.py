@@ -1298,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_layers": T.q_bfs_layers,
         "page_text_stats": T.q_page_text_stats,
         "page_boilerplate": T.q_page_boilerplate,
+        "page_shingle_novelty": T.q_page_shingle_novelty,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3334,6 +3335,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "page_shingle_novelty": (
+            # novel instance = its gram's min page id equals this page's
+            # id (mirrors testdata.q_page_shingle_novelty)
+            f"WITH {_page_text_cte()}, "
+            "ptk AS (SELECT printf('https://site-%05d.example/p/%04d', i // 16, i % 16) AS url, "
+            "        i AS pid, regexp_split_to_array(text, ' ') AS ts FROM txt), "
+            "pg AS (SELECT url, pid, array_to_string(ts[j:j+3], ' ') AS gram "
+            "       FROM ptk, LATERAL unnest(generate_series(1, len(ts) - 3)) t(j)), "
+            "fs AS (SELECT gram, min(pid) AS first_pid FROM pg GROUP BY gram), "
+            "tg AS (SELECT pg.url, CASE WHEN pg.pid = fs.first_pid THEN 1 ELSE 0 END AS v "
+            "       FROM pg JOIN fs USING (gram)) "
+            "SELECT url, count(*)::BIGINT AS n_grams, sum(v)::BIGINT AS n_novel, "
+            "  ((1000000 * sum(v)) // count(*))::BIGINT AS novelty_e6 "
+            "FROM tg GROUP BY url"
+        ),
         "page_boilerplate": (
             # token 4-grams over the rebuilt text; boilerplate = gram
             # in >= 8 of the site's 16 pages; per-page instance share

@@ -10156,3 +10156,64 @@ def q_page_boilerplate(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16,
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_page_shingle_novelty(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16,
+                           gram_n: int = 4):
+    """Crawl-order NOVELTY rate per page: the share of a page's token
+    4-gram instances whose gram was never seen in any EARLIER-crawled
+    page (crawl order = page id = warc_ts order) — the streaming-dedup
+    admission signal (low-novelty pages are mostly recycled text).
+    ONE gram-bucketed shuffle computes each gram's first-seen page id
+    and tags instances in place; ONE url-bucketed sum finishes. Same
+    gram universe as q_page_boilerplate."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_text
+    from ..stages.join import add_bucket, bucket_sum
+
+    def grams(t: pa.Table) -> pa.Table:
+        urls, pids, gs = [], [], []
+        for u, s in zip(
+            t["url"].to_pylist(), t["text"].cast(pa.string()).to_pylist()
+        ):
+            toks = s.split()
+            parts = u.split("/")
+            pid = int(parts[2].split("-")[1].split(".")[0]) * 16 + int(parts[4])
+            for i in range(len(toks) - gram_n + 1):
+                urls.append(u)
+                pids.append(pid)
+                gs.append(" ".join(toks[i : i + gram_n]))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "pid": pa.array(pids, pa.int64()),
+             "gram": pa.array(gs, pa.string())}
+        )
+
+    g = extract_text(generate_pages(n_pages)).map_batches(
+        grams, batch_format="pyarrow", batch_size=256
+    )
+
+    def tag(gr: pd.DataFrame) -> pd.DataFrame:
+        first = gr.groupby("gram", sort=False)["pid"].transform("min")
+        return pd.DataFrame(
+            {
+                "url": gr["url"].to_numpy(),
+                "n_grams": np.ones(len(gr), dtype=np.int64),
+                "n_novel": (gr["pid"].to_numpy() == first.to_numpy()).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    tagged = _BMG(add_bucket(g, ["gram"], n_buckets), n_buckets, tag, "pandas")
+    agg = bucket_sum(tagged, ["url"], ["n_grams", "n_novel"], n_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_grams"].to_numpy().astype(np.int64)
+        v = t["n_novel"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"url": t["url"], "n_grams": pa.array(n), "n_novel": pa.array(v),
+             "novelty_e6": pa.array((1_000_000 * v) // n)}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
