@@ -1299,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_text_stats": T.q_page_text_stats,
         "page_boilerplate": T.q_page_boilerplate,
         "page_shingle_novelty": T.q_page_shingle_novelty,
+        "crawl_recency": T.q_crawl_recency,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3335,6 +3336,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "crawl_recency": (
+            # warc_ts = EPOCH_US + i*1e6 (sources/pages.py:41), so the
+            # oracle rebuilds ts arithmetic directly (mirrors
+            # testdata.q_crawl_recency)
+            "WITH pg AS (SELECT i, "
+            "  printf('https://site-%05d.example/p/%04d', i // 16, i % 16) AS url, "
+            "  1700000000000000 + i * 1000000 AS ts_us "
+            "  FROM range(0, 2000) t(i)) "
+            "SELECT split_part(url, '/', 3) AS host, "
+            "  min(ts_us)::BIGINT AS first_us, max(ts_us)::BIGINT AS last_us, "
+            "  ((max(ts_us) - min(ts_us)) // 1000000)::BIGINT AS span_sec, "
+            "  count(*)::BIGINT AS n_pages "
+            "FROM pg GROUP BY 1"
+        ),
         "page_shingle_novelty": (
             # novel instance = its gram's min page id equals this page's
             # id (mirrors testdata.q_page_shingle_novelty)

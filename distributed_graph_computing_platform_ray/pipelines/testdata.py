@@ -10217,3 +10217,40 @@ def q_page_shingle_novelty(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_crawl_recency(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
+    """Per-host crawl-recency profile from the pages table's warc_ts
+    (column-pruned url+warc_ts read): first/last fetch as epoch
+    MICROSECONDS (integer-exact across engines — never compare raw
+    timestamp types), span in seconds, and page count — the freshness
+    ledger a recrawl scheduler sorts by. Per-batch min/max partials,
+    ONE tiny bucketed merge."""
+    from ..sources.pages import generate_pages
+    from ..stages.join import add_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["url"], "/"), 2),
+                "ts_us": t["warc_ts"].cast(pa.int64()),
+            }
+        )
+
+    part = generate_pages(n_pages).map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("host", as_index=False)["ts_us"].agg(["min", "max", "size"])
+        return pd.DataFrame(
+            {
+                "host": agg["host"].to_numpy(),
+                "first_us": agg["min"].to_numpy(np.int64),
+                "last_us": agg["max"].to_numpy(np.int64),
+                "span_sec": (
+                    agg["max"].to_numpy(np.int64) - agg["min"].to_numpy(np.int64)
+                ) // 1_000_000,
+                "n_pages": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    return _BMG(add_bucket(part, ["host"], n_buckets), n_buckets, merge, "pandas")
