@@ -1300,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_boilerplate": T.q_page_boilerplate,
         "page_shingle_novelty": T.q_page_shingle_novelty,
         "crawl_recency": T.q_crawl_recency,
+        "pagerank_mass_by_depth": T.q_pagerank_mass_by_depth,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3336,6 +3337,42 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "pagerank_mass_by_depth": (
+            # the pagerank_dangling and bfs_layers recursions over ONE
+            # shared edge chain, joined at their final iterations
+            # (mirrors testdata.q_pagerank_mass_by_depth)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "vset AS (SELECT DISTINCT u AS id FROM "
+            "         (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)), "
+            "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM e GROUP BY src), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM vset), "
+            "dang AS (SELECT v.id FROM vset v LEFT JOIN deg ON deg.id = v.id "
+            "         WHERE deg.id IS NULL), "
+            "prelax AS ( "
+            "  SELECT e.src AS s, e.dst AS t, 1.0 / deg.d AS w FROM e "
+            "  JOIN deg ON deg.id = e.src "
+            "  UNION ALL SELECT d.id, v.id, (SELECT 1.0 / n FROM nn) "
+            "    FROM dang d CROSS JOIN vset v "
+            "  UNION ALL SELECT id, id, 0.0 FROM vset), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val FROM vset "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.t, 0.15/nn.n + 0.85 * SUM(p.val * r.w) "
+            "  FROM pr p CROSS JOIN nn JOIN prelax r ON r.s = p.id "
+            "  WHERE p.it < 30 GROUP BY p.it, r.t, nn.n), "
+            "brelax AS (SELECT src, dst, 1 AS w FROM e "
+            "           UNION ALL SELECT id, id, 0 FROM vset), "
+            "bf AS ( "
+            "  SELECT 0 AS it, 'https://site-00000.example/p/0000' AS id, 0 AS dist "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM bf p "
+            "  JOIN brelax r ON r.src = p.id WHERE p.it < 40 "
+            "  GROUP BY p.it, r.dst) "
+            "SELECT bf.dist::BIGINT AS dist, count(*)::BIGINT AS n_pages, "
+            "  sum(CAST(ROUND(pr.val * 1e8) AS BIGINT))::BIGINT AS mass_e8 "
+            "FROM pr JOIN bf ON bf.id = pr.id AND bf.it = 40 "
+            "WHERE pr.it = 30 GROUP BY 1"
+        ),
         "crawl_recency": (
             # warc_ts = EPOCH_US + i*1e6 (sources/pages.py:41), so the
             # oracle rebuilds ts arithmetic directly (mirrors

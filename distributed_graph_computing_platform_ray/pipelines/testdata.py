@@ -10254,3 +10254,71 @@ def q_crawl_recency(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
         )
 
     return _BMG(add_bucket(part, ["host"], n_buckets), n_buckets, merge, "pandas")
+
+
+def q_pagerank_mass_by_depth(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """How deep does rank live: dangling-aware PageRank mass per BFS
+    crawl depth from the root page — the curve that justifies (or
+    kills) a crawl-depth cutoff. ONE directed url-keyed graph build
+    feeds BOTH engine runs (pagerank_dangling on the aggregator
+    channel + hop-count SSSP from the pinned seed), their full vertex
+    outputs meet in ONE bucket join, and a tiny bucket_sum folds to
+    (dist, n_pages, mass_e8) with per-vertex e8 integer scores summed
+    exactly. Unreachable pages are excluded (their mass is the
+    complement). n PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from ..stages.join import bucket_join, bucket_sum
+    from .graph import lookup_vertex_id, run_algorithm as _ra
+    from .ingest import build_graph as _bg
+
+    seed = "https://site-00000.example/p/0000"
+    root = f"/tmp/graft_prdepth_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    man = _bg(
+        _pages_links(n),
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=False,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "pages_directed_prdepth", "n": n},
+    )
+    sid = lookup_vertex_id(man, seed)
+    pr = _ra(f"{root}/graph", f"{root}/pr", "pagerank_dangling")
+    bf = _ra(f"{root}/graph", f"{root}/bfs", "sssp", source_id=sid)
+
+    def conv_pr(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": t["vertex"].cast(pa.string()), "score_e8": _score_e8(t["value"])}
+        )
+
+    def conv_bf(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        fin = np.isfinite(v)
+        tt = pa.table(
+            {"vertex": t["vertex"].cast(pa.string()),
+             "dist": pa.array(np.where(fin, v, -1).astype(np.int64))}
+        )
+        return tt.filter(pa.array(fin))
+
+    j = bucket_join(
+        pr.map_batches(conv_pr, batch_format="pyarrow"),
+        bf.map_batches(conv_bf, batch_format="pyarrow"),
+        left_on="vertex", right_on="vertex", n_buckets=n_buckets,
+        left_schema=pa.schema([("vertex", pa.string()), ("score_e8", pa.int64())]),
+        right_schema=pa.schema([("vertex", pa.string()), ("dist", pa.int64())]),
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"dist": t["dist"],
+             "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+             "mass_e8": t["score_e8"]}
+        )
+
+    return bucket_sum(
+        j.map_batches(pre, batch_format="pyarrow"), ["dist"],
+        ["n_pages", "mass_e8"], 4,
+    )
