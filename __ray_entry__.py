@@ -1301,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_shingle_novelty": T.q_page_shingle_novelty,
         "crawl_recency": T.q_crawl_recency,
         "pagerank_mass_by_depth": T.q_pagerank_mass_by_depth,
+        "events_mad": T.q_events_mad,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3337,6 +3338,28 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "events_mad": (
+            # lower-median k = (n+1)//2 on cents; MAD by ranking the
+            # folded |c - med| distribution (mirrors testdata.q_events_mad)
+            "WITH h AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c "
+            "           FROM events), "
+            "hc AS (SELECT event_type, c, count(*) AS n FROM h GROUP BY 1, 2), "
+            "cm AS (SELECT event_type, c, "
+            "       sum(n) OVER (PARTITION BY event_type ORDER BY c) AS cum, "
+            "       sum(n) OVER (PARTITION BY event_type) AS tot FROM hc), "
+            "md AS (SELECT event_type, min(c) AS med, max(tot) AS tot FROM cm "
+            "       WHERE 2 * cum >= tot + (tot % 2) GROUP BY event_type), "
+            "fd AS (SELECT hc.event_type, abs(hc.c - md.med) AS d, sum(hc.n) AS n, "
+            "       max(md.med) AS med, max(md.tot) AS tot "
+            "       FROM hc JOIN md USING (event_type) GROUP BY 1, 2), "
+            "dm AS (SELECT event_type, d, "
+            "       sum(n) OVER (PARTITION BY event_type ORDER BY d) AS cum, "
+            "       max(tot) OVER (PARTITION BY event_type) AS tot, "
+            "       max(med) OVER (PARTITION BY event_type) AS med FROM fd) "
+            "SELECT event_type, max(tot)::BIGINT AS n_events, "
+            "  max(med)::BIGINT AS median_e2, min(d)::BIGINT AS mad_e2 "
+            "FROM dm WHERE 2 * cum >= tot + (tot % 2) GROUP BY event_type"
+        ),
         "pagerank_mass_by_depth": (
             # the pagerank_dangling and bfs_layers recursions over ONE
             # shared edge chain, joined at their final iterations

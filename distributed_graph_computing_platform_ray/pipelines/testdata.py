@@ -10322,3 +10322,53 @@ def q_pagerank_mass_by_depth(sf_dir: str, n: int = 2000, n_buckets: int = 8):
         j.map_batches(pre, batch_format="pyarrow"), ["dist"],
         ["n_pages", "mass_e8"], 4,
     )
+
+
+def q_events_mad(sf_dir: str, n_buckets: int = 8):
+    """EXACT robust outlier scale per event type: median and MAD
+    (median absolute deviation) of the event value in integer cents.
+    The value domain is generator-bounded (< 50k cents), so ONE
+    distributed pass builds the per-(type, cent) exact histogram
+    (bucket_sum combiner) and the driver selects BOTH statistics from
+    the bounded partial — the median directly, the MAD by folding the
+    same histogram around the median (|x - med| counts need no second
+    data pass). k = (n+1)//2, lower-median convention on both sides.
+    At an open domain this is the documented KLL-sketch swap
+    (q_quantiles_sketch)."""
+    from ..stages.join import bucket_sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(), "c": c})
+        g = df.groupby(["event_type", "c"], as_index=False).size()
+        return pa.table(
+            {"event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+             "c": pa.array(g["c"].to_numpy(np.int64)),
+             "n": pa.array(g["size"].to_numpy(np.int64))}
+        )
+
+    src = _table(sf_dir, "events", ["event_type", "value"])
+    hp = bucket_sum(
+        src.map_batches(hist, batch_format="pyarrow"), ["event_type", "c"],
+        ["n"], n_buckets,
+    ).to_pandas()
+
+    rows = []
+    for et, g in hp.groupby("event_type"):
+        g = g.sort_values("c")
+        c = g["c"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        total = int(n.sum())
+        k = (total + 1) // 2
+        med = int(c[np.searchsorted(np.cumsum(n), k)])
+        d = np.abs(c - med)
+        order = np.argsort(d, kind="stable")
+        dd, nn2 = d[order], n[order]
+        # fold equal |x-med| values together before the rank scan
+        uu, inv = np.unique(dd, return_inverse=True)
+        cnt = np.bincount(inv, weights=nn2).astype(np.int64)
+        mad = int(uu[np.searchsorted(np.cumsum(cnt), k)])
+        rows.append((et, total, med, mad))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_events", "median_e2", "mad_e2"]
+    ).astype({"n_events": "int64", "median_e2": "int64", "mad_e2": "int64"})
