@@ -220,6 +220,15 @@ def full_bench(tmp: str) -> dict:
     out["_lineitem_graph_edges"] = man.n_edges_directed
     out["_lineitem_pr_edges_per_sec"] = round(man.n_edges_directed * 30 / dt)
 
+    # aggregator-channel A/B: identical recurrence + the Pregel-style
+    # per-superstep global scalar riding the exchange (kind-2 rows /
+    # chunk partials) — the delta vs lineitem_pagerank30 IS the
+    # channel's cost (this graph is symmetrized, so the dangling sum
+    # is zero and the arithmetic is unchanged)
+    t0 = time.time()
+    run_algorithm(gdir, f"{tmp}/li_prd", "pagerank_dangling", keep_iters=2)
+    out["lineitem_pagerank_dangling30"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     run_algorithm(gdir, f"{tmp}/li_cc", "cc", keep_iters=2)
     out["lineitem_cc"] = round(time.time() - t0, 3)
