@@ -1302,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recency": T.q_crawl_recency,
         "pagerank_mass_by_depth": T.q_pagerank_mass_by_depth,
         "events_mad": T.q_events_mad,
+        "web_bowtie": T.q_web_bowtie,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3338,6 +3339,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "web_bowtie": (
+            # two BFS closures (forward edges / swapped edges) from the
+            # root, classes from the finite-distance flags (mirrors
+            # testdata.q_web_bowtie)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "vset AS (SELECT DISTINCT u AS id FROM "
+            "         (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)), "
+            "frelax AS (SELECT src, dst, 1 AS w FROM e "
+            "           UNION ALL SELECT id, id, 0 FROM vset), "
+            "rrelax AS (SELECT dst AS src, src AS dst, 1 AS w FROM e "
+            "           UNION ALL SELECT id, id, 0 FROM vset), "
+            "bff AS ( "
+            "  SELECT 0 AS it, 'https://site-00000.example/p/0000' AS id, 0 AS dist "
+            "  UNION ALL SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM bff p "
+            "  JOIN frelax r ON r.src = p.id WHERE p.it < 40 GROUP BY p.it, r.dst), "
+            "bfr AS ( "
+            "  SELECT 0 AS it, 'https://site-00000.example/p/0000' AS id, 0 AS dist "
+            "  UNION ALL SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM bfr p "
+            "  JOIN rrelax r ON r.src = p.id WHERE p.it < 40 GROUP BY p.it, r.dst), "
+            "ff AS (SELECT DISTINCT id FROM bff WHERE it = 40), "
+            "rr AS (SELECT DISTINCT id FROM bfr WHERE it = 40) "
+            "SELECT v.id AS url, "
+            "  (CASE WHEN ff.id IS NOT NULL AND rr.id IS NOT NULL THEN 0 "
+            "        WHEN rr.id IS NOT NULL THEN 1 "
+            "        WHEN ff.id IS NOT NULL THEN 2 ELSE 3 END)::BIGINT AS cls "
+            "FROM vset v LEFT JOIN ff ON ff.id = v.id LEFT JOIN rr ON rr.id = v.id"
+        ),
         "events_mad": (
             # lower-median k = (n+1)//2 on cents; MAD by ranking the
             # folded |c - med| distribution (mirrors testdata.q_events_mad)

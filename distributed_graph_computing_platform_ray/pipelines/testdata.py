@@ -10372,3 +10372,67 @@ def q_events_mad(sf_dir: str, n_buckets: int = 8):
     return pd.DataFrame(
         rows, columns=["event_type", "n_events", "median_e2", "mad_e2"]
     ).astype({"n_events": "int64", "median_e2": "int64", "mad_e2": "int64"})
+
+
+def q_web_bowtie(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Broder-style bow-tie classes of the DIRECTED page graph relative
+    to the root page's strongly connected component: cls 0 = CORE
+    (mutually reachable with the root — v is in SCC(root) iff root->v
+    AND v->root, so NO SCC machinery is needed), 1 = IN (reaches the
+    root only), 2 = OUT (reached from the root only), 3 = TENDRILS/
+    DISCONNECTED. TWO single-source engine BFS runs (forward graph +
+    reversed graph — same url dictionary, edges swapped), classes
+    merged by one tagged union + bucket_sum, like q_bowtie but
+    url-keyed. n PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from ..stages.join import bucket_sum
+    from .graph import lookup_vertex_id, run_algorithm as _ra
+    from .ingest import build_graph as _bg
+
+    seed = "https://site-00000.example/p/0000"
+    root = f"/tmp/graft_webbowtie_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    links = _pages_links(n).materialize()
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src_key": t["dst_key"], "dst_key": t["src_key"]})
+
+    runs = {}
+    for tag, ds in (("fwd", links), ("rev", links.map_batches(swap, batch_format="pyarrow"))):
+        man = _bg(
+            ds, f"{root}/g_{tag}", n_parts=8, n_buckets=16, dedup=False,
+            symmetrize_edges=False, small_graph_edges=2_000_000,
+            source_info={"kind": f"pages_bowtie_{tag}", "n": n},
+        )
+        sid = lookup_vertex_id(man, seed)
+        runs[tag] = _ra(f"{root}/g_{tag}", f"{root}/bfs_{tag}", "sssp", source_id=sid)
+
+    def tag_fin(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            fin = np.isfinite(t["value"].to_numpy()).astype(np.int64)
+            z = np.zeros(t.num_rows, np.int64)
+            return pa.table(
+                {
+                    "url": t["vertex"].cast(pa.string()),
+                    "fin_fwd": pa.array(fin if col == "fin_fwd" else z),
+                    "fin_rev": pa.array(fin if col == "fin_rev" else z),
+                }
+            )
+
+        return f
+
+    tagged = runs["fwd"].map_batches(tag_fin("fin_fwd"), batch_format="pyarrow").union(
+        runs["rev"].map_batches(tag_fin("fin_rev"), batch_format="pyarrow")
+    )
+    merged = bucket_sum(tagged, ["url"], ["fin_fwd", "fin_rev"], n_buckets)
+
+    def classify(t: pa.Table) -> pa.Table:
+        f = t["fin_fwd"].to_numpy() > 0
+        r = t["fin_rev"].to_numpy() > 0
+        cls = np.where(f & r, 0, np.where(r, 1, np.where(f, 2, 3)))
+        return pa.table(
+            {"url": t["url"], "cls": pa.array(cls.astype(np.int64))}
+        )
+
+    return merged.map_batches(classify, batch_format="pyarrow")
