@@ -1303,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_mass_by_depth": T.q_pagerank_mass_by_depth,
         "events_mad": T.q_events_mad,
         "web_bowtie": T.q_web_bowtie,
+        "site_local_pagerank": T.q_site_local_pagerank,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3339,6 +3340,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "site_local_pagerank": (
+            # house PR recurrence per site over the symmetrized
+            # intra-site multigraph; teleport 0.15/n_site via a
+            # per-host vertex count join (mirrors
+            # testdata.q_site_local_pagerank)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "ie AS (SELECT src, dst FROM e "
+            "       WHERE split_part(src, '/', 3) = split_part(dst, '/', 3)), "
+            "esw AS (SELECT src, dst FROM ie UNION ALL SELECT dst, src FROM ie), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM esw GROUP BY src), "
+            "hn AS (SELECT split_part(id, '/', 3) AS host, count(*)::DOUBLE AS n "
+            "       FROM deg GROUP BY 1), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+            "  UNION ALL "
+            "  SELECT p.it + 1, e2.dst, 0.15/hn.n + 0.85 * SUM(p.val / p.d), dd.d "
+            "  FROM pr p JOIN esw e2 ON e2.src = p.id "
+            "       JOIN deg dd ON dd.id = e2.dst "
+            "       JOIN hn ON hn.host = split_part(e2.dst, '/', 3) "
+            "  WHERE p.it < 30 GROUP BY p.it, e2.dst, dd.d, hn.n) "
+            "SELECT id AS url, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 30"
+        ),
         "web_bowtie": (
             # two BFS closures (forward edges / swapped edges) from the
             # root, classes from the finite-distance flags (mirrors

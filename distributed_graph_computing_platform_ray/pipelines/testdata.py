@@ -10436,3 +10436,53 @@ def q_web_bowtie(sf_dir: str, n: int = 2000, n_buckets: int = 8):
         )
 
     return merged.map_batches(classify, batch_format="pyarrow")
+
+
+def q_site_local_pagerank(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """Per-site LOCAL PageRank: the house PR recurrence (symmetrized
+    multigraph, zero init, 30 iterations, teleport 0.15/n_site) run
+    INSIDE each site's intra-site graph — the within-site importance
+    signal a sitemap ranks by, and the partition-local counterpart of
+    the global engine runs: sites are <= 16 pages, so each site's 30
+    iterations are one dense float64 matrix loop inside its bucket
+    (ONE host-bucketed shuffle, no supersteps). Self-loops count
+    twice under symmetrization, exactly like the global convention."""
+    from ..stages.join import add_bucket
+
+    ie = _pages_intra_links(n_pages).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(t["src_key"], "/"), 2),
+                "src": t["src_key"],
+                "dst": t["dst_key"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_s = [], []
+        for _, sg in g.groupby("host", sort=False):
+            urls = np.unique(
+                np.concatenate([sg["src"].to_numpy(), sg["dst"].to_numpy()])
+            )
+            idx = {u: i for i, u in enumerate(urls)}
+            nv = len(urls)
+            A = np.zeros((nv, nv), dtype=np.float64)
+            si = sg["src"].map(idx).to_numpy()
+            di = sg["dst"].map(idx).to_numpy()
+            np.add.at(A, (si, di), 1.0)
+            np.add.at(A, (di, si), 1.0)  # self-loops land twice, by design
+            deg = A.sum(axis=1)
+            x = np.zeros(nv)
+            for _ in range(30):
+                x = 0.15 / nv + 0.85 * ((x / deg) @ A)
+            out_u.extend(urls.tolist())
+            out_s.extend(np.round(x * 1e8).astype(np.int64).tolist())
+        return pd.DataFrame(
+            {"url": out_u, "score_e8": np.asarray(out_s, np.int64)}
+        )
+
+    return _BMG(
+        add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
