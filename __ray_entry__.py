@@ -1304,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": T.q_events_mad,
         "web_bowtie": T.q_web_bowtie,
         "site_local_pagerank": T.q_site_local_pagerank,
+        "degree_ccdf": T.q_degree_ccdf,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3340,6 +3341,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "degree_ccdf": (
+            # in-degree per target, CCDF at 2^k thresholds (mirrors
+            # testdata.q_degree_ccdf)
+            f"WITH {_pages_edges_cte()}, "
+            "deg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst), "
+            "ks AS (SELECT k FROM range(0, 22) t(k)) "
+            "SELECT k::BIGINT AS k, (1::BIGINT << k)::BIGINT AS threshold, "
+            "  count(*)::BIGINT AS n_vertices "
+            "FROM ks JOIN deg ON deg.d >= (1::BIGINT << k) GROUP BY k"
+        ),
         "site_local_pagerank": (
             # house PR recurrence per site over the symmetrized
             # intra-site multigraph; teleport 0.15/n_site via a

@@ -10486,3 +10486,50 @@ def q_site_local_pagerank(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16)
     return _BMG(
         add_bucket(ie, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
     )
+
+
+def q_degree_ccdf(sf_dir: str, n_pages: int = 2000, max_k: int = 21, n_buckets: int = 8):
+    """IN-DEGREE CCDF at powers of two over the directed page graph:
+    for each k, how many urls have at least 2^k distinct in-links —
+    the heavy-tail (Zipf hub) evidence a web-graph engine is sized
+    around, exact and log-bucketed so the output is O(log max-degree)
+    rows at any scale. ONE dst-bucketed degree sum, then per-batch
+    CCDF partials into a tiny k-bucketed merge."""
+    from ..stages.join import bucket_sum
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["dst_key"], "d": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    deg = bucket_sum(
+        _pages_links(n_pages).map_batches(ones, batch_format="pyarrow"),
+        ["url"], ["d"], n_buckets,
+    )
+
+    def ccdf(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy().astype(np.int64)
+        ks, cs = [], []
+        for k in range(max_k + 1):
+            c = int((d >= (1 << k)).sum())
+            if c:
+                ks.append(k)
+                cs.append(c)
+        return pa.table(
+            {"k": pa.array(np.asarray(ks, np.int64)),
+             "n_vertices": pa.array(np.asarray(cs, np.int64))}
+        )
+
+    agg = bucket_sum(
+        deg.map_batches(ccdf, batch_format="pyarrow"), ["k"], ["n_vertices"], 4
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"k": t["k"],
+             "threshold": pa.array(
+                 (1 << t["k"].to_numpy().astype(np.int64)).astype(np.int64)
+             ),
+             "n_vertices": t["n_vertices"]}
+        ),
+        batch_format="pyarrow",
+    )
