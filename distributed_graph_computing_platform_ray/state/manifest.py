@@ -46,6 +46,18 @@ class GraphManifest:
     keys_numeric: bool = False  # True iff every vertex key parses as int
     parts: list[dict] = field(default_factory=list)
     source: dict = field(default_factory=dict)
+    # per-BUILD nonce: distinguishes two builds at the same path whose
+    # adjacency CRCs coincide but whose vertex keys / weights differ
+    # (e.g. relabeled graphs with identical structure) — caught by a
+    # hypothesis property test serving stale key arrays from the
+    # worker-process caches
+    build_id: str = ""
+
+    def __post_init__(self):
+        if not self.build_id:
+            import uuid
+
+            self.build_id = uuid.uuid4().hex
 
     # -- paths -------------------------------------------------------------
     def vertices_path(self, part: int) -> str:
@@ -66,16 +78,18 @@ class GraphManifest:
         lo, hi = self.part_bounds(part)
         return hi - lo
 
-    def part_fingerprint(self, part: int) -> int:
-        """Content checksum of a partition's CSR (crc_indices from the
-        build lineage). Used to key worker-side shard caches so a graph
-        rebuilt at the same path within one Ray session can never be
-        served stale from a long-lived worker process."""
+    def part_fingerprint(self, part: int) -> str:
+        """Cache key for worker-side shard/key caches: the per-BUILD
+        nonce plus the partition's CSR checksum, so a graph rebuilt at
+        the same path within one Ray session can never be served stale
+        from a long-lived worker process — even when the rebuilt
+        adjacency is byte-identical but the vertex keys or weights
+        differ (crc_indices alone collided there)."""
         m = self.__dict__.get("_crc_map")
         if m is None:
             m = {int(r["part"]): int(r.get("crc_indices", 0)) for r in self.parts}
             self.__dict__["_crc_map"] = m
-        return m.get(int(part), 0)
+        return f"{self.build_id}:{m.get(int(part), 0)}"
 
     # -- persistence -------------------------------------------------------
     def save(self) -> None:
@@ -90,13 +104,20 @@ class GraphManifest:
             "keys_numeric": self.keys_numeric,
             "parts": sorted(self.parts, key=lambda r: r["part"]),
             "source": self.source,
+            "build_id": self.build_id,
         }
         atomic_write_json(os.path.join(self.graph_dir, "manifest.json"), obj)
 
     @classmethod
     def load(cls, graph_dir: str) -> "GraphManifest":
-        with open(os.path.join(graph_dir, "manifest.json")) as f:
+        path = os.path.join(graph_dir, "manifest.json")
+        with open(path) as f:
             obj = json.load(f)
+        if not obj.get("build_id"):
+            # legacy manifest (pre-nonce): derive a nonce that is STABLE
+            # across loads of the same file (cache hits survive) but
+            # changes when the graph is rebuilt (manifest rewritten)
+            obj["build_id"] = f"legacy-{int(os.path.getmtime(path) * 1e6)}"
         return cls(graph_dir=graph_dir, **obj)
 
     @classmethod

@@ -171,3 +171,36 @@ def test_exchange_matches_groupby_bucket_path(rows, n_buckets):
         pd.testing.assert_frame_equal(
             outs[True].astype({"v": "int64"}), exp.astype({"v": "int64"}), check_dtype=False
         )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_pagerank_dangling_matches_dense_numpy(edges):
+    """Aggregator-channel dangling PageRank == the dense numpy
+    recurrence on arbitrary DIRECTED multigraphs (self-loops, parallel
+    edges, dangling vertices, isolated-sink-only graphs)."""
+    ds = rd.from_items([{"src_key": str(u), "dst_key": str(v)} for u, v in edges])
+    gdir = f"{TMP}/prd/graph"
+    shutil.rmtree(f"{TMP}/prd", ignore_errors=True)
+    build_graph(ds, gdir, n_parts=2, n_buckets=4, dedup=False, symmetrize_edges=False)
+    got = run_algorithm(gdir, f"{TMP}/prd/run", "pagerank_dangling", num_iters=12).to_pandas()
+    gm = {int(k): v for k, v in zip(got["vertex"], got["value"])}
+
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(verts)
+    ix = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[ix[u], ix[v]] += 1.0
+    outdeg = A.sum(axis=1)
+    x = np.zeros(n)
+    for _ in range(12):
+        dang = x[outdeg == 0].sum()
+        x = 0.15 / n + 0.85 * ((x / np.maximum(outdeg, 1.0)) @ A + dang / n)
+    assert set(gm) == set(verts)
+    for v in verts:
+        assert np.isclose(gm[v], x[ix[v]], atol=1e-9), (v, gm[v], x[ix[v]])
