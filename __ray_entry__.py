@@ -258,6 +258,27 @@ def _matching_sql() -> str:
     )
 
 
+def _pr_chain(p: str) -> str:
+    """House symmetrized 30-iteration PageRank recursion over a
+    prefixed edge chain ``{p}e`` (from _pages_edges_cte(n, seed, p)),
+    ending at ``{p}fin(id, e8)``. Shared by the two-snapshot rank-churn
+    oracle (mirrors pipelines/pages.py::build_link_graph + PageRank)."""
+    return (
+        f"{p}es AS (SELECT src, dst FROM {p}e UNION ALL SELECT dst, src FROM {p}e), "
+        f"{p}deg AS (SELECT src AS id, count(*) AS d FROM {p}es GROUP BY src), "
+        f"{p}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {p}deg), "
+        f"{p}pr AS ( "
+        f"  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM {p}deg "
+        f"  UNION ALL "
+        f"  SELECT q.it + 1, ee.dst, 0.15/{p}nn.n + 0.85 * SUM(q.val / q.d), dd.d "
+        f"  FROM {p}pr q CROSS JOIN {p}nn JOIN {p}es ee ON ee.src = q.id "
+        f"       JOIN {p}deg dd ON dd.id = ee.dst "
+        f"  WHERE q.it < 30 GROUP BY q.it, ee.dst, dd.d, {p}nn.n), "
+        f"{p}fin AS (SELECT id, CAST(ROUND(val * 1e8) AS BIGINT) AS e8 "
+        f"          FROM {p}pr WHERE it = 30)"
+    )
+
+
 def _page_text_sql(n: int = 2000, seed: int = 42) -> str:
     """Independent SQL reconstruction of the extractor's byte-identical
     text surface: the generator template (sources/pages.py::_page_html)
@@ -1305,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_bowtie": T.q_web_bowtie,
         "site_local_pagerank": T.q_site_local_pagerank,
         "degree_ccdf": T.q_degree_ccdf,
+        "rank_churn": T.q_rank_churn,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3341,6 +3363,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "rank_churn": (
+            # two full PR recursions over the crawl_delta snapshot pair
+            # (o_/n_ prefixed generator chains), joined at iteration 30
+            # (mirrors testdata.q_rank_churn)
+            f"WITH RECURSIVE {_pages_edges_cte(2000, 42, 'o_')}, "
+            f"{_pages_edges_cte(2200, 42, 'n_')}, "
+            f"{_pr_chain('o_')}, {_pr_chain('n_')} "
+            "SELECT o_fin.id AS url, o_fin.e8 AS old_e8, n_fin.e8 AS new_e8, "
+            "  (n_fin.e8 - o_fin.e8)::BIGINT AS delta_e8, "
+            "  abs(n_fin.e8 - o_fin.e8)::BIGINT AS abs_delta_e8 "
+            "FROM o_fin JOIN n_fin ON n_fin.id = o_fin.id "
+            "ORDER BY abs_delta_e8 DESC, url LIMIT 50"
+        ),
         "degree_ccdf": (
             # in-degree per target, CCDF at 2^k thresholds (mirrors
             # testdata.q_degree_ccdf)

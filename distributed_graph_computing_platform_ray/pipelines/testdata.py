@@ -10533,3 +10533,63 @@ def q_degree_ccdf(sf_dir: str, n_pages: int = 2000, max_k: int = 21, n_buckets: 
         ),
         batch_format="pyarrow",
     )
+
+
+def q_rank_churn(sf_dir: str, n_old: int = 2000, n_new: int = 2200,
+                 top: int = 50, n_buckets: int = 8):
+    """RANK CHURN between two crawl snapshots: the top-|delta| movers
+    of the house symmetrized 30-iteration PageRank when the crawl grows
+    from n_old to n_new pages — the re-rank-priority signal a freshness
+    pipeline feeds back into crawl scheduling (pages whose authority
+    moved most get refetched first). TWO full url-keyed engine runs
+    (one per snapshot graph, same kernels as pages_linkgraph_pagerank),
+    e8-integer scores joined on the url in ONE bucket join, ranked by
+    (|new - old| DESC, url) over the urls present in BOTH snapshots.
+    n_old/n_new PINNED to the fixed oracle's 2000/2200 (crawl_delta's
+    snapshot pair)."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.join import bucket_join
+    from .graph import run_algorithm as _ra
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_rankchurn_{n_old}_{n_new}"
+    shutil.rmtree(root, ignore_errors=True)
+    sides = {}
+    for tag, n in (("old", n_old), ("new", n_new)):
+        build_link_graph(
+            generate_pages(n), f"{root}/g_{tag}", n_parts=8, n_buckets=16
+        )
+        sides[tag] = _ra(f"{root}/g_{tag}", f"{root}/pr_{tag}", "pagerank")
+
+    def conv(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"url": t["vertex"].cast(pa.string()), col: _score_e8(t["value"])}
+            )
+
+        return f
+
+    j = bucket_join(
+        sides["old"].map_batches(conv("old_e8"), batch_format="pyarrow"),
+        sides["new"].map_batches(conv("new_e8"), batch_format="pyarrow"),
+        left_on="url", right_on="url", n_buckets=n_buckets,
+        left_schema=pa.schema([("url", pa.string()), ("old_e8", pa.int64())]),
+        right_schema=pa.schema([("url", pa.string()), ("new_e8", pa.int64())]),
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        o = t["old_e8"].to_numpy().astype(np.int64)
+        nw = t["new_e8"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"url": t["url"], "old_e8": pa.array(o), "new_e8": pa.array(nw),
+             "delta_e8": pa.array(nw - o),
+             "abs_delta_e8": pa.array(np.abs(nw - o))}
+        )
+
+    return (
+        j.map_batches(delta, batch_format="pyarrow")
+        .sort(["abs_delta_e8", "url"], descending=[True, False])
+        .limit(top)
+    )
