@@ -1327,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_local_pagerank": T.q_site_local_pagerank,
         "degree_ccdf": T.q_degree_ccdf,
         "rank_churn": T.q_rank_churn,
+        "pagerank_topic": T.q_pagerank_topic,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3363,6 +3364,32 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "pagerank_topic": (
+            # personalized PR with the teleport on lang='de' pages
+            # (lang rebuilt from mix64(seed+2, i) like host_lang_mix);
+            # mirrors testdata.q_pagerank_topic
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            f"lbase AS (SELECT i::UBIGINT AS i FROM range(0, 2000) t(i)), "
+            f"lh AS (SELECT i, xor({(44 * _FNV64) % _M64}::UBIGINT, i) AS acc0, "
+            f"       {_splitmix_cols('acc0', 'hl')} FROM lbase), "
+            "sd AS (SELECT printf('https://site-%05d.example/p/%04d', "
+            "       (i::BIGINT) // 16, (i::BIGINT) % 16) AS url "
+            "       FROM lh WHERE (hl % 8)::BIGINT = 4), "
+            "es AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "sn AS (SELECT count(*)::DOUBLE AS ns FROM sd), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+            "  UNION ALL "
+            "  SELECT p.it + 1, ee.dst, "
+            "    (CASE WHEN ee.dst IN (SELECT url FROM sd) THEN 0.15/sn.ns "
+            "          ELSE 0.0 END) + 0.85 * SUM(p.val / p.d), dd.d "
+            "  FROM pr p CROSS JOIN sn JOIN es ee ON ee.src = p.id "
+            "       JOIN deg dd ON dd.id = ee.dst "
+            "  WHERE p.it < 30 GROUP BY p.it, ee.dst, dd.d, sn.ns) "
+            "SELECT id AS url, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 30 ORDER BY score_e8 DESC, url LIMIT 50"
+        ),
         "rank_churn": (
             # two full PR recursions over the crawl_delta snapshot pair
             # (o_/n_ prefixed generator chains), joined at iteration 30

@@ -10593,3 +10593,59 @@ def q_rank_churn(sf_dir: str, n_old: int = 2000, n_new: int = 2200,
         .sort(["abs_delta_e8", "url"], descending=[True, False])
         .limit(top)
     )
+
+
+def q_pagerank_topic(sf_dir: str, n: int = 2000, lang: str = "de", top: int = 50):
+    """Topic-sensitive PageRank (Haveliwala 2002) on the url-keyed page
+    graph: the teleport mass lands only on pages whose declared
+    language is `lang` (the topic surrogate the pages table carries),
+    ranking the whole web by proximity to that topic's pages. Seed ids
+    come from a DISTRIBUTED filter of the graph's vertices files
+    against the deterministic lang column (no url ships except the
+    ~1/8 seed sliver); the run itself is the engine's personalized-
+    PageRank (wants_ids teleport, both backends). Top-|top| urls by
+    e8 score. n PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from .graph import run_algorithm as _ra
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_prtopic_{n}_{lang}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
+
+    def seed_urls(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["lang"], lang))
+        return pa.table({"url": f["url"]})
+
+    su = set(
+        r["url"]
+        for r in generate_pages(n)
+        .map_batches(seed_urls, batch_format="pyarrow")
+        .take_all()  # bounded: ~n/8 urls, the seed sliver only
+    )
+    verts = rd.read_parquet(f"{root}/graph/vertices")
+
+    def match_ids(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["key"].to_numpy(zero_copy_only=False), list(su))
+        return pa.table({"id": t["id"].filter(pa.array(keep))})
+
+    sids = sorted(
+        r["id"] for r in verts.map_batches(match_ids, batch_format="pyarrow").take_all()
+    )
+    res = _ra(
+        f"{root}/graph", f"{root}/ppr", "ppr", seed_ids=tuple(sids),
+        n_vertices=GraphManifest.load(f"{root}/graph").n_vertices,
+    )
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["vertex"].cast(pa.string()), "score_e8": _score_e8(t["value"])}
+        )
+
+    return (
+        res.map_batches(conv, batch_format="pyarrow")
+        .sort(["score_e8", "url"], descending=[True, False])
+        .limit(top)
+    )
