@@ -1328,6 +1328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_ccdf": T.q_degree_ccdf,
         "rank_churn": T.q_rank_churn,
         "pagerank_topic": T.q_pagerank_topic,
+        "site_entry_pages": T.q_site_entry_pages,
+        "host_pr_concentration": T.q_host_pr_concentration,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3364,6 +3366,36 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "site_entry_pages": (
+            # cross-host edges onto site pages; counts are distinct
+            # citing pages (e is the distinct edge set); mirrors
+            # testdata.q_site_entry_pages
+            f"WITH {_pages_edges_cte()}, "
+            "ee AS (SELECT split_part(dst, '/', 3) AS host, dst AS url FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3) "
+            "         AND dst LIKE 'https://site-%'), "
+            "cnt AS (SELECT host, url, count(*) AS c FROM ee GROUP BY 1, 2), "
+            "tot AS (SELECT host, sum(c) AS t, count(*) AS ne FROM cnt GROUP BY host), "
+            "tp AS (SELECT host, url, c FROM cnt "
+            "       QUALIFY row_number() OVER (PARTITION BY host ORDER BY c DESC, url) = 1) "
+            "SELECT tp.host, tot.ne::BIGINT AS n_entry, tot.t::BIGINT AS ext_inlinks, "
+            "  tp.url AS top_url, tp.c::BIGINT AS top_inlinks "
+            "FROM tp JOIN tot USING (host)"
+        ),
+        "host_pr_concentration": (
+            # flagship PR recursion (shared _pr_chain) folded per host;
+            # e6-floor top-page share (mirrors
+            # testdata.q_host_pr_concentration)
+            f"WITH RECURSIVE {_pages_edges_cte()}, {_pr_chain('')}, "
+            "sc AS (SELECT split_part(id, '/', 3) AS host, id AS url, e8 FROM fin), "
+            "tot AS (SELECT host, sum(e8) AS t, count(*) AS np FROM sc GROUP BY host), "
+            "tp AS (SELECT host, url, e8 FROM sc "
+            "       QUALIFY row_number() OVER (PARTITION BY host ORDER BY e8 DESC, url) = 1) "
+            "SELECT tp.host, tot.np::BIGINT AS n_pages, tot.t::BIGINT AS mass_e8, "
+            "  tp.url AS top_url, "
+            "  ((1000000 * tp.e8) // greatest(tot.t, 1))::BIGINT AS top_share_e6 "
+            "FROM tp JOIN tot USING (host)"
+        ),
         "pagerank_topic": (
             # personalized PR with the teleport on lang='de' pages
             # (lang rebuilt from mix64(seed+2, i) like host_lang_mix);

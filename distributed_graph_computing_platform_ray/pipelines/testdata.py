@@ -10649,3 +10649,98 @@ def q_pagerank_topic(sf_dir: str, n: int = 2000, lang: str = "de", top: int = 50
         .sort(["score_e8", "url"], descending=[True, False])
         .limit(top)
     )
+
+
+def q_site_entry_pages(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """ENTRY-PAGE profile per site: which pages receive links from
+    OTHER hosts (the doors external surfers arrive through), how many
+    external inlinks the site gets in total, and the top entry page by
+    external-inlink count (ties by url) — the signal for landing-page
+    prioritization in a recrawl. Cross-host edges onto site-* targets
+    only; ONE dst-host-bucketed shuffle."""
+    from ..stages.join import add_bucket
+
+    def ext(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        keep = pc.and_(
+            pc.not_equal(sh, dh), pc.starts_with(t["dst_key"], "https://site-")
+        )
+        f = pa.table({"host": dh, "url": t["dst_key"]}).filter(keep)
+        return f
+
+    e = _pages_links(n_pages).map_batches(ext, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["host", "url"], sort=False).size().reset_index(name="c")
+        tot = cnt.groupby("host", sort=False)["c"].transform("sum")
+        ne = cnt.groupby("host", sort=False)["url"].transform("size")
+        cnt = cnt.assign(tot=tot, ne=ne).sort_values(
+            ["host", "c", "url"], ascending=[True, False, True]
+        )
+        top = cnt.drop_duplicates("host", keep="first")
+        return pd.DataFrame(
+            {
+                "host": top["host"].to_numpy(),
+                "n_entry": top["ne"].to_numpy(np.int64),
+                "ext_inlinks": top["tot"].to_numpy(np.int64),
+                "top_url": top["url"].to_numpy(),
+                "top_inlinks": top["c"].to_numpy(np.int64),
+            }
+        )
+
+    return _BMG(add_bucket(e, ["host"], n_buckets), n_buckets, per_bucket, "pandas")
+
+
+def q_host_pr_concentration(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Rank CONCENTRATION per host: how much of a host's total PageRank
+    mass its single strongest page holds (e6-floor share) — flat-rank
+    hosts are content farms, spiky hosts have a clear canonical page.
+    ONE engine PageRank run on the url-keyed page graph (the flagship
+    recurrence), then one host-bucketed fold for (page count, total e8
+    mass, top page, top share). n PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.join import add_bucket
+    from .graph import run_algorithm as _ra
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_prconc_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
+    res = _ra(f"{root}/graph", f"{root}/pr", "pagerank")
+
+    def conv(t: pa.Table) -> pa.Table:
+        url = t["vertex"].cast(pa.string())
+        return pa.table(
+            {
+                "host": pc.list_element(pc.split_pattern(url, "/"), 2),
+                "url": url,
+                "e8": _score_e8(t["value"]),
+            }
+        )
+
+    scored = res.map_batches(conv, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("host", sort=False)["e8"].transform("sum")
+        np_ = g.groupby("host", sort=False)["url"].transform("size")
+        g = g.assign(tot=tot, np_=np_).sort_values(
+            ["host", "e8", "url"], ascending=[True, False, True]
+        )
+        top = g.drop_duplicates("host", keep="first")
+        return pd.DataFrame(
+            {
+                "host": top["host"].to_numpy(),
+                "n_pages": top["np_"].to_numpy(np.int64),
+                "mass_e8": top["tot"].to_numpy(np.int64),
+                "top_url": top["url"].to_numpy(),
+                "top_share_e6": (1_000_000 * top["e8"].to_numpy(np.int64))
+                // np.maximum(top["tot"].to_numpy(np.int64), 1),
+            }
+        )
+
+    return _BMG(
+        add_bucket(scored, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
