@@ -1330,6 +1330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_topic": T.q_pagerank_topic,
         "site_entry_pages": T.q_site_entry_pages,
         "host_pr_concentration": T.q_host_pr_concentration,
+        "rank_by_lang": T.q_rank_by_lang,
+        "inout_degree_corr": T.q_inout_degree_corr,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3366,6 +3368,44 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "rank_by_lang": (
+            # flagship PR (shared _pr_chain) joined onto the rebuilt
+            # lang column; offsite urls drop (no lang) — mirrors
+            # testdata.q_rank_by_lang
+            f"WITH RECURSIVE {_pages_edges_cte()}, {_pr_chain('')}, "
+            f"lbase AS (SELECT i::UBIGINT AS i FROM range(0, 2000) t(i)), "
+            f"lh AS (SELECT i, xor({(44 * _FNV64) % _M64}::UBIGINT, i) AS acc0, "
+            f"       {_splitmix_cols('acc0', 'hl')} FROM lbase), "
+            "pl AS (SELECT printf('https://site-%05d.example/p/%04d', "
+            "       (i::BIGINT) // 16, (i::BIGINT) % 16) AS url, "
+            "  CASE (hl % 8)::BIGINT WHEN 4 THEN 'de' WHEN 5 THEN 'fr' "
+            "       WHEN 6 THEN 'es' WHEN 7 THEN 'zh' ELSE 'en' END AS lang "
+            "  FROM lh) "
+            "SELECT pl.lang, count(*)::BIGINT AS n_pages, "
+            "  sum(f.e8)::BIGINT AS mass_e8, "
+            "  (sum(f.e8) // count(*))::BIGINT AS mean_e8 "
+            "FROM fin f JOIN pl ON pl.url = f.id GROUP BY pl.lang"
+        ),
+        "inout_degree_corr": (
+            # integer moments over per-vertex (out, in) degrees of the
+            # distinct directed edges; signed exact-rational r^2 in
+            # HUGEINT (mirrors testdata.q_inout_degree_corr)
+            f"WITH {_pages_edges_cte()}, "
+            "dv AS (SELECT url, sum(o)::BIGINT AS x, sum(i)::BIGINT AS y FROM ( "
+            "   SELECT src AS url, 1 AS o, 0 AS i FROM e "
+            "   UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY url), "
+            "m AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx, "
+            "      sum(y)::HUGEINT AS sy, sum(x*y)::HUGEINT AS sxy, "
+            "      sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy FROM dv) "
+            "SELECT n::BIGINT AS n, sx::BIGINT AS sx, sy::BIGINT AS sy, "
+            "  sxy::BIGINT AS sxy, sxx::BIGINT AS sxx, syy::BIGINT AS syy, "
+            "  (CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0 "
+            "   ELSE (CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) "
+            "     * (1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy)) "
+            "       // ((n*sxx - sx*sx) * (n*syy - sy*sy)) END)::BIGINT "
+            "   AS r2_signed_e6 "
+            "FROM m"
+        ),
         "site_entry_pages": (
             # cross-host edges onto site pages; counts are distinct
             # citing pages (e is the distinct edge set); mirrors

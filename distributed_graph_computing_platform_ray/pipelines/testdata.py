@@ -10744,3 +10744,125 @@ def q_host_pr_concentration(sf_dir: str, n: int = 2000, n_buckets: int = 8):
     return _BMG(
         add_bucket(scored, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
     )
+
+
+def q_rank_by_lang(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Rank-fairness audit: total and mean PageRank mass per declared
+    page language — the bias check a multilingual crawl runs before
+    language-balanced sampling (does 'en' soak up rank share beyond
+    its page share?). ONE engine PR run on the url-keyed page graph,
+    ONE bucket join onto the (url, lang) projection of the pages
+    table, ONE tiny fold. n PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.join import bucket_join, bucket_sum
+    from .graph import run_algorithm as _ra
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_ranklang_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
+    res = _ra(f"{root}/graph", f"{root}/pr", "pagerank")
+
+    pr = res.map_batches(
+        lambda t: pa.table(
+            {"url": t["vertex"].cast(pa.string()), "e8": _score_e8(t["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+    pl = generate_pages(n).map_batches(
+        lambda t: pa.table({"url": t["url"], "lang": t["lang"]}),
+        batch_format="pyarrow",
+    )
+    j = bucket_join(
+        pr, pl, left_on="url", right_on="url", n_buckets=n_buckets,
+        left_schema=pa.schema([("url", pa.string()), ("e8", pa.int64())]),
+        right_schema=pa.schema([("url", pa.string()), ("lang", pa.string())]),
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"], "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+             "mass_e8": t["e8"]}
+        )
+
+    agg = bucket_sum(
+        j.map_batches(pre, batch_format="pyarrow"), ["lang"],
+        ["n_pages", "mass_e8"], 4,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n_ = t["n_pages"].to_numpy().astype(np.int64)
+        m = t["mass_e8"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"lang": t["lang"], "n_pages": pa.array(n_), "mass_e8": pa.array(m),
+             "mean_e8": pa.array(m // n_)}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_inout_degree_corr(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
+    """Exact in/out-degree correlation over the directed page graph's
+    vertices: do pages that link a lot also GET linked a lot? Pearson
+    needs a square root, so the checked statistic is the exact
+    rational SIGNED r-squared, r2_e6 = sign(num) * 1e6 * num^2 //
+    (dxx * dyy) with num = n*Sxy - Sx*Sy, dxx = n*Sxx - Sx^2,
+    dyy = n*Syy - Sy^2 — all integer moments (per-batch int64
+    partials, driver-reduced as Python ints so the HUGEINT-scale
+    products never overflow; raw moments are emitted for audit).
+    Degrees come from ONE tagged bucket_sum over the distinct edges;
+    offsite urls count with out-degree 0, like the web."""
+    from ..stages.join import bucket_sum
+
+    def tagged(t: pa.Table) -> pa.Table:
+        s = t["src_key"].to_numpy(zero_copy_only=False)
+        d = t["dst_key"].to_numpy(zero_copy_only=False)
+        one = np.ones(t.num_rows, np.int64)
+        zero = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {
+                "url": pa.array(np.concatenate([s, d]), pa.string()),
+                "outd": pa.array(np.concatenate([one, zero])),
+                "ind": pa.array(np.concatenate([zero, one])),
+            }
+        )
+
+    deg = bucket_sum(
+        _pages_links(n_pages).map_batches(tagged, batch_format="pyarrow"),
+        ["url"], ["outd", "ind"], n_buckets,
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["outd"].to_numpy().astype(np.int64)
+        y = t["ind"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = deg.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    num = n * sxy - sx * sy
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    sign = 1 if num >= 0 else -1
+    r2 = 0 if dxx == 0 or dyy == 0 else sign * (1_000_000 * num * num) // (dxx * dyy)
+    return pd.DataFrame(
+        {
+            "n": [n], "sx": [sx], "sy": [sy], "sxy": [sxy], "sxx": [sxx],
+            "syy": [syy], "r2_signed_e6": [int(r2)],
+        }
+    ).astype("int64")
