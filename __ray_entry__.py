@@ -1332,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pr_concentration": T.q_host_pr_concentration,
         "rank_by_lang": T.q_rank_by_lang,
         "inout_degree_corr": T.q_inout_degree_corr,
+        "host_spam_heuristic": T.q_host_spam_heuristic,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3368,6 +3369,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "host_spam_heuristic": (
+            # pre-dedup instances from res; dup = total - distinct
+            # (src,dst); e6-floor shares + equal-weight composite
+            # (mirrors testdata.q_host_spam_heuristic)
+            f"WITH {_pages_edges_cte()}, "
+            f"inst AS (SELECT {_PAGE_URL('i')} AS src, href AS dst FROM res), "
+            "hh AS (SELECT split_part(src, '/', 3) AS host, "
+            "  count(*) AS n, "
+            "  count(*) - count(DISTINCT src || ' ' || dst) AS d, "
+            "  count(*) FILTER (src = dst) AS s, "
+            "  count(*) FILTER (split_part(dst, '/', 3) <> split_part(src, '/', 3)) AS o "
+            "  FROM inst GROUP BY 1) "
+            "SELECT host, n::BIGINT AS n_hrefs, "
+            "  ((1000000 * d) // n)::BIGINT AS dup_share_e6, "
+            "  ((1000000 * s) // n)::BIGINT AS self_share_e6, "
+            "  ((1000000 * o) // n)::BIGINT AS offsite_share_e6, "
+            "  (((1000000 * d) // n + (1000000 * s) // n + (1000000 * o) // n) "
+            "   // 3)::BIGINT AS spam_score_e6 "
+            "FROM hh"
+        ),
         "rank_by_lang": (
             # flagship PR (shared _pr_chain) joined onto the rebuilt
             # lang column; offsite urls drop (no lang) — mirrors

@@ -10866,3 +10866,66 @@ def q_inout_degree_corr(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
             "syy": [syy], "r2_signed_e6": [int(r2)],
         }
     ).astype("int64")
+
+
+def q_host_spam_heuristic(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
+    """Per-host outlink SPAM heuristic (nepotism triage): the host's
+    pooled duplicate-href, self-link and offsite-link shares over its
+    pre-dedup href instances, plus their equal-weight e6 composite
+    score — the cheap first-pass filter ahead of TrustRank/spam-mass
+    (which cost engine runs). Same extraction instances as
+    q_page_outlink_profile; ONE host-bucketed kernel (a host's
+    instances always share a bucket, so the duplicate count
+    total - distinct(src,dst) is exact no matter how extraction
+    batches split); every share is an integer floor over the host's
+    own totals."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from ..stages.join import add_bucket
+
+    def proj(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        return pa.table(
+            {"host": sh, "src": t["src_key"], "dst": t["dst_key"],
+             "off": pc.not_equal(sh, dh).cast(pa.int64())}
+        )
+
+    inst = extract_links(generate_pages(n_pages)).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("host", sort=False).agg(
+            n_hrefs=("dst", "size"),
+            n_off=("off", "sum"),
+        )
+        nd = (
+            g.drop_duplicates(["src", "dst"]).groupby("host", sort=False).size()
+        )
+        ns = (
+            g[g["src"] == g["dst"]].groupby("host", sort=False).size()
+        )
+        agg["n_distinct"] = nd.reindex(agg.index).fillna(0).astype("int64")
+        agg["n_self"] = ns.reindex(agg.index).fillna(0).astype("int64")
+        n = agg["n_hrefs"].to_numpy(np.int64)
+        d = n - agg["n_distinct"].to_numpy(np.int64)
+        s = agg["n_self"].to_numpy(np.int64)
+        o = agg["n_off"].to_numpy(np.int64)
+        dup_e6 = (1_000_000 * d) // n
+        self_e6 = (1_000_000 * s) // n
+        off_e6 = (1_000_000 * o) // n
+        return pd.DataFrame(
+            {
+                "host": agg.index.to_numpy(),
+                "n_hrefs": n,
+                "dup_share_e6": dup_e6,
+                "self_share_e6": self_e6,
+                "offsite_share_e6": off_e6,
+                "spam_score_e6": (dup_e6 + self_e6 + off_e6) // 3,
+            }
+        )
+
+    return _BMG(
+        add_bucket(inst, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
+    )
