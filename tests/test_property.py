@@ -204,3 +204,53 @@ def test_pagerank_dangling_matches_dense_numpy(edges):
     assert set(gm) == set(verts)
     for v in verts:
         assert np.isclose(gm[v], x[ix[v]], atol=1e-9), (v, gm[v], x[ix[v]])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_widest_path_matches_bellman_ford(edges):
+    """max_neg_edge_weight negation duality (algorithms.WidestPath) ==
+    brute-force maximin Bellman-Ford on arbitrary weighted directed
+    multigraphs (self-loops, parallel edges with different capacities,
+    unreachable vertices)."""
+    src_v = min(u for u, _, _ in edges)
+    ds = rd.from_items(
+        [{"src_key": str(u), "dst_key": str(v), "weight": float(w)}
+         for u, v, w in edges]
+    )
+    gdir = f"{TMP}/widest/graph"
+    shutil.rmtree(f"{TMP}/widest", ignore_errors=True)
+    build_graph(ds, gdir, n_parts=2, n_buckets=4, dedup=False,
+                symmetrize_edges=False)
+    from distributed_graph_computing_platform_ray.pipelines.graph import lookup_vertex_id
+    from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
+
+    man = GraphManifest.load(gdir)
+    sid = lookup_vertex_id(man, str(src_v))
+    got = run_algorithm(gdir, f"{TMP}/widest/run", "widest", source_id=sid).to_pandas()
+    gm = {int(k): v for k, v in zip(got["vertex"], got["value"])}
+
+    verts = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    width = {v: float("-inf") for v in verts}
+    width[src_v] = float("inf")
+    for _ in range(len(verts)):
+        for u, v, w in edges:
+            cand = min(width[u], float(w))
+            if cand > width[v]:
+                width[v] = cand
+    for v in verts:
+        exp = width[v]
+        m = gm[v]  # engine stores the NEGATED width
+        w_eng = -m
+        if v == src_v:
+            assert w_eng == float("inf")
+        elif exp == float("-inf"):
+            assert not np.isfinite(w_eng) and w_eng < 0
+        else:
+            assert w_eng == exp, (v, w_eng, exp)
