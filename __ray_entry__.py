@@ -1333,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_by_lang": T.q_rank_by_lang,
         "inout_degree_corr": T.q_inout_degree_corr,
         "host_spam_heuristic": T.q_host_spam_heuristic,
+        "lang_link_matrix": T.q_lang_link_matrix,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3369,6 +3370,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "lang_link_matrix": (
+            # both endpoint langs from the rebuilt lang table; inner
+            # join drops offsite targets (mirrors
+            # testdata.q_lang_link_matrix)
+            f"WITH {_pages_edges_cte()}, "
+            f"lbase AS (SELECT i::UBIGINT AS i FROM range(0, 2000) t(i)), "
+            f"lh AS (SELECT i, xor({(44 * _FNV64) % _M64}::UBIGINT, i) AS acc0, "
+            f"       {_splitmix_cols('acc0', 'hl')} FROM lbase), "
+            "pl AS (SELECT printf('https://site-%05d.example/p/%04d', "
+            "       (i::BIGINT) // 16, (i::BIGINT) % 16) AS url, "
+            "  CASE (hl % 8)::BIGINT WHEN 4 THEN 'de' WHEN 5 THEN 'fr' "
+            "       WHEN 6 THEN 'es' WHEN 7 THEN 'zh' ELSE 'en' END AS lang "
+            "  FROM lh) "
+            "SELECT ps.lang AS src_lang, pd.lang AS dst_lang, "
+            "  count(*)::BIGINT AS n_links "
+            "FROM e JOIN pl ps ON ps.url = e.src JOIN pl pd ON pd.url = e.dst "
+            "GROUP BY 1, 2"
+        ),
         "host_spam_heuristic": (
             # pre-dedup instances from res; dup = total - distinct
             # (src,dst); e6-floor shares + equal-weight composite

@@ -10929,3 +10929,55 @@ def q_host_spam_heuristic(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
     return _BMG(
         add_bucket(inst, ["host"], n_buckets), n_buckets, per_bucket, "pandas"
     )
+
+
+def q_lang_link_matrix(sf_dir: str, n_pages: int = 2000, n_buckets: int = 4):
+    """Cross-language citation matrix: distinct page links bucketed by
+    (source language, target language) — the multilingual-web structure
+    signal (does 'de' content cite 'en' far more than the reverse?).
+    The language is a pure counter-based function of the page id
+    (sources/pages.py: LANGS[mix64(seed+2, i) % 8]), so BOTH endpoint
+    langs are computed IN PLACE from the url — no join, no broadcast;
+    offsite targets (no lang) are excluded. One tiny bucket_sum over
+    <= 25 (src_lang, dst_lang) cells."""
+    from ..sources.pages import _LANGS
+    from ..stages.join import bucket_sum
+    from ..utils import mix64
+
+    def url_ids(arr) -> np.ndarray:
+        # https://site-SSSSS.example/p/PPPP -> SSSSS*16 + PPPP
+        site = np.char.partition(
+            np.char.partition(arr.astype(str), "site-")[:, 2], "."
+        )[:, 0].astype(np.int64)
+        page = np.char.rpartition(arr.astype(str), "/")[:, 2].astype(np.int64)
+        return site * 16 + page
+
+    langs = np.array(_LANGS)
+
+    def cells(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["dst_key"], "https://site-")
+        f = t.filter(keep)
+        if f.num_rows == 0:
+            return pa.table(
+                {"src_lang": pa.array([], pa.string()),
+                 "dst_lang": pa.array([], pa.string()),
+                 "n_links": pa.array([], pa.int64())}
+            )
+        s = url_ids(f["src_key"].to_numpy(zero_copy_only=False))
+        d = url_ids(f["dst_key"].to_numpy(zero_copy_only=False))
+        sl = langs[
+            (mix64(np.uint64(44), s.astype(np.uint64)) % np.uint64(len(langs))).astype(np.int64)
+        ]
+        dl = langs[
+            (mix64(np.uint64(44), d.astype(np.uint64)) % np.uint64(len(langs))).astype(np.int64)
+        ]
+        return pa.table(
+            {"src_lang": pa.array(sl, pa.string()),
+             "dst_lang": pa.array(dl, pa.string()),
+             "n_links": pa.array(np.ones(len(s), np.int64))}
+        )
+
+    return bucket_sum(
+        _pages_links(n_pages).map_batches(cells, batch_format="pyarrow"),
+        ["src_lang", "dst_lang"], ["n_links"], n_buckets,
+    )
