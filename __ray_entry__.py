@@ -1334,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inout_degree_corr": T.q_inout_degree_corr,
         "host_spam_heuristic": T.q_host_spam_heuristic,
         "lang_link_matrix": T.q_lang_link_matrix,
+        "crawl_scheduler": T.q_crawl_scheduler,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3370,6 +3371,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "crawl_scheduler": (
+            # host PR mass (shared _pr_chain) x stale share, exact
+            # integer priority, top 25 (mirrors testdata.q_crawl_scheduler)
+            f"WITH RECURSIVE {_pages_edges_cte()}, {_pr_chain('')}, "
+            "hm AS (SELECT split_part(id, '/', 3) AS host, sum(e8) AS m FROM fin "
+            "       GROUP BY 1), "
+            "st AS (SELECT split_part(src, '/', 3) AS host, count(*) AS nl, "
+            "       count(*) FILTER (dst < src) AS ns FROM e "
+            "       WHERE dst LIKE 'https://site-%' GROUP BY 1) "
+            "SELECT hm.host, hm.m::BIGINT AS mass_e8, "
+            "  ((1000000 * st.ns) // st.nl)::BIGINT AS stale_share_e6, "
+            "  ((hm.m * ((1000000 * st.ns) // st.nl)) // 1000000)::BIGINT AS priority_x "
+            "FROM hm JOIN st USING (host) "
+            "ORDER BY priority_x DESC, host LIMIT 25"
+        ),
         "lang_link_matrix": (
             # both endpoint langs from the rebuilt lang table; inner
             # join drops offsite targets (mirrors

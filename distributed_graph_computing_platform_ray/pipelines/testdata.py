@@ -10981,3 +10981,77 @@ def q_lang_link_matrix(sf_dir: str, n_pages: int = 2000, n_buckets: int = 4):
         _pages_links(n_pages).map_batches(cells, batch_format="pyarrow"),
         ["src_lang", "dst_lang"], ["n_links"], n_buckets,
     )
+
+
+def q_crawl_scheduler(sf_dir: str, n: int = 2000, top: int = 25, n_buckets: int = 8):
+    """Multi-signal RECRAWL SCHEDULER: hosts ranked by authority x
+    staleness — priority_x = (host PageRank mass_e8 * stale_share_e6)
+    // 1e6, the "important AND stale first" policy a bounded recrawl
+    budget implements. ONE engine PR run on the url-keyed page graph
+    (mass folded per host), the stale-link share from the same distinct
+    edge set, ONE bucket join, exact integer scoring, top-|top| hosts.
+    n PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.join import bucket_join, bucket_sum
+    from .graph import run_algorithm as _ra
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_scheduler_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
+    res = _ra(f"{root}/graph", f"{root}/pr", "pagerank")
+
+    def conv(t: pa.Table) -> pa.Table:
+        url = t["vertex"].cast(pa.string())
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(url, "/"), 2),
+             "mass_e8": _score_e8(t["value"])}
+        )
+
+    mass = bucket_sum(
+        res.map_batches(conv, batch_format="pyarrow"), ["host"], ["mass_e8"],
+        n_buckets,
+    )
+
+    def stale_partial(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["dst_key"], "https://site-")
+        f = t.filter(keep)
+        src = f["src_key"].to_numpy(zero_copy_only=False)
+        dst = f["dst_key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(f["src_key"], "/"), 2),
+             "n_links": pa.array(np.ones(len(src), np.int64)),
+             "n_stale": pa.array((dst < src).astype(np.int64))}
+        )
+
+    stale = bucket_sum(
+        _pages_links(n).map_batches(stale_partial, batch_format="pyarrow"),
+        ["host"], ["n_links", "n_stale"], n_buckets,
+    )
+
+    j = bucket_join(
+        mass, stale, left_on="host", right_on="host", n_buckets=n_buckets,
+        left_schema=pa.schema([("host", pa.string()), ("mass_e8", pa.int64())]),
+        right_schema=pa.schema(
+            [("host", pa.string()), ("n_links", pa.int64()), ("n_stale", pa.int64())]
+        ),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        m = t["mass_e8"].to_numpy().astype(np.int64)
+        nl = t["n_links"].to_numpy().astype(np.int64)
+        ns = t["n_stale"].to_numpy().astype(np.int64)
+        share = (1_000_000 * ns) // nl
+        return pa.table(
+            {"host": t["host"], "mass_e8": pa.array(m),
+             "stale_share_e6": pa.array(share),
+             "priority_x": pa.array((m * share) // 1_000_000)}
+        )
+
+    return (
+        j.map_batches(fin, batch_format="pyarrow")
+        .sort(["priority_x", "host"], descending=[True, False])
+        .limit(top)
+    )
