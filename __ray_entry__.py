@@ -1335,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_spam_heuristic": T.q_host_spam_heuristic,
         "lang_link_matrix": T.q_lang_link_matrix,
         "crawl_scheduler": T.q_crawl_scheduler,
+        "rank_gini": T.q_rank_gini,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3371,6 +3372,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "coverage_greedy": _coverage_greedy_sql(),
         "page_text_stats": _page_text_sql(),
+        "rank_gini": (
+            # S = sum(mass * rank) over hosts sorted by mass (tie order
+            # irrelevant: tied rows share the value); half-up e6 Gini
+            # (mirrors testdata.q_rank_gini)
+            f"WITH RECURSIVE {_pages_edges_cte()}, {_pr_chain('')}, "
+            "hm AS (SELECT split_part(id, '/', 3) AS host, sum(e8)::HUGEINT AS m "
+            "       FROM fin GROUP BY 1), "
+            "rk AS (SELECT m, row_number() OVER (ORDER BY m, host) AS rn FROM hm), "
+            "mo AS (SELECT count(*)::HUGEINT AS n, sum(m)::HUGEINT AS sm, "
+            "       sum(m * rn)::HUGEINT AS s FROM rk) "
+            "SELECT n::BIGINT AS n_hosts, sm::BIGINT AS sum_mass_e8, "
+            "  (CASE WHEN n * sm = 0 THEN 0 ELSE "
+            "   (2 * (2 * s - (n + 1) * sm) * 1000000 + n * sm) // (2 * n * sm) "
+            "   END)::BIGINT AS gini_e6 "
+            "FROM mo"
+        ),
         "crawl_scheduler": (
             # host PR mass (shared _pr_chain) x stale share, exact
             # integer priority, top 25 (mirrors testdata.q_crawl_scheduler)

@@ -11055,3 +11055,52 @@ def q_crawl_scheduler(sf_dir: str, n: int = 2000, top: int = 25, n_buckets: int 
         .sort(["priority_x", "host"], descending=[True, False])
         .limit(top)
     )
+
+
+def q_rank_gini(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Gini coefficient of PageRank mass ACROSS HOSTS — the
+    rank-inequality audit (is authority concentrated in a few domains
+    or spread?), exact integers end-to-end like q_degree_gini: ONE
+    engine PR run folds to per-host e8 masses (host-cardinality
+    bounded), and the driver reduces the (mass, count) histogram with
+    Python-int arithmetic to the half-up e6 Gini plus the raw moments.
+    At open host cardinality the histogram pull swaps for the
+    mergeable-sketch family, as documented for q_degree_gini."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.join import bucket_sum
+    from .graph import run_algorithm as _ra
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_rankgini_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
+    res = _ra(f"{root}/graph", f"{root}/pr", "pagerank")
+
+    def conv(t: pa.Table) -> pa.Table:
+        url = t["vertex"].cast(pa.string())
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(url, "/"), 2),
+             "m": _score_e8(t["value"])}
+        )
+
+    hm = (
+        bucket_sum(
+            res.map_batches(conv, batch_format="pyarrow"), ["host"], ["m"],
+            n_buckets,
+        )
+        .to_pandas()
+        .sort_values(["m", "host"])
+        .reset_index(drop=True)
+    )
+    v = [int(x) for x in hm["m"]]
+    n_hosts = len(v)
+    sm = sum(v)
+    s = sum(val * (i + 1) for i, val in enumerate(v))
+    num = 2 * s - (n_hosts + 1) * sm
+    den = n_hosts * sm
+    gini_e6 = 0 if den == 0 else (2 * num * 1_000_000 + den) // (2 * den)
+    return pd.DataFrame(
+        {"n_hosts": [n_hosts], "sum_mass_e8": [sm], "gini_e6": [int(gini_e6)]}
+    ).astype("int64")
