@@ -1336,6 +1336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_link_matrix": T.q_lang_link_matrix,
         "crawl_scheduler": T.q_crawl_scheduler,
         "rank_gini": T.q_rank_gini,
+        "host_rank_flow": T.q_host_rank_flow,
+        "host_outlink_diversity": T.q_host_outlink_diversity,
+        "link_crawl_lag": T.q_link_crawl_lag,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3440,6 +3443,50 @@ def oracle_sql() -> dict[str, str]:
             "  (((1000000 * d) // n + (1000000 * s) // n + (1000000 * o) // n) "
             "   // 3)::BIGINT AS spam_score_e6 "
             "FROM hh"
+        ),
+        "host_rank_flow": (
+            # per-vertex leak floor (m*cross)//deg over the symmetrized
+            # distinct edges, summed per host (mirrors
+            # testdata.q_host_rank_flow)
+            f"WITH RECURSIVE {_pages_edges_cte()}, {_pr_chain('')}, "
+            "dd AS (SELECT src AS id, count(*) AS d, "
+            "  count(*) FILTER (split_part(dst, '/', 3) <> split_part(src, '/', 3)) AS x "
+            "  FROM es GROUP BY 1), "
+            "pv AS (SELECT split_part(f.id, '/', 3) AS host, f.e8 AS m, "
+            "  (f.e8 * dd.x) // dd.d AS leak "
+            "  FROM fin f JOIN dd ON dd.id = f.id) "
+            "SELECT host, sum(m)::BIGINT AS mass_e8, sum(leak)::BIGINT AS leak_e8, "
+            "  ((1000000 * sum(leak)) // sum(m))::BIGINT AS leak_share_e6 "
+            "FROM pv GROUP BY host"
+        ),
+        "host_outlink_diversity": (
+            # inverse-Simpson effective partner count, exact integers
+            # (mirrors testdata.q_host_outlink_diversity)
+            f"WITH {_pages_edges_cte()}, "
+            "hc AS (SELECT split_part(src, '/', 3) AS host, "
+            "       split_part(dst, '/', 3) AS dh, count(*)::BIGINT AS c "
+            "       FROM e GROUP BY 1, 2) "
+            "SELECT host, count(*)::BIGINT AS n_partners, sum(c)::BIGINT AS n_links, "
+            "  ((1000000 * sum(c) * sum(c)) // sum(c * c))::BIGINT AS inv_simpson_e6 "
+            "FROM hc GROUP BY host"
+        ),
+        "link_crawl_lag": (
+            # crawl-order lag = page-id delta in seconds (warc_ts =
+            # EPOCH + id sec); ids rebuilt from the url printf; onsite
+            # targets only; pure integer sums (mirrors
+            # testdata.q_link_crawl_lag)
+            f"WITH {_pages_edges_cte()}, "
+            "ids AS (SELECT split_part(src, '/', 3) AS host, "
+            "  CAST(substr(split_part(dst, '/', 3), 6, 5) AS BIGINT) * 16 "
+            "    + CAST(split_part(dst, '/', 5) AS BIGINT) "
+            "  - CAST(substr(split_part(src, '/', 3), 6, 5) AS BIGINT) * 16 "
+            "    - CAST(split_part(src, '/', 5) AS BIGINT) AS lag "
+            "  FROM e WHERE dst LIKE 'https://site-%') "
+            "SELECT host, count(*)::BIGINT AS n_links, "
+            "  sum(lag)::BIGINT AS sum_lag_sec, "
+            "  count(*) FILTER (lag > 0)::BIGINT AS n_fwd, "
+            "  max(lag)::BIGINT AS max_lag_sec, min(lag)::BIGINT AS min_lag_sec "
+            "FROM ids GROUP BY host"
         ),
         "rank_by_lang": (
             # flagship PR (shared _pr_chain) joined onto the rebuilt

@@ -11104,3 +11104,172 @@ def q_rank_gini(sf_dir: str, n: int = 2000, n_buckets: int = 8):
     return pd.DataFrame(
         {"n_hosts": [n_hosts], "sum_mass_e8": [sm], "gini_e6": [int(gini_e6)]}
     ).astype("int64")
+
+
+def q_host_rank_flow(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Cross-host RANK-FLOW accounting: for every host, how much of its
+    pages' PageRank mass sits on adjacency entries that leave the host
+    — the "authority leakage" audit (a host whose rank mostly flows
+    offsite is a conduit; one that keeps it is a sink). ONE engine PR
+    run on the url-keyed page graph; per-vertex symmetrized degree and
+    cross-host degree reduce in one url-bucket sum over the same
+    distinct edge set the graph was built from; ONE bucket join pairs
+    mass with degrees; leak_e8 is the exact per-vertex integer floor
+    (m*cross)//deg summed per host, so the oracle reproduces it
+    bit-for-bit. n PINNED to the fixed oracle's 2000."""
+    from ..sources.pages import generate_pages
+    from ..stages.join import bucket_join, bucket_sum
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_rankflow_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
+    res = run_algorithm(f"{root}/graph", f"{root}/pr", "pagerank")
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["vertex"].cast(pa.string()), "m": _score_e8(t["value"])}
+        )
+
+    mass = res.map_batches(conv, batch_format="pyarrow")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        x = pc.not_equal(sh, dh).cast(pa.int64())
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        fwd = pa.table({"url": t["src_key"], "d": one, "x": x})
+        rev = pa.table({"url": t["dst_key"], "d": one, "x": x})
+        return pa.concat_tables([fwd, rev])
+
+    deg = bucket_sum(
+        _pages_links(n).map_batches(both_dirs, batch_format="pyarrow"),
+        ["url"], ["d", "x"], n_buckets,
+    )
+
+    j = bucket_join(
+        mass, deg, left_on="url", right_on="url", n_buckets=n_buckets,
+        left_schema=pa.schema([("url", pa.string()), ("m", pa.int64())]),
+        right_schema=pa.schema(
+            [("url", pa.string()), ("d", pa.int64()), ("x", pa.int64())]
+        ),
+    )
+
+    def per_vertex(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy().astype(np.int64)
+        d = t["d"].to_numpy().astype(np.int64)
+        x = t["x"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(t["url"], "/"), 2),
+             "m": pa.array(m), "leak": pa.array((m * x) // d)}
+        )
+
+    hostagg = bucket_sum(
+        j.map_batches(per_vertex, batch_format="pyarrow"),
+        ["host"], ["m", "leak"], n_buckets,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy().astype(np.int64)
+        lk = t["leak"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"host": t["host"], "mass_e8": pa.array(m),
+             "leak_e8": pa.array(lk),
+             "leak_share_e6": pa.array((1_000_000 * lk) // m)}
+        )
+
+    return hostagg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_host_outlink_diversity(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Outlink-diversity audit per host: the inverse-Simpson
+    "effective number of link partners" over the host's distinct
+    page-level edges grouped by target host — 1.0 means all links hit
+    one host, n_partners means perfectly spread. Exact integers:
+    inv_simpson_e6 = (1e6 * n^2) // sum(c_h^2), no logs, no floats.
+    ONE (src_host, dst_host)-cell bucket_sum (cells are tiny), ONE
+    host-bucket kernel. n PINNED to the fixed oracle's 2000."""
+    from ..stages.join import add_bucket, bucket_sum
+
+    def cells(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(t["src_key"], "/"), 2),
+             "dh": pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2),
+             "c": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    hc = bucket_sum(
+        _pages_links(n).map_batches(cells, batch_format="pyarrow"),
+        ["host", "dh"], ["c"], n_buckets,
+    )
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("host", sort=False)["c"]
+        nl = agg.sum().astype("int64")
+        s2 = g.assign(c2=g["c"] * g["c"]).groupby("host", sort=False)["c2"].sum()
+        npart = agg.size().astype("int64")
+        nl_v = nl.to_numpy(np.int64)
+        s2_v = s2.reindex(nl.index).to_numpy(np.int64)
+        return pd.DataFrame(
+            {"host": nl.index.to_numpy(), "n_partners": npart.to_numpy(np.int64),
+             "n_links": nl_v,
+             "inv_simpson_e6": (1_000_000 * nl_v * nl_v) // s2_v}
+        )
+
+    return _BMG(add_bucket(hc, ["host"], n_buckets), n_buckets, per_host, "pandas")
+
+
+def q_link_crawl_lag(sf_dir: str, n: int = 2000, n_buckets: int = 8):
+    """Crawl-order LAG profile per host: over its distinct onsite
+    outlinks, how far ahead (+) or behind (-) in crawl order the
+    targets sit — warc_ts is crawl-ordered (EPOCH + id seconds,
+    sources/pages.py:43), so the lag in seconds is the page-id delta,
+    computed IN PLACE from the urls like q_lang_link_matrix (no join,
+    no broadcast). Pure integer sums — no mean division, so no
+    negative-floor convention to pin. n PINNED to the oracle's 2000."""
+    from ..stages.join import add_bucket
+
+    def lags(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["dst_key"], "https://site-")
+        f = t.filter(keep)
+        if f.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], pa.string()),
+                 "n_links": pa.array([], pa.int64()),
+                 "sum_lag_sec": pa.array([], pa.int64()),
+                 "n_fwd": pa.array([], pa.int64()),
+                 "max_lag_sec": pa.array([], pa.int64()),
+                 "min_lag_sec": pa.array([], pa.int64())}
+            )
+
+        def ids(arr) -> np.ndarray:
+            a = arr.to_numpy(zero_copy_only=False).astype(str)
+            site = np.char.partition(
+                np.char.partition(a, "site-")[:, 2], "."
+            )[:, 0].astype(np.int64)
+            page = np.char.rpartition(a, "/")[:, 2].astype(np.int64)
+            return site * 16 + page
+
+        lag = ids(f["dst_key"]) - ids(f["src_key"])
+        host = pc.list_element(pc.split_pattern(f["src_key"], "/"), 2)
+        return pa.table(
+            {"host": host,
+             "n_links": pa.array(np.ones(len(lag), np.int64)),
+             "sum_lag_sec": pa.array(lag),
+             "n_fwd": pa.array((lag > 0).astype(np.int64)),
+             "max_lag_sec": pa.array(lag),
+             "min_lag_sec": pa.array(lag)}
+        )
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", as_index=False, sort=False).agg(
+            n_links=("n_links", "sum"),
+            sum_lag_sec=("sum_lag_sec", "sum"),
+            n_fwd=("n_fwd", "sum"),
+            max_lag_sec=("max_lag_sec", "max"),
+            min_lag_sec=("min_lag_sec", "min"),
+        )
+        return out
+
+    part = _pages_links(n).map_batches(lags, batch_format="pyarrow")
+    return _BMG(add_bucket(part, ["host"], n_buckets), n_buckets, per_host, "pandas")
