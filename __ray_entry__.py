@@ -1339,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank_flow": T.q_host_rank_flow,
         "host_outlink_diversity": T.q_host_outlink_diversity,
         "link_crawl_lag": T.q_link_crawl_lag,
+        "term_heavy_hitters": T.q_term_heavy_hitters,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3487,6 +3488,16 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (lag > 0)::BIGINT AS n_fwd, "
             "  max(lag)::BIGINT AS max_lag_sec, min(lag)::BIGINT AS min_lag_sec "
             "FROM ids GROUP BY host"
+        ),
+        "term_heavy_hitters": (
+            # exact {t : f(t) > n//40} — the MG two-pass output is
+            # provably this set (mirrors testdata.q_term_heavy_hitters)
+            "WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            "             AS term FROM documents WHERE trim(text) <> ''), "
+            "tot AS (SELECT count(*)::BIGINT AS n FROM tok) "
+            "SELECT term, count(*)::BIGINT AS cnt "
+            "FROM tok CROSS JOIN tot GROUP BY term, tot.n "
+            "HAVING count(*) > tot.n // 40"
         ),
         "rank_by_lang": (
             # flagship PR (shared _pr_chain) joined onto the rebuilt

@@ -11273,3 +11273,26 @@ def q_link_crawl_lag(sf_dir: str, n: int = 2000, n_buckets: int = 8):
 
     part = _pages_links(n).map_batches(lags, batch_format="pyarrow")
     return _BMG(add_bucket(part, ["host"], n_buckets), n_buckets, per_host, "pandas")
+
+
+def q_term_heavy_hitters(sf_dir: str, k: int = 40):
+    """EXACT heavy hitters without a vocabulary shuffle: every term
+    holding more than 1/k of the corpus token stream, with exact
+    counts — the Misra-Gries two-pass (bounded summaries -> <= k
+    candidates -> broadcast recount, stages/heavyhitters.py). The
+    output is provably {t : f(t) > n//k} regardless of batch/block/
+    merge order, so it hash-matches a plain GROUP BY ... HAVING
+    oracle; the full-shuffle variant is q_top_terms."""
+    from ..stages.heavyhitters import heavy_hitters
+
+    def extract(t: pa.Table) -> np.ndarray:
+        s = (
+            pd.Series(t["text"].to_numpy(zero_copy_only=False))
+            .astype(str)
+            .str.split()
+            .explode()
+            .dropna()
+        )
+        return s.to_numpy()
+
+    return heavy_hitters(_table(sf_dir, "documents", ["text"]), extract, k=k)

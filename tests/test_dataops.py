@@ -356,3 +356,41 @@ def test_kcore_rounds_cap_matches_oracle_semantics():
     assert int(exp["in_core"].sum()) > 0, "cap not hit — test is vacuous"
     assert int((exp["peel_round"] == 1).sum()) > 0
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_heavy_hitters_exact_vs_counter():
+    """Planted Zipf-ish skew across many small batches: the MG two-pass
+    output must equal the exact {t : f(t) > n//k} set with exact
+    counts, for a k small enough that summaries genuinely compress."""
+    from collections import Counter
+
+    from distributed_graph_computing_platform_ray.stages.heavyhitters import (
+        heavy_hitters,
+        mg_compress,
+    )
+
+    rng = np.random.default_rng(7)
+    # 400 distinct terms, a few very hot ones
+    vocab = np.array([f"t{i:03d}" for i in range(400)])
+    weights = 1.0 / (np.arange(1, 401) ** 1.5)
+    toks = rng.choice(vocab, size=20_000, p=weights / weights.sum())
+    exact = Counter(toks.tolist())
+    n = len(toks)
+
+    ds = rd.from_pandas(pd.DataFrame({"tok": toks})).repartition(16)
+
+    def extract(t: pa.Table) -> np.ndarray:
+        return t["tok"].to_numpy(zero_copy_only=False)
+
+    for k in (5, 20, 60):
+        got = heavy_hitters(ds, extract, k=k, n_merge_blocks=4)
+        want = {t: c for t, c in exact.items() if c > n // k}
+        assert dict(zip(got["term"], got["cnt"])) == want, k
+
+    # compress bound: kept count never exceeds true, deficit <= n/(k+1)
+    terms, counts = np.unique(toks, return_counts=True)
+    kt, kc = mg_compress(terms, counts.astype(np.int64), 10)
+    assert len(kt) <= 10
+    tru = np.array([exact[t] for t in kt])
+    assert (kc <= tru).all()
+    assert ((tru - kc) <= n // 11 + 1).all()
