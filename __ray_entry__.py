@@ -1340,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_outlink_diversity": T.q_host_outlink_diversity,
         "link_crawl_lag": T.q_link_crawl_lag,
         "term_heavy_hitters": T.q_term_heavy_hitters,
+        "cheirank": T.q_cheirank,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -1449,6 +1450,29 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_directed": (
             "WITH RECURSIVE "
             "eb AS (SELECT DISTINCT l_orderkey % 200 AS src, l_partkey % 200 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM eb GROUP BY src), "
+            "v AS (SELECT DISTINCT id FROM "
+            "      (SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.id, "
+            "         0.15/nn.n + 0.85 * COALESCE(SUM(q.val / dd.d), 0.0) "
+            "  FROM pr p CROSS JOIN nn "
+            "  LEFT JOIN eb e ON e.dst = p.id "
+            "  LEFT JOIN pr q ON q.id = e.src AND q.it = p.it "
+            "  LEFT JOIN deg dd ON dd.id = e.src "
+            "  WHERE p.it < 30 GROUP BY p.it, p.id, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 30"
+        ),
+        "cheirank": (
+            # pagerank_directed with the edge derivation transposed
+            # (mirrors testdata.q_cheirank)
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT l_partkey % 200 AS src, l_orderkey % 200 AS dst "
             "       FROM lineitem WHERE l_orderkey % 200 <> l_partkey % 200), "
             "deg AS (SELECT src AS id, count(*) AS d FROM eb GROUP BY src), "
             "v AS (SELECT DISTINCT id FROM "

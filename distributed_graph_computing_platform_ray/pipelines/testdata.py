@@ -139,6 +139,18 @@ def edges_lineitem_directed(sf_dir: str) -> rd.Dataset:
     return distinct(ds.map_batches(derive, batch_format="pyarrow"), ["src", "dst"])
 
 
+def edges_lineitem_directed_rev(sf_dir: str) -> rd.Dataset:
+    """The directed lineitem graph with every edge reversed — CheiRank
+    runs ordinary PageRank over this transpose, ranking SPREADERS
+    (pages whose outlinks reach important sinks) instead of
+    authorities (Chepelianskii 2010)."""
+
+    def flip(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    return edges_lineitem_directed(sf_dir).map_batches(flip, batch_format="pyarrow")
+
+
 def edges_lineitem_hits(sf_dir: str) -> rd.Dataset:
     """Doubled bipartite HITS graph over the directed lineitem edges:
     edge (u,v) becomes hub-node 2u -> auth-node 2v+1 AND 2v+1 -> 2u, so
@@ -211,6 +223,7 @@ _DERIVATIONS = {
     "lineitem_sub5": (edges_lineitem_sub5, True),
     "orders": (edges_orders, True),
     "lineitem_directed": (edges_lineitem_directed, False),
+    "lineitem_directed_rev": (edges_lineitem_directed_rev, False),
     "sparse_directed": (edges_sparse_directed, False),
     "sparse_directed_rev": (edges_sparse_directed_rev, False),
     "lineitem_hits": (edges_lineitem_hits, False),
@@ -11296,3 +11309,13 @@ def q_term_heavy_hitters(sf_dir: str, k: int = 40):
         return s.to_numpy()
 
     return heavy_hitters(_table(sf_dir, "documents", ["text"]), extract, k=k)
+
+
+def q_cheirank(sf_dir: str):
+    """CheiRank: PageRank on the TRANSPOSED directed graph — the
+    communicativity twin of pagerank_directed (authorities vs
+    spreaders; Chepelianskii 2010, Zhirov et al. 2010). Same engine,
+    same recurrence, edges reversed at derivation time (zero extra
+    machinery: the transpose is just a column swap before ingest)."""
+    res = _run_cached(sf_dir, "lineitem_directed_rev", "pagerank")
+    return _as_int_vertex(res, "score_e8", _score_e8)
