@@ -1341,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_crawl_lag": T.q_link_crawl_lag,
         "term_heavy_hitters": T.q_term_heavy_hitters,
         "cheirank": T.q_cheirank,
+        "anchor_bm25": T.q_anchor_bm25,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3522,6 +3523,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, count(*)::BIGINT AS cnt "
             "FROM tok CROSS JOIN tot GROUP BY term, tot.n "
             "HAVING count(*) > tot.n // 40"
+        ),
+        "anchor_bm25": (
+            # anchor doc per target from pre-dedup instances (res):
+            # tokens ['link', k] so dl = 2*inlinks and tf(term d) =
+            # #instances with k = d; same exact-integer BM25 rational
+            # as doc_bm25 (mirrors testdata.q_anchor_bm25)
+            f"WITH {_pages_edges_cte()}, "
+            "inst AS (SELECT href AS dst, k FROM res), "
+            "doc AS (SELECT dst, 2 * count(*) AS dl, "
+            "  count(*) FILTER (k = 3) AS t0, count(*) FILTER (k = 7) AS t1, "
+            "  count(*) FILTER (k = 12) AS t2 FROM inst GROUP BY dst), "
+            "st AS (SELECT count(*)::HUGEINT AS n, sum(dl)::HUGEINT AS tot, "
+            "  (count(*) FILTER (t0 > 0))::HUGEINT AS d0, "
+            "  (count(*) FILTER (t1 > 0))::HUGEINT AS d1, "
+            "  (count(*) FILTER (t2 > 0))::HUGEINT AS d2 FROM doc), "
+            "pr AS (SELECT tot // n AS a, "
+            "  ((n - d0 + 1) * 2000000 + (d0 + 1)) // (2 * (d0 + 1)) AS i0, "
+            "  ((n - d1 + 1) * 2000000 + (d1 + 1)) // (2 * (d1 + 1)) AS i1, "
+            "  ((n - d2 + 1) * 2000000 + (d2 + 1)) // (2 * (d2 + 1)) AS i2 FROM st) "
+            "SELECT dst AS url, ( "
+            "  CASE WHEN t0 > 0 THEN (2 * i0 * 22 * t0 * a + (10*t0*a + 3*a + 9*dl)) "
+            "       // (2 * (10*t0*a + 3*a + 9*dl)) ELSE 0 END "
+            "  + CASE WHEN t1 > 0 THEN (2 * i1 * 22 * t1 * a + (10*t1*a + 3*a + 9*dl)) "
+            "       // (2 * (10*t1*a + 3*a + 9*dl)) ELSE 0 END "
+            "  + CASE WHEN t2 > 0 THEN (2 * i2 * 22 * t2 * a + (10*t2*a + 3*a + 9*dl)) "
+            "       // (2 * (10*t2*a + 3*a + 9*dl)) ELSE 0 END)::BIGINT AS bm25_e6 "
+            "FROM doc CROSS JOIN pr WHERE t0 > 0 OR t1 > 0 OR t2 > 0"
         ),
         "rank_by_lang": (
             # flagship PR (shared _pr_chain) joined onto the rebuilt

@@ -11319,3 +11319,86 @@ def q_cheirank(sf_dir: str):
     machinery: the transpose is just a column swap before ingest)."""
     res = _run_cached(sf_dir, "lineitem_directed_rev", "pagerank")
     return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_anchor_bm25(sf_dir: str, n: int = 2000, terms: tuple = ("3", "7", "12"), n_buckets: int = 16):
+    """Inlink-ANCHOR retrieval: BM25-score every link target against a
+    fixed query-term set over the text other pages use to link to it —
+    the classic web-search signal (anchor text describes the target
+    better than the target does; Brin & Page 1998). Anchor token
+    streams aggregate per target in ONE dst-bucket shuffle (instances
+    kept — duplicate links carry anchor weight, like q_anchor_stats);
+    corpus stats (N, total_dl, df_t) reduce from bounded per-block
+    partials; scoring is the same all-integer exact BM25 rational as
+    q_doc_bm25 (k1=1.2, b=0.75, half-up e6). Rows keep targets whose
+    anchors contain any query term. n PINNED to the fixed oracle's
+    2000."""
+    from ..functions.html import decode_html, extract_links_with_anchors
+    from ..sources.pages import generate_pages
+    from ..stages.join import add_bucket
+
+    terms = list(terms)
+
+    def inst(t: pa.Table) -> pa.Table:
+        dsts, anchors = [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for href, anch in extract_links_with_anchors(decode_html(h), u):
+                dsts.append(href)
+                anchors.append(anch)
+        return pa.table(
+            {"dst": pa.array(dsts, pa.string()),
+             "anchor": pa.array(anchors, pa.string())}
+        )
+
+    def per_target(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["anchor"].astype(str).str.split()
+        lens = tok.str.len().to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"dst": df["dst"].to_numpy().repeat(lens),
+             "tok": np.concatenate(tok.to_numpy()) if lens.sum() else np.array([], object)}
+        )
+        agg = g.groupby("dst", sort=False)
+        out = pd.DataFrame({"dst": agg.size().index, "dl": agg.size().to_numpy(np.int64)})
+        for i, t in enumerate(terms):
+            tf = g[g["tok"] == t].groupby("dst", sort=False).size()
+            out[f"tf{i}"] = tf.reindex(out["dst"]).fillna(0).to_numpy(np.int64)
+        return out
+
+    doc = _BMG(
+        add_bucket(
+            generate_pages(n).map_batches(inst, batch_format="pyarrow"),
+            ["dst"], n_buckets,
+        ),
+        n_buckets, per_target, "pandas",
+    ).materialize()
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": [len(df)], "tot": [int(df["dl"].sum())]}
+        for i in range(len(terms)):
+            row[f"df{i}"] = [int((df[f"tf{i}"] > 0).sum())]
+        return pd.DataFrame(row)
+
+    stats = doc.map_batches(stat_partial, batch_format="pandas").to_pandas().sum()
+    nn, tot = int(stats["n"]), int(stats["tot"])
+    a = tot // nn
+    idf6 = []
+    for i in range(len(terms)):
+        df_t = int(stats[f"df{i}"])
+        idf6.append(((nn - df_t + 1) * 2_000_000 + (df_t + 1)) // (2 * (df_t + 1)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(np.int64)
+        total = np.zeros(len(df), np.int64)
+        anytf = np.zeros(len(df), bool)
+        for i in range(len(terms)):
+            tf = df[f"tf{i}"].to_numpy(np.int64)
+            hit = tf > 0
+            anytf |= hit
+            num = idf6[i] * 22 * tf[hit] * a
+            den = 10 * tf[hit] * a + 3 * a + 9 * dl[hit]
+            total[hit] += (2 * num + den) // (2 * den)
+        return pd.DataFrame(
+            {"url": df["dst"].to_numpy()[anytf], "bm25_e6": total[anytf]}
+        ).astype({"bm25_e6": "int64"})
+
+    return doc.map_batches(score, batch_format="pandas")
