@@ -1342,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_heavy_hitters": T.q_term_heavy_hitters,
         "cheirank": T.q_cheirank,
         "anchor_bm25": T.q_anchor_bm25,
+        "graph_patch_pr": T.q_graph_patch_pr,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3381,6 +3382,9 @@ def oracle_sql() -> dict[str, str]:
         "media_framesample": _frame_sample_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "pages_linkgraph_pagerank": _pages_pr_sql(),
+        # incremental build == full rebuild: the patched graph must
+        # reproduce the from-scratch flagship's oracle bit-for-bit
+        "graph_patch_pr": _pages_pr_sql(),
         "domain_pagerank": _domain_pr_sql(),
         "trustrank_domains": _trustrank_sql(),
         "spam_mass": _spam_mass_sql(),

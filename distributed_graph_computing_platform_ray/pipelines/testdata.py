@@ -11402,3 +11402,71 @@ def q_anchor_bm25(sf_dir: str, n: int = 2000, terms: tuple = ("3", "7", "12"), n
         ).astype({"bm25_e6": "int64"})
 
     return doc.map_batches(score, batch_format="pandas")
+
+
+def q_graph_patch_pr(sf_dir: str, n: int = 2000, n_base: int = 1600):
+    """INCREMENTAL INGEST end-to-end proof: build the url page graph
+    from the first 1600 crawl pages, patch_graph the remaining 400 in
+    (only touched CSR partitions rebuild; untouched shards hardlink;
+    existing vertex ids keep their ranks, new urls append), then run
+    the full 30-iteration PageRank on the PATCHED build — the top-25
+    must hash-match the SAME fixed oracle as the from-scratch flagship
+    (pages_linkgraph_pagerank), i.e. incremental == full rebuild,
+    through the engine, bit-for-bit at e8. n PINNED to the oracle's
+    2000."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .pages import build_link_graph
+    from .patch import patch_graph
+
+    root = f"/tmp/graft_patch_{n}_{n_base}"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = generate_pages(n)
+
+    def in_base(t: pa.Table) -> pa.Table:
+        site = pc.list_element(pc.split_pattern(t["url"], "site-"), 1)
+        sid = pc.cast(pc.list_element(pc.split_pattern(site, "."), 0), pa.int64())
+        pid = pc.cast(
+            pc.list_element(pc.split_pattern(t["url"], "/"), 4), pa.int64()
+        )
+        i = pc.add(pc.multiply(sid, 16), pid)
+        return t.filter(pc.less(i, n_base))
+
+    def in_inc(t: pa.Table) -> pa.Table:
+        site = pc.list_element(pc.split_pattern(t["url"], "site-"), 1)
+        sid = pc.cast(pc.list_element(pc.split_pattern(site, "."), 0), pa.int64())
+        pid = pc.cast(
+            pc.list_element(pc.split_pattern(t["url"], "/"), 4), pa.int64()
+        )
+        i = pc.add(pc.multiply(sid, 16), pid)
+        return t.filter(pc.greater_equal(i, n_base))
+
+    build_link_graph(
+        pages.map_batches(in_base, batch_format="pyarrow"),
+        f"{root}/g_base", n_parts=8, n_buckets=16,
+    )
+    # increment links dedup within the batch only — exactly the global
+    # distinct here, since link instances are keyed by their source
+    # page and the increment's source pages are disjoint from the base
+    patch_graph(
+        f"{root}/g_base",
+        extract_links(pages.map_batches(in_inc, batch_format="pyarrow")),
+        f"{root}/g_patch",
+        dedup=True,
+        n_buckets=16,
+    )
+    res = run_algorithm(f"{root}/g_patch", f"{root}/pr", "pagerank")
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "score_e8": _score_e8(t["value"]),
+            }
+        )
+
+    return (
+        res.map_batches(conv, batch_format="pyarrow")
+        .sort(["score_e8", "vertex"], descending=[True, False])
+        .limit(25)
+    )
