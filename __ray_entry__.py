@@ -1343,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheirank": T.q_cheirank,
         "anchor_bm25": T.q_anchor_bm25,
         "graph_patch_pr": T.q_graph_patch_pr,
+        "graph_delete_degrees": T.q_graph_delete_degrees,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3385,6 +3386,21 @@ def oracle_sql() -> dict[str, str]:
         # incremental build == full rebuild: the patched graph must
         # reproduce the from-scratch flagship's oracle bit-for-bit
         "graph_patch_pr": _pages_pr_sql(),
+        "graph_delete_degrees": (
+            # vertex universe stays after deletion; degrees count only
+            # directed edges whose source page survived (mirrors
+            # testdata.q_graph_delete_degrees)
+            f"WITH {_pages_edges_cte()}, "
+            "vid AS (SELECT CAST(substr(split_part(src, '/', 3), 6, 5) AS BIGINT) * 16 "
+            "        + CAST(split_part(src, '/', 5) AS BIGINT) AS i, src, dst FROM e), "
+            "keep AS (SELECT src, dst FROM vid WHERE i < 1600), "
+            "verts AS (SELECT DISTINCT v FROM "
+            "          (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), "
+            "sl AS (SELECT src AS v FROM keep UNION ALL SELECT dst FROM keep), "
+            "dg AS (SELECT v, count(*)::BIGINT AS degree FROM sl GROUP BY v) "
+            "SELECT verts.v AS vertex, COALESCE(dg.degree, 0)::BIGINT AS degree "
+            "FROM verts LEFT JOIN dg ON dg.v = verts.v"
+        ),
         "domain_pagerank": _domain_pr_sql(),
         "trustrank_domains": _trustrank_sql(),
         "spam_mass": _spam_mass_sql(),

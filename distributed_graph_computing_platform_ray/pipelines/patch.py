@@ -271,3 +271,124 @@ def patch_graph(
     manifest.n_edges_directed = int(sum(r["n_edges"] for r in manifest.parts))
     manifest.save()
     return manifest
+
+
+def delete_edges(
+    graph_dir: str,
+    del_edges_keys: rd.Dataset,
+    out_dir: str,
+    *,
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+    n_buckets: int | None = None,
+    source_info: dict | None = None,
+) -> GraphManifest:
+    """Multiset edge REMOVAL: the inverse of ``patch_graph``.
+
+    Each (src,dst) row of ``del_edges_keys`` removes ONE occurrence of
+    that directed edge (both symmetrized slots on a symmetrized build);
+    occurrences beyond the stored multiplicity are ignored. The vertex
+    universe is untouched — vertices that lose their last edge stay,
+    isolated (ids are stable identifiers; compaction is a re-ingest).
+    Only partitions holding a deleted slot rebuild; everything else
+    hardlinks, exactly like patch_graph. Deleting the edges a patch
+    added yields the pre-patch shard BYTES (CRC-equal) — the roundtrip
+    property tests/test_patch.py pins."""
+    old = GraphManifest.load(graph_dir)
+    n_buckets = n_buckets or old.n_buckets
+    weighted = old.weighted
+
+    os.makedirs(os.path.join(out_dir, "vertices"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "csr"), exist_ok=True)
+
+    def as_kv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["key"].cast(pa.large_string()), "id": t["id"].cast(pa.int64())}
+        )
+
+    dict_all = rd.read_parquet(os.path.join(graph_dir, "vertices")).map_batches(
+        as_kv, batch_format="pyarrow"
+    )
+    # unknown keys would surface as nulls in the encode join; a delete
+    # for an edge the graph never had is a caller bug worth raising on
+    if old.n_vertices <= BROADCAST_DICT_LIMIT:
+        enc = encode_edges_broadcast(
+            del_edges_keys, dict_all, src_col, dst_col, weighted=False
+        )
+    else:
+        enc = encode_edges(
+            del_edges_keys, dict_all, src_col, dst_col, n_buckets, weighted=False
+        )
+    if old.symmetrized:
+        enc = symmetrize(enc)
+
+    manifest = GraphManifest(
+        graph_dir=out_dir,
+        n_vertices=old.n_vertices,
+        n_edges_directed=0,
+        part_size=old.part_size,
+        n_parts=old.n_parts,
+        weighted=weighted,
+        n_buckets=n_buckets,
+        symmetrized=old.symmetrized,
+        keys_numeric=old.keys_numeric,
+        source={
+            "deleted_from": os.path.abspath(graph_dir),
+            **(source_info or {}),
+        },
+    )
+
+    def drop_part(part: int, t: pa.Table):
+        lo, hi = manifest.part_bounds(part)
+        old_indptr = np.load(old.csr_path(part, "indptr"))
+        old_indices = np.load(old.csr_path(part, "indices")).astype(np.int64)
+        src_old = lo + np.repeat(
+            np.arange(hi - lo, dtype=np.int64), np.diff(old_indptr)
+        )
+        w_old = np.load(old.csr_path(part, "weights")) if weighted else None
+        ds_ = t["src"].to_numpy().astype(np.int64)
+        dd_ = t["dst"].to_numpy().astype(np.int64)
+        if np.any(ds_ < lo) or np.any(ds_ >= hi):
+            raise ValueError("delete edge routed to wrong partition")
+        # multiset difference: rows sort by (src,dst) (shard order is
+        # already lexsorted by build_shard_arrays, re-assert to be
+        # independent of weight tie order), each pair's first
+        # del_count(pair) occurrences drop
+        pair_old = src_old * (old.n_vertices + 1) + old_indices
+        pair_del = ds_ * (old.n_vertices + 1) + dd_
+        order = np.argsort(pair_old, kind="stable")
+        po = pair_old[order]
+        uniq, inv, cnt = np.unique(po, return_inverse=True, return_counts=True)
+        starts = np.cumsum(cnt) - cnt
+        occ = np.arange(len(po), dtype=np.int64) - starts[inv]
+        del_uniq, del_cnt = np.unique(pair_del, return_counts=True)
+        dc = np.zeros(len(uniq), dtype=np.int64)
+        pos = np.searchsorted(uniq, del_uniq)
+        ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == del_uniq)
+        dc[pos[ok]] = del_cnt[ok]
+        keep_sorted = occ >= dc[inv]
+        keep = np.empty(len(po), dtype=bool)
+        keep[order] = keep_sorted
+        indptr, indices, ww = build_shard_arrays(
+            src_old[keep], old_indices[keep],
+            (w_old[keep] if weighted else None), lo, hi,
+        )
+        return write_shard(manifest, part, indptr, indices, ww)
+
+    rows = exchange_reduce(
+        enc, old.n_parts, lambda t: t["src"].to_numpy() // old.part_size, drop_part
+    )
+    csr_rows = {int(r["part"]): r for r in rows}
+    old_rows = {int(r["part"]): r for r in old.parts}
+    for p in range(old.n_parts):
+        _link(old.vertices_path(p), manifest.vertices_path(p))
+        if p in csr_rows:
+            continue
+        for kind in ("indptr", "indices") + (("weights",) if weighted else ()):
+            _link(old.csr_path(p, kind), manifest.csr_path(p, kind))
+        csr_rows[p] = old_rows[p]
+
+    manifest.parts = sorted(csr_rows.values(), key=lambda r: int(r["part"]))
+    manifest.n_edges_directed = int(sum(r["n_edges"] for r in manifest.parts))
+    manifest.save()
+    return manifest

@@ -11470,3 +11470,56 @@ def q_graph_patch_pr(sf_dir: str, n: int = 2000, n_base: int = 1600):
         .sort(["score_e8", "vertex"], descending=[True, False])
         .limit(25)
     )
+
+
+def q_graph_delete_degrees(sf_dir: str, n: int = 2000, n_keep: int = 1600):
+    """EDGE DELETION end-to-end proof (the inverse of graph_patch_pr):
+    build the full 2000-page url graph, delete_edges every link whose
+    source page left the crawl (pages >= 1600 — a site-removal event),
+    and read per-vertex degrees off the patched shards. The vertex
+    universe stays (ids are stable identifiers; orphaned urls report
+    degree 0), so the oracle is the FULL graph's endpoint set with
+    degrees counted only over surviving directed edges — exact. Only
+    partitions holding a deleted slot rebuild; the rest hardlink. n
+    PINNED to the fixed oracle's 2000."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .pages import build_link_graph
+    from .patch import delete_edges
+
+    root = f"/tmp/graft_del_{n}_{n_keep}"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = generate_pages(n)
+    build_link_graph(pages, f"{root}/g_full", n_parts=8, n_buckets=16)
+
+    def gone_src(t: pa.Table) -> pa.Table:
+        site = pc.list_element(pc.split_pattern(t["src_key"], "site-"), 1)
+        sid = pc.cast(pc.list_element(pc.split_pattern(site, "."), 0), pa.int64())
+        pid = pc.cast(
+            pc.list_element(pc.split_pattern(t["src_key"], "/"), 4), pa.int64()
+        )
+        i = pc.add(pc.multiply(sid, 16), pid)
+        return t.filter(pc.greater_equal(i, n_keep))
+
+    delete_edges(
+        f"{root}/g_full",
+        _pages_links(n).map_batches(gone_src, batch_format="pyarrow"),
+        f"{root}/g_del",
+        n_buckets=16,
+    )
+
+    man = GraphManifest.load(f"{root}/g_del")
+
+    def shard_degrees(t: pa.Table) -> pa.Table:
+        outs_v, outs_d = [], []
+        for p in t["id"].to_numpy():
+            shard = load_shard(man, int(p))
+            keys = load_vertex_keys(man, int(p))
+            outs_v.append(keys)
+            outs_d.append(shard.degrees().astype(np.int64))
+        return pa.table(
+            {"vertex": pa.array(np.concatenate(outs_v), pa.string()),
+             "degree": pa.array(np.concatenate(outs_d))}
+        )
+
+    return rd.range(man.n_parts).map_batches(shard_degrees, batch_format="pyarrow")

@@ -148,3 +148,41 @@ def test_patch_weighted_with_new_vertices():
     assert set(got_f) == set(got_p)
     for k in got_f:
         assert got_f[k] == pytest.approx(got_p[k], abs=1e-12), k
+
+
+def test_delete_roundtrip_restores_shard_bytes(dirs):
+    """delete(patch(G, inc), inc) must equal G at the BYTE level for
+    every partition in G's range: CSR rows re-lexsort, so removing the
+    exact multiset a patch added restores the pre-patch arrays (CRCs
+    from the manifests prove it without loading)."""
+    _, patch = dirs
+    mp = GraphManifest.load(patch)
+    base_dir = mp.source["patched_from"]
+    base = GraphManifest.load(base_dir)
+    from distributed_graph_computing_platform_ray.pipelines.patch import delete_edges
+
+    delete_edges(patch, read_edge_list(f"{TMP}/inc.txt"), f"{TMP}/g_undo")
+    undo = GraphManifest.load(f"{TMP}/g_undo")
+    assert undo.n_vertices == mp.n_vertices  # vertices never drop
+    bc = {int(r["part"]): r for r in base.parts}
+    uc = {int(r["part"]): r for r in undo.parts}
+    for p, row in bc.items():
+        assert uc[p]["crc_indices"] == row["crc_indices"], p
+        assert uc[p]["n_edges"] == row["n_edges"], p
+    # partitions beyond the base range hold only patch-added vertices:
+    # all their edges came from the increment, so they must be empty
+    for p, row in uc.items():
+        if p not in bc:
+            assert row["n_edges"] == 0, p
+
+
+def test_delete_unknown_key_raises(dirs):
+    full, _ = dirs
+    import pandas as pd
+    from distributed_graph_computing_platform_ray.pipelines.patch import delete_edges
+
+    bogus = rd.from_pandas(
+        pd.DataFrame({"src_key": ["no-such-vertex"], "dst_key": ["1"]})
+    )
+    with pytest.raises(Exception):
+        delete_edges(full, bogus, f"{TMP}/g_bogus")
