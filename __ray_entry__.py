@@ -1344,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_bm25": T.q_anchor_bm25,
         "graph_patch_pr": T.q_graph_patch_pr,
         "graph_delete_degrees": T.q_graph_delete_degrees,
+        "domain_hits": T.q_domain_hits,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3402,6 +3403,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM verts LEFT JOIN dg ON dg.v = verts.v"
         ),
         "domain_pagerank": _domain_pr_sql(),
+        "domain_hits": (
+            # weighted HITS on the contracted host graph via the
+            # doubled bipartite recursion: 4 supersteps of integer-
+            # exact weighted sum propagation, one half-up e8
+            # normalization per family (mirrors testdata.q_domain_hits)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "de AS (SELECT split_part(src, '/', 3) AS s, split_part(dst, '/', 3) AS d, "
+            "       count(*)::BIGINT AS w FROM e GROUP BY 1, 2), "
+            "dd AS (SELECT 'h:' || s AS sv, 'a:' || d AS tv, w FROM de "
+            "       UNION ALL SELECT 'a:' || d, 'h:' || s, w FROM de), "
+            "it AS ( "
+            "  SELECT 0 AS i, v, CAST(1 AS DOUBLE) AS val "
+            "  FROM (SELECT DISTINCT sv AS v FROM dd) "
+            "  UNION ALL "
+            "  SELECT p.i + 1, dd.tv, SUM(p.val * dd.w) FROM it p "
+            "  JOIN dd ON dd.sv = p.v WHERE p.i < 4 GROUP BY p.i, dd.tv), "
+            "fin AS (SELECT v, val FROM it WHERE i = 4), "
+            "uni AS (SELECT DISTINCT sv AS v FROM dd), "
+            "hv AS (SELECT substr(uni.v, 3) AS host, "
+            "  CASE WHEN uni.v LIKE 'h:%' THEN COALESCE(fin.val, 0) ELSE 0 END AS hub, "
+            "  CASE WHEN uni.v LIKE 'a:%' THEN COALESCE(fin.val, 0) ELSE 0 END AS auth "
+            "  FROM uni LEFT JOIN fin ON fin.v = uni.v), "
+            "pv AS (SELECT host, CAST(sum(hub) AS HUGEINT) AS hub, "
+            "       CAST(sum(auth) AS HUGEINT) AS auth FROM hv GROUP BY host), "
+            "tot AS (SELECT sum(hub) AS th, sum(auth) AS ta FROM pv) "
+            "SELECT host, "
+            "  ((2 * hub * 100000000 + th) // (2 * th))::BIGINT AS hub_e8, "
+            "  ((2 * auth * 100000000 + ta) // (2 * ta))::BIGINT AS auth_e8 "
+            "FROM pv CROSS JOIN tot"
+        ),
         "trustrank_domains": _trustrank_sql(),
         "spam_mass": _spam_mass_sql(),
         "doc_readability": (

@@ -506,6 +506,22 @@ class SumPropagation(Algorithm):
         return False
 
 
+class WeightedSumPropagation(SumPropagation):
+    """Weighted identity-scatter sum propagation:
+    x_t(v) = sum over in-edges (u,v) of w_uv * x_{t-1}(u), x_0 = 1 —
+    the building block for WEIGHTED HITS on a doubled weighted
+    bipartite graph (parallel page links carry citation weight).
+    Iterates stay exact integers for integer weights while below 2^53,
+    so a SQL recursive CTE reproduces them bit-equal."""
+
+    def __init__(self, num_iters: int = 4):
+        super().__init__(num_iters=num_iters)
+        self.name = "sumprop_weighted"
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values, mul_edge_weight=True)
+
+
 class KatzPropagation(Algorithm):
     """INTEGER-EXACT Katz centrality, attenuation beta = 1/8: after T
     supersteps value(v) = 8^T * Katz_T(v) = sum_{k=0..T} walks_k(v) *
@@ -986,6 +1002,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return LabelPropagation(**params)
     if name in ("sumprop", "sum_propagation"):
         return SumPropagation(**params)
+    if name in ("sumprop_weighted", "weighted_sum_propagation"):
+        return WeightedSumPropagation(**params)
     if name == "katz":
         return KatzPropagation(**params)
     if name == "anf":

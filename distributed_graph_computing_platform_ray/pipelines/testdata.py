@@ -11523,3 +11523,87 @@ def q_graph_delete_degrees(sf_dir: str, n: int = 2000, n_keep: int = 1600):
         )
 
     return rd.range(man.n_parts).map_batches(shard_degrees, batch_format="pyarrow")
+
+
+def q_domain_hits(sf_dir: str, n: int = 2000, num_iters: int = 4):
+    """WEIGHTED HITS on the contracted domain graph: which hosts are
+    hub domains (link out to authoritative hosts) vs authority domains
+    (linked from good hubs), with parallel page links carrying integer
+    citation weight — Kleinberg 1999 over the host web. The doubled
+    bipartite trick from q_hits, but the doubling happens on STRING
+    keys ('h:'/'a:' prefixes) and the scatter multiplies by edge weight
+    (algorithms.WeightedSumPropagation). Iterates stay exact integers
+    (asserted < 2^53), one final half-up e8 normalization per family.
+    n PINNED to the fixed oracle's 2000."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from ..stages.join import bucket_sum
+    from .ingest import build_graph as _bg
+    from .pages import contract_link_graph
+
+    root = f"/tmp/graft_domhits_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    dom = contract_link_graph(extract_links(generate_pages(n)), 32)
+
+    def double(df: pd.DataFrame) -> pd.DataFrame:
+        h = "h:" + df["src_key"].astype(str)
+        a = "a:" + df["dst_key"].astype(str)
+        w = df["weight"].astype("float64")
+        return pd.DataFrame(
+            {
+                "src_key": pd.concat([h, a], ignore_index=True),
+                "dst_key": pd.concat([a, h], ignore_index=True),
+                "weight": pd.concat([w, w], ignore_index=True),
+            }
+        )
+
+    _bg(
+        dom.map_batches(double, batch_format="pandas"),
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=False,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "domain_hits", "n": n},
+    )
+    res = run_algorithm(
+        f"{root}/graph", f"{root}/run", "sumprop_weighted", num_iters=num_iters
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        key = t["vertex"].to_numpy(zero_copy_only=False).astype(str)
+        val = t["value"].to_numpy()
+        is_hub = np.char.startswith(key, "h:")
+        host = pd.Series(key).str[2:].to_numpy()
+        return pa.table(
+            {
+                "host": pa.array(host, pa.string()),
+                "hub": pa.array(np.where(is_hub, val, 0.0)),
+                "auth": pa.array(np.where(is_hub, 0.0, val)),
+            }
+        )
+
+    piv = bucket_sum(
+        res.map_batches(pivot, batch_format="pyarrow"), ["host"], ["hub", "auth"],
+        n_buckets=16,
+    ).materialize()
+    totals = piv.sum(["hub", "auth"])
+    hub_tot, auth_tot = int(totals["sum(hub)"]), int(totals["sum(auth)"])
+    assert max(hub_tot, auth_tot) < 2**53, "weighted HITS iterate overflow"
+
+    def scale(t: pa.Table) -> pa.Table:
+        hub = t["hub"].to_numpy()
+        auth = t["auth"].to_numpy()
+        s = 100_000_000
+        hub_e8 = [(2 * int(h) * s + hub_tot) // (2 * hub_tot) for h in hub]
+        auth_e8 = [(2 * int(a) * s + auth_tot) // (2 * auth_tot) for a in auth]
+        return pa.table(
+            {
+                "host": t["host"],
+                "hub_e8": pa.array(hub_e8, pa.int64()),
+                "auth_e8": pa.array(auth_e8, pa.int64()),
+            }
+        )
+
+    return piv.map_batches(scale, batch_format="pyarrow")
