@@ -1345,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_patch_pr": T.q_graph_patch_pr,
         "graph_delete_degrees": T.q_graph_delete_degrees,
         "domain_hits": T.q_domain_hits,
+        "graph_patch_chain": T.q_graph_patch_chain,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -3387,6 +3388,8 @@ def oracle_sql() -> dict[str, str]:
         # incremental build == full rebuild: the patched graph must
         # reproduce the from-scratch flagship's oracle bit-for-bit
         "graph_patch_pr": _pages_pr_sql(),
+        # patch COMPOSITION == full rebuild (three chained waves)
+        "graph_patch_chain": _pages_pr_sql(),
         "graph_delete_degrees": (
             # vertex universe stays after deletion; degrees count only
             # directed edges whose source page survived (mirrors

@@ -11607,3 +11607,64 @@ def q_domain_hits(sf_dir: str, n: int = 2000, num_iters: int = 4):
         )
 
     return piv.map_batches(scale, batch_format="pyarrow")
+
+
+def q_graph_patch_chain(sf_dir: str, n: int = 2000, waves: tuple = (1000, 1500, 2000)):
+    """CHAINED incremental ingest: three crawl waves (pages [0,1000),
+    [1000,1500), [1500,2000)) land as build -> patch -> patch, each
+    patch hardlink-sharing untouched shards with its predecessor — the
+    daily-increment lineage chain a rolling crawl maintains. PageRank
+    on the final build must STILL hash-match the from-scratch flagship
+    oracle (patch composition == full rebuild). n PINNED to the
+    oracle's 2000."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .pages import build_link_graph
+    from .patch import patch_graph
+
+    root = f"/tmp/graft_patchchain_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = generate_pages(n)
+
+    def band(lo: int, hi: int):
+        def fn(t: pa.Table) -> pa.Table:
+            site = pc.list_element(pc.split_pattern(t["url"], "site-"), 1)
+            sid = pc.cast(pc.list_element(pc.split_pattern(site, "."), 0), pa.int64())
+            pid = pc.cast(
+                pc.list_element(pc.split_pattern(t["url"], "/"), 4), pa.int64()
+            )
+            i = pc.add(pc.multiply(sid, 16), pid)
+            return t.filter(
+                pc.and_(pc.greater_equal(i, lo), pc.less(i, hi))
+            )
+
+        return fn
+
+    build_link_graph(
+        pages.map_batches(band(0, waves[0]), batch_format="pyarrow"),
+        f"{root}/g0", n_parts=8, n_buckets=16,
+    )
+    prev = f"{root}/g0"
+    for w, hi in enumerate(waves[1:], 1):
+        lo = waves[w - 1]
+        patch_graph(
+            prev,
+            extract_links(pages.map_batches(band(lo, hi), batch_format="pyarrow")),
+            f"{root}/g{w}",
+            dedup=True,
+            n_buckets=16,
+        )
+        prev = f"{root}/g{w}"
+
+    res = run_algorithm(prev, f"{root}/pr", "pagerank")
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": t["vertex"], "score_e8": _score_e8(t["value"])}
+        )
+
+    return (
+        res.map_batches(conv, batch_format="pyarrow")
+        .sort(["score_e8", "vertex"], descending=[True, False])
+        .limit(25)
+    )
