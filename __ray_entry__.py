@@ -1346,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_delete_degrees": T.q_graph_delete_degrees,
         "domain_hits": T.q_domain_hits,
         "graph_patch_chain": T.q_graph_patch_chain,
+        "events_autocorr": T.q_events_autocorr,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2458,6 +2459,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n::BIGINT AS n, "
             "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
             "AS BIGINT) AS slope_e6 FROM s"
+        ),
+        "events_autocorr": (
+            # lag-1 pairs via lead() per type; Box-Jenkins single-
+            # denominator rho1; HUGEINT sums; DuckDB // truncates
+            # toward zero — engine mirrors (mirrors
+            # testdata.q_events_autocorr)
+            "WITH s AS (SELECT event_type, "
+            "  CAST(round(value * 100) AS BIGINT) AS y, "
+            "  lead(CAST(round(value * 100) AS BIGINT)) OVER "
+            "    (PARTITION BY event_type ORDER BY ts, event_id) AS y2 "
+            "  FROM events), "
+            "p AS (SELECT event_type, y::HUGEINT AS y, y2::HUGEINT AS y2 "
+            "      FROM s WHERE y2 IS NOT NULL), "
+            "m AS (SELECT event_type, count(*)::HUGEINT AS m, sum(y) AS sx, "
+            "      sum(y2) AS sy, sum(y * y2) AS sxy, sum(y * y) AS sxx "
+            "      FROM p GROUP BY 1) "
+            "SELECT event_type, m::BIGINT AS n_pairs, "
+            "  (CASE WHEN m * sxx - sx * sx = 0 THEN 0 ELSE "
+            "   ((m * sxy - sx * sy) * 1000000) // (m * sxx - sx * sx) "
+            "   END)::BIGINT AS autocorr_e6 "
+            "FROM m"
         ),
         "embedding_grid": (
             "WITH pts AS (SELECT CAST(floor(e[1] * 8) AS BIGINT) AS gx, "

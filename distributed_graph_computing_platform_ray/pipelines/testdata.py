@@ -11668,3 +11668,55 @@ def q_graph_patch_chain(sf_dir: str, n: int = 2000, waves: tuple = (1000, 1500, 
         .sort(["score_e8", "vertex"], descending=[True, False])
         .limit(25)
     )
+
+
+def q_events_autocorr(sf_dir: str, n_buckets: int = 4):
+    """Lag-1 AUTOCORRELATION of the value series per event type (the
+    burst/momentum diagnostic), Box-Jenkins single-denominator form:
+    rho1 = (m*Sxy - Sx*Sy) / (m*Sxx - Sx^2) over consecutive (ts,
+    event_id)-ordered pairs. Event types are low-cardinality, so ONE
+    type-bucket kernel sorts each type's rows once and emits int64
+    moment rows (y in cents; Sxy <= ~1e16 at test sfs); the final
+    blowup runs in driver Python ints with the truncate-toward-zero
+    convention q_events_regression pinned against DuckDB's `//`."""
+    from ..stages.join import add_bucket
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, df in g.groupby("event_type", sort=False):
+            df = df.sort_values(["ts", "event_id"], kind="stable")
+            y = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+            if len(y) < 2:
+                rows.append((et, 0, 0, 0, 0, 0))
+                continue
+            a, b = y[:-1], y[1:]
+            rows.append(
+                (et, len(a), int(a.sum()), int(b.sum()),
+                 int((a * b).sum()), int((a * a).sum()))
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "m", "sx", "sy", "sxy", "sxx"]
+        )
+
+    src = _table(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+    s = (
+        _BMG(add_bucket(src, ["event_type"], n_buckets), n_buckets, per_type, "pandas")
+        .to_pandas()
+    )
+    out_rho = []
+    for _, r in s.iterrows():
+        m, sx, sy, sxy, sxx = (int(r[c]) for c in ("m", "sx", "sy", "sxy", "sxx"))
+        num = m * sxy - sx * sy
+        den = m * sxx - sx * sx
+        if den == 0:
+            out_rho.append(0)
+            continue
+        q = abs(num) * 1_000_000 // den
+        out_rho.append(-q if num < 0 else q)
+    return pd.DataFrame(
+        {
+            "event_type": s["event_type"],
+            "n_pairs": s["m"].astype("int64"),
+            "autocorr_e6": pd.Series(out_rho, dtype="int64"),
+        }
+    )
