@@ -1347,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_hits": T.q_domain_hits,
         "graph_patch_chain": T.q_graph_patch_chain,
         "events_autocorr": T.q_events_autocorr,
+        "index_shard_plan": T.q_index_shard_plan,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2459,6 +2460,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n::BIGINT AS n, "
             "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
             "AS BIGINT) AS slope_e6 FROM s"
+        ),
+        "index_shard_plan": (
+            # LPT greedy replayed as a recursive CTE carrying the
+            # shard-load LIST as state: one host per step, least-loaded
+            # shard wins (list_position returns the FIRST min = lowest
+            # shard id, matching the engine's tie-break) — mirrors
+            # testdata.q_index_shard_plan
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "hw AS (SELECT split_part(dst, '/', 3) AS host, count(*)::BIGINT AS w "
+            "       FROM e GROUP BY 1), "
+            "ord AS (SELECT host, w, row_number() OVER (ORDER BY w DESC, host) AS rn "
+            "        FROM hw), "
+            "rec AS ( "
+            "  SELECT 0::BIGINT AS i, [0, 0, 0, 0, 0, 0, 0, 0]::BIGINT[] AS loads, "
+            "         NULL::VARCHAR AS host, 0::BIGINT AS shard "
+            "  UNION ALL "
+            "  SELECT r.i + 1, "
+            "         list_concat(list_concat(r.loads[1:k-1], [r.loads[k] + o.w]), "
+            "                     r.loads[k+1:]), "
+            "         o.host, k - 1 "
+            "  FROM (SELECT *, list_position(loads, list_min(loads)) AS k FROM rec) r "
+            "  JOIN ord o ON o.rn = r.i + 1) "
+            "SELECT host, shard FROM rec WHERE i > 0"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -11720,3 +11720,42 @@ def q_events_autocorr(sf_dir: str, n_buckets: int = 4):
             "autocorr_e6": pd.Series(out_rho, dtype="int64"),
         }
     )
+
+
+def q_index_shard_plan(sf_dir: str, n: int = 2000, n_shards: int = 8, n_buckets: int = 8):
+    """Search-INDEX SHARD PLANNER: assign hosts to 8 index shards by
+    LPT greedy bin packing (longest-processing-time: hosts in
+    (inlink-weight DESC, host) order, each to the currently least-
+    loaded shard, ties to the lowest shard id) — the 4/3-approximation
+    (Graham 1969) every sharded index/crawler uses to balance posting
+    costs. Weight = distinct inlinks to the host (posting-list cost
+    proxy); weights reduce in ONE host-bucket sum; the sequential
+    greedy itself runs on the driver over the host-cardinality-bounded
+    list (at open cardinality you'd shard the plan hierarchically).
+    The oracle replays the same greedy as a 900+-step recursive CTE
+    carrying the shard-load LIST as state. n PINNED to the oracle's
+    2000."""
+    from ..stages.join import bucket_sum
+
+    def dst_host(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2),
+             "w": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    hw = (
+        bucket_sum(
+            _pages_links(n).map_batches(dst_host, batch_format="pyarrow"),
+            ["host"], ["w"], n_buckets,
+        )
+        .to_pandas()
+        .sort_values(["w", "host"], ascending=[False, True], kind="stable")
+    )
+    loads = [0] * n_shards
+    hosts, shards = [], []
+    for host, w in zip(hw["host"], hw["w"]):
+        k = min(range(n_shards), key=lambda j: loads[j])
+        loads[k] += int(w)
+        hosts.append(host)
+        shards.append(k)
+    return pd.DataFrame({"host": hosts, "shard": pd.Series(shards, dtype="int64")})
