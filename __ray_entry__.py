@@ -1348,6 +1348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_patch_chain": T.q_graph_patch_chain,
         "events_autocorr": T.q_events_autocorr,
         "index_shard_plan": T.q_index_shard_plan,
+        "rendezvous_shards": T.q_rendezvous_shards,
+        "molloy_reed": T.q_molloy_reed,
+        "eigen_centrality": T.q_eigen_centrality,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2483,6 +2486,54 @@ def oracle_sql() -> dict[str, str]:
             "  FROM (SELECT *, list_position(loads, list_min(loads)) AS k FROM rec) r "
             "  JOIN ord o ON o.rn = r.i + 1) "
             "SELECT host, shard FROM rec WHERE i > 0"
+        ),
+        "rendezvous_shards": (
+            # HRW: 8 splitmix scores per host, argmax with first-max
+            # tie-break = lowest shard id (mirrors
+            # testdata.q_rendezvous_shards)
+            f"WITH {_pages_edges_cte()}, "
+            "hh AS (SELECT DISTINCT split_part(dst, '/', 3) AS host FROM e), "
+            "hid AS (SELECT host, CASE WHEN host LIKE 'site-%' "
+            "        THEN CAST(substr(host, 6, 5) AS BIGINT) "
+            "        ELSE 100000 + CAST(substr(host, 9, 4) AS BIGINT) END AS hid "
+            "        FROM hh), "
+            "sc AS (SELECT host, s::BIGINT AS s, "
+            f"  xor({(77 * _FNV64) % _M64}::UBIGINT, (hid * 8 + s)::UBIGINT) AS acc0, "
+            f"  {_splitmix_cols('acc0', 'm')} "
+            "  FROM hid, LATERAL unnest(generate_series(0, 7)) t(s)) "
+            "SELECT host, s AS shard FROM sc "
+            "QUALIFY row_number() OVER (PARTITION BY host ORDER BY m DESC, s) = 1"
+        ),
+        "molloy_reed": (
+            # <k^2>/<k> over symmetrized page-graph degrees, half-up e6
+            # (mirrors testdata.q_molloy_reed)
+            f"WITH {_pages_edges_cte()}, "
+            "es2 AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e), "
+            "deg AS (SELECT v, count(*)::BIGINT AS d FROM es2 GROUP BY v), "
+            "mo AS (SELECT count(*)::BIGINT AS nv, sum(d)::BIGINT AS sd, "
+            "       sum(d * d)::BIGINT AS sd2 FROM deg) "
+            "SELECT nv AS n_vertices, sd AS sum_deg, sd2 AS sum_deg2, "
+            "  ((2 * sd2::HUGEINT * 1000000 + sd) // (2 * sd))::BIGINT AS kappa_e6 "
+            "FROM mo"
+        ),
+        "eigen_centrality": (
+            # 4-step integer-exact power iteration + one half-up e8
+            # normalization (mirrors testdata.q_eigen_centrality)
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "
+            "it AS ( "
+            "  SELECT 0 AS i, src AS v, CAST(1 AS DOUBLE) AS val "
+            "  FROM (SELECT DISTINCT src FROM es) "
+            "  UNION ALL "
+            "  SELECT p.i + 1, es.dst, SUM(p.val) FROM it p "
+            "  JOIN es ON es.src = p.v WHERE p.i < 4 GROUP BY p.i, es.dst), "
+            "fin AS (SELECT v, CAST(val AS HUGEINT) AS val FROM it WHERE i = 4), "
+            "uni AS (SELECT DISTINCT src AS v FROM es), "
+            "al AS (SELECT uni.v, COALESCE(fin.val, 0) AS val "
+            "       FROM uni LEFT JOIN fin ON fin.v = uni.v), "
+            "tot AS (SELECT sum(val) AS t FROM al) "
+            "SELECT v AS vertex, "
+            "  ((2 * val * 100000000 + t) // (2 * t))::BIGINT AS eig_e8 "
+            "FROM al CROSS JOIN tot"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -11759,3 +11759,112 @@ def q_index_shard_plan(sf_dir: str, n: int = 2000, n_shards: int = 8, n_buckets:
         hosts.append(host)
         shards.append(k)
     return pd.DataFrame({"host": hosts, "shard": pd.Series(shards, dtype="int64")})
+
+
+def q_rendezvous_shards(sf_dir: str, n: int = 2000, n_shards: int = 8):
+    """STATELESS host->shard assignment via rendezvous (HRW) hashing
+    (Thaler & Ravishankar 1998): shard = argmax over s of
+    mix64(seed, hid*8+s) — the zero-coordination counterpart to
+    q_index_shard_plan's LPT (any node computes any host's shard in
+    place; adding a shard moves only ~1/S of keys). Same host
+    universe (distinct link targets); hid decoded from the hostname,
+    scores vectorized, first-max tie-break = lowest shard id on both
+    sides. n PINNED to the oracle's 2000."""
+    from ..stages.join import distinct
+    from ..utils import mix64
+
+    def dst_host(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)}
+        )
+
+    hosts = distinct(
+        _pages_links(n).map_batches(dst_host, batch_format="pyarrow"), ["host"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = t["host"].to_numpy(zero_copy_only=False).astype(str)
+        is_site = np.char.startswith(h, "site-")
+        num = np.where(
+            is_site,
+            np.char.partition(np.char.partition(h, "-")[:, 2], ".")[:, 0],
+            np.char.partition(np.char.partition(h, "-")[:, 2], ".")[:, 0],
+        ).astype(np.int64)
+        hid = np.where(is_site, num, 100_000 + num).astype(np.uint64)
+        scores = np.stack(
+            [
+                mix64(np.uint64(77), hid * np.uint64(8) + np.uint64(s))
+                for s in range(n_shards)
+            ],
+            axis=1,
+        )
+        return pa.table(
+            {"host": t["host"],
+             "shard": pa.array(np.argmax(scores, axis=1).astype(np.int64))}
+        )
+
+    return hosts.map_batches(assign, batch_format="pyarrow")
+
+
+def q_molloy_reed(sf_dir: str, n: int = 2000):
+    """Molloy-Reed giant-component criterion on the symmetrized page
+    graph: kappa = <k^2>/<k> (giant component exists iff kappa > 2 for
+    a random graph with this degree sequence; Molloy & Reed 1995) —
+    the one-number robustness summary a crawl monitors as the web
+    fragment it sees grows. Exact integer moments from per-batch
+    partials (degree sums reduce in one url-bucket sum first); one
+    bounded driver reduce; kappa half-up e6. n PINNED to the oracle's
+    2000."""
+    from ..stages.join import bucket_sum
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": pa.chunked_array(
+                [t["src_key"].combine_chunks(), t["dst_key"].combine_chunks()]
+             ),
+             "d": pa.array(np.ones(2 * t.num_rows, np.int64))}
+        )
+
+    deg = bucket_sum(
+        _pages_links(n).map_batches(both, batch_format="pyarrow"),
+        ["url"], ["d"], 8,
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"nv": pa.array([len(d)]), "sd": pa.array([int(d.sum())]),
+             "sd2": pa.array([int((d * d).sum())])}
+        )
+
+    s = deg.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    nv, sd, sd2 = int(s["nv"]), int(s["sd"]), int(s["sd2"])
+    kappa_e6 = (2 * sd2 * 1_000_000 + sd) // (2 * sd)
+    return pd.DataFrame(
+        {"n_vertices": [nv], "sum_deg": [sd], "sum_deg2": [sd2],
+         "kappa_e6": [kappa_e6]}
+    ).astype("int64")
+
+
+def q_eigen_centrality(sf_dir: str, num_iters: int = 4):
+    """Eigenvector centrality via unnormalized power iteration on the
+    symmetrized lineitem multigraph: x_t = A x_{t-1} from all-ones for
+    4 supersteps (identity-sum propagation — the same exact-integer
+    trick as q_hits, iterates asserted < 2^53), then ONE half-up e8
+    normalization by the total. Bonacich 1987's measure in the
+    engine's sum-combiner shape."""
+    res = _run_cached(sf_dir, "lineitem", "sumprop", num_iters=num_iters)
+    piv = res.materialize()
+    tot = int(piv.sum("value"))
+    assert tot < 2**53, "power-iteration overflow; reduce num_iters"
+
+    def scale(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        s = 100_000_000
+        e8 = [(2 * int(x) * s + tot) // (2 * tot) for x in v]
+        return pa.table(
+            {"vertex": t["vertex"].cast(pa.int64()),
+             "eig_e8": pa.array(e8, pa.int64())}
+        )
+
+    return piv.map_batches(scale, batch_format="pyarrow")
