@@ -734,7 +734,8 @@ class BSPEngine:
                     nact_refs.append(aref)
                 state_refs = new_refs
             s += k_steps
-            n_active = int(sum(ray.get(nact_refs)))
+            nact = [int(x) for x in ray.get(nact_refs)]
+            n_active = int(sum(nact))
             d = self.iter_dir(s)
             shutil.rmtree(d, ignore_errors=True)
             os.makedirs(d, exist_ok=True)
@@ -749,7 +750,9 @@ class BSPEngine:
                         shutil.rmtree(self.iter_dir(old), ignore_errors=True)
             history.append(
                 {"superstep": s, "n_active": n_active,
-                 "sec": round(time.time() - t_chunk, 3)}
+                 "sec": round(time.time() - t_chunk, 3),
+                 # per-PARTITION lineage metric: where the frontier lives
+                 "active_per_part": nact if len(nact) <= 256 else None}
             )
             if algo.halt_on_no_change() and n_active == 0:
                 break
