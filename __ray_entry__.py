@@ -1351,6 +1351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_shards": T.q_rendezvous_shards,
         "molloy_reed": T.q_molloy_reed,
         "eigen_centrality": T.q_eigen_centrality,
+        "corpus_mix_weights": T.q_corpus_mix_weights,
+        "condensation_stats": T.q_condensation_stats,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2534,6 +2536,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v AS vertex, "
             "  ((2 * val * 100000000 + t) // (2 * t))::BIGINT AS eig_e8 "
             "FROM al CROSS JOIN tot"
+        ),
+        "corpus_mix_weights": (
+            # alpha=1/2 temperature weights: isqrt(count) exact (floor
+            # sqrt, counts << 2^52), share floored vs the weight total
+            # (mirrors testdata.q_corpus_mix_weights)
+            "WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents "
+            "           GROUP BY lang), "
+            "w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wi FROM c), "
+            "t AS (SELECT sum(wi)::BIGINT AS tw FROM w) "
+            "SELECT lang, n AS n_docs, wi AS w_isqrt, "
+            "  ((1000000 * wi) // tw)::BIGINT AS share_e6 "
+            "FROM w CROSS JOIN t"
+        ),
+        "condensation_stats": (
+            # SCC labels from the mutual-reachability closure (same CTE
+            # as the scc oracle), then the condensation DAG's vertex/
+            # edge counts and largest component (mirrors
+            # testdata.q_condensation_stats)
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst "
+            "       FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000 "
+            "       AND (l_orderkey // 2000) % 29 = 0), "
+            "v AS (SELECT DISTINCT id FROM "
+            "      (SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb)), "
+            "r AS ( "
+            "  SELECT id AS s, id AS d FROM v "
+            "  UNION "
+            "  SELECT r.s, e.dst FROM r JOIN eb e ON e.src = r.d), "
+            "sid AS (SELECT a.s AS vtx, min(a.d) AS c FROM r a "
+            "        JOIN r b ON b.s = a.d AND b.d = a.s GROUP BY a.s), "
+            "ce AS (SELECT DISTINCT cs.c AS cu, cd.c AS cv FROM eb "
+            "       JOIN sid cs ON cs.vtx = eb.src "
+            "       JOIN sid cd ON cd.vtx = eb.dst WHERE cs.c <> cd.c), "
+            "sz AS (SELECT c, count(*) AS n FROM sid GROUP BY c) "
+            "SELECT (SELECT count(*) FROM sid)::BIGINT AS n_vertices, "
+            "  (SELECT count(DISTINCT c) FROM sid)::BIGINT AS n_sccs, "
+            "  (SELECT count(*) FROM ce)::BIGINT AS n_cond_edges, "
+            "  (SELECT max(n) FROM sz)::BIGINT AS max_scc_size"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -11868,3 +11868,80 @@ def q_eigen_centrality(sf_dir: str, num_iters: int = 4):
         )
 
     return piv.map_batches(scale, batch_format="pyarrow")
+
+
+def q_corpus_mix_weights(sf_dir: str, n_buckets: int = 4):
+    """TEMPERATURE-SAMPLED data-mixing weights per language (the
+    multilingual-LM recipe: sample language i proportional to
+    count^alpha with alpha=1/2 to up-weight low-resource langs —
+    Conneau & Lample 2019). Exact integers: weight = isqrt(count)
+    (floor square root — Python math.isqrt vs DuckDB floor(sqrt()),
+    exact for counts << 2^52), share_e6 floored against the weight
+    total. One lang bucket_sum, bounded driver reduce."""
+    import math
+
+    from ..stages.join import bucket_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    c = bucket_sum(
+        _table(sf_dir, "documents", ["lang"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["lang"], ["n"], n_buckets,
+    ).to_pandas()
+    c["w_isqrt"] = [math.isqrt(int(x)) for x in c["n"]]
+    tw = int(c["w_isqrt"].sum())
+    return pd.DataFrame(
+        {
+            "lang": c["lang"],
+            "n_docs": c["n"].astype("int64"),
+            "w_isqrt": c["w_isqrt"].astype("int64"),
+            "share_e6": ((1_000_000 * c["w_isqrt"].astype("int64")) // tw).astype("int64"),
+        }
+    )
+
+
+def q_condensation_stats(sf_dir: str):
+    """SCC CONDENSATION summary of the sparse directed graph: the DAG
+    you get by contracting every strongly connected component — its
+    vertex count (#SCCs), cross-component edge count, and the size of
+    the largest SCC. Reuses the engine's SCC labels (q_scc's cached
+    forward/backward reachability runs); component labels for the
+    2000-id universe broadcast once and both edge endpoints relabel in
+    place (at open cardinality this becomes two bucket joins, the
+    documented swap)."""
+    labels = q_scc(sf_dir).to_pandas()
+    lab_ref = ray.put(
+        pd.Series(labels["scc_id"].to_numpy(), index=labels["vertex"].to_numpy())
+    )
+
+    def cross(t: pa.Table) -> pa.Table:
+        lm = ray.get(lab_ref)
+        s = lm.reindex(t["src"].to_numpy()).to_numpy()
+        d = lm.reindex(t["dst"].to_numpy()).to_numpy()
+        keep = s != d
+        return pa.table(
+            {"cu": pa.array(s[keep].astype(np.int64)),
+             "cv": pa.array(d[keep].astype(np.int64))}
+        )
+
+    from ..stages.join import distinct
+
+    ce = distinct(
+        edges_sparse_directed(sf_dir).map_batches(cross, batch_format="pyarrow"),
+        ["cu", "cv"],
+    )
+    n_cond_edges = int(ce.count())
+    sizes = labels.groupby("scc_id").size()
+    return pd.DataFrame(
+        {
+            "n_vertices": [int(len(labels))],
+            "n_sccs": [int(labels["scc_id"].nunique())],
+            "n_cond_edges": [n_cond_edges],
+            "max_scc_size": [int(sizes.max())],
+        }
+    ).astype("int64")
