@@ -1353,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigen_centrality": T.q_eigen_centrality,
         "corpus_mix_weights": T.q_corpus_mix_weights,
         "condensation_stats": T.q_condensation_stats,
+        "shipping_priority": T.q_shipping_priority,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2574,6 +2575,23 @@ def oracle_sql() -> dict[str, str]:
             "  (SELECT count(DISTINCT c) FROM sid)::BIGINT AS n_sccs, "
             "  (SELECT count(*) FROM ce)::BIGINT AS n_cond_edges, "
             "  (SELECT max(n) FROM sz)::BIGINT AS max_scc_size"
+        ),
+        "shipping_priority": (
+            # TPC-H Q3 shape at the fixed cutoff; revenue integerized
+            # per row before summing; ties (revenue DESC, orderkey)
+            # (mirrors testdata.q_shipping_priority)
+            "WITH li AS (SELECT l_orderkey, "
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'), "
+            "o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us, "
+            "      o_orderpriority FROM orders "
+            "      WHERE o_orderdate < TIMESTAMP '1998-06-01') "
+            "SELECT l_orderkey, o_date_us, o_orderpriority, "
+            "  sum(rev)::BIGINT AS revenue_e4 "
+            "FROM li JOIN o ON o.o_orderkey = li.l_orderkey "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

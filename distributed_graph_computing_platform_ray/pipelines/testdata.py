@@ -11945,3 +11945,66 @@ def q_condensation_stats(sf_dir: str):
             "max_scc_size": [int(sizes.max())],
         }
     ).astype("int64")
+
+
+def q_shipping_priority(sf_dir: str, k: int = 10, n_buckets: int = 16):
+    """TPC-H Q3 shape (shipping priority): revenue of orders placed
+    before the cutoff with lineitems still shipping after it — top-10
+    unshipped-revenue orders. Lineitem revenue integerizes per row
+    BEFORE any sum (cents x (100-disc_bps) -> e4 units, the
+    q_lineitem_semijoin convention) and pre-aggregates per batch; ONE
+    orderkey bucket join against the filtered orders side, ONE
+    bucket_sum, distributed sort + limit. Ties break on (revenue DESC,
+    orderkey)."""
+    from ..stages.join import bucket_join, bucket_sum
+
+    cut_us = int(pd.Timestamp("1998-06-01").value // 1000)
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        d = _ts_us(t["o_orderdate"].to_pandas())
+        keep = d < cut_us
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+             "o_date_us": pa.array(d[keep]),
+             "o_orderpriority": t["o_orderpriority"].filter(pa.array(keep))}
+        )
+
+    def li_side(t: pa.Table) -> pa.Table:
+        d = _ts_us(t["l_shipdate"].to_pandas())
+        keep = d > cut_us
+        ok = t["l_orderkey"].to_numpy()[keep]
+        price_c = np.rint(t["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        disc_b = np.rint(t["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
+        g = pd.DataFrame({"l_orderkey": ok, "revenue_e4": price_c * (100 - disc_b)})
+        g = g.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        ord_side, batch_format="pyarrow"
+    )
+    li = _table(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_side, batch_format="pyarrow")
+
+    j = bucket_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey", n_buckets=n_buckets,
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_date_us", pa.int64()),
+             ("o_orderpriority", pa.string())]
+        ),
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"].cast(pa.int64()),
+             "o_date_us": t["o_date_us"].cast(pa.int64()),
+             "o_orderpriority": t["o_orderpriority"],
+             "revenue_e4": t["revenue_e4"].cast(pa.int64())}
+        )
+
+    agg = bucket_sum(
+        j.map_batches(norm, batch_format="pyarrow"),
+        ["l_orderkey", "o_date_us", "o_orderpriority"], ["revenue_e4"], n_buckets,
+    )
+    return agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(k)

@@ -186,3 +186,24 @@ def test_delete_unknown_key_raises(dirs):
     )
     with pytest.raises(Exception):
         delete_edges(full, bogus, f"{TMP}/g_bogus")
+
+
+def test_patch_rerun_over_partial_output(dirs):
+    """A patch re-run over a crashed previous attempt (manifest never
+    written, stray shard files present) must produce the same build
+    bit-for-bit: every write is atomic and unconditional, the manifest
+    lands last."""
+    _, patch = dirs
+    want = {int(r["part"]): r["crc_indices"] for r in GraphManifest.load(patch).parts}
+
+    out = f"{TMP}/g_partial"
+    shutil.rmtree(out, ignore_errors=True)
+    patch_graph(f"{TMP}/g_base", read_edge_list(f"{TMP}/inc.txt"), out, dedup=False)
+    # simulate a crash: drop the manifest and corrupt one shard
+    os.remove(os.path.join(out, "manifest.json"))
+    victim = GraphManifest.load(patch).csr_path(0, "indices").replace(patch, out)
+    os.remove(victim)  # break any hardlink BEFORE corrupting
+    np.save(victim, np.array([999999], dtype=np.int64))
+    patch_graph(f"{TMP}/g_base", read_edge_list(f"{TMP}/inc.txt"), out, dedup=False)
+    got = {int(r["part"]): r["crc_indices"] for r in GraphManifest.load(out).parts}
+    assert got == want
