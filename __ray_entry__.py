@@ -1354,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix_weights": T.q_corpus_mix_weights,
         "condensation_stats": T.q_condensation_stats,
         "shipping_priority": T.q_shipping_priority,
+        "shard_balance": T.q_shard_balance,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2592,6 +2593,49 @@ def oracle_sql() -> dict[str, str]:
             "FROM li JOIN o ON o.o_orderkey = li.l_orderkey "
             "GROUP BY 1, 2, 3 "
             "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "shard_balance": (
+            # both plans from one weight table: the LPT recursive CTE
+            # (list state) + the HRW argmax, folded per shard (mirrors
+            # testdata.q_shard_balance)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "hw AS (SELECT split_part(dst, '/', 3) AS host, count(*)::BIGINT AS w "
+            "       FROM e GROUP BY 1), "
+            "ord AS (SELECT host, w, row_number() OVER (ORDER BY w DESC, host) AS rn "
+            "        FROM hw), "
+            "rec AS ( "
+            "  SELECT 0::BIGINT AS i, [0, 0, 0, 0, 0, 0, 0, 0]::BIGINT[] AS loads, "
+            "         NULL::VARCHAR AS host, 0::BIGINT AS shard "
+            "  UNION ALL "
+            "  SELECT r.i + 1, "
+            "         list_concat(list_concat(r.loads[1:k-1], [r.loads[k] + o.w]), "
+            "                     r.loads[k+1:]), "
+            "         o.host, k - 1 "
+            "  FROM (SELECT *, list_position(loads, list_min(loads)) AS k FROM rec) r "
+            "  JOIN ord o ON o.rn = r.i + 1), "
+            "lpt AS (SELECT host, shard FROM rec WHERE i > 0), "
+            "hid AS (SELECT host, CASE WHEN host LIKE 'site-%' "
+            "        THEN CAST(substr(host, 6, 5) AS BIGINT) "
+            "        ELSE 100000 + CAST(substr(host, 9, 4) AS BIGINT) END AS hid "
+            "        FROM hw), "
+            "sc AS (SELECT host, s::BIGINT AS s, "
+            f"  xor({(77 * _FNV64) % _M64}::UBIGINT, (hid * 8 + s)::UBIGINT) AS acc0, "
+            f"  {_splitmix_cols('acc0', 'm')} "
+            "  FROM hid, LATERAL unnest(generate_series(0, 7)) t(s)), "
+            "hrw AS (SELECT host, s AS shard FROM sc "
+            "        QUALIFY row_number() OVER (PARTITION BY host ORDER BY m DESC, s) = 1), "
+            "sh AS (SELECT s::BIGINT AS shard FROM "
+            "       (SELECT unnest(generate_series(0, 7)) AS s)) "
+            "SELECT sh.shard, "
+            "  COALESCE((SELECT sum(w) FROM lpt JOIN hw USING (host) "
+            "            WHERE lpt.shard = sh.shard), 0)::BIGINT AS lpt_load, "
+            "  COALESCE((SELECT count(*) FROM lpt "
+            "            WHERE lpt.shard = sh.shard), 0)::BIGINT AS lpt_hosts, "
+            "  COALESCE((SELECT sum(w) FROM hrw JOIN hw USING (host) "
+            "            WHERE hrw.shard = sh.shard), 0)::BIGINT AS hrw_load, "
+            "  COALESCE((SELECT count(*) FROM hrw "
+            "            WHERE hrw.shard = sh.shard), 0)::BIGINT AS hrw_hosts "
+            "FROM sh"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -12008,3 +12008,55 @@ def q_shipping_priority(sf_dir: str, k: int = 10, n_buckets: int = 16):
         ["l_orderkey", "o_date_us", "o_orderpriority"], ["revenue_e4"], n_buckets,
     )
     return agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def q_shard_balance(sf_dir: str, n: int = 2000, n_shards: int = 8, n_buckets: int = 8):
+    """BALANCE AUDIT of the two sharding strategies: per shard, the
+    total inlink-weight load under the stateful LPT plan
+    (q_index_shard_plan) vs the stateless rendezvous plan
+    (q_rendezvous_shards) — the quantified trade-off (LPT near-perfect
+    balance vs HRW zero coordination + minimal resharding). One
+    host-bucket weight sum feeds both assignments; exact integer
+    loads. n PINNED to the oracle's 2000."""
+    from ..stages.join import bucket_sum
+    from ..utils import mix64
+
+    def dst_host(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2),
+             "w": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    hw = (
+        bucket_sum(
+            _pages_links(n).map_batches(dst_host, batch_format="pyarrow"),
+            ["host"], ["w"], n_buckets,
+        )
+        .to_pandas()
+        .sort_values(["w", "host"], ascending=[False, True], kind="stable")
+        .reset_index(drop=True)
+    )
+    # LPT
+    loads = [0] * n_shards
+    lpt = np.empty(len(hw), np.int64)
+    for i, w in enumerate(hw["w"]):
+        k = min(range(n_shards), key=lambda j: loads[j])
+        loads[k] += int(w)
+        lpt[i] = k
+    # HRW
+    h = hw["host"].to_numpy().astype(str)
+    is_site = np.char.startswith(h, "site-")
+    num = np.char.partition(np.char.partition(h, "-")[:, 2], ".")[:, 0].astype(np.int64)
+    hid = np.where(is_site, num, 100_000 + num).astype(np.uint64)
+    scores = np.stack(
+        [mix64(np.uint64(77), hid * np.uint64(8) + np.uint64(s)) for s in range(n_shards)],
+        axis=1,
+    )
+    hrw = np.argmax(scores, axis=1).astype(np.int64)
+    w = hw["w"].to_numpy(np.int64)
+    out = pd.DataFrame({"shard": np.arange(n_shards, dtype=np.int64)})
+    out["lpt_load"] = np.bincount(lpt, weights=w, minlength=n_shards).astype(np.int64)
+    out["lpt_hosts"] = np.bincount(lpt, minlength=n_shards).astype(np.int64)
+    out["hrw_load"] = np.bincount(hrw, weights=w, minlength=n_shards).astype(np.int64)
+    out["hrw_hosts"] = np.bincount(hrw, minlength=n_shards).astype(np.int64)
+    return out
