@@ -1355,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_stats": T.q_condensation_stats,
         "shipping_priority": T.q_shipping_priority,
         "shard_balance": T.q_shard_balance,
+        "lang_assortativity": T.q_lang_assortativity,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2636,6 +2637,35 @@ def oracle_sql() -> dict[str, str]:
             "  COALESCE((SELECT count(*) FROM hrw "
             "            WHERE hrw.shard = sh.shard), 0)::BIGINT AS hrw_hosts "
             "FROM sh"
+        ),
+        "lang_assortativity": (
+            # Newman attribute mixing over the rebuilt lang matrix:
+            # r = (m*tr - sum(row*col)) / (m*m - sum(row*col)), trunc
+            # e6 (mirrors testdata.q_lang_assortativity)
+            f"WITH {_pages_edges_cte()}, "
+            f"lbase AS (SELECT i::UBIGINT AS i FROM range(0, 2000) t(i)), "
+            f"lh AS (SELECT i, xor({(44 * _FNV64) % _M64}::UBIGINT, i) AS acc0, "
+            f"       {_splitmix_cols('acc0', 'hl')} FROM lbase), "
+            "pl AS (SELECT printf('https://site-%05d.example/p/%04d', "
+            "       (i::BIGINT) // 16, (i::BIGINT) % 16) AS url, "
+            "  CASE (hl % 8)::BIGINT WHEN 4 THEN 'de' WHEN 5 THEN 'fr' "
+            "       WHEN 6 THEN 'es' WHEN 7 THEN 'zh' ELSE 'en' END AS lang "
+            "  FROM lh), "
+            "cm AS (SELECT ps.lang AS sl, pd.lang AS dl, count(*)::HUGEINT AS c "
+            "  FROM e JOIN pl ps ON ps.url = e.src JOIN pl pd ON pd.url = e.dst "
+            "  GROUP BY 1, 2), "
+            "mo AS (SELECT sum(c) AS m, "
+            "  sum(c) FILTER (sl = dl) AS tr FROM cm), "
+            "rc AS (SELECT l, sum(r) * sum(co) AS p FROM ( "
+            "   SELECT sl AS l, sum(c) AS r, 0::HUGEINT AS co FROM cm GROUP BY 1 "
+            "   UNION ALL "
+            "   SELECT dl, 0::HUGEINT, sum(c) FROM cm GROUP BY 1) GROUP BY l), "
+            "ab AS (SELECT sum(p) AS ab FROM rc) "
+            "SELECT m::BIGINT AS n_links, tr::BIGINT AS n_same_lang, "
+            "  (CASE WHEN m * tr - ab < 0 "
+            "   THEN -((ab - m * tr) * 1000000 // (m * m - ab)) "
+            "   ELSE (m * tr - ab) * 1000000 // (m * m - ab) END)::BIGINT AS r_e6 "
+            "FROM mo CROSS JOIN ab"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

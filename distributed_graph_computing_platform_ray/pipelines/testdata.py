@@ -12060,3 +12060,66 @@ def q_shard_balance(sf_dir: str, n: int = 2000, n_shards: int = 8, n_buckets: in
     out["hrw_load"] = np.bincount(hrw, weights=w, minlength=n_shards).astype(np.int64)
     out["hrw_hosts"] = np.bincount(hrw, minlength=n_shards).astype(np.int64)
     return out
+
+
+def q_lang_assortativity(sf_dir: str, n_pages: int = 2000, n_buckets: int = 4):
+    """Newman ATTRIBUTE assortativity (Newman 2003, eq. 2) of page
+    LANGUAGE over the directed link matrix: r = (sum_i e_ii - sum_i
+    a_i b_i) / (1 - sum_i a_i b_i), where e is the lang x lang link
+    fraction matrix — do pages cite their own language? Exact integer
+    rational over the same (src_lang, dst_lang) cells as
+    q_lang_link_matrix: with m total links, num = m*tr - sum(row_i *
+    col_i), den = m*m - sum(row_i * col_i), r truncated e6 (both sides
+    `//` after sign split, the events_regression convention). Langs
+    computed in place from the url ids; one tiny cell bucket_sum."""
+    from ..sources.pages import _LANGS
+    from ..stages.join import bucket_sum
+    from ..utils import mix64
+
+    def url_ids(arr) -> np.ndarray:
+        site = np.char.partition(
+            np.char.partition(arr.astype(str), "site-")[:, 2], "."
+        )[:, 0].astype(np.int64)
+        page = np.char.rpartition(arr.astype(str), "/")[:, 2].astype(np.int64)
+        return site * 16 + page
+
+    langs = np.array(_LANGS)
+
+    def cells(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["dst_key"], "https://site-")
+        f = t.filter(keep)
+        if f.num_rows == 0:
+            return pa.table(
+                {"src_lang": pa.array([], pa.string()),
+                 "dst_lang": pa.array([], pa.string()),
+                 "n_links": pa.array([], pa.int64())}
+            )
+        s = url_ids(f["src_key"].to_numpy(zero_copy_only=False))
+        d = url_ids(f["dst_key"].to_numpy(zero_copy_only=False))
+        sl = langs[(mix64(np.uint64(44), s.astype(np.uint64)) % np.uint64(len(langs))).astype(np.int64)]
+        dl = langs[(mix64(np.uint64(44), d.astype(np.uint64)) % np.uint64(len(langs))).astype(np.int64)]
+        return pa.table(
+            {"src_lang": pa.array(sl, pa.string()),
+             "dst_lang": pa.array(dl, pa.string()),
+             "n_links": pa.array(np.ones(len(s), np.int64))}
+        )
+
+    cm = bucket_sum(
+        _pages_links(n_pages).map_batches(cells, batch_format="pyarrow"),
+        ["src_lang", "dst_lang"], ["n_links"], n_buckets,
+    ).to_pandas()
+    m = int(cm["n_links"].sum())
+    tr = int(cm.loc[cm["src_lang"] == cm["dst_lang"], "n_links"].sum())
+    rows = cm.groupby("src_lang")["n_links"].sum()
+    colsum = cm.groupby("dst_lang")["n_links"].sum()
+    ab = sum(
+        int(rows.get(lang, 0)) * int(colsum.get(lang, 0))
+        for lang in set(rows.index) | set(colsum.index)
+    )
+    num = m * tr - ab
+    den = m * m - ab
+    q = abs(num) * 1_000_000 // den
+    r_e6 = -q if num < 0 else q
+    return pd.DataFrame(
+        {"n_links": [m], "n_same_lang": [tr], "r_e6": [int(r_e6)]}
+    ).astype("int64")
