@@ -1356,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": T.q_shipping_priority,
         "shard_balance": T.q_shard_balance,
         "lang_assortativity": T.q_lang_assortativity,
+        "web_triangle_locality": T.q_web_triangle_locality,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2666,6 +2667,36 @@ def oracle_sql() -> dict[str, str]:
             "   THEN -((ab - m * tr) * 1000000 // (m * m - ab)) "
             "   ELSE (m * tr - ab) * 1000000 // (m * m - ab) END)::BIGINT AS r_e6 "
             "FROM mo CROSS JOIN ab"
+        ),
+        "web_triangle_locality": (
+            # oriented a<b<c 3-join over the simple canonical page
+            # edges (int ids rebuilt from the urls); intra = all three
+            # corners one host (mirrors testdata.q_web_triangle_locality)
+            f"WITH {_pages_edges_cte()}, "
+            "ids AS (SELECT "
+            "  CASE WHEN src LIKE 'https://site-%' "
+            "   THEN CAST(substr(split_part(src, '/', 3), 6, 5) AS BIGINT) * 16 "
+            "        + CAST(split_part(src, '/', 5) AS BIGINT) "
+            "   ELSE 10000000 + CAST(substr(split_part(src, '/', 3), 9, 4) AS BIGINT) END AS sid, "
+            "  CASE WHEN dst LIKE 'https://site-%' "
+            "   THEN CAST(substr(split_part(dst, '/', 3), 6, 5) AS BIGINT) * 16 "
+            "        + CAST(split_part(dst, '/', 5) AS BIGINT) "
+            "   ELSE 10000000 + CAST(substr(split_part(dst, '/', 3), 9, 4) AS BIGINT) END AS did "
+            "  FROM e), "
+            "ce AS (SELECT DISTINCT least(sid, did) AS a, greatest(sid, did) AS b "
+            "       FROM ids WHERE sid <> did), "
+            "tri AS (SELECT count(*)::BIGINT AS n FROM ce e1 "
+            "  JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "cei AS (SELECT a, b FROM ce "
+            "        WHERE a // 16 = b // 16 AND a < 10000000 AND b < 10000000), "
+            "trii AS (SELECT count(*)::BIGINT AS n FROM cei e1 "
+            "  JOIN cei e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "  JOIN cei e3 ON e3.a = e1.b AND e3.b = e2.b) "
+            "SELECT tri.n AS n_triangles, trii.n AS n_intra, "
+            "  (CASE WHEN tri.n = 0 THEN 0 "
+            "   ELSE (1000000 * trii.n) // tri.n END)::BIGINT AS intra_share_e6 "
+            "FROM tri CROSS JOIN trii"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -12123,3 +12123,52 @@ def q_lang_assortativity(sf_dir: str, n_pages: int = 2000, n_buckets: int = 4):
     return pd.DataFrame(
         {"n_links": [m], "n_same_lang": [tr], "r_e6": [int(r_e6)]}
     ).astype("int64")
+
+
+def q_web_triangle_locality(sf_dir: str, n: int = 2000):
+    """TRIANGLE LOCALITY of the web graph: what share of triangles
+    close entirely inside one host? (Web community structure is
+    host-local — the classic finding behind host-blocked graph
+    layouts.) A triangle has all corners on one host iff all three
+    edges are intra-host, so the answer is TWO runs of the existing
+    degree-oriented triangle pipeline — full graph and intra-host
+    subgraph — with urls mapped to int ids in place (onsite
+    site*16+page, offsite 1e7+num; the pipeline's int64 packing needs
+    ids < 2^31). Exact e6 share."""
+    from .triangles import triangle_count
+
+    def ids_tab(t: pa.Table, intra: bool) -> pa.Table:
+        s = t["src_key"].to_numpy(zero_copy_only=False).astype(str)
+        d = t["dst_key"].to_numpy(zero_copy_only=False).astype(str)
+
+        def to_id(a):
+            on = np.char.startswith(a, "https://site-")
+            num = np.char.partition(
+                np.char.partition(a, "-")[:, 2], "."
+            )[:, 0].astype(np.int64)
+            page = np.char.rpartition(a, "/")[:, 2]
+            # offsite urls end in '/x' (non-numeric) but take the
+            # 1e7+num branch, so their page value is never used
+            pv = np.where(np.char.isdigit(page), page, "0").astype(np.int64)
+            return np.where(on, num * 16 + pv, 10_000_000 + num)
+
+        si, di = to_id(s), to_id(d)
+        if intra:
+            keep = (si // 16 == di // 16) & (si < 10_000_000) & (di < 10_000_000)
+            si, di = si[keep], di[keep]
+        return pa.table({"src": pa.array(si), "dst": pa.array(di)})
+
+    links = _pages_links(n)
+    total, _ = triangle_count(
+        links.map_batches(lambda t: ids_tab(t, False), batch_format="pyarrow"),
+        n_buckets=16,
+    )
+    intra, _ = triangle_count(
+        links.map_batches(lambda t: ids_tab(t, True), batch_format="pyarrow"),
+        n_buckets=16,
+    )
+    share = 0 if total == 0 else (1_000_000 * int(intra)) // int(total)
+    return pd.DataFrame(
+        {"n_triangles": [int(total)], "n_intra": [int(intra)],
+         "intra_share_e6": [share]}
+    ).astype("int64")
