@@ -254,3 +254,54 @@ def test_widest_path_matches_bellman_ford(edges):
             assert not np.isfinite(w_eng) and w_eng < 0
         else:
             assert w_eng == exp, (v, w_eng, exp)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=4,
+        max_size=40,
+    ),
+    cut=st.integers(1, 39),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_patch_equals_full_build(edges, cut, data):
+    """patch(build(base), inc) must equal build(base + inc) per vertex
+    KEY for PageRank, for ANY multiset split — including duplicate
+    edges, self-loops landing in either half, and increments whose
+    keys are all new."""
+    from distributed_graph_computing_platform_ray.pipelines.patch import patch_graph
+
+    cut = min(cut, len(edges) - 1)
+    base, inc = edges[:cut], edges[cut:]
+    if not base or not inc:
+        return
+    root = f"{TMP}/patchprop"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def ds_of(pairs):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "src_key": [str(a) for a, _ in pairs],
+                    "dst_key": [str(b) for _, b in pairs],
+                }
+            )
+        )
+
+    build_graph(ds_of(base), f"{root}/g_base", dedup=False)
+    build_graph(ds_of(edges), f"{root}/g_full", dedup=False)
+    patch_graph(f"{root}/g_base", ds_of(inc), f"{root}/g_patch", dedup=False)
+
+    got_f = {
+        r["vertex"]: r["value"]
+        for r in run_algorithm(f"{root}/g_full", f"{root}/w_f", "pagerank").iter_rows()
+    }
+    got_p = {
+        r["vertex"]: r["value"]
+        for r in run_algorithm(f"{root}/g_patch", f"{root}/w_p", "pagerank").iter_rows()
+    }
+    assert set(got_f) == set(got_p)
+    for k, v in got_f.items():
+        assert abs(v - got_p[k]) < 1e-12, k
