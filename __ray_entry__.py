@@ -1357,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_balance": T.q_shard_balance,
         "lang_assortativity": T.q_lang_assortativity,
         "web_triangle_locality": T.q_web_triangle_locality,
+        "avg_neighbor_degree": T.q_avg_neighbor_degree,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2697,6 +2698,18 @@ def oracle_sql() -> dict[str, str]:
             "  (CASE WHEN tri.n = 0 THEN 0 "
             "   ELSE (1000000 * trii.n) // tri.n END)::BIGINT AS intra_share_e6 "
             "FROM tri CROSS JOIN trii"
+        ),
+        "avg_neighbor_degree": (
+            # knn(d), degree-weighted: one rational per degree class
+            # (mirrors testdata.q_avg_neighbor_degree)
+            f"WITH {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS u, count(*)::BIGINT AS d FROM es GROUP BY 1), "
+            "pu AS (SELECT es.src AS u, count(*)::BIGINT AS m, "
+            "       sum(dv.d)::BIGINT AS s "
+            "       FROM es JOIN deg dv ON dv.u = es.dst GROUP BY 1) "
+            "SELECT m AS degree, count(*)::BIGINT AS n_vertices, "
+            "  ((1000000 * sum(s)) // sum(m))::BIGINT AS knn_e6 "
+            "FROM pu GROUP BY m"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

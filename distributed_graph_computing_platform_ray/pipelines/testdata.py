@@ -12172,3 +12172,68 @@ def q_web_triangle_locality(sf_dir: str, n: int = 2000):
         {"n_triangles": [int(total)], "n_intra": [int(intra)],
          "intra_share_e6": [share]}
     ).astype("int64")
+
+
+def q_avg_neighbor_degree(sf_dir: str, n_buckets: int = 16):
+    """Degree-correlation curve knn(d) (Pastor-Satorras et al. 2001):
+    for each degree class d, the degree-weighted average neighbor
+    degree — rising = assortative core, falling = hub-periphery
+    (the web's signature). Exact integers: per vertex, s_u = sum of
+    neighbor degrees over the symmetrized multigraph adjacency;
+    knn(d) = (1e6 * sum_u s_u) // sum_u deg_u within the class (the
+    weighted form keeps ONE rational). Degrees reduce in one vertex
+    bucket_sum; neighbor-degree sums in ONE bucket join of the edge
+    list against the degree table; degree classes are tiny."""
+    from ..stages.join import bucket_join, bucket_sum
+
+    edges = edges_lineitem(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        s, d = t["src"].combine_chunks(), t["dst"].combine_chunks()
+        return pa.table(
+            {"u": pa.chunked_array([s, d]).cast(pa.int64()),
+             "v": pa.chunked_array([d, s]).cast(pa.int64()),
+             "one": pa.array(np.ones(2 * t.num_rows, np.int64))}
+        )
+
+    es = edges.map_batches(both, batch_format="pyarrow")
+    deg = bucket_sum(
+        es.map_batches(
+            lambda t: pa.table({"u": t["u"], "d": t["one"]}), batch_format="pyarrow"
+        ),
+        ["u"], ["d"], n_buckets,
+    )
+
+    # join adjacency entries (u, v) with deg(v): per-entry neighbor
+    # degree, then fold to per-u (m_u, s_u), then per degree class
+    j = bucket_join(
+        es.map_batches(lambda t: pa.table({"u": t["u"], "v": t["v"]}), batch_format="pyarrow"),
+        deg.map_batches(lambda t: pa.table({"v": t["u"], "dv": t["d"]}), batch_format="pyarrow"),
+        left_on="v", right_on="v", n_buckets=n_buckets,
+        left_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
+        right_schema=pa.schema([("v", pa.int64()), ("dv", pa.int64())]),
+    )
+    per_u = bucket_sum(
+        j.map_batches(
+            lambda t: pa.table(
+                {"u": t["u"].cast(pa.int64()),
+                 "m": pa.array(np.ones(t.num_rows, np.int64)),
+                 "s": t["dv"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["u"], ["m", "s"], n_buckets,
+    )
+
+    def classes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"degree": t["m"], "n_vertices": pa.array(np.ones(t.num_rows, np.int64)),
+             "sum_m": t["m"], "sum_s": t["s"]}
+        )
+
+    cls = bucket_sum(
+        per_u.map_batches(classes, batch_format="pyarrow"),
+        ["degree"], ["n_vertices", "sum_m", "sum_s"], 4,
+    ).to_pandas()
+    cls["knn_e6"] = (1_000_000 * cls["sum_s"].astype("int64")) // cls["sum_m"].astype("int64")
+    return cls[["degree", "n_vertices", "knn_e6"]].astype("int64")
