@@ -1358,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_assortativity": T.q_lang_assortativity,
         "web_triangle_locality": T.q_web_triangle_locality,
         "avg_neighbor_degree": T.q_avg_neighbor_degree,
+        "damping_sensitivity": T.q_damping_sensitivity,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2710,6 +2711,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m AS degree, count(*)::BIGINT AS n_vertices, "
             "  ((1000000 * sum(s)) // sum(m))::BIGINT AS knn_e6 "
             "FROM pu GROUP BY m"
+        ),
+        "damping_sensitivity": (
+            # two 30-iter chains (0.85 and 0.70) over the shared edge
+            # CTE; top-25 ranks by (e8 DESC, id); overlap + total rank
+            # displacement (mirrors testdata.q_damping_sensitivity)
+            f"WITH RECURSIVE {_pages_edges_cte()}, {_pr_chain('')}, "
+            "pr2 AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+            "  UNION ALL "
+            "  SELECT q.it + 1, ee.dst, 0.30/nn.n + 0.70 * SUM(q.val / q.d), dd.d "
+            "  FROM pr2 q CROSS JOIN nn JOIN es ee ON ee.src = q.id "
+            "       JOIN deg dd ON dd.id = ee.dst "
+            "  WHERE q.it < 30 GROUP BY q.it, ee.dst, dd.d, nn.n), "
+            "fin2 AS (SELECT id, CAST(ROUND(val * 1e8) AS BIGINT) AS e8 "
+            "         FROM pr2 WHERE it = 30), "
+            "ta AS (SELECT id, row_number() OVER (ORDER BY e8 DESC, id) AS rk "
+            "       FROM fin QUALIFY rk <= 25), "
+            "tb AS (SELECT id, row_number() OVER (ORDER BY e8 DESC, id) AS rk "
+            "       FROM fin2 QUALIFY rk <= 25) "
+            "SELECT count(*)::BIGINT AS n_common, "
+            "  COALESCE(sum(abs(ta.rk - tb.rk)), 0)::BIGINT AS sum_rank_disp "
+            "FROM ta JOIN tb USING (id)"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

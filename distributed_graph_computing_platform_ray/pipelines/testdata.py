@@ -12237,3 +12237,49 @@ def q_avg_neighbor_degree(sf_dir: str, n_buckets: int = 16):
     ).to_pandas()
     cls["knn_e6"] = (1_000_000 * cls["sum_s"].astype("int64")) // cls["sum_m"].astype("int64")
     return cls[["degree", "n_vertices", "knn_e6"]].astype("int64")
+
+
+def q_damping_sensitivity(sf_dir: str, n: int = 2000, k: int = 25):
+    """RANKING ROBUSTNESS to the damping factor: PageRank at d=0.85 vs
+    d=0.70 on the same page graph (one build, two engine runs — the
+    hyperparameter A/B every ranking team runs before shipping a
+    damping change), compared on the top-25: how many urls appear in
+    both lists and the total absolute rank displacement over the
+    common set. Ranks are positions in the (score_e8 DESC, vertex)
+    order, so the comparison is exact integers end-to-end. n PINNED to
+    the fixed oracle's 2000."""
+    from ..sources.pages import generate_pages
+    from .pages import build_link_graph
+
+    root = f"/tmp/graft_damp_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/graph", n_parts=8, n_buckets=16)
+
+    def topk(damping: float, tag: str) -> pd.DataFrame:
+        res = run_algorithm(
+            f"{root}/graph", f"{root}/pr_{tag}", "pagerank", damping=damping
+        )
+
+        def conv(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"vertex": t["vertex"], "e8": _score_e8(t["value"])}
+            )
+
+        rows = (
+            res.map_batches(conv, batch_format="pyarrow")
+            .sort(["e8", "vertex"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+        )
+        rows["rank"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+        return rows
+
+    a = topk(0.85, "d85")
+    b = topk(0.70, "d70")
+    m = a.merge(b, on="vertex", suffixes=("_a", "_b"))
+    return pd.DataFrame(
+        {
+            "n_common": [int(len(m))],
+            "sum_rank_disp": [int((m["rank_a"] - m["rank_b"]).abs().sum())],
+        }
+    ).astype("int64")
