@@ -131,24 +131,67 @@ def patch_graph(
     os.makedirs(os.path.join(out_dir, "csr"), exist_ok=True)
 
     # ---- 1. new keys -> appended dense ids ---------------------------
-    fresh = _new_keys(new_edges_keys, graph_dir, src_col, dst_col, n_buckets)
-    degenerate = fresh.map_batches(
-        lambda t: pa.table({"src_key": t["key"], "dst_key": t["key"]}),
-        batch_format="pyarrow",
-    )
-    new_dict, m, new_numeric, _ = build_dictionary(
-        degenerate, "src_key", "dst_key", n_buckets
-    )
-    if m:
-        new_dict = new_dict.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t["key"],
-                    "id": pa.compute.add(t["id"], old.n_vertices),
-                }
-            ),
+    # driver fast path (mirrors build_dictionary's): when the OLD
+    # dictionary fits the broadcast budget, the anti-join + ranking of
+    # the increment's keys run as two pandas ops instead of three
+    # chained Dataset executions (~1 s fixed orchestration each —
+    # NOTES.md); the distributed tagged-union path remains above it
+    if old.n_vertices <= BROADCAST_DICT_LIMIT:
+        from ..utils import stable_hash_array
+
+        old_keys_arr = (
+            rd.read_parquet(os.path.join(graph_dir, "vertices"))
+            .select_columns(["key"])
+            .to_pandas()["key"]
+            .to_numpy()
+        ) if old.n_vertices else np.array([], dtype=object)
+        inc_keys = (
+            _keys_of_edges(new_edges_keys, src_col, dst_col).to_pandas()
+        )
+        inc_u = (
+            pd.unique(inc_keys["key"].astype(str))
+            if "key" in inc_keys.columns
+            else np.array([], dtype=object)
+        )
+        fresh_u = inc_u[~pd.Series(inc_u).isin(set(old_keys_arr.astype(str))).to_numpy()]
+        m = len(fresh_u)
+        new_numeric = bool(
+            pd.Series(fresh_u).astype(str).str.fullmatch(r"[+-]?\d+").all()
+        ) if m else True
+        if m:
+            kb = (stable_hash_array(fresh_u) % np.uint64(n_buckets)).astype(np.int64)
+            order = pd.DataFrame({"key": fresh_u, "b": kb}).sort_values(
+                ["b", "key"], kind="stable"
+            )["key"].to_numpy()
+            new_dict = rd.from_arrow(
+                pa.table(
+                    {
+                        "key": pa.array(order, pa.large_string()),
+                        "id": pa.array(
+                            old.n_vertices + np.arange(m, dtype=np.int64)
+                        ),
+                    }
+                )
+            ).materialize()
+    else:
+        fresh = _new_keys(new_edges_keys, graph_dir, src_col, dst_col, n_buckets)
+        degenerate = fresh.map_batches(
+            lambda t: pa.table({"src_key": t["key"], "dst_key": t["key"]}),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        new_dict, m, new_numeric, _ = build_dictionary(
+            degenerate, "src_key", "dst_key", n_buckets
+        )
+        if m:
+            new_dict = new_dict.map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": t["key"],
+                        "id": pa.compute.add(t["id"], old.n_vertices),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
 
     n_vertices = old.n_vertices + m
     part_size = old.part_size  # keep old ranges bit-compatible
