@@ -1359,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_triangle_locality": T.q_web_triangle_locality,
         "avg_neighbor_degree": T.q_avg_neighbor_degree,
         "damping_sensitivity": T.q_damping_sensitivity,
+        "pagerank_tol": T.q_pagerank_tol,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2733,6 +2734,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_common, "
             "  COALESCE(sum(abs(ta.rk - tb.rk)), 0)::BIGINT AS sum_rank_disp "
             "FROM ta JOIN tb USING (id)"
+        ),
+        "pagerank_tol": (
+            # recurrence to the 60-cap; stop = first multiple-of-5
+            # boundary whose last step moved no vertex > 3e-7; scores
+            # read AT that boundary — pins values AND stopping rule
+            # (mirrors testdata.q_pagerank_tol / algorithms.PageRankTol)
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+            "  UNION ALL "
+            "  SELECT q.it + 1, ee.dst, 0.15/nn.n + 0.85 * SUM(q.val / q.d), dd.d "
+            "  FROM pr q CROSS JOIN nn JOIN es ee ON ee.src = q.id "
+            "       JOIN deg dd ON dd.id = ee.dst "
+            "  WHERE q.it < 60 GROUP BY q.it, ee.dst, dd.d, nn.n), "
+            "mv AS (SELECT b.it AS it, max(abs(b.val - a.val)) AS mx "
+            "       FROM pr a JOIN pr b ON b.id = a.id AND b.it = a.it + 1 "
+            "       GROUP BY b.it), "
+            "stop AS (SELECT COALESCE(min(it), 60) AS s FROM mv "
+            "         WHERE it % 5 = 0 AND mx <= 3e-7) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr JOIN stop ON pr.it = stop.s"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

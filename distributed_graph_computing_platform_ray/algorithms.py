@@ -116,6 +116,38 @@ class PageRank(Algorithm):
         return False
 
 
+class PageRankTol(PageRank):
+    """TOLERANCE-HALTED PageRank: the exact standard recurrence, but
+    the run stops at the first checkpoint boundary whose last
+    superstep moved no vertex by more than ``theta`` — the engine's
+    global halt detection (A3) driving a numeric fixpoint instead of
+    a fixed iteration count. ``scatter_all`` keeps every vertex
+    sending regardless of its active flag (freezing a sender would
+    corrupt the sum); the per-vertex |new-old| > theta votes are ONLY
+    the halting signal, so the iterates are bit-identical to plain
+    PageRank's at every step."""
+
+    scatter_all = True
+
+    def __init__(
+        self,
+        n_vertices: int,
+        theta: float = 3e-7,
+        max_iters: int = 60,
+        damping: float = 0.85,
+    ):
+        super().__init__(n_vertices, num_iters=max_iters, damping=damping)
+        self.name = "pagerank_tol"
+        self.theta = theta
+
+    def apply(self, old_values, agg, has_msg, superstep):
+        new, _a, third = super().apply(old_values, agg, has_msg, superstep)
+        return new, np.abs(new - old_values) > self.theta, third
+
+    def halt_on_no_change(self):
+        return True
+
+
 class PageRankDangling(PageRank):
     """True web PageRank on a DIRECTED graph with dangling-mass
     redistribution:  x <- (1-d)/N + d * (A^T_deg x + D/N)  where
@@ -980,6 +1012,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return PageRankWeighted(**params)
     if name == "pagerank_dangling":
         return PageRankDangling(**params)
+    if name == "pagerank_tol":
+        return PageRankTol(**params)
     if name in ("ppr", "personalized_pagerank"):
         return PersonalizedPageRank(**params)
     if name == "trustrank":

@@ -163,7 +163,9 @@ def make_scatter_carry(manifest: GraphManifest, algo: Algorithm, superstep: int)
                         np.full(n_parts, 2, dtype=np.int8),
                     )
                 )
-            sel = (ids // part_size == p) & active
+            sel = ids // part_size == p
+            if not getattr(algo, "scatter_all", False):
+                sel = sel & active
             if not sel.any():
                 continue
             sel_ids = ids[sel]
@@ -337,7 +339,10 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
         gp = float(algo.scatter_aggregate(ids, values, deg_all, superstep))
         return [(c, gp) for c in chunks]
 
-    sel = active
+    # scatter_all: active flags drive HALTING only — every vertex keeps
+    # sending (tolerance-halted fixed-recurrence algorithms, where
+    # freezing a sender would corrupt the sum)
+    sel = np.ones(len(ids), dtype=bool) if getattr(algo, "scatter_all", False) else active
     if not sel.any():
         return _wrap(out)
     sel_ids = ids[sel]

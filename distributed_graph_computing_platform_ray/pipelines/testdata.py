@@ -12283,3 +12283,16 @@ def q_damping_sensitivity(sf_dir: str, n: int = 2000, k: int = 25):
             "sum_rank_disp": [int((m["rank_a"] - m["rank_b"]).abs().sum())],
         }
     ).astype("int64")
+
+
+def q_pagerank_tol(sf_dir: str):
+    """PageRank run to a CONVERGENCE TOLERANCE instead of a fixed
+    iteration count: halts at the first checkpoint boundary whose last
+    superstep moved no vertex by more than theta=3e-7 (the engine's
+    global halt detection driving a numeric fixpoint — every vertex
+    keeps scattering, the active flags are only the vote). The oracle
+    replays the recurrence to the 60-iteration cap, finds the same
+    boundary from per-iteration max movement, and reads the scores
+    there — so the hash pins both the VALUES and the STOPPING RULE."""
+    res = _run_cached(sf_dir, "lineitem", "pagerank_tol")
+    return _as_int_vertex(res, "score_e8", _score_e8)
