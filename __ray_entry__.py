@@ -1360,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_neighbor_degree": T.q_avg_neighbor_degree,
         "damping_sensitivity": T.q_damping_sensitivity,
         "pagerank_tol": T.q_pagerank_tol,
+        "patch_warm_pagerank": T.q_patch_warm_pagerank,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2757,6 +2758,40 @@ def oracle_sql() -> dict[str, str]:
             "         WHERE it % 5 = 0 AND mx <= 3e-7) "
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM pr JOIN stop ON pr.it = stop.s"
+        ),
+        "patch_warm_pagerank": (
+            # base-PR-30 over the pre-wave subgraph, then 10 warm
+            # iterations over the FULL edge set seeded from it (new
+            # urls 0), top-25 (mirrors testdata.q_patch_warm_pagerank)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "be AS (SELECT src, dst FROM e WHERE "
+            "  CAST(substr(split_part(src, '/', 3), 6, 5) AS BIGINT) * 16 "
+            "  + CAST(split_part(src, '/', 5) AS BIGINT) < 1600), "
+            "bes AS (SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be), "
+            "bdeg AS (SELECT src AS id, count(*) AS d FROM bes GROUP BY src), "
+            "bnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bdeg), "
+            "bpr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM bdeg "
+            "  UNION ALL "
+            "  SELECT q.it + 1, ee.dst, 0.15/bnn.n + 0.85 * SUM(q.val / q.d), dd.d "
+            "  FROM bpr q CROSS JOIN bnn JOIN bes ee ON ee.src = q.id "
+            "       JOIN bdeg dd ON dd.id = ee.dst "
+            "  WHERE q.it < 30 GROUP BY q.it, ee.dst, dd.d, bnn.n), "
+            "bfin AS (SELECT id, val FROM bpr WHERE it = 30), "
+            "es AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+            "w AS ( "
+            "  SELECT 0 AS it, deg.id, COALESCE(bfin.val, 0.0) AS val, deg.d "
+            "  FROM deg LEFT JOIN bfin ON bfin.id = deg.id "
+            "  UNION ALL "
+            "  SELECT q.it + 1, ee.dst, 0.15/nn.n + 0.85 * SUM(q.val / q.d), dd.d "
+            "  FROM w q CROSS JOIN nn JOIN es ee ON ee.src = q.id "
+            "       JOIN deg dd ON dd.id = ee.dst "
+            "  WHERE q.it < 10 GROUP BY q.it, ee.dst, dd.d, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM w WHERE it = 10 "
+            "ORDER BY score_e8 DESC, vertex LIMIT 25"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -12296,3 +12296,74 @@ def q_pagerank_tol(sf_dir: str):
     there — so the hash pins both the VALUES and the STOPPING RULE."""
     res = _run_cached(sf_dir, "lineitem", "pagerank_tol")
     return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_patch_warm_pagerank(sf_dir: str, n: int = 2000, n_base: int = 1600, warm_iters: int = 10):
+    """The REAL incremental-crawl re-rank loop, end to end: PR-30 on
+    the 1600-page base graph -> patch_graph the 400-page wave in
+    (existing dense ids keep their ranks — the property that makes the
+    warm start valid WITHOUT any remapping) -> 10 warm iterations on
+    the patched graph seeded from the base scores (new urls start 0)
+    -> top-25. The oracle chains base-PR-30 and the 10-step warm
+    recurrence over the full edge set, so the hash pins the whole
+    composition: incremental build + id stability + warm convergence."""
+    import pyarrow.dataset as pads
+
+    from ..algorithms import PageRankWarmStart
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .pages import build_link_graph
+    from .patch import patch_graph
+
+    root = f"/tmp/graft_patchwarm_{n}_{n_base}"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = generate_pages(n)
+
+    def band(lo: int, hi: int):
+        def fn(t: pa.Table) -> pa.Table:
+            site = pc.list_element(pc.split_pattern(t["url"], "site-"), 1)
+            sid = pc.cast(pc.list_element(pc.split_pattern(site, "."), 0), pa.int64())
+            pid = pc.cast(
+                pc.list_element(pc.split_pattern(t["url"], "/"), 4), pa.int64()
+            )
+            i = pc.add(pc.multiply(sid, 16), pid)
+            return t.filter(pc.and_(pc.greater_equal(i, lo), pc.less(i, hi)))
+
+        return fn
+
+    build_link_graph(
+        pages.map_batches(band(0, n_base), batch_format="pyarrow"),
+        f"{root}/g_base", n_parts=8, n_buckets=16,
+    )
+    run_algorithm(f"{root}/g_base", f"{root}/pr_base", "pagerank")
+    import json as _json
+
+    with open(os.path.join(f"{root}/pr_base", "run.json")) as f:
+        final = _json.load(f)["final_iter"]
+    st = pads.dataset(
+        os.path.join(f"{root}/pr_base", "state", f"iter={final:04d}")
+    ).to_table(columns=["id", "value"])
+    prior_ids = st["id"].to_numpy()
+    prior_vals = st["value"].to_numpy()
+
+    patch_graph(
+        f"{root}/g_base",
+        extract_links(pages.map_batches(band(n_base, n), batch_format="pyarrow")),
+        f"{root}/g_patch",
+        dedup=True,
+        n_buckets=16,
+    )
+    man = GraphManifest.load(f"{root}/g_patch")
+    algo = PageRankWarmStart(
+        prior_ids, prior_vals, n_vertices=man.n_vertices, num_iters=warm_iters
+    )
+    res = run_algorithm(f"{root}/g_patch", f"{root}/pr_warm", algo)
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({"vertex": t["vertex"], "score_e8": _score_e8(t["value"])})
+
+    return (
+        res.map_batches(conv, batch_format="pyarrow")
+        .sort(["score_e8", "vertex"], descending=[True, False])
+        .limit(25)
+    )
