@@ -1361,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "damping_sensitivity": T.q_damping_sensitivity,
         "pagerank_tol": T.q_pagerank_tol,
         "patch_warm_pagerank": T.q_patch_warm_pagerank,
+        "doulion_triangles": T.q_doulion_triangles,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2792,6 +2793,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM w WHERE it = 10 "
             "ORDER BY score_e8 DESC, vertex LIMIT 25"
+        ),
+        "doulion_triangles": (
+            # p=1/2 edge sampling by splitmix64 of the packed (a,b)
+            # key, exact triangle count on the sample, 1/p^3 scale
+            f"WITH {_U_ORDERS}, "
+            f"s0 AS (SELECT a, b, {_splitmix_cols('(a*4294967296 + b)', 'h')} FROM u), "
+            "s AS (SELECT a, b FROM s0 WHERE h % 2 = 0) "
+            "SELECT (SELECT count(*) FROM s)::BIGINT AS n_sampled_edges, "
+            "count(*)::BIGINT AS n_sampled_triangles, "
+            "(count(*) * 8)::BIGINT AS est_triangles "
+            "FROM s e1 JOIN s e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN s e3 ON e3.a = e1.b AND e3.b = e2.b"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -12367,3 +12367,39 @@ def q_patch_warm_pagerank(sf_dir: str, n: int = 2000, n_base: int = 1600, warm_i
         .sort(["score_e8", "vertex"], descending=[True, False])
         .limit(25)
     )
+
+
+def q_doulion_triangles(sf_dir: str):
+    """DOULION (Tsourakakis et al., KDD 2009) sampled triangle count —
+    the documented scale path next to the exact q_triangle_count: keep
+    each canonical edge independently with p = 1/2, decided by
+    splitmix64 of the packed (a,b) key so the coin flip is a pure
+    function of the edge (deterministic across batch boundaries and
+    bit-replayable by the SQL oracle), count triangles EXACTLY on the
+    sampled subgraph with the same bucketed wedge pipeline, and scale
+    by 1/p^3 = 8 for the unbiased estimate. At 100 TB only the sample
+    shuffles — a ~4x cut in wedge work per halving; the materialize
+    here holds the p-fraction edge set in the OBJECT STORE (never the
+    driver) so the count and the wedge pass share one execution."""
+    from ..utils import splitmix64
+
+    def sample(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy().astype(np.uint64)
+        b = t["dst"].to_numpy().astype(np.uint64)
+        h = splitmix64((a << np.uint64(32)) | b)
+        return t.filter(pa.array((h % np.uint64(2)) == 0))
+
+    sampled = (
+        edges_orders(sf_dir)
+        .map_batches(sample, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = sampled.count()
+    total, _ = triangle_count(sampled, n_buckets=32)
+    return pd.DataFrame(
+        {
+            "n_sampled_edges": [int(n_edges)],
+            "n_sampled_triangles": [int(total)],
+            "est_triangles": [int(total) * 8],
+        }
+    )
