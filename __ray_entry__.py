@@ -1362,6 +1362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_tol": T.q_pagerank_tol,
         "patch_warm_pagerank": T.q_patch_warm_pagerank,
         "doulion_triangles": T.q_doulion_triangles,
+        "promo_revenue": T.q_promo_revenue,
+        "returned_item_report": T.q_returned_item_report,
+        "volume_shipping": T.q_volume_shipping,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -2805,6 +2808,55 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) * 8)::BIGINT AS est_triangles "
             "FROM s e1 JOIN s e2 ON e2.a = e1.a AND e2.b > e1.b "
             "JOIN s e3 ON e3.a = e1.b AND e3.b = e2.b"
+        ),
+        "promo_revenue": (
+            # exact integer revenue: cents*(100-pct); floor(x*100+0.5)
+            # is the same double expression numpy evaluates (_rev_e4)
+            "WITH l AS (SELECT l_partkey, "
+            "  year(l_shipdate) * 100 + month(l_shipdate) AS ym, "
+            "  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+            "  (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev "
+            "FROM lineitem), "
+            "j AS (SELECT ym, rev, (p_type = 'PROMO') AS promo FROM l "
+            "      JOIN part ON p_partkey = l_partkey) "
+            "SELECT ym::BIGINT AS ym, "
+            "COALESCE(sum(rev) FILTER (promo), 0)::BIGINT AS promo_rev_e4, "
+            "sum(rev)::BIGINT AS total_rev_e4, "
+            "(COALESCE(sum(rev) FILTER (promo), 0) * 1000000 // sum(rev))"
+            "::BIGINT AS promo_share_e6 "
+            "FROM j GROUP BY ym"
+        ),
+        "returned_item_report": (
+            # top-20 customers by returned revenue; custkey tie-break
+            # makes the LIMIT deterministic for the hash gate
+            "WITH l AS (SELECT l_orderkey, "
+            "  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+            "  (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev "
+            "FROM lineitem WHERE l_returnflag = 'R'), "
+            "a AS (SELECT o_custkey, sum(rev)::BIGINT AS revenue_e4 FROM l "
+            "      JOIN orders ON o_orderkey = l_orderkey GROUP BY 1) "
+            "SELECT c_custkey, c_name, n_name, revenue_e4 "
+            "FROM a JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"
+        ),
+        "volume_shipping": (
+            # cross-nation (supplier, customer) trade volume per ship
+            # year, domestic pairs excluded
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "  year(l_shipdate)::BIGINT AS l_year, "
+            "  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+            "  (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev "
+            "FROM lineitem) "
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "l_year, sum(rev)::BIGINT AS volume_e4 "
+            "FROM l JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+            "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+            "WHERE s_nationkey <> c_nationkey "
+            "GROUP BY 1, 2, 3"
         ),
         "events_autocorr": (
             # lag-1 pairs via lead() per type; Box-Jenkins single-

@@ -12403,3 +12403,248 @@ def q_doulion_triangles(sf_dir: str):
             "est_triangles": [int(total) * 8],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored relational pipelines (round 4, session 4)
+# ---------------------------------------------------------------------------
+
+
+def _rev_e4(ep: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """Exact integer line revenue: cents(extendedprice) * (100 - pct(discount)).
+
+    floor(x*100 + 0.5) is IEEE-identical between numpy and DuckDB (both
+    evaluate the same double expression), so the engine and the SQL
+    oracle agree bit-for-bit with no half-even/half-away drift."""
+    cents = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+    dpct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+    return cents * (100 - dpct)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-flavored promo revenue share per ship month: join
+    lineitem to part, split revenue into PROMO vs total per yyyymm, and
+    report the e6-scaled promo share. part is a DIMENSION: under the
+    2M-row broadcast budget it ships ONCE via ray.put and the query is
+    a single map_batches with per-batch partial aggregation (<= ~84
+    month rows per block, driver-reduced); above it, one bucket_join
+    shuffle on partkey feeds the same partial kernel. Revenue is the
+    exact integer cents*(100-pct) product (_rev_e4), so promo_share_e6
+    is a pure integer floor division on both sides of the oracle."""
+    import pyarrow.dataset as pads
+
+    from ..stages.join import bucket_join
+
+    li = _table(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame, promo: pd.Series | None) -> pd.DataFrame:
+        rev = _rev_e4(
+            df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy()
+        )
+        if promo is not None:
+            is_promo = (
+                promo.reindex(df["l_partkey"].to_numpy())
+                .fillna(False)
+                .to_numpy(dtype=bool)
+            )
+        else:
+            is_promo = (df["p_type"] == "PROMO").to_numpy()
+        sd = df["l_shipdate"]
+        ym = (sd.dt.year.to_numpy() * 100 + sd.dt.month.to_numpy()).astype(
+            np.int64
+        )
+        g = pd.DataFrame(
+            {"ym": ym, "rev": rev, "prev": np.where(is_promo, rev, 0)}
+        )
+        return g.groupby("ym", as_index=False).sum()
+
+    n_part = pads.dataset(os.path.join(sf_dir, "part.parquet")).count_rows()
+    if n_part <= BROADCAST_DIM_ROWS:
+        part_df = _dim_table(sf_dir, "part", ["p_partkey", "p_type"])
+        promo_ref = ray.put(
+            pd.Series(
+                (part_df["p_type"] == "PROMO").to_numpy(),
+                index=part_df["p_partkey"].to_numpy(),
+            )
+        )
+        partials = li.map_batches(
+            lambda df: partial(df, ray.get(promo_ref)), batch_format="pandas"
+        ).to_pandas()
+    else:
+        part = _table(sf_dir, "part", ["p_partkey", "p_type"])
+        ii = pa.int64()
+        joined = bucket_join(
+            li, part, left_on="l_partkey", right_on="p_partkey", n_buckets=64,
+            left_schema=pa.schema(
+                [("l_partkey", ii), ("l_extendedprice", pa.float64()),
+                 ("l_discount", pa.float64()),
+                 ("l_shipdate", pa.timestamp("us"))]
+            ),
+            right_schema=pa.schema([("p_partkey", ii), ("p_type", pa.string())]),
+        )
+        partials = joined.map_batches(
+            lambda df: partial(df, None), batch_format="pandas"
+        ).to_pandas()
+
+    agg = partials.groupby("ym", as_index=False).sum()
+    return pd.DataFrame(
+        {
+            "ym": agg["ym"].astype("int64"),
+            "promo_rev_e4": agg["prev"].astype("int64"),
+            "total_rev_e4": agg["rev"].astype("int64"),
+            "promo_share_e6": (
+                agg["prev"] * 1_000_000 // agg["rev"]
+            ).astype("int64"),
+        }
+    )
+
+
+def q_returned_item_report(sf_dir: str, top: int = 20):
+    """TPC-H Q10-flavored returned-item report: revenue lost to
+    returned lineitems (l_returnflag = 'R') per customer, top 20 by
+    revenue with the customer name and nation attached. lineitem and
+    orders are both fact-sized, so the orderkey equi-join is ONE
+    bucket_join shuffle; the per-customer rollup is ONE bucket_sum
+    (both scale-honest at 100 TB). customer/nation are broadcast
+    dimensions; the final top-20 is a per-block partial top-k whose
+    driver fan-in is <= blocks x 20 rows. Ties break on c_custkey so
+    the LIMIT is deterministic for the hash gate."""
+    from ..stages.join import bucket_join, bucket_sum
+
+    def returned(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = _rev_e4(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_e4": pa.array(rev)}
+        )
+
+    li = _table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(returned, batch_format="pyarrow")
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ii = pa.int64()
+    joined = bucket_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey", n_buckets=64,
+        left_schema=pa.schema([("l_orderkey", ii), ("rev_e4", ii)]),
+        right_schema=pa.schema([("o_orderkey", ii), ("o_custkey", ii)]),
+    )
+    per_cust = bucket_sum(joined, ["o_custkey"], ["rev_e4"], n_buckets=32)
+
+    cust_df = _dim_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nat_df = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = dict(zip(nat_df["n_nationkey"].astype(int), nat_df["n_name"]))
+    cust_ref = ray.put(cust_df.set_index("c_custkey"))
+    nation_ref = ray.put(nation)
+
+    def attach_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cust = ray.get(cust_ref)
+        nat = ray.get(nation_ref)
+        df = df.sort_values(
+            ["rev_e4", "o_custkey"], ascending=[False, True], kind="stable"
+        ).head(top)
+        rows = cust.reindex(df["o_custkey"].to_numpy())
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "c_name": rows["c_name"].to_numpy(),
+                "n_name": [nat[int(k)] for k in rows["c_nationkey"]],
+                "revenue_e4": df["rev_e4"].to_numpy(),
+            }
+        )
+
+    parts = per_cust.map_batches(attach_topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["revenue_e4", "c_custkey"], ascending=[False, True], kind="stable"
+    ).head(top)
+    return out.reset_index(drop=True)
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7-flavored volume shipping: cross-nation trade volume per
+    (supplier nation, customer nation, ship year), excluding domestic
+    pairs. The only fact-fact join (lineitem x orders on orderkey) is
+    ONE bucket_join shuffle; supplier/customer/nation are broadcast
+    dimensions resolved inside the same per-batch partial kernel, which
+    pre-aggregates to <= nations^2 x years rows per block before a
+    driver reduce — no second shuffle. Volume is the exact integer
+    _rev_e4 product."""
+    from ..stages.join import bucket_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = _rev_e4(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        yr = pc.year(t["l_shipdate"])
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev_e4": pa.array(rev),
+                "l_year": yr.cast(pa.int64()),
+            }
+        )
+
+    li = _table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(prep, batch_format="pyarrow")
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ii = pa.int64()
+    joined = bucket_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey", n_buckets=64,
+        left_schema=pa.schema(
+            [("l_orderkey", ii), ("l_suppkey", ii), ("rev_e4", ii), ("l_year", ii)]
+        ),
+        right_schema=pa.schema([("o_orderkey", ii), ("o_custkey", ii)]),
+    )
+
+    supp_df = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust_df = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat_df = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    s2n_ref = ray.put(
+        pd.Series(
+            supp_df["s_nationkey"].to_numpy(), index=supp_df["s_suppkey"].to_numpy()
+        )
+    )
+    c2n_ref = ray.put(
+        pd.Series(
+            cust_df["c_nationkey"].to_numpy(), index=cust_df["c_custkey"].to_numpy()
+        )
+    )
+    nation_ref = ray.put(
+        dict(zip(nat_df["n_nationkey"].astype(int), nat_df["n_name"]))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s2n, c2n, nat = ray.get(s2n_ref), ray.get(c2n_ref), ray.get(nation_ref)
+        sn = s2n.reindex(df["l_suppkey"].to_numpy()).to_numpy()
+        cn = c2n.reindex(df["o_custkey"].to_numpy()).to_numpy()
+        keep = (~pd.isna(sn)) & (~pd.isna(cn)) & (sn != cn)
+        g = pd.DataFrame(
+            {
+                "sn": sn[keep].astype(np.int64),
+                "cn": cn[keep].astype(np.int64),
+                "l_year": df["l_year"].to_numpy()[keep],
+                "volume_e4": df["rev_e4"].to_numpy()[keep],
+            }
+        ).groupby(["sn", "cn", "l_year"], as_index=False)["volume_e4"].sum()
+        g["supp_nation"] = [nat[int(k)] for k in g["sn"]]
+        g["cust_nation"] = [nat[int(k)] for k in g["cn"]]
+        return g[["supp_nation", "cust_nation", "l_year", "volume_e4"]]
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(
+        ["supp_nation", "cust_nation", "l_year"], as_index=False
+    )["volume_e4"].sum()
+    agg["l_year"] = agg["l_year"].astype("int64")
+    agg["volume_e4"] = agg["volume_e4"].astype("int64")
+    return agg
