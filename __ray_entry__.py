@@ -1365,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": T.q_promo_revenue,
         "returned_item_report": T.q_returned_item_report,
         "volume_shipping": T.q_volume_shipping,
+        "opic_cash": T.q_opic_cash,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -4400,6 +4401,33 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE p.it < 30 GROUP BY p.it, r.t, nn.n) "
             "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
             "FROM pr WHERE it = 30 ORDER BY score_e8 DESC, vertex LIMIT 25"
+        ),
+        "opic_cash": (
+            # OPIC cash history H_K = sum_{t<=K} M^t (1/N): the
+            # dangling-PageRank recurrence with teleport 1/N and
+            # damping 1, zero init, K+1 = 11 iterations (mirrors
+            # algorithms.OPIC / testdata.q_opic_cash)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "vset AS (SELECT DISTINCT u AS id FROM "
+            "         (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)), "
+            "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM e GROUP BY src), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM vset), "
+            "dang AS (SELECT v.id FROM vset v LEFT JOIN deg ON deg.id = v.id "
+            "         WHERE deg.id IS NULL), "
+            "relax AS ( "
+            "  SELECT e.src AS s, e.dst AS t, 1.0 / deg.d AS w FROM e "
+            "  JOIN deg ON deg.id = e.src "
+            "  UNION ALL SELECT d.id, v.id, (SELECT 1.0 / n FROM nn) "
+            "    FROM dang d CROSS JOIN vset v "
+            "  UNION ALL SELECT id, id, 0.0 FROM vset), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val FROM vset "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.t, 1.0/nn.n + 1.0 * SUM(p.val * r.w) "
+            "  FROM pr p CROSS JOIN nn JOIN relax r ON r.s = p.id "
+            "  WHERE p.it < 11 GROUP BY p.it, r.t, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS cash_e8 "
+            "FROM pr WHERE it = 11"
         ),
         "site_edge_stress": (
             # sigma via level-synchronous walk counts (cnt at MIN it =

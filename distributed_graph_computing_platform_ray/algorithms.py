@@ -176,6 +176,24 @@ class PageRankDangling(PageRank):
         return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
 
 
+class OPIC(PageRankDangling):
+    """OPIC crawl-priority history (Abiteboul, Preda & Cobena, WWW 2003
+    §2-3), synchronous batch variant: every page starts with cash
+    c0 = 1/N; each round ALL cash flows along outlinks (dangling cash
+    re-enters uniformly — the paper's virtual page); the crawl
+    priority is the cash history H_K = sum_{t=0..K} M^t c0. H obeys
+    the damping-free dangling recurrence  H <- 1/N + (A^T_deg H + D/N)
+    — i.e. the PageRankDangling loop with teleport = 1/N and
+    damping = 1 — so starting from the engine's zero init, iterate
+    K+1 times and the vertex value IS H_K (x_1 = c0 = H_0). Reuses the
+    aggregator channel for the dangling mass D unchanged."""
+
+    def __init__(self, n_vertices: int, num_rounds: int = 10):
+        super().__init__(n_vertices, num_iters=num_rounds + 1, damping=1.0)
+        self.name = "opic"
+        self.teleport = 1.0 / n_vertices
+
+
 class PersonalizedPageRank(PageRank):
     """Random-walk-with-restart scores toward a seed set: the teleport
     mass lands only on the seeds instead of uniformly —
@@ -1014,6 +1032,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return PageRankDangling(**params)
     if name == "pagerank_tol":
         return PageRankTol(**params)
+    if name == "opic":
+        return OPIC(**params)
     if name in ("ppr", "personalized_pagerank"):
         return PersonalizedPageRank(**params)
     if name == "trustrank":

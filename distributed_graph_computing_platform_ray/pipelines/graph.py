@@ -37,7 +37,7 @@ def run_algorithm(
     """Run to termination; return Dataset[(vertex: str, value: float64)]."""
     manifest = GraphManifest.load(graph_dir)
     if isinstance(algo, str):
-        if algo in ("pagerank", "pagerank_weighted", "pagerank_dangling", "pagerank_tol") and "n_vertices" not in params:
+        if algo in ("pagerank", "pagerank_weighted", "pagerank_dangling", "pagerank_tol", "opic") and "n_vertices" not in params:
             params["n_vertices"] = manifest.n_vertices
         algo = make_algorithm(algo, **params)
     engine = BSPEngine(manifest, work_dir, keep_iters=keep_iters)

@@ -12648,3 +12648,40 @@ def q_volume_shipping(sf_dir: str):
     agg["l_year"] = agg["l_year"].astype("int64")
     agg["volume_e4"] = agg["volume_e4"].astype("int64")
     return agg
+
+
+def q_opic_cash(sf_dir: str, n: int = 2000, num_rounds: int = 10):
+    """OPIC crawl-priority (Abiteboul et al., WWW 2003): the cash
+    history H_K after K synchronous rounds of cash flow on the DIRECTED
+    page graph, dangling cash re-entering uniformly via the engine's
+    aggregator channel. algorithms.OPIC reduces the history to the
+    dangling-PageRank recurrence (teleport 1/N, damping 1), so this is
+    ONE engine run — no second accumulator channel needed. Full table
+    out (every url, offsite dangling urls included), e8-scaled. n
+    PINNED to the fixed oracle's 2000."""
+    import shutil
+
+    from .graph import run_algorithm as _ra
+    from .ingest import build_graph as _bg
+
+    root = f"/tmp/graft_opic_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    _bg(
+        _pages_links(n),
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=False,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "pages_directed_opic", "n": n},
+    )
+    res = _ra(f"{root}/graph", f"{root}/opic", "opic", num_rounds=num_rounds)
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": t["vertex"].cast(pa.string()),
+             "cash_e8": _score_e8(t["value"])}
+        )
+
+    return res.map_batches(conv, batch_format="pyarrow")

@@ -78,3 +78,31 @@ def test_modularity_contribs_are_consistent():
     assert int(out["e_in"].sum()) <= m
     exp = 4 * m * out["e_in"].to_numpy() - out["d_sum"].to_numpy() ** 2
     assert (out["contrib"].to_numpy() == exp).all()
+
+
+def test_opic_cash_matches_dense_history():
+    """OPIC value == dense numpy cash history H_K = sum_{t<=K} M^t c0
+    with uniform dangling redistribution (independent of the engine's
+    Katz-style reduction)."""
+    out = T.q_opic_cash(SF, n=300, num_rounds=6).to_pandas()
+    edges = T._pages_links(300).to_pandas().rename(
+        columns={"src_key": "src", "dst_key": "dst"}
+    )
+    keys = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    M = np.zeros((n, n))
+    outdeg = edges.groupby("src").size()
+    for s, d in zip(edges["src"], edges["dst"]):
+        M[idx[d], idx[s]] += 1.0 / outdeg[s]
+    dangling = np.array([k not in outdeg.index for k in keys])
+    c0 = np.full(n, 1.0 / n)
+    cash, hist = c0.copy(), c0.copy()
+    for _ in range(6):
+        cash = M @ cash + cash[dangling].sum() / n
+        hist += cash
+    got = dict(zip(out["vertex"], out["cash_e8"]))
+    assert set(got) == set(keys)
+    exp = np.round(hist * 1e8).astype(np.int64)
+    diffs = np.array([got[k] for k in keys]) - exp
+    assert np.abs(diffs).max() <= 1
