@@ -303,9 +303,43 @@ def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int):
 # P^2 small objects — size P to O(cluster cores), not O(vertices).
 
 
-def _scatter_core(manifest, algo, superstep, ids, values, active):
+# Hub/skew mitigation (the north_rule's "vertex splitting"): a
+# partition whose CSR shard holds more than this many directed edges
+# scatters as ceil(n_edges / SCATTER_SPLIT_EDGES) tasks (capped at 16),
+# each expanding a disjoint CSR edge-index range — so one web-scale hub
+# whose adjacency dominates its partition no longer serializes the
+# superstep behind a single straggler task. Apply-side reduction is
+# chunk-shape-agnostic (it already sums chunks from P source
+# partitions), so slicing is invisible to results up to float summation
+# order: exact-integer-valued algorithms (CC, LP, BFS, counts) are
+# bit-identical; float algorithms (PageRank) agree to ~1 ulp per merge
+# (tests/test_scatter_split.py asserts both). The reference has no
+# counterpart — each worker loops its full vertex set in one goroutine
+# batch per superstep (worker/worker.go:248-318), so a hub pins one
+# worker for the whole superstep.
+SCATTER_SPLIT_EDGES = 8_000_000
+MAX_SCATTER_SLICES = 16
+
+
+def plan_scatter_slices(manifest, split_edges: int | None) -> list[int]:
+    """Per-partition scatter-task counts from the manifest's per-part
+    edge counts (no shard I/O). 1 everywhere unless a partition's edge
+    count exceeds the cap."""
+    cap = SCATTER_SPLIT_EDGES if split_edges is None else int(split_edges)
+    if cap <= 0:
+        return [1] * manifest.n_parts
+    ec = {int(r["part"]): int(r.get("n_edges", 0)) for r in manifest.parts}
+    return [
+        min(MAX_SCATTER_SLICES, max(1, -(-ec.get(p, 0) // cap)))
+        for p in range(manifest.n_parts)
+    ]
+
+
+def _scatter_core(manifest, algo, superstep, ids, values, active, slice_idx=0, n_slices=1):
     """One partition's outgoing messages, pre-combined and split per
-    destination partition.
+    destination partition. With ``n_slices > 1`` this task expands only
+    CSR edge-index range [slice_idx*E//n_slices, (slice_idx+1)*E//n_slices)
+    of its shard (hub splitting; see SCATTER_SPLIT_EDGES).
 
     Returns a list with one entry per destination partition:
       None                    no messages for that partition
@@ -329,9 +363,14 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
     def _wrap(chunks):
         # Pregel-style aggregator: attach this partition's SUM-mergeable
         # partial (over ALL local vertices) to every destination chunk;
-        # apply sums the P partials — exact global value, no extra sync
+        # apply sums the P partials — exact global value, no extra sync.
+        # With edge-sliced scatter only slice 0 carries the partial
+        # (the partial is a per-PARTITION vertex statistic; emitting it
+        # from every slice would multiply it by n_slices).
         if getattr(algo, "scatter_aggregate", None) is None:
             return chunks
+        if slice_idx != 0:
+            return [(c, 0.0) for c in chunks]
         loc_all = ids - shard.lo
         deg_all = (shard.indptr[loc_all + 1] - shard.indptr[loc_all]).astype(
             np.int64
@@ -356,7 +395,15 @@ def _scatter_core(manifest, algo, superstep, ids, values, active):
         so = algo.message_base(sel_ids, values[sel], degs, superstep, keys=keys)
     else:
         so = algo.message_base(sel_ids, values[sel], degs, superstep)
-    row_per_edge, dst, w = shard.gather(local)
+    if n_slices > 1:
+        n_edges = int(shard.indptr[-1]) if len(shard.indptr) else 0
+        row_per_edge, dst, w = shard.gather(
+            local,
+            elo=slice_idx * n_edges // n_slices,
+            ehi=(slice_idx + 1) * n_edges // n_slices,
+        )
+    else:
+        row_per_edge, dst, w = shard.gather(local)
     if len(dst) == 0:
         return _wrap(out)
     val = np.asarray(so.base, dtype=np.float64)[row_per_edge]
@@ -461,11 +508,13 @@ def _core_tasks():
         pass
 
     @ray.remote
-    def scatter_task(man, algo, superstep, part, state):
+    def scatter_task(man, algo, superstep, part, state, slice_idx=0, n_slices=1):
         values, active = state
         lo, hi = man.part_bounds(part)
         ids = np.arange(lo, hi, dtype=np.int64)
-        out = _scatter_core(man, algo, superstep, ids, values, active)
+        out = _scatter_core(
+            man, algo, superstep, ids, values, active, slice_idx, n_slices
+        )
         # num_returns == n_parts: with ONE partition Ray hands the single
         # return through verbatim, so unwrap — otherwise apply would see
         # the list instead of the chunk (caught by a hypothesis test on
@@ -635,6 +684,7 @@ class BSPEngine:
         resume: bool = False,
         checkpoint_interval: int = 1,
         backend: str = "core",
+        scatter_split_edges: int | None = None,
     ) -> int:
         """Run to termination; returns the final iteration index.
 
@@ -643,9 +693,12 @@ class BSPEngine:
         boundaries — sound because a converged state is a fixpoint
         (extra supersteps emit no messages and change nothing).
         ``resume=True`` continues from the newest complete checkpoint.
+        ``scatter_split_edges`` (core backend) is the per-scatter-task
+        edge cap for hub splitting — None uses SCATTER_SPLIT_EDGES,
+        0 disables splitting.
         """
         if backend == "core":
-            return self._run_core(algo, resume, checkpoint_interval)
+            return self._run_core(algo, resume, checkpoint_interval, scatter_split_edges)
         done = self._complete_iters() if resume else []
         if done:
             s = done[-1]
@@ -692,12 +745,19 @@ class BSPEngine:
         return s
 
     # ------------------------------------------------------------------
-    def _run_core(self, algo: Algorithm, resume: bool, checkpoint_interval: int) -> int:
+    def _run_core(
+        self,
+        algo: Algorithm,
+        resume: bool,
+        checkpoint_interval: int,
+        scatter_split_edges: int | None = None,
+    ) -> int:
         import ray
 
         scatter_t, apply_t, load_t, ckpt_t = _core_tasks()
         man = self.manifest
         P = man.n_parts
+        slices = plan_scatter_slices(man, scatter_split_edges)
 
         done = self._complete_iters() if resume else []
         if done:
@@ -725,13 +785,14 @@ class BSPEngine:
             for i in range(k_steps):
                 outs = []
                 for p in range(P):
-                    o = scatter_t.options(num_returns=P).remote(
-                        man_ref, algo_ref, s + i, p, state_refs[p]
-                    )
-                    outs.append([o] if P == 1 else o)
+                    for j in range(slices[p]):
+                        o = scatter_t.options(num_returns=P).remote(
+                            man_ref, algo_ref, s + i, p, state_refs[p], j, slices[p]
+                        )
+                        outs.append([o] if P == 1 else o)
                 new_refs, nact_refs = [], []
                 for q in range(P):
-                    chunks = [outs[p][q] for p in range(P)]
+                    chunks = [outs[t][q] for t in range(len(outs))]
                     sref, aref = apply_t.remote(
                         man_ref, algo_ref, s + i, q, state_refs[q], *chunks
                     )
@@ -763,6 +824,14 @@ class BSPEngine:
                 break
         atomic_write_json(
             os.path.join(self.work_dir, "run.json"),
-            {"algo": algo.name, "final_iter": s, "history": history[-50:], "backend": "core"},
+            {
+                "algo": algo.name,
+                "final_iter": s,
+                "history": history[-50:],
+                "backend": "core",
+                # hub-splitting lineage: scatter tasks per partition
+                # (recorded only when any partition actually split)
+                "scatter_slices": slices if max(slices) > 1 else None,
+            },
         )
         return s

@@ -70,15 +70,27 @@ class CSRShard:
                 self._wdeg = out
         return self._wdeg
 
-    def gather(self, local_ids: np.ndarray):
+    def gather(self, local_ids: np.ndarray, elo: int | None = None, ehi: int | None = None):
         """Vectorized neighbor expansion for a set of local ids.
 
         Returns (row_index_per_edge, dst_global, weight_per_edge|None):
         one entry per adjacency slot of the requested rows, with no
         Python-level per-row loop.
+
+        ``elo``/``ehi`` optionally restrict the expansion to the CSR
+        edge-index range [elo, ehi): each row's slice is clipped to the
+        range, so a caller can split one partition's scatter across
+        several tasks by edge count — the hub/skew mitigation path
+        (engine._scatter_core). A vertex whose adjacency straddles a
+        boundary contributes its edges to BOTH slices, disjointly.
         """
         starts = self.indptr[local_ids]
-        lens = (self.indptr[local_ids + 1] - starts).astype(np.int64)
+        if elo is not None:
+            ends = np.clip(self.indptr[local_ids + 1], elo, ehi)
+            starts = np.clip(starts, elo, ehi)
+            lens = (ends - starts).astype(np.int64)
+        else:
+            lens = (self.indptr[local_ids + 1] - starts).astype(np.int64)
         total = int(lens.sum())
         if total == 0:
             e = np.empty(0, dtype=np.int64)
