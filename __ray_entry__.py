@@ -1161,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": T.q_mis,
         "kcore": T.q_kcore,
         "kcore_rounds": T.q_kcore_rounds,
+        "coreness": T.q_coreness,
         "densest_subgraph": T.q_densest_subgraph,
         "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
@@ -1984,6 +1985,26 @@ def oracle_sql() -> dict[str, str]:
             "  (CASE WHEN last_it = 60 THEN 0 ELSE last_it + 1 END)::BIGINT AS peel_round, "
             "  (CASE WHEN last_it = 60 THEN 1 ELSE 0 END)::BIGINT AS in_core "
             "FROM pres"
+        ),
+        "coreness": (
+            # iterated neighborhood h-index to the coreness fixpoint
+            # (Lü et al. 2016); h-index per vertex per round =
+            # max(least(neighbor value, desc rank)) — fixed 40 rounds,
+            # invariant once converged (sf0.01 converges in 8)
+            f"WITH RECURSIVE {_U_ORDERS}, "
+            "es AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM es GROUP BY src), "
+            "hv AS ( "
+            "  SELECT 0 AS it, id, d AS val FROM deg "
+            "  UNION ALL "
+            "  SELECT it + 1, id, max(least(nval, rn)) AS val FROM ( "
+            "    SELECT p.it AS it, e.src AS id, p.val AS nval, "
+            "           row_number() OVER (PARTITION BY e.src ORDER BY p.val DESC) AS rn "
+            "    FROM hv p JOIN es e ON e.dst = p.id "
+            "    WHERE p.it < 40 "
+            "  ) GROUP BY it, id) "
+            "SELECT id::BIGINT AS vertex, val::BIGINT AS coreness "
+            "FROM hv WHERE it = 40"
         ),
         "densest_subgraph": _densest_sql(),
         "user_distinct_hll": _user_hll_sql(),

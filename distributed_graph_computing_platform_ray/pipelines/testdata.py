@@ -1735,6 +1735,98 @@ def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
     )
 
 
+def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
+    """FULL k-core decomposition — every vertex's core number in one
+    job — via the iterated neighborhood h-index (Lü et al. 2016,
+    Nature Communications 7:10168): h0 = degree, h_{t+1}(v) =
+    H({h_t(u) : u ~ v}), which converges monotonically to coreness.
+    Unlike peeling (q_kcore: inherently sequential in k), EVERY round
+    here is one embarrassingly parallel exchange — the web-scale
+    shape. The symmetrized edge table is bucketed by src once and
+    pinned across rounds (the kmeans input-pinning pattern); each
+    round broadcasts the O(V) value vector (ray.put once, read per
+    task; at 10^12 vertices swap the broadcast for a dst-bucket value
+    join) and exact per-vertex h-indexes come out of one vectorized
+    lexsort + reduceat per bucket. Early exit at the fixpoint is
+    oracle-safe: the SQL recursion runs a fixed ``max_rounds`` and a
+    fixpoint is invariant under extra rounds; if the cap is hit
+    unconverged, both sides have applied exactly ``max_rounds``
+    identical updates and still agree."""
+    import ray as _ray
+
+    from ..stages.join import add_bucket, bucket_map_groups, bucket_sum
+
+    edges = edges_orders(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table(
+            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
+        )
+
+    es = add_bucket(
+        edges.map_batches(sym, batch_format="pyarrow"), ["u"], n_buckets
+    ).materialize()
+
+    def _ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": t["u"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    # h^0 = degree; the per-vertex value vector is a BOUNDED driver
+    # partial (O(vertex universe), like q_kcore's peel frontier)
+    deg_rows = bucket_sum(
+        es.map_batches(_ones, batch_format="pyarrow"), ["u"], ["one"], n_buckets
+    ).take_all()
+    verts = np.sort(np.array([r["u"] for r in deg_rows], dtype=np.int64))
+    univ = int(verts.max()) + 1 if len(verts) else 0
+    val = np.zeros(univ, np.int64)
+    for r in deg_rows:
+        val[int(r["u"])] = int(r["one"])
+
+    def h_kernel(vref):
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            cur = _ray.get(vref)
+            u = g["u"].to_numpy()
+            nv = cur[g["v"].to_numpy()]
+            order = np.lexsort((-nv, u))
+            us, vs = u[order], nv[order]
+            new_grp = np.ones(len(us), dtype=bool)
+            new_grp[1:] = us[1:] != us[:-1]
+            starts = np.flatnonzero(new_grp)
+            # rank within group (1-based), groups contiguous after sort
+            rn = np.arange(len(us), dtype=np.int64) - np.repeat(
+                starts, np.diff(np.concatenate([starts, [len(us)]]))
+            ) + 1
+            h = np.maximum.reduceat(np.minimum(vs, rn), starts)
+            return pd.DataFrame(
+                {
+                    "vertex": pd.Series(us[starts], dtype="int64"),
+                    "h": pd.Series(h, dtype="int64"),
+                }
+            )
+
+        return kern
+
+    for _ in range(max_rounds):
+        vref = _ray.put(val)
+        rows = bucket_map_groups(es, n_buckets, h_kernel(vref), "pandas").take_all()
+        new_val = np.zeros_like(val)
+        for r in rows:
+            new_val[int(r["vertex"])] = int(r["h"])
+        if (new_val == val).all():
+            break
+        val = new_val
+
+    return pd.DataFrame(
+        {
+            "vertex": pd.Series(verts, dtype="int64"),
+            "coreness": pd.Series(val[verts], dtype="int64"),
+        }
+    )
+
+
 BROADCAST_DIM_ROWS = 2_000_000  # same threshold family as the dictionary encode
 
 
