@@ -1175,6 +1175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": T.q_inverted_index,
         "doc_repetition": T.q_doc_repetition,
         "dedup_report": T.q_dedup_report,
+        "source_overlap": T.q_source_overlap,
+        "term_burstiness": T.q_term_burstiness,
+        "zipf_heaps": T.q_zipf_heaps,
         "skipgram_counts": T.q_skipgram_counts,
         "charclass_stats": T.q_charclass_stats,
         "collocation_lift": T.q_collocation_lift,
@@ -1924,6 +1927,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, count(*)::BIGINT AS df, "
             "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
             "FROM pairs GROUP BY term"
+        ),
+        "source_overlap": (
+            "WITH toks AS (SELECT source, trim(text) AS tx FROM documents WHERE trim(text) <> ''), "
+            "pre AS (SELECT DISTINCT source, "
+            "  array_to_string(regexp_split_to_array(tx, '\\s+')[1:8], ' ') AS fp FROM toks), "
+            "con AS (SELECT DISTINCT source, md5(tx) AS fp FROM toks), "
+            "p2 AS (SELECT x.source AS a, y.source AS b, count(*)::BIGINT AS c "
+            "  FROM pre x JOIN pre y ON x.fp = y.fp AND x.source < y.source GROUP BY 1, 2), "
+            "c2 AS (SELECT x.source AS a, y.source AS b, count(*)::BIGINT AS c "
+            "  FROM con x JOIN con y ON x.fp = y.fp AND x.source < y.source GROUP BY 1, 2) "
+            # identical content implies identical prefix, so c2 ⊆ p2
+            "SELECT p2.a AS source_a, p2.b AS source_b, p2.c AS shared_prefixes, "
+            "  COALESCE(c2.c, 0)::BIGINT AS shared_contents "
+            "FROM p2 LEFT JOIN c2 ON c2.a = p2.a AND c2.b = p2.b"
+        ),
+        "term_burstiness": (
+            "WITH dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM dt GROUP BY 1, 2), "
+            "t AS (SELECT term, sum(c)::BIGINT AS total_cnt, count(*)::BIGINT AS doc_freq, "
+            "      sum(c * c)::BIGINT AS sumsq_cnt FROM c GROUP BY term) "
+            "SELECT term, total_cnt, doc_freq, sumsq_cnt, "
+            "  (total_cnt * 1000000 // doc_freq)::BIGINT AS burst_e6 "
+            "FROM t ORDER BY total_cnt DESC, term LIMIT 50"
+        ),
+        "zipf_heaps": (
+            "WITH dt AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT source, term, count(*)::BIGINT AS c FROM dt GROUP BY 1, 2) "
+            "SELECT source, sum(c)::BIGINT AS total_tokens, "
+            "  count(*)::BIGINT AS distinct_terms, "
+            "  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_terms, "
+            "  max(c)::BIGINT AS top_term_cnt "
+            "FROM c GROUP BY source"
         ),
         "top_terms": (
             "SELECT term, count(*)::BIGINT AS cnt FROM ( "

@@ -1403,6 +1403,184 @@ def q_dedup_report(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str, prefix_len: int = 8, n_buckets: int = 16):
+    """Cross-source duplicate PROVENANCE matrix: for every unordered
+    source pair, how many distinct boilerplate PREFIXES (first
+    ``prefix_len`` tokens) and how many distinct exact CONTENTS (md5 of
+    the trimmed text) appear in BOTH — the report that tells a corpus
+    curator which feeds mirror each other before mixing weights are
+    chosen. Only fingerprints shuffle, never text; (source, kind, fp)
+    is globally deduped first, then pair expansion runs inside
+    fp-bucketed kernels (a fingerprint's whole source set shares a
+    bucket), so a fingerprint shared by s sources costs s^2 only
+    within its bucket. Empty docs are excluded from both fingerprint
+    families, so content pairs are a subset of prefix pairs."""
+    import hashlib as _hl
+
+    from ..stages.join import add_bucket, bucket_map_groups, bucket_sum, distinct
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        tx = df["text"].astype(str).str.strip()
+        keep = tx != ""
+        src = df["source"].astype(str)[keep]
+        tx = tx[keep]
+        pre = tx.str.split().str[:prefix_len].str.join(" ")
+        md5 = [_hl.md5(t.encode("utf-8")).hexdigest() for t in tx]
+        return pd.DataFrame(
+            {
+                "source": pd.concat([src, src], ignore_index=True),
+                "kind": np.repeat(
+                    np.array([0, 1], dtype=np.int64), len(tx)
+                ),
+                "fp": pd.concat(
+                    [pre, pd.Series(md5, index=tx.index)], ignore_index=True
+                ),
+            }
+        )
+
+    sf = distinct(
+        _table(sf_dir, "documents", ["source", "text"]).map_batches(
+            fps, batch_format="pandas"
+        ),
+        ["source", "kind", "fp"],
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["kind", "fp"])
+        m = m[m["source_x"] < m["source_y"]]
+        out = m.groupby(
+            ["source_x", "source_y", "kind"], as_index=False, sort=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "source_a": out["source_x"].astype(str),
+                "source_b": out["source_y"].astype(str),
+                "kind": out["kind"].astype("int64"),
+                "n": out["size"].astype("int64"),
+            }
+        )
+
+    per_bucket = bucket_map_groups(
+        add_bucket(sf, ["kind", "fp"], n_buckets), n_buckets, pairs, "pandas"
+    )
+    # exact per bucket (an fp lives in one bucket); several buckets can
+    # emit the same (pair, kind) — sum, then pivot the tiny result
+    flat = bucket_sum(
+        per_bucket, ["source_a", "source_b", "kind"], ["n"], 4
+    ).to_pandas()
+    pre = flat[flat["kind"] == 0].set_index(["source_a", "source_b"])["n"]
+    con = flat[flat["kind"] == 1].set_index(["source_a", "source_b"])["n"]
+    out = pre.to_frame("shared_prefixes")
+    out["shared_contents"] = con.reindex(out.index, fill_value=0)
+    out = out.reset_index()
+    return pd.DataFrame(
+        {
+            "source_a": out["source_a"].astype(str),
+            "source_b": out["source_b"].astype(str),
+            "shared_prefixes": out["shared_prefixes"].astype("int64"),
+            "shared_contents": out["shared_contents"].astype("int64"),
+        }
+    )
+
+
+def q_term_burstiness(sf_dir: str, top_k: int = 50, n_buckets: int = 16):
+    """Church-Gale term burstiness for the top-k corpus terms: a
+    bursty term concentrates its occurrences in few documents (high
+    mean-per-containing-doc), a function word spreads evenly — the
+    signal separating topical from structural vocabulary when picking
+    dedup shingle filters. Per-batch (doc, term) counts collapse to
+    SUM-mergeable per-term partials (total, doc_freq, sum of squared
+    per-doc counts — each doc lives in exactly one batch), so one
+    bucket_sum finishes the corpus; burst = total/doc_freq exact
+    integer e6."""
+    from ..stages.join import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.set_index("doc_id")["text"].astype(str).str.split().explode().dropna()
+        c = (
+            pd.DataFrame({"doc_id": t.index.to_numpy(), "term": t.to_numpy()})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        g = c.groupby("term", sort=False)["c"]
+        out = pd.DataFrame(
+            {
+                "total_cnt": g.sum().astype("int64"),
+                "doc_freq": g.size().astype("int64"),
+                "sumsq_cnt": g.apply(lambda s: int((s * s).sum())).astype("int64"),
+            }
+        ).reset_index()
+        return out
+
+    agg = bucket_sum(
+        _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["term"],
+        ["total_cnt", "doc_freq", "sumsq_cnt"],
+        n_buckets,
+    )
+    top = (
+        agg.sort(["total_cnt", "term"], descending=[True, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    top["burst_e6"] = (
+        top["total_cnt"].astype("int64") * 1_000_000 // top["doc_freq"]
+    ).astype("int64")
+    return top[["term", "total_cnt", "doc_freq", "sumsq_cnt", "burst_e6"]]
+
+
+def q_zipf_heaps(sf_dir: str, n_buckets: int = 16):
+    """Zipf/Heaps corpus profile per source: total tokens, vocabulary
+    size (distinct terms), hapax legomena (terms occurring once — the
+    Heaps-law growth frontier), and the top term's count (the Zipf
+    intercept). Two bucketed shuffles: per-batch (source, term) count
+    partials -> bucket_sum to final per-(source, term) counts ->
+    per-source rollup inside source-bucketed kernels (hapax/distinct
+    need final counts, so they can't merge from batch partials)."""
+    from ..stages.join import add_bucket, bucket_map_groups, bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.set_index("source")["text"].astype(str).str.split().explode().dropna()
+        c = (
+            pd.DataFrame({"source": t.index.to_numpy(), "term": t.to_numpy()})
+            .groupby(["source", "term"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        c["c"] = c["c"].astype("int64")
+        return c
+
+    counts = bucket_sum(
+        _table(sf_dir, "documents", ["source", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["source", "term"],
+        ["c"],
+        n_buckets,
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("source", sort=False)["c"]
+        return pd.DataFrame(
+            {
+                "source": gg.sum().index.astype(str),
+                "total_tokens": gg.sum().to_numpy().astype("int64"),
+                "distinct_terms": gg.size().to_numpy().astype("int64"),
+                "hapax_terms": gg.apply(lambda s: int((s == 1).sum()))
+                .to_numpy()
+                .astype("int64"),
+                "top_term_cnt": gg.max().to_numpy().astype("int64"),
+            }
+        )
+
+    return bucket_map_groups(
+        add_bucket(counts, ["source"], 4), 4, rollup, "pandas"
+    )
+
+
 def q_skipgram_counts(sf_dir: str, window: int = 2):
     """Skip-gram co-occurrence counts (the word2vec / GloVe
     preprocessing pass): ordered token pairs within +-window
