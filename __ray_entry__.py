@@ -411,6 +411,55 @@ def _pages_edges_cte(n: int = 2000, seed: int = 42, prefix: str = "") -> str:
     )
 
 
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Product-quantization oracle: one integer-exact Lloyd recursion
+    per subspace (same recurrence as the kmeans_embeddings oracle,
+    restricted to the subspace's dim range), joined on vec_id with the
+    exact int64 distortion sum. Mirrors testdata.q_pq_codebook /
+    stages/kmeans.py."""
+    sub = dim // m
+    parts = [
+        "WITH RECURSIVE vexp AS ( "
+        "  SELECT vec_id, d AS dim, "
+        "    CAST(FLOOR(CAST(embedding[d+1] AS DOUBLE) * 1e6) AS BIGINT) AS q "
+        f"  FROM embeddings, LATERAL unnest(generate_series(0, {dim - 1})) t(d))"
+    ]
+    for s in range(m):
+        lo, hi = s * sub, (s + 1) * sub
+        parts.append(
+            f"r{s} AS ( "
+            "  SELECT 0 AS it, vec_id, cluster, dd FROM ( "
+            "    SELECT v.vec_id, c.vec_id AS cluster, "
+            "      SUM((v.q - c.q)*(v.q - c.q)) AS dd "
+            f"    FROM vexp v JOIN vexp c ON c.dim = v.dim AND c.vec_id < {k} "
+            f"    WHERE v.dim >= {lo} AND v.dim < {hi} "
+            "    GROUP BY 1, 2 "
+            "    QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY dd, cluster) = 1) "
+            "  UNION ALL "
+            "  SELECT it, vec_id, cluster, dd FROM ( "
+            f"    SELECT c.it + 1 AS it, v.vec_id, c.cluster, "
+            "      SUM((v.q - c.cq)*(v.q - c.cq)) AS dd "
+            f"    FROM (SELECT r.it, r.cluster, v2.dim, SUM(v2.q) // COUNT(*) AS cq "
+            f"          FROM r{s} r JOIN vexp v2 USING (vec_id) "
+            f"          WHERE r.it < {iters} AND v2.dim >= {lo} AND v2.dim < {hi} "
+            "          GROUP BY r.it, r.cluster, v2.dim) c "
+            f"    JOIN vexp v ON v.dim = c.dim "
+            "    GROUP BY 1, 2, 3 "
+            "    QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY dd, c.cluster) = 1))"
+        )
+    joins = " ".join(
+        f"JOIN (SELECT vec_id, cluster, dd FROM r{s} WHERE it = {iters}) a{s} USING (vec_id)"
+        for s in range(1, m)
+    )
+    code_cols = ", ".join(f"a{s}.cluster::BIGINT AS code_{s}" for s in range(m))
+    dd_sum = " + ".join(f"a{s}.dd" for s in range(m))
+    return (
+        ", ".join(parts)
+        + f" SELECT vec_id, {code_cols}, ({dd_sum})::BIGINT AS distortion "
+        f"FROM (SELECT vec_id, cluster, dd FROM r0 WHERE it = {iters}) a0 {joins}"
+    )
+
+
 def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
     """Oracle for the url-keyed flagship: generator edges (shared CTE)
     -> 30-iteration PageRank over the symmetrized multigraph -> top-25
@@ -1264,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": T.q_events_sliding,
         "ann_topk": T.q_ann_topk,
         "kmeans_embeddings": T.q_kmeans,
+        "pq_codebook": T.q_pq_codebook,
         "events_asof_orders": T.q_events_asof_orders,
         "doc_pii_scrub": T.q_doc_pii_scrub,
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
@@ -3827,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cluster::BIGINT AS cluster, dd::BIGINT AS dist "
             "FROM r WHERE it = 4"
         ),
+        "pq_codebook": _pq_sql(),
         "revenue_rollup": (
             "WITH nat AS ( "
             "  SELECT r.r_name AS region_name, n.n_name AS nation_name, "

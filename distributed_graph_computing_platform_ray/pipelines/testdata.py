@@ -3927,6 +3927,69 @@ def q_kmeans(sf_dir: str, k: int = 8, num_iters: int = 4):
     return kmeans(vecs, cent0, num_iters=num_iters)
 
 
+def q_pq_codebook(sf_dir: str, m: int = 4, k: int = 4, num_iters: int = 3):
+    """Product quantization (Jégou et al. 2011) over the embeddings
+    table: the 64-dim space splits into ``m`` subspaces, each gets its
+    own integer-exact Lloyd codebook (stages/kmeans.lloyd_centroids —
+    the per-subspace runs reuse the kmeans combiner: k*dim partial
+    sums per block, no vector shuffle), then ONE final pass assigns
+    all m codes per vector and sums the exact int64 subspace
+    distortions. This is the ANN memory path that complements IVF
+    (stages/ann.py): 64 floats compress to m bytes + codebooks.
+    Bit-reproducible vs the recursive-CTE oracle: quantize q =
+    FLOOR(1e6*x), exact distances, trunc-div means, ties -> lowest
+    code."""
+    import ray as _ray
+
+    from ..stages.kmeans import (
+        _assign,
+        lloyd_centroids,
+        quantize_batch,
+        seed_centroids,
+    )
+
+    dim, sub = 64, 64 // m
+    vecs = _table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    def slicer(s: int):
+        lo, hi = s * sub, (s + 1) * sub
+
+        def f(t: pa.Table) -> pa.Table:
+            x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            return pa.table(
+                {
+                    "vec_id": t["vec_id"],
+                    "embedding": pa.array(
+                        list(x[:, lo:hi]), pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        return f
+
+    cents = []
+    for s in range(m):
+        sv = vecs.map_batches(slicer(s), batch_format="pyarrow")
+        cents.append(lloyd_centroids(sv, seed_centroids(sv, k), num_iters))
+    cref = _ray.put(np.stack(cents))  # (m, k, sub) int64 — tiny broadcast
+
+    def codes(t: pa.Table) -> pa.Table:
+        q = quantize_batch(t)
+        c = _ray.get(cref)
+        cols: dict = {"vec_id": t["vec_id"]}
+        tot = np.zeros(len(q), np.int64)
+        for s in range(m):
+            a, d = _assign(q[:, s * sub : (s + 1) * sub], c[s])
+            cols[f"code_{s}"] = pa.array(a.astype(np.int64))
+            tot += d
+        cols["distortion"] = pa.array(tot)
+        return pa.table(cols)
+
+    return vecs.map_batches(codes, batch_format="pyarrow")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over the embeddings table AUGMENTED with planted
     near-duplicates (vec_id < 16 get an affine-perturbed copy at

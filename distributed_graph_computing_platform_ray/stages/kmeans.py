@@ -113,6 +113,20 @@ def kmeans(
     Chain per round: assign(cent_t) -> integer mean -> cent_{t+1};
     the returned assignment uses cent_{num_iters} (i.e. num_iters
     update rounds after the initial assignment)."""
+    vectors = vectors.materialize()
+    cent = lloyd_centroids(vectors, init_centroids, num_iters)
+    return vectors.map_batches(_make_assign_out(cent), batch_format="pyarrow")
+
+
+def lloyd_centroids(
+    vectors: rd.Dataset,
+    init_centroids: np.ndarray,
+    num_iters: int = 4,
+) -> np.ndarray:
+    """The Lloyd update loop alone: returns cent_{num_iters} as a
+    (k, dim) int64 matrix (the codebook). Shared by ``kmeans`` and the
+    product-quantization codebook trainer, which runs one instance per
+    subspace and then assigns all codes in a single pass."""
     # pin the vector table in the object store once: every Lloyd round
     # re-reads it, and object-store reads (spillable) beat re-decoding
     # parquet num_iters+1 times at any scale
@@ -137,7 +151,7 @@ def kmeans(
             )
         sums = df["s"].to_numpy().reshape(k, dim)
         cent = _trunc_div(sums, cnts)
-    return vectors.map_batches(_make_assign_out(cent), batch_format="pyarrow")
+    return cent
 
 
 def seed_centroids(vectors: rd.Dataset, k: int, id_col: str = "vec_id") -> np.ndarray:
