@@ -411,6 +411,42 @@ def _pages_edges_cte(n: int = 2000, seed: int = 42, prefix: str = "") -> str:
     )
 
 
+def _bpe_sql(n_merges: int = 6) -> str:
+    """BPE merge-rule oracle: unrolled chained CTEs, one (pair-count,
+    argmax, replace) stage per merge. Words are double-delimited
+    symbol strings ('|a||b||c|'), so DuckDB replace == Python
+    str.replace == greedy left-to-right BPE merging, and pair counting
+    is zip-adjacent via parallel unnest of the shifted symbol list.
+    Mirrors testdata.q_bpe_merges."""
+    parts = [
+        "WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+        "  FROM documents WHERE trim(text) <> ''), "
+        "wc AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term), "
+        "w0 AS (SELECT '|' || array_to_string(list_transform(range(1, length(term)+1), "
+        "  i -> substr(term, i, 1)), '||') || '|' AS s, c FROM wc)"
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS (SELECT lft, rgt, sum(c)::BIGINT AS w FROM ( "
+            f"  SELECT c, unnest(str_split(trim(s, '|'), '||')[1:-2]) AS lft, "
+            f"         unnest(str_split(trim(s, '|'), '||')[2:-1]) AS rgt FROM w{r - 1}) "
+            "  GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"t{r} AS (SELECT lft, rgt, w FROM p{r} ORDER BY w DESC, lft, rgt LIMIT 1)"
+        )
+        if r < n_merges:
+            parts.append(
+                f"w{r} AS (SELECT replace(s, '|' || t.lft || '||' || t.rgt || '|', "
+                f"  '|' || t.lft || t.rgt || '|') AS s, c FROM w{r - 1} CROSS JOIN t{r} t)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS step, lft AS sym_left, rgt AS sym_right, w AS pair_cnt FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return ", ".join(parts) + " SELECT step::BIGINT AS step, sym_left, sym_right, pair_cnt FROM (" + sel + ")"
+
+
 def _pq_sql(m: int = 4, k: int = 4, iters: int = 3, dim: int = 64) -> str:
     """Product-quantization oracle: one integer-exact Lloyd recursion
     per subspace (same recurrence as the kmeans_embeddings oracle,
@@ -1225,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": T.q_doc_repetition,
         "dedup_report": T.q_dedup_report,
         "source_overlap": T.q_source_overlap,
+        "bpe_merges": T.q_bpe_merges,
         "term_burstiness": T.q_term_burstiness,
         "zipf_heaps": T.q_zipf_heaps,
         "skipgram_counts": T.q_skipgram_counts,
@@ -3878,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM r WHERE it = 4"
         ),
         "pq_codebook": _pq_sql(),
+        "bpe_merges": _bpe_sql(),
         "revenue_rollup": (
             "WITH nat AS ( "
             "  SELECT r.r_name AS region_name, n.n_name AS nation_name, "

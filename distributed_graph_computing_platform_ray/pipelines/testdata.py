@@ -1581,6 +1581,106 @@ def q_zipf_heaps(sf_dir: str, n_buckets: int = 16):
     )
 
 
+def q_bpe_merges(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
+    """DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich et al. 2016): learn
+    the first ``n_merges`` byte-pair merge rules over the corpus
+    vocabulary. Per round: (1) adjacent symbol-pair counts weighted by
+    word frequency — vectorized shifted-array pairs per batch, pre-
+    reduced (combiner), one bucket_sum; (2) global argmax pair (count
+    desc, then lexicographic — the Sennrich tie convention made
+    deterministic); (3) broadcast the rule and REWRITE symbol strings
+    with one vectorized non-regex replace. Words are held as
+    double-delimited symbol strings ('|a||b||c|') so back-to-back
+    merge sites never share delimiter characters and Python
+    str.replace == DuckDB replace == BPE's greedy left-to-right merge.
+    Pair counts are zip-adjacent (overlapping runs count each pair),
+    exactly the reference implementation's counting. The vocabulary
+    (distinct word + count) is the only state that iterates — at
+    100 TB it stays a distributed table; only the k-th rule (2 strings)
+    ever touches the driver."""
+    from ..stages.join import bucket_sum
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["text"].astype(str).str.split().explode().dropna().value_counts()
+        return pd.DataFrame(
+            {"term": c.index.astype(str), "c": c.to_numpy().astype("int64")}
+        )
+
+    vocab = bucket_sum(
+        _table(sf_dir, "documents", ["text"]).map_batches(
+            tok_partial, batch_format="pandas"
+        ),
+        ["term"],
+        ["c"],
+        n_buckets,
+    )
+
+    def init_syms(df: pd.DataFrame) -> pd.DataFrame:
+        s = "|" + df["term"].astype(str).map(lambda w: "||".join(w)) + "|"
+        return pd.DataFrame({"s": s, "c": df["c"].astype("int64")})
+
+    words = vocab.map_batches(init_syms, batch_format="pandas").materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # regex=False: pandas treats a multi-char pat as a REGEX by
+        # default, and '||' as regex is an empty alternation
+        syms = df["s"].astype(str).str.strip("|").str.split("||", regex=False)
+        cnt = df["c"].to_numpy()
+        e = syms.explode()
+        idx = e.index.to_numpy()
+        vals = e.to_numpy()
+        if len(vals) < 2:
+            return pd.DataFrame(
+                {"lft": pd.Series(dtype=str), "rgt": pd.Series(dtype=str),
+                 "w": pd.Series(dtype="int64")}
+            )
+        same = idx[1:] == idx[:-1]
+        out = pd.DataFrame(
+            {
+                "lft": vals[:-1][same],
+                "rgt": vals[1:][same],
+                "w": cnt[df.index.get_indexer(idx[:-1][same])],
+            }
+        )
+        return out.groupby(["lft", "rgt"], as_index=False, sort=False)["w"].sum()
+
+    rules = []
+    for step in range(1, n_merges + 1):
+        pairs = bucket_sum(
+            words.map_batches(pair_partial, batch_format="pandas"),
+            ["lft", "rgt"],
+            ["w"],
+            n_buckets,
+        )
+        top = (
+            pairs.sort(["w", "lft", "rgt"], descending=[True, False, False])
+            .limit(1)
+            .to_pandas()
+        )
+        lft, rgt, w = str(top["lft"][0]), str(top["rgt"][0]), int(top["w"][0])
+        rules.append((step, lft, rgt, w))
+        pat, repl = f"|{lft}||{rgt}|", f"|{lft}{rgt}|"
+
+        def apply_rule(df: pd.DataFrame, pat=pat, repl=repl) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "s": df["s"].astype(str).str.replace(pat, repl, regex=False),
+                    "c": df["c"].astype("int64"),
+                }
+            )
+
+        words = words.map_batches(apply_rule, batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        {
+            "step": pd.Series([r[0] for r in rules], dtype="int64"),
+            "sym_left": [r[1] for r in rules],
+            "sym_right": [r[2] for r in rules],
+            "pair_cnt": pd.Series([r[3] for r in rules], dtype="int64"),
+        }
+    )
+
+
 def q_skipgram_counts(sf_dir: str, window: int = 2):
     """Skip-gram co-occurrence counts (the word2vec / GloVe
     preprocessing pass): ordered token pairs within +-window
