@@ -42,6 +42,11 @@ def main(argv=None):
     pe.add_argument("--out", required=True)
     pe.add_argument("--partitions", type=int, default=64)
 
+    pf = sub.add_parser(
+        "fsck", help="verify a graph dir's CSR/vertex files against manifest CRCs"
+    )
+    pf.add_argument("--graph", required=True)
+
     pr = sub.add_parser("run", help="run an algorithm on a built graph")
     pr.add_argument("--graph", required=True)
     pr.add_argument("--work", required=True)
@@ -89,6 +94,16 @@ def main(argv=None):
             man = build_link_graph(args.pages, args.graph, n_parts=args.parts)
             print(f"built link graph: {man.n_vertices} vertices, "
                   f"{man.n_edges_directed} directed edges")
+        elif args.cmd == "fsck":
+            from .pipelines.ingest import fsck_graph
+
+            df = fsck_graph(args.graph)
+            bad = df[~(df["crc_ok"] & df["vertices_ok"])]
+            print(df.to_string(index=False))
+            if len(bad):
+                print(f"FSCK FAILED: {len(bad)} partition(s) corrupt or missing")
+                sys.exit(3)
+            print(f"fsck OK: {len(df)} partitions verified")
         elif args.cmd == "extract":
             import numpy as np
             import pyarrow as pa

@@ -102,3 +102,29 @@ def test_cli_ppr_with_seeds(fixtures_dir):
              "--algo", "ppr", "--seeds", "1,2", "--iters", "5")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "top-25 by value:" in r.stdout
+
+
+def test_cli_fsck_detects_corruption(fixtures_dir):
+    """fsck (the SDFS REPAIR/checksum role): green on a healthy graph,
+    nonzero exit + flagged partition after a shard byte flip."""
+    gdir = f"{TMP}/fsck_graph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    r = _run("ingest", "--edges", os.path.join(fixtures_dir, "graph_small.txt"),
+             "--graph", gdir, "--parts", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run("fsck", "--graph", gdir)
+    assert r.returncode == 0, r.stdout + r.stderr[-2000:]
+    assert "fsck OK" in r.stdout
+
+    # flip one byte in partition 1's indices shard
+    path = f"{gdir}/csr/part-00001.indices.npy"
+    with open(path, "r+b") as f:
+        f.seek(-1, os.SEEK_END)
+        b = f.read(1)
+        f.seek(-1, os.SEEK_END)
+        f.write(bytes([b[0] ^ 0xFF]))
+
+    r = _run("fsck", "--graph", gdir)
+    assert r.returncode == 3, r.stdout
+    assert "FSCK FAILED: 1 partition" in r.stdout
