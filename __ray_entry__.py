@@ -1247,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": T.q_kcore,
         "kcore_rounds": T.q_kcore_rounds,
         "coreness": T.q_coreness,
+        "onion_layers": T.q_onion_layers,
         "densest_subgraph": T.q_densest_subgraph,
         "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
@@ -2109,6 +2110,26 @@ def oracle_sql() -> dict[str, str]:
             "  (CASE WHEN last_it = 60 THEN 0 ELSE last_it + 1 END)::BIGINT AS peel_round, "
             "  (CASE WHEN last_it = 60 THEN 1 ELSE 0 END)::BIGINT AS in_core "
             "FROM pres"
+        ),
+        "onion_layers": (
+            # onion decomposition: each wave strips the current
+            # min-degree class; layer = last wave with an incident
+            # edge, +1; survivors at the 200-wave cap report cap+1
+            # (mirrored by the query's kernel)
+            f"WITH RECURSIVE {_U_ORDERS}, "
+            "es AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b, a FROM u), "
+            "r AS ( "
+            "  SELECT 0 AS it, src AS u, dst AS v FROM es "
+            "  UNION ALL "
+            "  SELECT it + 1, u, v FROM ( "
+            "    SELECT it, u, v, "
+            "      min(du) OVER (PARTITION BY it, least(u, v), greatest(u, v)) AS minend, "
+            "      min(du) OVER (PARTITION BY it) AS kmin "
+            "    FROM (SELECT it, u, v, count(*) OVER (PARTITION BY it, u) AS du "
+            "          FROM r WHERE it < 200) "
+            "  ) WHERE minend > kmin), "
+            "pres AS (SELECT u AS vertex, max(it) AS last_it FROM r GROUP BY u) "
+            "SELECT vertex::BIGINT AS vertex, (last_it + 1)::BIGINT AS layer FROM pres"
         ),
         "coreness": (
             # iterated neighborhood h-index to the coreness fixpoint

@@ -2013,6 +2013,60 @@ def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
     )
 
 
+def q_onion_layers(sf_dir: str, max_rounds: int = 200):
+    """ONION DECOMPOSITION (Hébert-Dufresne et al. 2016): the layer
+    index refines coreness — each wave removes the current
+    minimum-degree class, and a vertex's layer is the wave at which it
+    loses its last incident edge (+1). Exposes WHERE in its core a
+    vertex sits (early layer = periphery, late = nucleus).
+
+    The edges_orders universe is bounded by construction (ids mod 500,
+    distinct pairs), so the inherently layer-sequential peel runs as
+    ONE vectorized task over the ray.put edge arrays — the
+    partition-local exact-kernel pattern (site_centrality). On an
+    unbounded graph, each wave is the q_kcore distributed round
+    (degree bucket_sum + broadcast removal set) with the SAME wave
+    semantics; the layer loop is sequential in either shape. The
+    oracle runs the identical recurrence as a recursive CTE capped at
+    ``max_rounds`` (both sides mirror the cap: survivors at the cap
+    report layer cap+1)."""
+    import ray as _ray
+
+    edges = edges_orders(sf_dir).materialize()
+    adj = edges.to_pandas()  # bounded: <= C(500, 2) distinct pairs
+    a = adj["src"].to_numpy().astype(np.int64)
+    b = adj["dst"].to_numpy().astype(np.int64)
+    state = _ray.put((a, b))
+
+    def peel(t: pa.Table) -> pa.Table:
+        aa, bb = _ray.get(state)
+        n = int(max(aa.max(), bb.max())) + 1 if len(aa) else 0
+        src = np.concatenate([aa, bb])
+        dst = np.concatenate([bb, aa])
+        alive = np.ones(len(src), dtype=bool)
+        last_seen = np.full(n, -1, np.int64)
+        r = 0
+        while alive.any() and r <= max_rounds:
+            du = np.bincount(src[alive], minlength=n)
+            present = du > 0
+            last_seen[present] = r
+            if r == max_rounds:
+                break
+            kmin = du[present].min()
+            good = du > kmin
+            alive &= good[src] & good[dst]
+            r += 1
+        got = np.flatnonzero(last_seen >= 0)
+        return pa.table(
+            {
+                "vertex": pa.array(got),
+                "layer": pa.array(last_seen[got] + 1),
+            }
+        )
+
+    return rd.from_items([{"go": 1}]).map_batches(peel, batch_format="pyarrow")
+
+
 def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
     """FULL k-core decomposition — every vertex's core number in one
     job — via the iterated neighborhood h-index (Lü et al. 2016,
