@@ -1223,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees": T.q_degrees,
         "pagerank": T.q_pagerank,
         "pagerank_trace": T.q_pagerank_trace,
+        "absorption": T.q_absorption,
         "pagerank_directed": T.q_pagerank_directed,
         "hits": T.q_hits,
         "pagerank_top25": T.q_pagerank_top25,
@@ -1481,6 +1482,29 @@ def oracle_sql() -> dict[str, str]:
         "degrees": (
             f"WITH {_EB_LINEITEM}, {_ES} "
             "SELECT src AS vertex, count(*)::BIGINT AS degree FROM es GROUP BY src"
+        ),
+        "absorption": (
+            # harmonic measure: h_{t+1}(v) = 1 on the 3 lowest-id
+            # seeds, else SUM(neighbor h_t)/deg(v) — receiver-side
+            # degree division (the engine's wants_degrees apply)
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "seeds AS (SELECT id FROM deg ORDER BY id LIMIT 3), "
+            "h AS ( "
+            "  SELECT 0 AS it, deg.id, "
+            "    (CASE WHEN s.id IS NULL THEN 0.0 ELSE 1.0 END)::DOUBLE AS val "
+            "  FROM deg LEFT JOIN seeds s USING (id) "
+            "  UNION ALL "
+            "  SELECT x.it + 1, x.id, "
+            "    CASE WHEN x.is_seed THEN 1.0 ELSE x.s / x.d END "
+            "  FROM ( "
+            "    SELECT h.it, e.dst AS id, dd.d, SUM(h.val) AS s, "
+            "      (sd.id IS NOT NULL) AS is_seed "
+            "    FROM h JOIN es e ON e.src = h.id JOIN deg dd ON dd.id = e.dst "
+            "    LEFT JOIN seeds sd ON sd.id = e.dst "
+            "    WHERE h.it < 20 GROUP BY h.it, e.dst, dd.d, sd.id) x) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS absorb_e8 "
+            "FROM h WHERE it = 20"
         ),
         "pagerank": (
             f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "

@@ -1022,6 +1022,52 @@ class GreedyColoring(Algorithm):
         return 2 * self.max_rounds
 
 
+class AbsorptionProbability(Algorithm):
+    """P(a simple random walk from v hits the absorbing set within
+    ``num_iters`` steps) — the discrete Dirichlet / harmonic-measure
+    problem on the symmetrized multigraph:
+
+        h_0 = 1_T;  h_{t+1}(v) = 1 if v in T else (1/deg v) * sum_{u~v} h_t(u)
+
+    The division happens at APPLY by the receiver's OWN degree — the
+    first consumer of the engine's ``wants_degrees`` apply extension
+    (PageRank divides at scatter by the SENDER's degree, which cannot
+    express this recurrence). Fixed recurrence: ``scatter_all`` keeps
+    every vertex sending; runs exactly ``num_iters`` supersteps. No
+    reference counterpart (target-side walk operator)."""
+
+    combine = "sum"
+    wants_ids = True
+    wants_degrees = True
+    scatter_all = True
+
+    def __init__(self, seed_ids, num_iters: int = 20):
+        self.name = "absorption"
+        self.seeds = np.asarray(sorted({int(s) for s in seed_ids}), dtype=np.int64)
+        self.num_iters = num_iters
+
+    def init(self, ids, n_vertices, keys=None, keys_numeric=False):
+        vals = np.isin(ids, self.seeds).astype(np.float64)
+        return vals, np.ones(len(ids), dtype=bool)
+
+    def message_base(self, ids, values, degrees, superstep):
+        return ScatterOut(base=values)
+
+    def apply(self, old_values, agg, has_msg, superstep, ids=None, degrees=None):
+        seed = np.isin(ids, self.seeds)
+        new = np.where(
+            seed, 1.0, agg / np.maximum(degrees.astype(np.float64), 1.0)
+        )
+        n = len(new)
+        return new, np.ones(n, dtype=bool), np.ones(n, dtype=bool)
+
+    def max_supersteps(self):
+        return self.num_iters
+
+    def halt_on_no_change(self):
+        return False
+
+
 def make_algorithm(name: str, **params) -> Algorithm:
     name = name.lower()
     if name == "pagerank":
@@ -1040,6 +1086,8 @@ def make_algorithm(name: str, **params) -> Algorithm:
         return TrustRank(**params)
     if name == "pagerank_warm":
         return PageRankWarmStart(**params)
+    if name == "absorption":
+        return AbsorptionProbability(**params)
     if name == "sssp":
         return SSSP(**params)
     if name in ("sssp_multi", "multi_source_sssp"):

@@ -269,6 +269,10 @@ def make_apply(manifest: GraphManifest, algo: Algorithm, superstep: int):
             kw["ids"] = ids
         if getattr(algo, "wants_keys", False):
             kw["keys"] = load_vertex_keys_numeric(manifest, part)[ids - lo]
+        if getattr(algo, "wants_degrees", False):
+            # degree-normalized applies (random-walk operators): the
+            # vertex's own (multigraph, symmetrized) degree at update
+            kw["degrees"] = np.diff(load_shard(manifest, part).indptr)[ids - lo]
         if getattr(algo, "wants_aggregate", False):
             kw["global_agg"] = float(val[kind == 2].sum())
         new_values, new_active, _changed = algo.apply(
@@ -490,6 +494,8 @@ def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
         kw["ids"] = ids
     if getattr(algo, "wants_keys", False):
         kw["keys"] = load_vertex_keys_numeric(manifest, p)[ids - lo]
+    if getattr(algo, "wants_degrees", False):
+        kw["degrees"] = np.diff(load_shard(manifest, p).indptr)[ids - lo]
     if getattr(algo, "wants_aggregate", False):
         kw["global_agg"] = gsum
     new_values, new_active, _ = algo.apply(values, agg, has_msg, superstep, **kw)

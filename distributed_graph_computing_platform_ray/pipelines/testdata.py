@@ -324,6 +324,37 @@ def q_pagerank(sf_dir: str):
     return _as_int_vertex(res, "score_e8", _score_e8)
 
 
+def q_absorption(sf_dir: str, num_iters: int = 20):
+    """Harmonic-measure / absorption probability (discrete Dirichlet
+    problem): P(a simple random walk hits the absorbing seed set —
+    the 3 lowest-id vertices — within 20 steps). Unlike PageRank
+    (sender-degree division at scatter), the recurrence divides by
+    the RECEIVER's degree at apply — the engine's ``wants_degrees``
+    extension (algorithms.AbsorptionProbability is its first
+    consumer). e8-scaled like the PageRank family."""
+    from .graph import lookup_vertex_id
+
+    gdir = _graph_for(sf_dir, "lineitem")
+    man = GraphManifest.load(gdir)
+    # seed selection stays distributed: numeric-key sort().limit(3)
+    # (the q_sssp_multi convention), then 3 key->id lookups
+    low = (
+        rd.read_parquet(os.path.join(gdir, "vertices"))
+        .map_batches(
+            lambda t: pa.table({"k": pc.cast(t["key"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .sort("k")
+        .limit(3)
+        .to_pandas()["k"]
+    )
+    seeds = [lookup_vertex_id(man, str(int(k))) for k in low]
+    res = _run_cached(
+        sf_dir, "lineitem", "absorption", seed_ids=seeds, num_iters=num_iters
+    )
+    return _as_int_vertex(res, "absorb_e8", _score_e8)
+
+
 def q_pagerank_directed(sf_dir: str):
     """Directed-graph PageRank (beyond the reference, which always
     symmetrizes): dangling vertices send nothing; vertices without

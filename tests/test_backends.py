@@ -9,6 +9,7 @@ import pyarrow.dataset as pads
 import pytest
 
 from distributed_graph_computing_platform_ray.algorithms import (
+    AbsorptionProbability,
     ConnectedComponents,
     LabelPropagation,
     PageRank,
@@ -56,6 +57,8 @@ def _final_state(man, algo, backend, tag):
         ("ppr", lambda man: PersonalizedPageRank(seed_ids=[0], num_iters=6)),  # patched below
         # aggregator channel (kind-2 rows vs chunk-attached partials)
         ("prd", lambda man: PageRankDangling(man.n_vertices, num_iters=7)),
+        # wants_degrees apply extension (receiver-side degree division)
+        ("absorb", lambda man: AbsorptionProbability(seed_ids=[0, 1], num_iters=6)),
     ],
 )
 def test_backend_equivalence(graph, tag, make):
