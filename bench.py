@@ -334,6 +334,15 @@ def full_bench(tmp: str) -> dict:
     )
     out["pages_patch_ingest"] = round(time.time() - t0, 3)
     out["_patch_new_keys"] = int(pman.source["new_keys"])
+
+    # round-4 session 4: iterative-exchange families
+    t0 = time.time()
+    T.q_coreness(SF_DIR)  # h-index fixpoint: ~10 bucket exchanges
+    out["coreness"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.q_bpe_merges(SF_DIR)  # 6 merge rounds: count + argmax + rewrite
+    out["bpe_merges"] = round(time.time() - t0, 3)
     return out
 
 
