@@ -496,6 +496,44 @@ def _pq_sql(m: int = 4, k: int = 4, iters: int = 3, dim: int = 64) -> str:
     )
 
 
+def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
+    """Farthest-first-traversal oracle: chained CTEs carry the running
+    min-distance-to-chosen-set per vector (exact int64); each stage's
+    argmax (dist desc, vec_id) is the next seed. Mirrors
+    testdata.q_kcenter_seeds."""
+    parts = [
+        "WITH vexp AS ( "
+        "  SELECT vec_id, d AS dim, "
+        "    CAST(FLOOR(CAST(embedding[d+1] AS DOUBLE) * 1e6) AS BIGINT) AS q "
+        f"  FROM embeddings, LATERAL unnest(generate_series(0, {dim - 1})) t(d)), "
+        "md1 AS (SELECT v.vec_id, SUM((v.q - c.q)*(v.q - c.q))::BIGINT AS md "
+        "  FROM vexp v JOIN vexp c ON c.dim = v.dim AND c.vec_id = 0 GROUP BY 1), "
+        "t1 AS (SELECT vec_id, md FROM md1 ORDER BY md DESC, vec_id LIMIT 1)"
+    ]
+    for j in range(2, k):
+        parts.append(
+            f"d{j} AS (SELECT v.vec_id, SUM((v.q - c.q)*(v.q - c.q))::BIGINT AS dd "
+            f"  FROM vexp v JOIN t{j - 1} tt ON true "
+            f"  JOIN vexp c ON c.dim = v.dim AND c.vec_id = tt.vec_id GROUP BY 1)"
+        )
+        parts.append(
+            f"md{j} AS (SELECT m.vec_id, least(m.md, d.dd) AS md "
+            f"  FROM md{j - 1} m JOIN d{j} d USING (vec_id))"
+        )
+        parts.append(
+            f"t{j} AS (SELECT vec_id, md FROM md{j} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {j}::BIGINT AS step, vec_id, md AS dist_to_set FROM t{j}"
+        for j in range(1, k)
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT 0::BIGINT AS step, 0::BIGINT AS vec_id, 0::BIGINT AS dist_to_set "
+        + "UNION ALL " + sel
+    )
+
+
 def _pages_pr_sql(n: int = 2000, seed: int = 42) -> str:
     """Oracle for the url-keyed flagship: generator edges (shared CTE)
     -> 30-iteration PageRank over the symmetrized multigraph -> top-25
@@ -1353,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": T.q_ann_topk,
         "kmeans_embeddings": T.q_kmeans,
         "pq_codebook": T.q_pq_codebook,
+        "kcenter_seeds": T.q_kcenter_seeds,
         "events_asof_orders": T.q_events_asof_orders,
         "doc_pii_scrub": T.q_doc_pii_scrub,
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
@@ -3960,6 +3999,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM r WHERE it = 4"
         ),
         "pq_codebook": _pq_sql(),
+        "kcenter_seeds": _kcenter_sql(),
         "bpe_merges": _bpe_sql(),
         "revenue_rollup": (
             "WITH nat AS ( "

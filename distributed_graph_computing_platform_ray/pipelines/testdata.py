@@ -4175,6 +4175,51 @@ def q_pq_codebook(sf_dir: str, m: int = 4, k: int = 4, num_iters: int = 3):
     return vecs.map_batches(codes, batch_format="pyarrow")
 
 
+def q_kcenter_seeds(sf_dir: str, k: int = 8):
+    """K-CENTER SEEDING by farthest-first traversal (Gonzalez 1985 —
+    the deterministic analog of k-means++ init): seed 0 = vec_id 0;
+    each round picks the vector maximizing its exact int64 distance to
+    the chosen set (ties -> lowest vec_id). Per round: ONE map_batches
+    pass (broadcast <= k chosen vectors, per-batch argmax partial —
+    the kmeans _assign kernel reused for min-dist), then a bounded
+    driver reduce over per-block champions. k-1 passes total; vectors
+    never shuffle. Output: the selection order with each seed's
+    distance-to-set at pick time."""
+    from ..stages.kmeans import _assign, quantize_batch, seed_centroids
+
+    vecs = _table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    chosen = seed_centroids(vecs, 1)  # vec_id 0
+    rows = [(0, 0, 0)]
+    for step in range(1, k):
+        cmat = chosen.copy()
+
+        def best(t: pa.Table, cmat=cmat) -> pa.Table:
+            q = quantize_batch(t)
+            ids = t["vec_id"].to_numpy().astype(np.int64)
+            _, dmin = _assign(q, cmat)
+            o = np.lexsort((ids, -dmin))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([ids[o]]),
+                    "dd": pa.array([int(dmin[o])]),
+                    "emb": pa.array([q[o].tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = vecs.map_batches(best, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["dd", "vec_id"], ascending=[False, True], kind="stable")
+        pick = parts.iloc[0]
+        rows.append((step, int(pick["vec_id"]), int(pick["dd"])))
+        chosen = np.vstack([chosen, np.asarray(pick["emb"], dtype=np.int64)])
+    return pd.DataFrame(
+        {
+            "step": pd.Series([r[0] for r in rows], dtype="int64"),
+            "vec_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "dist_to_set": pd.Series([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over the embeddings table AUGMENTED with planted
     near-duplicates (vec_id < 16 get an affine-perturbed copy at

@@ -113,3 +113,38 @@ def test_aggregator_not_multiplied_by_slices(ray_session):
     np.testing.assert_allclose(
         a["value"].to_numpy(), b["value"].to_numpy(), rtol=0, atol=1e-9
     )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)),
+        min_size=1,
+        max_size=120,
+    ),
+    cap=st.sampled_from([1, 3, 7, 50]),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_property_split_parity_cc(ray_session, edges, cap):
+    """Any multigraph, any split cap: CC is bit-identical split vs
+    unsplit (integer min-combine is grouping-invariant)."""
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    n = 40
+    gdir = f"{TMP}/prop_graph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    build_graph_encoded(
+        rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})), gdir,
+        n_vertices=n, n_parts=4,
+    )
+    man = GraphManifest.load(gdir)
+    a = _run(man, ConnectedComponents(), "prop_unsplit", 0)
+    b = _run(man, ConnectedComponents(), "prop_split", cap)
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
