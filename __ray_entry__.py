@@ -496,6 +496,40 @@ def _pq_sql(m: int = 4, k: int = 4, iters: int = 3, dim: int = 64) -> str:
     )
 
 
+def _ann_recall_sql(
+    k: int = 10, n_centroids: int = 8, nprobe: int = 2, n_queries: int = 10,
+    dim: int = 64,
+) -> str:
+    """IVF recall@k vs exact brute force, all in exact int64 dot
+    products (quantized q = FLOOR(1e6 x); seeded centroids = vec_id <
+    n_centroids; argmax/top-k ties to lowest index). Mirrors
+    testdata.q_ann_recall."""
+    return (
+        "WITH vexp AS ( "
+        "  SELECT vec_id, d AS dim, "
+        "    CAST(FLOOR(CAST(embedding[d+1] AS DOUBLE) * 1e6) AS BIGINT) AS q "
+        f"  FROM embeddings, LATERAL unnest(generate_series(0, {dim - 1})) t(d)), "
+        "dotvc AS (SELECT v.vec_id, c.vec_id AS c, SUM(v.q * c.q) AS d "
+        f"  FROM vexp v JOIN vexp c ON c.dim = v.dim AND c.vec_id < {n_centroids} "
+        "  GROUP BY 1, 2), "
+        "asg AS (SELECT vec_id, c FROM dotvc "
+        "  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) = 1), "
+        f"probe AS (SELECT vec_id AS query_id, c FROM dotvc WHERE vec_id < {n_queries} "
+        f"  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) <= {nprobe}), "
+        "dots AS (SELECT q.vec_id AS query_id, v.vec_id, SUM(q.q * v.q) AS d "
+        f"  FROM vexp q JOIN vexp v ON v.dim = q.dim AND q.vec_id < {n_queries} "
+        "  GROUP BY 1, 2), "
+        "brute AS (SELECT query_id, vec_id FROM dots "
+        f"  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) <= {k}), "
+        "ivf AS (SELECT d2.query_id, d2.vec_id FROM dots d2 "
+        "  JOIN asg a ON a.vec_id = d2.vec_id "
+        "  JOIN probe p ON p.query_id = d2.query_id AND p.c = a.c "
+        f"  QUALIFY row_number() OVER (PARTITION BY d2.query_id ORDER BY d2.d DESC, d2.vec_id) <= {k}) "
+        "SELECT b.query_id, count(i.vec_id)::BIGINT AS hits, count(*)::BIGINT AS k_eff "
+        "FROM brute b LEFT JOIN ivf i USING (query_id, vec_id) GROUP BY 1"
+    )
+
+
 def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
     """Farthest-first-traversal oracle: chained CTEs carry the running
     min-distance-to-chosen-set per vector (exact int64); each stage's
@@ -1392,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": T.q_kmeans,
         "pq_codebook": T.q_pq_codebook,
         "kcenter_seeds": T.q_kcenter_seeds,
+        "ann_recall": T.q_ann_recall,
         "events_asof_orders": T.q_events_asof_orders,
         "doc_pii_scrub": T.q_doc_pii_scrub,
         "doc_dup_ngrams": T.q_doc_dup_ngrams,
@@ -4000,6 +4035,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_codebook": _pq_sql(),
         "kcenter_seeds": _kcenter_sql(),
+        "ann_recall": _ann_recall_sql(),
         "bpe_merges": _bpe_sql(),
         "revenue_rollup": (
             "WITH nat AS ( "

@@ -4220,6 +4220,102 @@ def q_kcenter_seeds(sf_dir: str, k: int = 8):
     )
 
 
+def q_ann_recall(
+    sf_dir: str, k: int = 10, n_centroids: int = 8, nprobe: int = 2, n_queries: int = 10
+):
+    """ANN QUALITY EVAL: recall@k of IVF probing vs exact brute force,
+    per query — the measurement that decides nprobe/nlist before a
+    100 TB index build. Everything is integer-exact so the oracle is
+    bit-reproducible: quantized int64 dot-product similarity, seeded
+    centroids (vec_id < n_centroids), assignment/probe argmax ties to
+    the lowest index, top-k ties to the lowest vec_id. ONE corpus pass
+    emits per-batch top-k partials for BOTH the brute and the probed
+    ranking (kind column); a 2*n_queries-group merge finishes, and the
+    intersection count lands on the driver. Self-matches are kept
+    (deterministic on both sides)."""
+    from ..stages.kmeans import quantize_batch, seed_centroids
+
+    vecs = _table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cents = seed_centroids(vecs, n_centroids)  # (C, dim) int64
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["vec_id"], n_queries))
+
+    qdf = (
+        vecs.map_batches(pick_queries, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    Q = np.stack(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * 1e6).astype(np.int64)
+            for v in qdf["embedding"]
+        ]
+    )
+    # probe sets: top-nprobe centroids by exact dot, ties -> lowest c
+    qc = Q @ cents.T
+    probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+    import ray as _ray
+
+    ref = _ray.put((qids, Q, cents, probe))
+
+    def partials(t: pa.Table) -> pa.Table:
+        qi, Qm, C, pr = _ray.get(ref)
+        X = quantize_batch(t)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        assign = np.argmax(X @ C.T, axis=1)  # first max = lowest index
+        D = X @ Qm.T  # (B, nq) exact int64
+        out_q, out_kind, out_v, out_d = [], [], [], []
+        for j in range(len(qi)):
+            d = D[:, j]
+            for kind, mask in ((0, None), (1, np.isin(assign, pr[j]))):
+                dd, vv = (d, ids) if mask is None else (d[mask], ids[mask])
+                if not len(dd):
+                    continue
+                o = np.lexsort((vv, -dd))[: min(k, len(dd))]
+                out_q.append(np.full(len(o), qi[j]))
+                out_kind.append(np.full(len(o), kind))
+                out_v.append(vv[o])
+                out_d.append(dd[o])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "kind": pa.array(np.concatenate(out_kind), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "dot": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["dot", "vec_id"], ascending=[False, True], kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    top = (
+        vecs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["query_id", "kind"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    brute = top[top["kind"] == 0].groupby("query_id")["vec_id"].apply(set)
+    ivf = top[top["kind"] == 1].groupby("query_id")["vec_id"].apply(set)
+    out = []
+    for q in sorted(qids.tolist()):
+        b = brute.get(q, set())
+        v = ivf.get(q, set())
+        out.append((q, len(b & v), len(b)))
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series([r[0] for r in out], dtype="int64"),
+            "hits": pd.Series([r[1] for r in out], dtype="int64"),
+            "k_eff": pd.Series([r[2] for r in out], dtype="int64"),
+        }
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over the embeddings table AUGMENTED with planted
     near-duplicates (vec_id < 16 get an affine-perturbed copy at
