@@ -1336,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": T.q_dedup_report,
         "source_overlap": T.q_source_overlap,
         "bpe_merges": T.q_bpe_merges,
+        "lang_term_jaccard": T.q_lang_term_jaccard,
         "term_burstiness": T.q_term_burstiness,
         "zipf_heaps": T.q_zipf_heaps,
         "skipgram_counts": T.q_skipgram_counts,
@@ -4037,6 +4038,21 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_seeds": _kcenter_sql(),
         "ann_recall": _ann_recall_sql(),
         "bpe_merges": _bpe_sql(),
+        "lang_term_jaccard": (
+            "WITH dt AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT lang, term, count(*)::BIGINT AS c FROM dt GROUP BY 1, 2), "
+            "tops AS (SELECT lang, term FROM c "
+            "  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) <= 100), "
+            "na AS (SELECT lang, count(*)::BIGINT AS n FROM tops GROUP BY 1), "
+            "inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS i "
+            "  FROM tops a JOIN tops b ON a.term = b.term AND a.lang < b.lang GROUP BY 1, 2) "
+            "SELECT x.lang AS lang_a, y.lang AS lang_b, "
+            "  COALESCE(i.i, 0)::BIGINT AS shared_terms, "
+            "  (x.n + y.n - COALESCE(i.i, 0))::BIGINT AS union_terms "
+            "FROM na x JOIN na y ON x.lang < y.lang "
+            "LEFT JOIN inter i ON i.lang_a = x.lang AND i.lang_b = y.lang"
+        ),
         "revenue_rollup": (
             "WITH nat AS ( "
             "  SELECT r.r_name AS region_name, n.n_name AS nation_name, "

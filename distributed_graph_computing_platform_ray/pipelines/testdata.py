@@ -1612,6 +1612,64 @@ def q_zipf_heaps(sf_dir: str, n_buckets: int = 16):
     )
 
 
+def q_lang_term_jaccard(sf_dir: str, top_k: int = 100, n_buckets: int = 16):
+    """Cross-language VOCABULARY CONFUSION: Jaccard overlap of the
+    top-k term sets between every language pair — high overlap means
+    n-gram language ID will confuse the pair (the check run before
+    trusting a langid split). Per-batch (lang, term) count partials ->
+    one bucket_sum -> per-lang top-k inside lang-grouped kernels
+    (cnt desc, term ties) -> tiny driver pair expansion (L^2 * k)."""
+    from ..stages.join import add_bucket, bucket_map_groups, bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.set_index("lang")["text"].astype(str).str.split().explode().dropna()
+        c = (
+            pd.DataFrame({"lang": t.index.to_numpy(), "term": t.to_numpy()})
+            .groupby(["lang", "term"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        c["c"] = c["c"].astype("int64")
+        return c
+
+    counts = bucket_sum(
+        _table(sf_dir, "documents", ["lang", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["lang", "term"],
+        ["c"],
+        n_buckets,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            out.append(
+                gg.sort_values(["c", "term"], ascending=[False, True], kind="stable")
+                .head(top_k)[["lang", "term"]]
+            )
+        return pd.concat(out, ignore_index=True)
+
+    tops = bucket_map_groups(
+        add_bucket(counts, ["lang"], 4), 4, topk, "pandas"
+    ).to_pandas()
+    sets = tops.groupby("lang")["term"].apply(set)
+    langs = sorted(sets.index)
+    rows = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            rows.append((a, b, inter, len(sets[a]) + len(sets[b]) - inter))
+    return pd.DataFrame(
+        {
+            "lang_a": [r[0] for r in rows],
+            "lang_b": [r[1] for r in rows],
+            "shared_terms": pd.Series([r[2] for r in rows], dtype="int64"),
+            "union_terms": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def q_bpe_merges(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
     """DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich et al. 2016): learn
     the first ``n_merges`` byte-pair merge rules over the corpus
