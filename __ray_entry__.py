@@ -411,7 +411,7 @@ def _pages_edges_cte(n: int = 2000, seed: int = 42, prefix: str = "") -> str:
     )
 
 
-def _bpe_sql(n_merges: int = 6) -> str:
+def _bpe_sql(n_merges: int = 6, output: str = "rules") -> str:
     """BPE merge-rule oracle: unrolled chained CTEs, one (pair-count,
     argmax, replace) stage per merge. Words are double-delimited
     symbol strings ('|a||b||c|'), so DuckDB replace == Python
@@ -435,11 +435,16 @@ def _bpe_sql(n_merges: int = 6) -> str:
         parts.append(
             f"t{r} AS (SELECT lft, rgt, w FROM p{r} ORDER BY w DESC, lft, rgt LIMIT 1)"
         )
-        if r < n_merges:
-            parts.append(
-                f"w{r} AS (SELECT replace(s, '|' || t.lft || '||' || t.rgt || '|', "
-                f"  '|' || t.lft || t.rgt || '|') AS s, c FROM w{r - 1} CROSS JOIN t{r} t)"
-            )
+        parts.append(
+            f"w{r} AS (SELECT replace(s, '|' || t.lft || '||' || t.rgt || '|', "
+            f"  '|' || t.lft || t.rgt || '|') AS s, c FROM w{r - 1} CROSS JOIN t{r} t)"
+        )
+    if output == "tokens":
+        sel = " UNION ALL ".join(
+            f"SELECT {r} AS step, SUM(c * len(str_split(trim(s, '|'), '||')))::BIGINT AS corpus_symbols FROM w{r}"
+            for r in range(0, n_merges + 1)
+        )
+        return ", ".join(parts) + " SELECT step::BIGINT AS step, corpus_symbols FROM (" + sel + ")"
     sel = " UNION ALL ".join(
         f"SELECT {r} AS step, lft AS sym_left, rgt AS sym_right, w AS pair_cnt FROM t{r}"
         for r in range(1, n_merges + 1)
@@ -1337,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": T.q_source_overlap,
         "bpe_merges": T.q_bpe_merges,
         "lang_term_jaccard": T.q_lang_term_jaccard,
+        "bpe_apply": T.q_bpe_apply,
         "term_burstiness": T.q_term_burstiness,
         "zipf_heaps": T.q_zipf_heaps,
         "skipgram_counts": T.q_skipgram_counts,
@@ -4038,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_seeds": _kcenter_sql(),
         "ann_recall": _ann_recall_sql(),
         "bpe_merges": _bpe_sql(),
+        "bpe_apply": _bpe_sql(output="tokens"),
         "lang_term_jaccard": (
             "WITH dt AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
             "  FROM documents WHERE trim(text) <> ''), "

@@ -1670,7 +1670,7 @@ def q_lang_term_jaccard(sf_dir: str, top_k: int = 100, n_buckets: int = 16):
     )
 
 
-def q_bpe_merges(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
+def _bpe_train(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
     """DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich et al. 2016): learn
     the first ``n_merges`` byte-pair merge rules over the corpus
     vocabulary. Per round: (1) adjacent symbol-pair counts weighted by
@@ -1733,7 +1733,20 @@ def q_bpe_merges(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
         )
         return out.groupby(["lft", "rgt"], as_index=False, sort=False)["w"].sum()
 
+    def corpus_tokens(w_ds) -> int:
+        # weighted symbol count: one pass of bounded per-block partials
+        def cnt(df: pd.DataFrame) -> pd.DataFrame:
+            n = (
+                df["s"].astype(str).str.strip("|").str.split("||", regex=False).str.len()
+                * df["c"]
+            ).sum()
+            return pd.DataFrame({"n": pd.Series([int(n)], dtype="int64")})
+
+        rows = w_ds.map_batches(cnt, batch_format="pandas").take_all()
+        return int(sum(r["n"] for r in rows))
+
     rules = []
+    tokens = [(0, corpus_tokens(words))]
     for step in range(1, n_merges + 1):
         pairs = bucket_sum(
             words.map_batches(pair_partial, batch_format="pandas"),
@@ -1759,8 +1772,9 @@ def q_bpe_merges(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
             )
 
         words = words.map_batches(apply_rule, batch_format="pandas").materialize()
+        tokens.append((step, corpus_tokens(words)))
 
-    return pd.DataFrame(
+    rules_df = pd.DataFrame(
         {
             "step": pd.Series([r[0] for r in rules], dtype="int64"),
             "sym_left": [r[1] for r in rules],
@@ -1768,6 +1782,27 @@ def q_bpe_merges(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
             "pair_cnt": pd.Series([r[3] for r in rules], dtype="int64"),
         }
     )
+    tokens_df = pd.DataFrame(
+        {
+            "step": pd.Series([t[0] for t in tokens], dtype="int64"),
+            "corpus_symbols": pd.Series([t[1] for t in tokens], dtype="int64"),
+        }
+    )
+    return rules_df, tokens_df
+
+
+def q_bpe_merges(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
+    """The learned merge-rule table — see _bpe_train."""
+    return _bpe_train(sf_dir, n_merges, n_buckets)[0]
+
+
+def q_bpe_apply(sf_dir: str, n_merges: int = 6, n_buckets: int = 8):
+    """TOKENIZER COMPRESSION CURVE: the frequency-weighted corpus
+    symbol count after each learned BPE merge (step 0 = characters) —
+    the bytes-per-token trade a tokenizer buys, measured on the same
+    distributed trainer as q_bpe_merges (each point is one bounded
+    per-block counting pass over the evolving vocabulary)."""
+    return _bpe_train(sf_dir, n_merges, n_buckets)[1]
 
 
 def q_skipgram_counts(sf_dir: str, window: int = 2):
