@@ -1361,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": T.q_doc_split,
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
+        "events_late": T.q_events_late,
         "events_sessionize": T.q_events_sessionize,
         "events_latest": T.q_events_latest,
         "events_deltas": T.q_events_deltas,
@@ -2172,6 +2173,20 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*)::BIGINT AS n_events "
             "FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k) "
             "GROUP BY 1, 2"
+        ),
+        "events_late": (
+            # arrival order = splitmix64(event_id) (planted disorder);
+            # watermark = running max event time over arrival order
+            "WITH ak AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, "
+            f"{_splitmix_cols('event_id', 'ak')} FROM events), "
+            "w AS (SELECT event_type, ts_us, "
+            "  max(ts_us) OVER (PARTITION BY user_id ORDER BY ak, event_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM ak) "
+            "SELECT event_type, count(*)::BIGINT AS n_events, "
+            "  sum(CASE WHEN wm IS NOT NULL AND wm - ts_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT AS n_late, "
+            "  COALESCE(max(CASE WHEN wm IS NOT NULL AND wm - ts_us > 1800000000 "
+            "    THEN wm - ts_us END), 0)::BIGINT AS max_late_us "
+            "FROM w GROUP BY 1"
         ),
         "events_sessionize": (
             "WITH g AS ( "

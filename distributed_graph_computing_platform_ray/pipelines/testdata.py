@@ -2563,6 +2563,67 @@ def q_events_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     )
 
 
+def q_events_late(sf_dir: str, lateness_s: int = 1800, n_buckets: int = 8):
+    """EVENT-TIME WATERMARK accounting (the streaming late-data
+    decision): per event type, how many events arrive more than the
+    allowed lateness behind their user's watermark (running max event
+    time over ARRIVAL order), and the worst observed lateness. The
+    generator emits events in perfect time order, so arrival order is
+    simulated with the deterministic splitmix64(event_id) shuffle —
+    the planted-disorder harness (embedding_neardup's planted-pair
+    convention), reproduced verbatim by the SQL oracle. Per-user
+    watermarks run inside user-bucketed kernels; per-type partials
+    (count/late/max) merge on the driver."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_map_groups
+    from ..utils import splitmix64
+
+    ds = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def wm_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ak = splitmix64(g["event_id"].to_numpy().astype(np.uint64))
+        df = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_type": g["event_type"].astype(str).to_numpy(),
+                "ts_us": _ts_us(g["ts"]),
+                "ak": ak,
+                "event_id": g["event_id"].to_numpy(),
+            }
+        ).sort_values(["user_id", "ak", "event_id"], kind="stable")
+        wm = (
+            df.groupby("user_id", sort=False)["ts_us"]
+            .transform(lambda s: s.cummax().shift(1))
+        )
+        lim = lateness_s * 1_000_000
+        late = wm.notna() & ((wm - df["ts_us"]) > lim)
+        lateness = np.where(late, (wm - df["ts_us"]).fillna(0), 0).astype(np.int64)
+        out = df.assign(late=late.astype("int64"), lateness=lateness).groupby(
+            "event_type", as_index=False, sort=False
+        ).agg(
+            n_events=("late", "size"),
+            n_late=("late", "sum"),
+            max_late_us=("lateness", "max"),
+        )
+        return out
+
+    parts = bucket_map_groups(
+        add_bucket(ds, ["user_id"], n_buckets), n_buckets, wm_kernel, "pandas"
+    ).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"),
+        n_late=("n_late", "sum"),
+        max_late_us=("max_late_us", "max"),
+    )
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"].astype(str),
+            "n_events": out["n_events"].astype("int64"),
+            "n_late": out["n_late"].astype("int64"),
+            "max_late_us": out["max_late_us"].astype("int64"),
+        }
+    )
+
+
 def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
     """Gap-based sessionization per user (streaming-shaped op,
     SURVEY.md §2.9 note): Ray Data has no event-time windows, so the
