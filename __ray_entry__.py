@@ -1013,6 +1013,41 @@ def _anf_sql() -> str:
     )
 
 
+def _random_failure_sql(mods=(0, 8, 4, 2)) -> str:
+    """Random-failure oracle: drop vertices with splitmix64(id) % mod
+    == 0 (mod 0 = none), min-label CC recursion over survivors."""
+    parts = [f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "]
+    parts.append(
+        f"vsm AS (SELECT id, {_splitmix_cols('id', 'sm')} "
+        "FROM (SELECT DISTINCT src AS id FROM es)), "
+    )
+    for m in mods:
+        parts.append(
+            f"bad{m} AS (SELECT id FROM vsm WHERE {('sm % ' + str(m) + ' = 0') if m else 'false'}), "
+            f"es{m} AS (SELECT src, dst FROM es "
+            f"WHERE src NOT IN (SELECT id FROM bad{m}) "
+            f"AND dst NOT IN (SELECT id FROM bad{m})), "
+            f"v{m} AS (SELECT DISTINCT src AS id FROM es{m}), "
+            f"relax{m} AS (SELECT src, dst FROM es{m} "
+            f"             UNION ALL SELECT id, id FROM v{m}), "
+            f"c{m} AS ( "
+            f"  SELECT 0 AS it, id, id AS lab FROM v{m} "
+            "  UNION ALL "
+            f"  SELECT p.it + 1, rr.dst, MIN(p.lab) FROM c{m} p "
+            f"  JOIN relax{m} rr ON rr.src = p.id WHERE p.it < 60 "
+            "  GROUP BY p.it, rr.dst), "
+            f"s{m} AS (SELECT lab, count(*) AS n FROM c{m} WHERE it = 60 GROUP BY lab), "
+        )
+    selects = [
+        f"SELECT {m} AS mod, (SELECT sum(n) FROM s{m})::BIGINT AS n_vertices, "
+        f"(SELECT count(*) FROM s{m})::BIGINT AS n_components, "
+        f"(SELECT max(n) FROM s{m})::BIGINT AS largest_cc"
+        for m in mods
+    ]
+    body = "".join(parts)
+    return body.rstrip(", ") + " " + " UNION ALL ".join(selects)
+
+
 def _robustness_sql(ks=(0, 20, 50)) -> str:
     """Attack-tolerance oracle: per k, drop the top-k hubs (deg desc,
     id asc) and run the min-label CC recursion over the survivors;
@@ -1385,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": T.q_anchor_stats,
         "ecc_bounds": T.q_ecc_bounds,
         "graph_robustness": T.q_graph_robustness,
+        "random_failure": T.q_random_failure,
         "block_conductance": T.q_block_conductance,
         "events_transitions": T.q_events_transitions,
         "sssp_paths": T.q_sssp_paths,
@@ -2389,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "maximal_matching": _matching_sql(),
         "graph_robustness": _robustness_sql(),
+        "random_failure": _random_failure_sql(),
         "block_conductance": (
             f"WITH {_EB_CLIQUEY}, "
             "e2 AS (SELECT a // 8 AS ba, b // 8 AS bb FROM ebq), "

@@ -930,6 +930,66 @@ def q_graph_robustness(sf_dir: str, ks=(0, 20, 50)):
     )
 
 
+def q_random_failure(sf_dir: str, mods=(0, 8, 4, 2)):
+    """RANDOM-FAILURE tolerance curve — the Albert-Jeong-Barabási
+    contrast to q_graph_robustness's targeted attack: scale-free
+    graphs shrug off uniform random node loss but shatter under hub
+    removal. 'Random' is the deterministic splitmix64(id) % mod == 0
+    set (expected 1/mod of vertices; mod 0 = baseline), evaluated
+    INSIDE the edge filter — no removal set is ever collected or
+    broadcast. One engine CC per level; same fragmentation stats as
+    the attack curve so the two tables compare row-for-row."""
+    import shutil as _shutil
+
+    from ..stages.join import bucket_sum
+    from ..utils import splitmix64
+
+    edges = edges_lineitem(sf_dir).materialize()
+
+    rows = []
+    for mod in mods:
+
+        def filt(t: pa.Table, mod=mod) -> pa.Table:
+            a = t["src"].to_numpy()
+            b = t["dst"].to_numpy()
+            if mod > 0:
+                bad_a = splitmix64(a.astype(np.uint64)) % np.uint64(mod) == 0
+                bad_b = splitmix64(b.astype(np.uint64)) % np.uint64(mod) == 0
+                keep = ~(bad_a | bad_b)
+                a, b = a[keep], b[keep]
+            return pa.table(
+                {"src_key": pa.array(a.astype(str)), "dst_key": pa.array(b.astype(str))}
+            )
+
+        root = _cache(sf_dir, "randfail", f"m{mod}")
+        _shutil.rmtree(root, ignore_errors=True)
+        build_graph(
+            edges.map_batches(filt, batch_format="pyarrow"),
+            f"{root}/graph", n_parts=8, n_buckets=16, dedup=False,
+            small_graph_edges=5_000_000,
+        )
+        cc = run_algorithm(f"{root}/graph", f"{root}/cc", "cc")
+
+        def label_partial(t: pa.Table) -> pa.Table:
+            lab = t["value"].to_numpy().astype(np.int64)
+            u, c = np.unique(lab, return_counts=True)
+            return pa.table({"lab": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+        sizes = bucket_sum(
+            cc.map_batches(label_partial, batch_format="pyarrow"),
+            ["lab"], ["n"], n_buckets=4,
+        ).to_pandas()
+        rows.append((mod, int(sizes["n"].sum()), len(sizes), int(sizes["n"].max())))
+    return pd.DataFrame(
+        {
+            "mod": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_vertices": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n_components": pd.Series([r[2] for r in rows], dtype="int64"),
+            "largest_cc": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def q_reciprocity(sf_dir: str, n_buckets: int = 16):
     """Link reciprocity of the DIRECTED lineitem graph: the fraction
     of directed edges whose reverse edge also exists (a standard web
