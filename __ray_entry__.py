@@ -1397,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
         "events_late": T.q_events_late,
+        "events_cohort_value": T.q_events_cohort_value,
         "events_sessionize": T.q_events_sessionize,
         "events_latest": T.q_events_latest,
         "events_deltas": T.q_events_deltas,
@@ -2209,6 +2210,14 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*)::BIGINT AS n_events "
             "FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k) "
             "GROUP BY 1, 2"
+        ),
+        "events_cohort_value": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) // (7*86400000000) AS w, "
+            "  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events), "
+            "f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1) "
+            "SELECT f.cw::BIGINT AS cohort_week, (e.w - f.cw)::BIGINT AS age_week, "
+            "  count(DISTINCT e.user_id)::BIGINT AS n_users, sum(e.c)::BIGINT AS value_e2 "
+            "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "events_late": (
             # arrival order = splitmix64(event_id) (planted disorder);

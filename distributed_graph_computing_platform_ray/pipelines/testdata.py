@@ -2684,6 +2684,48 @@ def q_events_late(sf_dir: str, lateness_s: int = 1800, n_buckets: int = 8):
     )
 
 
+def q_events_cohort_value(sf_dir: str, n_buckets: int = 8):
+    """COHORT VALUE CURVE (the LTV table): users cohorted by first-
+    event week; per (cohort_week, age_week) the distinct active users
+    and their exact summed value (integer cents). A user's whole
+    history shares a bucket, so cohort assignment AND the per-age
+    rollup happen inside one user-bucketed kernel — per-bucket partial
+    rows merge by sum (distinct users of one user-bucket never overlap
+    another's)."""
+    from ..stages.join import _BUCKET, add_bucket, bucket_map_groups
+
+    ds = _table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["user_id"].to_numpy()
+        ts = _ts_us(g["ts"])
+        week = ts // (7 * 86_400_000_000)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"u": us, "w": week, "c": cents})
+        first = df.groupby("u", sort=False)["w"].transform("min")
+        df["cohort_week"] = first
+        df["age_week"] = df["w"] - first
+        out = df.groupby(["cohort_week", "age_week"], as_index=False, sort=False).agg(
+            n_users=("u", "nunique"), value_e2=("c", "sum")
+        )
+        return out
+
+    parts = bucket_map_groups(
+        add_bucket(ds, ["user_id"], n_buckets), n_buckets, kern, "pandas"
+    ).to_pandas()
+    out = parts.groupby(["cohort_week", "age_week"], as_index=False).agg(
+        n_users=("n_users", "sum"), value_e2=("value_e2", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "cohort_week": out["cohort_week"].astype("int64"),
+            "age_week": out["age_week"].astype("int64"),
+            "n_users": out["n_users"].astype("int64"),
+            "value_e2": out["value_e2"].astype("int64"),
+        }
+    )
+
+
 def q_events_sessionize(sf_dir: str, gap_s: int = 1800):
     """Gap-based sessionization per user (streaming-shaped op,
     SURVEY.md §2.9 note): Ray Data has no event-time windows, so the
