@@ -1361,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_rounds": T.q_kcore_rounds,
         "coreness": T.q_coreness,
         "onion_layers": T.q_onion_layers,
+        "web_coreness": T.q_web_coreness,
         "densest_subgraph": T.q_densest_subgraph,
         "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
@@ -2295,6 +2296,31 @@ def oracle_sql() -> dict[str, str]:
             "  ) WHERE minend > kmin), "
             "pres AS (SELECT u AS vertex, max(it) AS last_it FROM r GROUP BY u) "
             "SELECT vertex::BIGINT AS vertex, (last_it + 1)::BIGINT AS layer FROM pres"
+        ),
+        "web_coreness": (
+            # h-index coreness fixpoint over the generator's distinct
+            # onsite page links (i = site*16 + page); same recurrence
+            # and 40-round cap as the "coreness" oracle
+            f"WITH RECURSIVE {_pages_edges_cte(2000, 42)}, "
+            "ei AS (SELECT "
+            "  CAST(split_part(split_part(src, 'site-', 2), '.', 1) AS BIGINT) * 16 "
+            "    + CAST(split_part(src, '/', 5) AS BIGINT) AS u, "
+            "  CAST(split_part(split_part(dst, 'site-', 2), '.', 1) AS BIGINT) * 16 "
+            "    + CAST(split_part(dst, '/', 5) AS BIGINT) AS v "
+            "  FROM e WHERE dst LIKE 'https://site-%'), "
+            "es2 AS (SELECT u AS src, v AS dst FROM ei UNION ALL SELECT v, u FROM ei), "
+            "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM es2 GROUP BY src), "
+            "hv AS ( "
+            "  SELECT 0 AS it, id, d AS val FROM deg "
+            "  UNION ALL "
+            "  SELECT it + 1, id, max(least(nval, rn)) AS val FROM ( "
+            "    SELECT p.it AS it, e2.src AS id, p.val AS nval, "
+            "           row_number() OVER (PARTITION BY e2.src ORDER BY p.val DESC) AS rn "
+            "    FROM hv p JOIN es2 e2 ON e2.dst = p.id "
+            "    WHERE p.it < 40 "
+            "  ) GROUP BY it, id) "
+            "SELECT id::BIGINT AS vertex, val::BIGINT AS coreness "
+            "FROM hv WHERE it = 40"
         ),
         "coreness": (
             # iterated neighborhood h-index to the coreness fixpoint

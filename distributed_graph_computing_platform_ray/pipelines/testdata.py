@@ -2251,39 +2251,16 @@ def q_onion_layers(sf_dir: str, max_rounds: int = 200):
     return rd.from_items([{"go": 1}]).map_batches(peel, batch_format="pyarrow")
 
 
-def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
-    """FULL k-core decomposition — every vertex's core number in one
-    job — via the iterated neighborhood h-index (Lü et al. 2016,
-    Nature Communications 7:10168): h0 = degree, h_{t+1}(v) =
-    H({h_t(u) : u ~ v}), which converges monotonically to coreness.
-    Unlike peeling (q_kcore: inherently sequential in k), EVERY round
-    here is one embarrassingly parallel exchange — the web-scale
-    shape. The symmetrized edge table is bucketed by src once and
-    pinned across rounds (the kmeans input-pinning pattern); each
-    round broadcasts the O(V) value vector (ray.put once, read per
-    task; at 10^12 vertices swap the broadcast for a dst-bucket value
-    join) and exact per-vertex h-indexes come out of one vectorized
-    lexsort + reduceat per bucket. Early exit at the fixpoint is
-    oracle-safe: the SQL recursion runs a fixed ``max_rounds`` and a
-    fixpoint is invariant under extra rounds; if the cap is hit
-    unconverged, both sides have applied exactly ``max_rounds``
-    identical updates and still agree."""
+def _hindex_coreness(es: rd.Dataset, n_buckets: int = 8, max_rounds: int = 40):
+    """Shared h-index-fixpoint coreness kernel over a symmetric
+    directed edge Dataset[(u:int64, v:int64)] with a dense-ish int id
+    universe (values vector is O(max id)). See q_coreness for the
+    algorithm and oracle-parity notes."""
     import ray as _ray
 
     from ..stages.join import add_bucket, bucket_map_groups, bucket_sum
 
-    edges = edges_orders(sf_dir)
-
-    def sym(t: pa.Table) -> pa.Table:
-        s = t["src"].combine_chunks()
-        d = t["dst"].combine_chunks()
-        return pa.table(
-            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
-        )
-
-    es = add_bucket(
-        edges.map_batches(sym, batch_format="pyarrow"), ["u"], n_buckets
-    ).materialize()
+    es = add_bucket(es, ["u"], n_buckets).materialize()
 
     def _ones(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2340,6 +2317,70 @@ def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
             "vertex": pd.Series(verts, dtype="int64"),
             "coreness": pd.Series(val[verts], dtype="int64"),
         }
+    )
+
+
+def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
+    """FULL k-core decomposition — every vertex's core number in one
+    job — via the iterated neighborhood h-index (Lü et al. 2016,
+    Nature Communications 7:10168): h0 = degree, h_{t+1}(v) =
+    H({h_t(u) : u ~ v}), which converges monotonically to coreness.
+    Unlike peeling (q_kcore: inherently sequential in k), EVERY round
+    here is one embarrassingly parallel exchange — the web-scale
+    shape. The symmetrized edge table is bucketed by src once and
+    pinned across rounds (the kmeans input-pinning pattern); each
+    round broadcasts the O(V) value vector (ray.put once, read per
+    task; at 10^12 vertices swap the broadcast for a dst-bucket value
+    join) and exact per-vertex h-indexes come out of one vectorized
+    lexsort + reduceat per bucket. Early exit at the fixpoint is
+    oracle-safe: the SQL recursion runs a fixed ``max_rounds`` and a
+    fixpoint is invariant under extra rounds; if the cap is hit
+    unconverged, both sides have applied exactly ``max_rounds``
+    identical updates and still agree."""
+    edges = edges_orders(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table(
+            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
+        )
+
+    return _hindex_coreness(
+        edges.map_batches(sym, batch_format="pyarrow"), n_buckets, max_rounds
+    )
+
+
+def q_web_coreness(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
+    """Coreness of the WEB LINK GRAPH (onsite pages only): the same
+    h-index fixpoint (q_coreness) over the generator's distinct
+    page-level links, symmetrized, with endpoints mapped to the
+    canonical page index i = site*16 + page parsed from the url —
+    the integer universe both engine and oracle can derive without
+    the (SipHash-ranked, non-SQL-reproducible) dictionary ids.
+    Offsite link targets are excluded on both sides."""
+    links = _pages_links(n_pages)
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        out = []
+        for a, b in (("src_key", "dst_key"), ("dst_key", "src_key")):
+            sa = t[a].to_pandas().astype(str)
+            sb = t[b].to_pandas().astype(str)
+            pat = r"https://site-(\d+)\.example/p/(\d+)"
+            ma = sa.str.extract(pat)
+            mb = sb.str.extract(pat)
+            keep = ma[0].notna() & mb[0].notna()
+            u = (
+                ma[0][keep].astype(np.int64) * 16 + ma[1][keep].astype(np.int64)
+            ).to_numpy()
+            v = (
+                mb[0][keep].astype(np.int64) * 16 + mb[1][keep].astype(np.int64)
+            ).to_numpy()
+            out.append(pa.table({"u": pa.array(u), "v": pa.array(v)}))
+        return pa.concat_tables(out)
+
+    return _hindex_coreness(
+        links.map_batches(to_ids, batch_format="pyarrow"), n_buckets
     )
 
 
