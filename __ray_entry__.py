@@ -1362,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness": T.q_coreness,
         "onion_layers": T.q_onion_layers,
         "web_coreness": T.q_web_coreness,
+        "web_onion_layers": T.q_web_onion_layers,
         "densest_subgraph": T.q_densest_subgraph,
         "user_distinct_hll": T.q_user_hll,
         "label_propagation": T.q_label_propagation,
@@ -2286,6 +2287,33 @@ def oracle_sql() -> dict[str, str]:
             "es AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b, a FROM u), "
             "r AS ( "
             "  SELECT 0 AS it, src AS u, dst AS v FROM es "
+            "  UNION ALL "
+            "  SELECT it + 1, u, v FROM ( "
+            "    SELECT it, u, v, "
+            "      min(du) OVER (PARTITION BY it, least(u, v), greatest(u, v)) AS minend, "
+            "      min(du) OVER (PARTITION BY it) AS kmin "
+            "    FROM (SELECT it, u, v, count(*) OVER (PARTITION BY it, u) AS du "
+            "          FROM r WHERE it < 200) "
+            "  ) WHERE minend > kmin), "
+            "pres AS (SELECT u AS vertex, max(it) AS last_it FROM r GROUP BY u) "
+            "SELECT vertex::BIGINT AS vertex, (last_it + 1)::BIGINT AS layer FROM pres"
+        ),
+        "web_onion_layers": (
+            # onion peel over distinct undirected onsite page pairs
+            # (self-links excluded), same wave recurrence and cap as
+            # "onion_layers"
+            f"WITH RECURSIVE {_pages_edges_cte(2000, 42)}, "
+            "ei AS (SELECT "
+            "  CAST(split_part(split_part(src, 'site-', 2), '.', 1) AS BIGINT) * 16 "
+            "    + CAST(split_part(src, '/', 5) AS BIGINT) AS u, "
+            "  CAST(split_part(split_part(dst, 'site-', 2), '.', 1) AS BIGINT) * 16 "
+            "    + CAST(split_part(dst, '/', 5) AS BIGINT) AS v "
+            "  FROM e WHERE dst LIKE 'https://site-%'), "
+            "pairs AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b "
+            "  FROM ei WHERE u <> v), "
+            "es2 AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs), "
+            "r AS ( "
+            "  SELECT 0 AS it, src AS u, dst AS v FROM es2 "
             "  UNION ALL "
             "  SELECT it + 1, u, v FROM ( "
             "    SELECT it, u, v, "

@@ -2197,27 +2197,12 @@ def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
     )
 
 
-def q_onion_layers(sf_dir: str, max_rounds: int = 200):
-    """ONION DECOMPOSITION (Hébert-Dufresne et al. 2016): the layer
-    index refines coreness — each wave removes the current
-    minimum-degree class, and a vertex's layer is the wave at which it
-    loses its last incident edge (+1). Exposes WHERE in its core a
-    vertex sits (early layer = periphery, late = nucleus).
-
-    The edges_orders universe is bounded by construction (ids mod 500,
-    distinct pairs), so the inherently layer-sequential peel runs as
-    ONE vectorized task over the ray.put edge arrays — the
-    partition-local exact-kernel pattern (site_centrality). On an
-    unbounded graph, each wave is the q_kcore distributed round
-    (degree bucket_sum + broadcast removal set) with the SAME wave
-    semantics; the layer loop is sequential in either shape. The
-    oracle runs the identical recurrence as a recursive CTE capped at
-    ``max_rounds`` (both sides mirror the cap: survivors at the cap
-    report layer cap+1)."""
+def _onion_layers_from(edges: rd.Dataset, max_rounds: int = 200):
+    """Shared onion-peel kernel over a BOUNDED undirected pair
+    Dataset[(src, dst)] — see q_onion_layers."""
     import ray as _ray
 
-    edges = edges_orders(sf_dir).materialize()
-    adj = edges.to_pandas()  # bounded: <= C(500, 2) distinct pairs
+    adj = edges.to_pandas()  # caller guarantees a bounded pair universe
     a = adj["src"].to_numpy().astype(np.int64)
     b = adj["dst"].to_numpy().astype(np.int64)
     state = _ray.put((a, b))
@@ -2249,6 +2234,61 @@ def q_onion_layers(sf_dir: str, max_rounds: int = 200):
         )
 
     return rd.from_items([{"go": 1}]).map_batches(peel, batch_format="pyarrow")
+
+
+def q_onion_layers(sf_dir: str, max_rounds: int = 200):
+    """ONION DECOMPOSITION (Hébert-Dufresne et al. 2016): the layer
+    index refines coreness — each wave removes the current
+    minimum-degree class, and a vertex's layer is the wave at which it
+    loses its last incident edge (+1). Exposes WHERE in its core a
+    vertex sits (early layer = periphery, late = nucleus).
+
+    The edges_orders universe is bounded by construction (ids mod 500,
+    distinct pairs), so the inherently layer-sequential peel runs as
+    ONE vectorized task over the ray.put edge arrays — the
+    partition-local exact-kernel pattern (site_centrality). On an
+    unbounded graph, each wave is the q_kcore distributed round
+    (degree bucket_sum + broadcast removal set) with the SAME wave
+    semantics; the layer loop is sequential in either shape. The
+    oracle runs the identical recurrence as a recursive CTE capped at
+    ``max_rounds`` (both sides mirror the cap: survivors at the cap
+    report layer cap+1)."""
+    return _onion_layers_from(edges_orders(sf_dir).materialize(), max_rounds)
+
+
+def q_web_onion_layers(sf_dir: str, n_pages: int = 2000, max_rounds: int = 200):
+    """Onion layers of the onsite web link graph (same canonical page
+    index mapping as q_web_coreness; distinct undirected pairs are
+    bounded by the generator's page universe). Periphery pages = early
+    layers, the link nucleus = late layers — combined with
+    web_coreness this localizes every page within its core shell."""
+    links = _pages_links(n_pages)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        sa = t["src_key"].to_pandas().astype(str)
+        sb = t["dst_key"].to_pandas().astype(str)
+        pat = r"https://site-(\d+)\.example/p/(\d+)"
+        ma = sa.str.extract(pat)
+        mb = sb.str.extract(pat)
+        keep = (ma[0].notna() & mb[0].notna()).to_numpy()
+        u = (
+            ma[0][keep].astype(np.int64) * 16 + ma[1][keep].astype(np.int64)
+        ).to_numpy()
+        v = (
+            mb[0][keep].astype(np.int64) * 16 + mb[1][keep].astype(np.int64)
+        ).to_numpy()
+        drop = u == v  # self-links: zero-length peel edges, exclude
+        u, v = u[~drop], v[~drop]
+        return pa.table(
+            {"src": pa.array(np.minimum(u, v)), "dst": pa.array(np.maximum(u, v))}
+        )
+
+    from ..stages.join import distinct
+
+    pairs = distinct(
+        links.map_batches(to_pairs, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()
+    return _onion_layers_from(pairs, max_rounds)
 
 
 def _hindex_coreness(es: rd.Dataset, n_buckets: int = 8, max_rounds: int = 40):
