@@ -1398,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": T.q_doc_split,
         # -- events / embeddings ----------------------------------------
         "events_hourly": T.q_events_hourly,
+        "events_jsonl_hourly": T.q_events_jsonl_hourly,
         "events_late": T.q_events_late,
         "events_cohort_value": T.q_events_cohort_value,
         "events_sessionize": T.q_events_sessionize,
@@ -2220,6 +2221,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.cw::BIGINT AS cohort_week, (e.w - f.cw)::BIGINT AS age_week, "
             "  count(DISTINCT e.user_id)::BIGINT AS n_users, sum(e.c)::BIGINT AS value_e2 "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "events_jsonl_hourly": (
+            # oracle reads the ORIGINAL parquet; the query reads its
+            # own JSONL export — format-roundtrip drift breaks the hash
+            "SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type, "
+            "count(*)::BIGINT AS n, "
+            "sum(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_e2 "
+            "FROM events GROUP BY 1, 2"
         ),
         "events_late": (
             # arrival order = splitmix64(event_id) (planted disorder);

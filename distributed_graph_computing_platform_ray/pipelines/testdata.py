@@ -2598,6 +2598,58 @@ def q_doc_split(sf_dir: str):
 # events: tumbling-window aggregate (streaming-shaped, SURVEY.md §2.9)
 
 
+def q_events_jsonl_hourly(sf_dir: str, n_buckets: int = 8):
+    """JSONL SOURCE-FORMAT roundtrip (S1 coverage beyond text edge
+    lists + Parquet): the events table is exported ONCE to line-JSON
+    (ints and strings only — ts as epoch-us, value pre-scaled to
+    cents, so the format roundtrip is exact by construction), read
+    back with ray.data.read_json, and aggregated to the hourly
+    tumbling window. The oracle reads the ORIGINAL parquet — a drift
+    anywhere in export/parse/aggregate breaks the hash."""
+    from ..stages.join import bucket_sum
+
+    out_dir = _cache(sf_dir, "events", "jsonl_v1")
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        def conv(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "ts_us": pa.array(_ts_us(t["ts"].to_pandas()), pa.int64()),
+                    "event_type": t["event_type"],
+                    "value_e2": pa.array(
+                        np.round(t["value"].to_numpy() * 100).astype(np.int64)
+                    ),
+                }
+            )
+
+        _table(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            conv, batch_format="pyarrow"
+        ).write_json(out_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = rd.read_json(out_dir, file_extensions=["json"])
+
+    def win(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_idx": pc.divide(t["ts_us"], 3_600_000_000).cast(pa.int64()),
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "value_e2": t["value_e2"].cast(pa.int64()),
+            }
+        )
+
+    return bucket_sum(
+        ds.map_batches(win, batch_format="pyarrow"),
+        ["hour_idx", "event_type"],
+        ["n", "value_e2"],
+        n_buckets,
+    )
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling 1h window per event_type: count + sum(value).
 

@@ -207,3 +207,15 @@ def test_patch_rerun_over_partial_output(dirs):
     patch_graph(f"{TMP}/g_base", read_edge_list(f"{TMP}/inc.txt"), out, dedup=False)
     got = {int(r["part"]): r["crc_indices"] for r in GraphManifest.load(out).parts}
     assert got == want
+
+
+def test_fsck_green_on_patched_graph(dirs):
+    """A patch-built graph (hardlinked untouched shards + rebuilt
+    touched ones) must verify cleanly against its manifest lineage —
+    the CRC entries a patch carries forward have to match the
+    hardlinked bytes."""
+    from distributed_graph_computing_platform_ray.pipelines.ingest import fsck_graph
+
+    _full, patched = dirs
+    df = fsck_graph(patched)
+    assert (df["crc_ok"] & df["vertices_ok"]).all(), df.to_string()
