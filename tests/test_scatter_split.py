@@ -148,3 +148,26 @@ def test_property_split_parity_cc(ray_session, edges, cap):
     a = _run(man, ConnectedComponents(), "prop_unsplit", 0)
     b = _run(man, ConnectedComponents(), "prop_split", cap)
     assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
+
+
+def test_weighted_sssp_bit_identical_under_split(ray_session):
+    """Edge weights must stay aligned with their edge slice: weighted
+    SSSP (min-combine, add_edge_weight) over a weighted star graph is
+    bit-identical split vs unsplit."""
+    from distributed_graph_computing_platform_ray.algorithms import SSSP
+
+    gdir = f"{TMP}/wgraph"
+    shutil.rmtree(gdir, ignore_errors=True)
+    n = 2000
+    hub_dst = np.arange(n, dtype=np.int64)
+    hub_dst = hub_dst[hub_dst != 1]
+    ring = np.arange(n, dtype=np.int64)
+    src = np.concatenate([np.ones(len(hub_dst), np.int64), ring])
+    dst = np.concatenate([hub_dst, (ring + 1) % n])
+    w = ((src * 7 + dst * 13) % 5 + 1).astype(np.float64)
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst, "weight": w}))
+    man = build_graph_encoded(edges, gdir, n_vertices=n, n_parts=4)
+    assert man.weighted
+    a = _run(man, SSSP(source_id=0), "wsssp_unsplit", 0)
+    b = _run(man, SSSP(source_id=0), "wsssp_split", 500)
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
