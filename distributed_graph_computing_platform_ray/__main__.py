@@ -56,6 +56,7 @@ def main(argv=None):
         choices=[
             "pagerank", "pagerank_weighted", "ppr", "sssp", "sssp_multi", "earliest",
             "cc", "lp", "mis", "katz", "coloring", "dag_longest", "sumprop", "anf",
+            "absorption",
         ],
     )
     pr.add_argument("--source", help="SSSP source vertex key")
@@ -136,14 +137,14 @@ def main(argv=None):
                     p.error("--source is required for sssp")
                 man = GraphManifest.load(args.graph)
                 params["source_id"] = lookup_vertex_id(man, args.source)
-            if args.algo in ("ppr", "sssp_multi"):
+            if args.algo in ("ppr", "sssp_multi", "absorption"):
                 if not args.seeds:
                     p.error(f"--seeds is required for {args.algo}")
                 man = GraphManifest.load(args.graph)
                 sids = tuple(
                     sorted(lookup_vertex_id(man, k.strip()) for k in args.seeds.split(","))
                 )
-                params["seed_ids" if args.algo == "ppr" else "source_ids"] = sids
+                params["source_ids" if args.algo == "sssp_multi" else "seed_ids"] = sids
             if args.iters:
                 # round-bounded algorithms name the knob max_rounds
                 rounds_knob = args.algo in ("mis", "coloring", "dag_longest")
