@@ -1427,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_failure": T.q_random_failure,
         "block_conductance": T.q_block_conductance,
         "events_transitions": T.q_events_transitions,
+        "markov_stationary": T.q_markov_stationary,
         "sssp_paths": T.q_sssp_paths,
         "square_count": T.q_square_count,
         "events_running_total": T.q_events_running_total,
@@ -2514,6 +2515,26 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN least(vol, t.tv - vol) > 0 "
             "THEN cut * 1000000 // least(vol, t.tv - vol) ELSE -1 END::BIGINT "
             "AS phi_e6 FROM s CROSS JOIN t"
+        ),
+        "markov_stationary": (
+            # power iteration on the row-normalized clickstream chain;
+            # uniform start, 25 applications, e8 like the PR family
+            "WITH RECURSIVE c AS ( "
+            "  SELECT f, event_type AS t, count(*)::BIGINT AS cnt FROM ( "
+            "    SELECT user_id, event_type, "
+            "      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f "
+            "    FROM events) WHERE f IS NOT NULL GROUP BY 1, 2), "
+            "types AS (SELECT DISTINCT event_type AS ty FROM events), "
+            "rs AS (SELECT f, sum(cnt)::DOUBLE AS s FROM c GROUP BY f), "
+            "nn AS (SELECT count(*)::DOUBLE AS k FROM types), "
+            "pi AS ( "
+            "  SELECT 0 AS it, ty, 1.0 / nn.k AS v FROM types, nn "
+            "  UNION ALL "
+            "  SELECT p.it + 1, c.t AS ty, SUM(p.v * c.cnt / rs.s) AS v "
+            "  FROM pi p JOIN c ON c.f = p.ty JOIN rs ON rs.f = p.ty "
+            "  WHERE p.it < 25 GROUP BY p.it, c.t) "
+            "SELECT ty AS event_type, CAST(ROUND(v * 1e8) AS BIGINT) AS pi_e8 "
+            "FROM pi WHERE it = 25"
         ),
         "events_transitions": (
             "WITH p AS (SELECT user_id, event_type, LAG(event_type) OVER "

@@ -6084,6 +6084,58 @@ def q_block_conductance(sf_dir: str):
     )
 
 
+def q_markov_stationary(sf_dir: str, iters: int = 25):
+    """Stationary distribution of the clickstream Markov chain:
+    transition counts reduce exactly from user-bucketed timelines
+    (q_events_transitions' kernel shape — the distributed part), then
+    the T×T row-normalized chain power-iterates on the driver (T =
+    #event types, a bounded-side reduce like the kmeans centroid
+    update). Start uniform, ``iters`` applications, e8-scaled like the
+    PageRank family; types with no outgoing transitions contribute
+    nothing (matching the oracle's absent join rows)."""
+    from ..stages.join import _BUCKET, add_bucket
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df["ts"])
+        order = np.lexsort((df["event_id"].to_numpy(), ts, df["user_id"].to_numpy()))
+        uid = df["user_id"].to_numpy()[order]
+        et = df["event_type"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        g = pd.DataFrame(
+            {"f": et[:-1][same], "t": et[1:][same],
+             "cnt": np.ones(int(same.sum()), np.int64)}
+        )
+        return g.groupby(["f", "t"], as_index=False, sort=False).sum()
+
+    src = _table(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    nb = _scaled_buckets(sf_dir, "events")
+    c = (
+        _BMG(add_bucket(src, ["user_id"], nb), nb, pairs, "pandas")
+        .to_pandas()
+        .groupby(["f", "t"], as_index=False)["cnt"]
+        .sum()
+    )
+    types = sorted(
+        set(_table(sf_dir, "events", ["event_type"]).unique("event_type"))
+    )
+    idx = {ty: i for i, ty in enumerate(types)}
+    T = len(types)
+    C = np.zeros((T, T), dtype=np.float64)
+    for f, t, n in zip(c["f"], c["t"], c["cnt"]):
+        C[idx[f], idx[t]] = float(n)
+    rs = C.sum(axis=1)
+    P = np.divide(C, rs[:, None], out=np.zeros_like(C), where=rs[:, None] > 0)
+    v = np.full(T, 1.0 / T)
+    for _ in range(iters):
+        v = v @ P
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "pi_e8": np.round(v * 1e8).astype(np.int64),
+        }
+    )
+
+
 def q_events_transitions(sf_dir: str):
     """Clickstream Markov transitions: counts of consecutive
     event-type pairs within each user's timeline (ties broken on
