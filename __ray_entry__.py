@@ -1582,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_report": T.q_returned_item_report,
         "volume_shipping": T.q_volume_shipping,
         "opic_cash": T.q_opic_cash,
+        "url_canonicalize": T.q_url_canonicalize,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5107,6 +5108,35 @@ def oracle_sql() -> dict[str, str]:
             "  n_self::BIGINT AS n_self, n_offsite::BIGINT AS n_offsite, "
             "  (n_hrefs - n_self - n_offsite)::BIGINT AS n_intra, "
             "  n_hosts::BIGINT AS n_hosts FROM p"
+        ),
+        "url_canonicalize": (
+            # raw (pre-normalization) href surface rebuilt from the
+            # generator recurrence: braw keeps the RELATIVE form and
+            # NULL-at-duplicate (last_value window = Python's
+            # prev_target copy, which copies the pre-fragment href),
+            # fragment appended per hk % 19, canonical = resolve + defrag
+            # (mirrors testdata.q_url_canonicalize over extract_hrefs_raw)
+            f"WITH {_pages_edges_cte()}, "
+            "rb AS (SELECT i, k, hk, "
+            f"  CASE WHEN hk % 13 = 0 THEN {_PAGE_URL('i')} "
+            "       WHEN hk % 11 = 5 THEN printf('https://offsite-%04d.example/x', (hk % 997)::BIGINT) "
+            "       WHEN hk % 7 = 3 AND tgt // 16 = i // 16 THEN printf('/p/%04d', tgt % 16) "
+            "       WHEN hk % 5 = 2 AND k > 0 THEN NULL "
+            f"       ELSE {_PAGE_URL('tgt % 2000')} END AS braw "
+            "  FROM tc), "
+            "rr AS (SELECT i, hk, last_value(braw IGNORE NULLS) OVER "
+            "       (PARTITION BY i ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb0 FROM rb), "
+            "rc AS (SELECT printf('site-%05d.example', (i::BIGINT) // 16) AS host, "
+            "       rb0 || (CASE WHEN hk % 19 = 0 THEN '#sec1' ELSE '' END) AS raw, "
+            "       CASE WHEN rb0 LIKE '/%' THEN printf('https://site-%05d.example', (i::BIGINT) // 16) || rb0 "
+            "            ELSE rb0 END AS canon, "
+            "       CASE WHEN hk % 19 = 0 THEN 1 ELSE 0 END AS isf, "
+            "       CASE WHEN rb0 LIKE '/%' THEN 1 ELSE 0 END AS isr FROM rr) "
+            "SELECT host, count(*)::BIGINT AS n_hrefs, "
+            "  count(DISTINCT raw)::BIGINT AS n_raw, "
+            "  count(DISTINCT canon)::BIGINT AS n_canon, "
+            "  sum(isf)::BIGINT AS n_frag, sum(isr)::BIGINT AS n_rel "
+            "FROM rc GROUP BY host"
         ),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

@@ -61,6 +61,32 @@ def extract_links(html_text: str, base_url: str) -> list[str]:
     return out
 
 
+def extract_hrefs_raw(html_text: str, base_url: str) -> list[tuple[str, str]]:
+    """(raw attribute value, canonical url) per <a href> instance.
+
+    raw = the href exactly as written (entity-unescaped, stripped) —
+    fragment and relative form PRESERVED; canonical = the same
+    normalization extract_links applies (resolve against base_url,
+    drop fragment). Instances whose canonical form is non-http(s) are
+    dropped on both columns so the two surfaces stay aligned. This is
+    the canonicalization-audit surface: how many distinct raw strings
+    collapse into each canonical url (dedup leverage of url
+    normalization before any crawl/store happens)."""
+    out: list[tuple[str, str]] = []
+    for tag in _A_TAG.findall(html_text):
+        m = _HREF.search(tag)
+        if not m:
+            continue
+        raw = _htmlmod.unescape(m.group(1) or m.group(2) or m.group(3) or "").strip()
+        if not raw:
+            continue
+        resolved, _frag = urldefrag(urljoin(base_url, raw))
+        if urlsplit(resolved).scheme.lower() not in _KEEP_SCHEMES:
+            continue
+        out.append((raw, resolved))
+    return out
+
+
 _A_FULL = re.compile(r"(<a\b[^>]*>)(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 
 

@@ -13785,3 +13785,49 @@ def q_opic_cash(sf_dir: str, n: int = 2000, num_rounds: int = 10):
         )
 
     return res.map_batches(conv, batch_format="pyarrow")
+
+
+def q_url_canonicalize(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
+    """URL-CANONICALIZATION audit per host: how much the crawl's
+    normalization (resolve relative hrefs, strip fragments) collapses
+    the raw href surface BEFORE any fetch/store happens — the dedup
+    leverage every frontier scheduler banks on. One raw-extraction
+    pass over pages(url, html) (functions/html.py::extract_hrefs_raw
+    keeps the attribute exactly as written next to its canonical
+    form), then ONE host-bucketed shuffle; per-host distinct counting
+    happens inside the bucket kernel (a host's hrefs never cross
+    buckets), so nothing global materializes. Output per source host:
+    href instances, distinct raw strings, distinct canonical urls,
+    fragment-carrying instances, relative-form instances. n_pages
+    PINNED to the fixed oracle's 2000."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_raw_hrefs
+    from ..stages.join import add_bucket
+
+    rows = extract_raw_hrefs(generate_pages(n_pages))
+
+    def tag(t: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        return pa.table(
+            {
+                "host": host,
+                "raw": t["raw"],
+                "canon": t["canon"],
+                "is_frag": pc.cast(pc.match_substring(t["raw"], "#"), pa.int64()),
+                "is_rel": pc.cast(pc.starts_with(t["raw"], "/"), pa.int64()),
+            }
+        )
+
+    tagged = rows.map_batches(tag, batch_format="pyarrow")
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("host", sort=False).agg(
+            n_hrefs=("raw", "size"),
+            n_raw=("raw", "nunique"),
+            n_canon=("canon", "nunique"),
+            n_frag=("is_frag", "sum"),
+            n_rel=("is_rel", "sum"),
+        )
+        return agg.reset_index().astype({c: "int64" for c in agg.columns})
+
+    return _BMG(add_bucket(tagged, ["host"], n_buckets), n_buckets, prof, "pandas")

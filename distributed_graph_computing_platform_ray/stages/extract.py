@@ -86,3 +86,40 @@ def extract_links(pages: rd.Dataset, concurrency=None, batch_size: int = 256) ->
 
 def extract_text(pages: rd.Dataset, concurrency=None, batch_size: int = 256) -> rd.Dataset:
     return pages.map_batches(_text_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+class ExtractRawHrefs:
+    """pages(url, html) -> (src_key, raw, canon) per href instance —
+    the pre-normalization audit surface (functions/html.py::
+    extract_hrefs_raw)."""
+
+    def __init__(self):
+        self._extract = H.extract_hrefs_raw
+        self._decode = H.decode_html
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        htmls = t["html"].to_pylist()
+        src, raw, canon = [], [], []
+        for u, hb in zip(urls, htmls):
+            for r, c in self._extract(self._decode(hb), u):
+                src.append(u)
+                raw.append(r)
+                canon.append(c)
+        return pa.table(
+            {
+                "src_key": pa.array(src, pa.string()),
+                "raw": pa.array(raw, pa.string()),
+                "canon": pa.array(canon, pa.string()),
+            }
+        )
+
+
+def _raw_hrefs_batch(t: pa.Table) -> pa.Table:
+    from .taskify import worker_cached
+
+    return worker_cached("extract_raw_hrefs", ExtractRawHrefs)(t)
+
+
+def extract_raw_hrefs(pages: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
+    return pages.map_batches(_raw_hrefs_batch, batch_format="pyarrow", batch_size=batch_size)
