@@ -1583,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": T.q_volume_shipping,
         "opic_cash": T.q_opic_cash,
         "url_canonicalize": T.q_url_canonicalize,
+        "cascade_ic": T.q_cascade_ic,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5137,6 +5138,31 @@ def oracle_sql() -> dict[str, str]:
             "  count(DISTINCT canon)::BIGINT AS n_canon, "
             "  sum(isf)::BIGINT AS n_frag, sum(isr)::BIGINT AS n_rel "
             "FROM rc GROUP BY host"
+        ),
+        "cascade_ic": (
+            # live-edge reduction of independent cascade: per-direction
+            # splitmix64 coin (mix64(1234, u, v) % 100 < 10), then the
+            # Bellman-Ford-style iteration-indexed BFS recursion with
+            # self-loop relax from the 3 seeds (mirrors
+            # testdata.q_cascade_ic; 40 rounds >= fixpoint depth)
+            f"WITH RECURSIVE {_EB_LINEITEM}, {_ES}, "
+            "lv AS (SELECT src, dst FROM ( "
+            f"  SELECT src, dst, xor({(1234 * _FNV64) % _M64}::UBIGINT, src::UBIGINT) AS a1, "
+            f"  xor(((a1::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT, dst::UBIGINT) AS a2, "
+            f"  {_splitmix_cols('a2', 'hc')} FROM es) WHERE hc % 100 < 10), "
+            "sd AS (SELECT * FROM (VALUES (0), (1), (2)) t(id)), "
+            "vv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM lv "
+            "       UNION ALL SELECT dst FROM lv UNION ALL SELECT id FROM sd)), "
+            "relax AS (SELECT src, dst, 1 AS w FROM lv "
+            "          UNION ALL SELECT id, id, 0 FROM vv), "
+            "bf AS ( "
+            "  SELECT 0 AS it, id, 0 AS dist FROM sd "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r.dst, MIN(p.dist + r.w) FROM bf p "
+            "  JOIN relax r ON r.src = p.id WHERE p.it < 40 "
+            "  GROUP BY p.it, r.dst) "
+            "SELECT id::BIGINT AS vertex, dist::BIGINT AS round "
+            "FROM bf WHERE it = 40"
         ),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

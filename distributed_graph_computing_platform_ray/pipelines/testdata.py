@@ -13831,3 +13831,75 @@ def q_url_canonicalize(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
         return agg.reset_index().astype({c: "int64" for c in agg.columns})
 
     return _BMG(add_bucket(tagged, ["host"], n_buckets), n_buckets, prof, "pandas")
+
+
+def q_cascade_ic(
+    sf_dir: str, p_pct: int = 10, seeds: tuple = (0, 1, 2), coin_seed: int = 1234
+):
+    """INDEPENDENT-CASCADE influence spread (Kempe et al. 2003) with
+    deterministic counter-based coins: directed edge (u, v) of the
+    symmetrized lineitem graph is LIVE iff
+    mix64(coin_seed, u, v) % 100 < p_pct (each direction flips its own
+    coin — the classic live-edge reduction, which turns IC spread into
+    plain BFS over the live subgraph). Seeds activate at round 0; the
+    engine's multi-source min-combiner BFS does the cascade in one
+    run. The coin filter is a stateless vectorized map (no shuffle, no
+    driver state — at 100 TB the live subgraph never materializes
+    outside the standard bucketed graph build), and the oracle replays
+    the identical splitmix64 coins in SQL. Seed self-loops keep seeds
+    in the vertex universe even if every coin near them fails."""
+    from .graph import lookup_vertex_id
+    from ..utils import mix64
+
+    root = f"/tmp/graft_cascade_{p_pct}_{coin_seed}"
+    shutil.rmtree(root, ignore_errors=True)
+    edges = edges_lineitem(sf_dir)
+
+    def sym_live(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        h = mix64(np.uint64(coin_seed), u.astype(np.uint64), v.astype(np.uint64))
+        keep = (h % np.uint64(100)) < np.uint64(p_pct)
+        return pa.table(
+            {
+                "src_key": pa.array(u[keep].astype(str), pa.string()),
+                "dst_key": pa.array(v[keep].astype(str), pa.string()),
+            }
+        )
+
+    loops = rd.from_arrow(
+        pa.table(
+            {
+                "src_key": pa.array([str(s) for s in seeds], pa.string()),
+                "dst_key": pa.array([str(s) for s in seeds], pa.string()),
+            }
+        )
+    )
+    live = edges.map_batches(sym_live, batch_format="pyarrow").union(loops)
+    man = build_graph(
+        live,
+        f"{root}/graph",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,  # es is distinct per direction; live self-loops impossible
+        symmetrize_edges=False,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "cascade_ic", "p_pct": p_pct, "seed": coin_seed},
+    )
+    sids = tuple(sorted(lookup_vertex_id(man, str(int(s))) for s in seeds))
+    res = run_algorithm(f"{root}/graph", f"{root}/run", "sssp_multi", source_ids=sids)
+
+    def conv(t: pa.Table) -> pa.Table:
+        val = t["value"].to_numpy()
+        fin = np.isfinite(val)
+        f = t.filter(pa.array(fin))
+        return pa.table(
+            {
+                "vertex": pc.cast(f["vertex"].cast(pa.string()), pa.int64()),
+                "round": pa.array(val[fin].astype(np.int64)),
+            }
+        )
+
+    return res.map_batches(conv, batch_format="pyarrow")
