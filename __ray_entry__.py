@@ -1584,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "opic_cash": T.q_opic_cash,
         "url_canonicalize": T.q_url_canonicalize,
         "cascade_ic": T.q_cascade_ic,
+        "host_hopplot": T.q_host_hopplot,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5163,6 +5164,28 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY p.it, r.dst) "
             "SELECT id::BIGINT AS vertex, dist::BIGINT AS round "
             "FROM bf WHERE it = 40"
+        ),
+        "host_hopplot": (
+            # all-source Bellman-Ford on the contracted host graph
+            # (self-loop relax, iteration-indexed, capped at the same
+            # 20 rounds the engine sweeps) — mirrors testdata.q_host_hopplot
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "hs AS (SELECT DISTINCT sh AS h FROM he), "
+            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
+            "       UNION ALL SELECT dh FROM he)), "
+            "relax AS (SELECT sh, dh, 1 AS w FROM he "
+            "          UNION ALL SELECT h, h, 0 FROM vs), "
+            "bf AS ( "
+            "  SELECT 0 AS it, h AS s, h AS v, 0 AS dist FROM hs "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.s, r.dh, MIN(p.dist + r.w) FROM bf p "
+            "  JOIN relax r ON r.sh = p.v WHERE p.it < 20 "
+            "  GROUP BY p.it, p.s, r.dh) "
+            "SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_pairs "
+            "FROM bf WHERE it = 20 AND dist > 0 GROUP BY dist"
         ),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

@@ -13903,3 +13903,72 @@ def q_cascade_ic(
         )
 
     return res.map_batches(conv, batch_format="pyarrow")
+
+
+def q_host_hopplot(
+    sf_dir: str, n_pages: int = 2000, max_rounds: int = 20, n_buckets: int = 8
+):
+    """HOP PLOT of the contracted host graph: for every ordered host
+    pair (s, v), s a host with >=1 cross-host outlink, the directed
+    hop distance over distinct cross-host edges; output = the
+    distance histogram (how much of the web is k clicks from a site —
+    the classic small-world curve). The contracted graph is tiny
+    relative to pages BY CONSTRUCTION (one node per host), so it
+    broadcasts (ray.put once) and the per-source BFS partitions
+    perfectly: one map_batches over source-host batches runs a
+    vectorized boolean-matrix frontier sweep and emits per-batch
+    histogram partials, merged by ONE tiny bucket_sum. Pairs needing
+    more than max_rounds hops are excluded on both sides (the oracle's
+    iteration-indexed Bellman-Ford recursion caps identically). Scale
+    path above the broadcast cap: the engine's ANF-style bitmask BSP
+    over the contracted graph."""
+    from ..stages.join import bucket_sum, distinct
+
+    links = _pages_links(n_pages)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        tt = pa.table({"sh": sh, "dh": dh})
+        return tt.filter(pc.not_equal(tt["sh"], tt["dh"]))
+
+    he = distinct(
+        links.map_batches(hosts, batch_format="pyarrow"), ["sh", "dh"], 16
+    ).to_pandas()  # contracted host-pair table — bounded by hosts^2 << pages
+    names, codes = np.unique(
+        np.concatenate([he["sh"].to_numpy(), he["dh"].to_numpy()]), return_inverse=True
+    )
+    n = len(names)
+    A = np.zeros((n, n), dtype=np.uint8)
+    A[codes[: len(he)], codes[len(he):]] = 1
+    src_codes = np.unique(codes[: len(he)])
+    state = ray.put(A)
+
+    seeds = rd.from_arrow(pa.table({"s": pa.array(src_codes.astype(np.int64))}))
+
+    def sweep(t: pa.Table) -> pa.Table:
+        A_ = ray.get(state)
+        s = t["s"].to_numpy().astype(np.int64)
+        reached = np.zeros((len(s), A_.shape[0]), dtype=bool)
+        reached[np.arange(len(s)), s] = True
+        frontier = reached.copy()
+        dists, counts = [], []
+        for d in range(1, max_rounds + 1):
+            frontier = ((frontier.astype(np.uint8) @ A_) > 0) & ~reached
+            c = int(frontier.sum())
+            if c == 0:
+                break
+            reached |= frontier
+            dists.append(d)
+            counts.append(c)
+        return pa.table(
+            {
+                "dist": pa.array(np.array(dists, dtype=np.int64)),
+                "n_pairs": pa.array(np.array(counts, dtype=np.int64)),
+            }
+        )
+
+    return bucket_sum(
+        seeds.map_batches(sweep, batch_format="pyarrow"), ["dist"], ["n_pairs"],
+        n_buckets,
+    )
