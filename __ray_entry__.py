@@ -1585,6 +1585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": T.q_url_canonicalize,
         "cascade_ic": T.q_cascade_ic,
         "host_hopplot": T.q_host_hopplot,
+        "host_harmonic": T.q_host_harmonic,
+        "host_closed_walks": T.q_host_closed_walks,
+        "lang_kmv": T.q_lang_kmv,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5186,6 +5189,78 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY p.it, p.s, r.dh) "
             "SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_pairs "
             "FROM bf WHERE it = 20 AND dist > 0 GROUP BY dist"
+        ),
+        "host_harmonic": (
+            # per-source harmonic centrality over the same contracted
+            # host graph / capped Bellman-Ford as host_hopplot; the
+            # 1/dist terms are integer half-up e6 PER TERM on both
+            # sides, so the sum is exact (testdata.q_host_harmonic)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
+            "       UNION ALL SELECT dh FROM he)), "
+            "relax AS (SELECT sh, dh, 1 AS w FROM he "
+            "          UNION ALL SELECT h, h, 0 FROM vs), "
+            "bf AS ( "
+            "  SELECT 0 AS it, h AS s, h AS v, 0 AS dist FROM vs "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.s, r.dh, MIN(p.dist + r.w) FROM bf p "
+            "  JOIN relax r ON r.sh = p.v WHERE p.it < 20 "
+            "  GROUP BY p.it, p.s, r.dh), "
+            "agg AS (SELECT s, "
+            "  SUM((2 * 1000000 + dist) // (2 * dist))::BIGINT AS harmonic_e6, "
+            "  count(*)::BIGINT AS n_reached "
+            "  FROM bf WHERE it = 20 AND dist > 0 GROUP BY s) "
+            "SELECT v.h AS host, COALESCE(a.harmonic_e6, 0)::BIGINT AS harmonic_e6, "
+            "COALESCE(a.n_reached, 0)::BIGINT AS n_reached "
+            "FROM vs v LEFT JOIN agg a ON a.s = v.h"
+        ),
+        "host_closed_walks": (
+            # trace(A^k), k = 2..4, as k-fold self-joins of the
+            # distinct host-edge table closed back to the start
+            # (testdata.q_host_closed_walks)
+            f"WITH {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "w2 AS (SELECT count(*)::BIGINT AS c FROM he a "
+            "       JOIN he b ON b.sh = a.dh AND b.dh = a.sh), "
+            "w3 AS (SELECT count(*)::BIGINT AS c FROM he a "
+            "       JOIN he b ON b.sh = a.dh "
+            "       JOIN he c ON c.sh = b.dh AND c.dh = a.sh), "
+            "w4 AS (SELECT count(*)::BIGINT AS c FROM he a "
+            "       JOIN he b ON b.sh = a.dh "
+            "       JOIN he c ON c.sh = b.dh "
+            "       JOIN he d ON d.sh = c.dh AND d.dh = a.sh) "
+            "SELECT * FROM ( "
+            "  SELECT 2::BIGINT AS k, c AS n_walks FROM w2 "
+            "  UNION ALL SELECT 3::BIGINT, c FROM w3 "
+            "  UNION ALL SELECT 4::BIGINT, c FROM w4)"
+        ),
+        "lang_kmv": (
+            # KMV bottom-64 sketch per lang over raw token TRIGRAMS
+            # (space-joined, empties kept): kth smallest
+            # splitmix64(fnv1a64(shingle)), estimate (k-1)*2^64 // h_k
+            # in HUGEINT; exact distinct via the same (lang, shingle)
+            # pairs (testdata.q_lang_kmv; langs with < 64 shingles
+            # drop out)
+            "WITH RECURSIVE "
+            "lists AS (SELECT lang, string_split(text, ' ') AS l FROM documents), "
+            "toks AS (SELECT lang, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok "
+            "         FROM lists, LATERAL unnest(generate_series(1, "
+            "         greatest(len(l) - 2, 0))) t(i)), "
+            "tokp AS (SELECT DISTINCT lang, tok FROM toks), "
+            f"{_FNV_TOK}, "
+            f"mixed AS (SELECT tok, {_splitmix_cols('h', 'hs')} FROM tokh), "
+            "ranked AS (SELECT p.lang, m.hs, "
+            "  row_number() OVER (PARTITION BY p.lang ORDER BY m.hs) AS rn, "
+            "  count(*) OVER (PARTITION BY p.lang) AS nd "
+            "  FROM tokp p JOIN mixed m USING (tok)) "
+            "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
+            "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
+            "FROM ranked WHERE rn = 64"
         ),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

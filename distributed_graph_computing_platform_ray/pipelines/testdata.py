@@ -13972,3 +13972,201 @@ def q_host_hopplot(
         seeds.map_batches(sweep, batch_format="pyarrow"), ["dist"], ["n_pairs"],
         n_buckets,
     )
+
+
+def _host_graph(n_pages: int = 2000):
+    """Contracted host digraph of the page link graph as a dense
+    boolean matrix: (names, A, src_codes) with A[i, j] = 1 iff host i
+    has >=1 cross-host link to host j (distinct edges, self-host links
+    dropped). One node per host, so the matrix is tiny relative to
+    pages BY CONSTRUCTION and broadcasts via ray.put — the same
+    contraction q_host_hopplot inlines (and the oracle's ``he`` CTE
+    reproduces). Scale path above the broadcast cap: keep the host
+    edge list as a Dataset and run the engine's BSP frontier joins."""
+    from ..stages.join import distinct
+
+    links = _pages_links(n_pages)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        tt = pa.table({"sh": sh, "dh": dh})
+        return tt.filter(pc.not_equal(tt["sh"], tt["dh"]))
+
+    he = distinct(
+        links.map_batches(hosts, batch_format="pyarrow"), ["sh", "dh"], 16
+    ).to_pandas()  # bounded by hosts^2 << pages
+    names, codes = np.unique(
+        np.concatenate([he["sh"].to_numpy(), he["dh"].to_numpy()]), return_inverse=True
+    )
+    n = len(names)
+    A = np.zeros((n, n), dtype=np.uint8)
+    A[codes[: len(he)], codes[len(he):]] = 1
+    src_codes = np.unique(codes[: len(he)])
+    return names, A, src_codes
+
+
+def q_host_harmonic(sf_dir: str, n_pages: int = 2000, max_rounds: int = 20):
+    """Harmonic centrality of every host over the contracted host
+    digraph: harmonic(s) = sum over hosts v reachable from s within
+    max_rounds hops of 1/dist(s, v), integer half-up e6 per distance
+    term so the sum is exact on both sides (sum of rounded terms, NOT
+    rounded sum — the oracle applies the identical per-term rounding).
+    Also emits n_reached. Hosts with no outlinks report 0/0. One
+    map_batches over source-host batches runs the vectorized
+    boolean-matrix BFS (per-source newly-reached counts per distance);
+    output is one bounded row per host — no shuffle at all."""
+    names, A, _ = _host_graph(n_pages)
+    n = len(names)
+    state = ray.put((names, A))
+
+    seeds = rd.from_arrow(pa.table({"s": pa.array(np.arange(n, dtype=np.int64))}))
+
+    def sweep(t: pa.Table) -> pa.Table:
+        names_, A_ = ray.get(state)
+        s = t["s"].to_numpy().astype(np.int64)
+        m = len(s)
+        reached = np.zeros((m, A_.shape[0]), dtype=bool)
+        reached[np.arange(m), s] = True
+        frontier = reached.copy()
+        harm = np.zeros(m, dtype=np.int64)
+        nr = np.zeros(m, dtype=np.int64)
+        for d in range(1, max_rounds + 1):
+            frontier = ((frontier.astype(np.uint8) @ A_) > 0) & ~reached
+            c = frontier.sum(axis=1).astype(np.int64)
+            if not c.any():
+                break
+            reached |= frontier
+            term = (2 * 1_000_000 + d) // (2 * d)  # half-up 1e6/d
+            harm += c * term
+            nr += c
+        return pa.table(
+            {
+                "host": pa.array(names_[s]),
+                "harmonic_e6": pa.array(harm),
+                "n_reached": pa.array(nr),
+            }
+        )
+
+    return seeds.map_batches(sweep, batch_format="pyarrow")
+
+
+def q_host_closed_walks(sf_dir: str, n_pages: int = 2000, ks: tuple = (2, 3, 4)):
+    """Closed-walk census of the contracted host digraph: n_walks(k) =
+    trace(A^k) for k = 2..4 — the spectral moments of the web's
+    host-level adjacency (trace(A^2) = reciprocal pairs x2 is the
+    directed analogue of edge count; trace(A^3) counts directed
+    triangles x3). Exact integer matrix powers over the broadcast
+    host matrix: each source batch carries its rows of A^k forward one
+    multiply at a time and reads off the diagonal entry, emitting
+    per-batch (k, n_walks) partials merged by ONE tiny bucket_sum.
+    The oracle is the k-fold self-join of the distinct host-edge
+    table closed back to the start vertex."""
+    from ..stages.join import bucket_sum
+
+    names, A, _ = _host_graph(n_pages)
+    n = len(names)
+    state = ray.put(A.astype(np.int64))
+    kmax = max(ks)
+
+    seeds = rd.from_arrow(pa.table({"s": pa.array(np.arange(n, dtype=np.int64))}))
+
+    def walks(t: pa.Table) -> pa.Table:
+        A_ = ray.get(state)
+        s = t["s"].to_numpy().astype(np.int64)
+        rows = A_[s, :]  # A^1 rows for the batch's sources
+        out_k, out_w = [], []
+        for k in range(2, kmax + 1):
+            rows = rows @ A_
+            if k in ks:
+                out_k.append(k)
+                out_w.append(int(rows[np.arange(len(s)), s].sum()))
+        return pa.table(
+            {
+                "k": pa.array(np.array(out_k, dtype=np.int64)),
+                "n_walks": pa.array(np.array(out_w, dtype=np.int64)),
+            }
+        )
+
+    return bucket_sum(
+        seeds.map_batches(walks, batch_format="pyarrow"), ["k"], ["n_walks"], 4
+    )
+
+
+def q_lang_kmv(sf_dir: str, k: int = 64):
+    """KMV (k-minimum-values) distinct-shingle sketch per language,
+    side by side with the exact distinct count: the k smallest
+    splitmix64(fnv1a64(shingle)) hashes per lang estimate the distinct
+    token-trigram vocabulary as (k-1) * 2^64 / h_k (Bar-Yossef et al.
+    2002) — the mergeable bottom-k sketch behind join-size / distinct
+    estimation at 100 TB. Shingles are raw space-joined token
+    trigrams (split on single space, empties kept — SQL parity).
+    Per-batch partials keep only the k smallest hashes of the batch's
+    DISTINCT shingles per lang (<= k x langs rows/block); the driver
+    fan-in dedupes hashes and takes the global bottom-k (bounded:
+    bottom-k of a union lives in the union of bottom-ks). The exact
+    side is one distinct shuffle + per-lang count. Langs with < k
+    distinct shingles drop out on both sides."""
+    from ..functions.hashing import fnv1a64
+    from ..stages.join import bucket_sum, distinct
+    from ..utils import splitmix64
+
+    docs = _table(sf_dir, "documents", ["lang", "text"])
+
+    def tri_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str).to_numpy(),
+                "l": df["text"].astype(str).str.split(" ", regex=False).to_numpy(),
+            }
+        )
+        ex = t.explode("l")
+        g = ex.groupby(level=0)
+        t2 = g["l"].shift(-1)
+        t3 = g["l"].shift(-2)
+        keep = t2.notna() & t3.notna()
+        out = pd.DataFrame(
+            {
+                "lang": ex["lang"][keep],
+                "term": ex["l"][keep] + " " + t2[keep] + " " + t3[keep],
+            }
+        )
+        return out.drop_duplicates()
+
+    def kmv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = tri_pairs(df)
+        if not len(t):
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=str), "h": pd.Series([], dtype=np.uint64)}
+            )
+        t = t.copy()
+        t["h"] = splitmix64(fnv1a64(t["term"].tolist()))
+        t = t.drop_duplicates(["lang", "h"])
+        t["rk"] = t.groupby("lang")["h"].rank(method="first")
+        return t.loc[t["rk"] <= k, ["lang", "h"]]
+
+    parts = (
+        docs.map_batches(kmv_partial, batch_format="pandas").to_pandas()
+    )  # bounded: <= k * n_langs rows per block
+    parts = parts.drop_duplicates(["lang", "h"]).sort_values(["lang", "h"])
+    parts["rk"] = parts.groupby("lang").cumcount() + 1
+    kth = parts[parts["rk"] == k][["lang", "h"]]
+    est = {r.lang: int(((k - 1) << 64) // int(r.h)) for r in kth.itertuples()}
+
+    uniq = distinct(
+        docs.map_batches(tri_pairs, batch_format="pandas"), ["lang", "term"], 16
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    exact = bucket_sum(
+        uniq.map_batches(ones, batch_format="pyarrow"), ["lang"], ["one"], 4
+    ).to_pandas()
+    exact = exact.rename(columns={"one": "n_exact"})
+    exact = exact[exact["lang"].isin(est)]
+    exact["kmv_est"] = exact["lang"].map(est).astype("int64")
+    exact["n_exact"] = exact["n_exact"].astype("int64")
+    return exact[["lang", "kmv_est", "n_exact"]].reset_index(drop=True)
