@@ -1588,6 +1588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_harmonic": T.q_host_harmonic,
         "host_closed_walks": T.q_host_closed_walks,
         "lang_kmv": T.q_lang_kmv,
+        "events_attribution": T.q_events_attribution,
+        "events_top_paths": T.q_events_top_paths,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5261,6 +5263,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "events_attribution": (
+            # last/first non-purchase touch strictly before each
+            # purchase (frame ends at 1 PRECEDING); conversions with
+            # no prior touch drop out (testdata.q_events_attribution)
+            "WITH p AS (SELECT event_type, "
+            "  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+            "    IGNORE NULLS) OVER w AS last_t, "
+            "  first_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+            "    IGNORE NULLS) OVER w AS first_t "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+            "conv AS (SELECT last_t, first_t FROM p "
+            "  WHERE event_type = 'purchase' AND last_t IS NOT NULL), "
+            "l AS (SELECT last_t AS channel, count(*)::BIGINT AS n_last "
+            "  FROM conv GROUP BY 1), "
+            "f AS (SELECT first_t AS channel, count(*)::BIGINT AS n_first "
+            "  FROM conv GROUP BY 1) "
+            "SELECT COALESCE(l.channel, f.channel) AS channel, "
+            "COALESCE(n_last, 0)::BIGINT AS n_last, "
+            "COALESCE(n_first, 0)::BIGINT AS n_first "
+            "FROM l FULL OUTER JOIN f ON l.channel = f.channel"
+        ),
+        "events_top_paths": (
+            # consecutive event-type trigrams per user timeline;
+            # top-10 by (cnt DESC, path) (testdata.q_events_top_paths)
+            "WITH p AS (SELECT event_type || '>' || "
+            "  lead(event_type, 1) OVER w || '>' || "
+            "  lead(event_type, 2) OVER w AS path "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "c AS (SELECT path, count(*)::BIGINT AS cnt FROM p "
+            "  WHERE path IS NOT NULL GROUP BY 1) "
+            "SELECT path, cnt FROM c "
+            "QUALIFY row_number() OVER (ORDER BY cnt DESC, path) <= 10"
         ),
         "events_quantiles": (
             "WITH r AS (SELECT event_type, value, "

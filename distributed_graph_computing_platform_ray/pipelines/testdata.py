@@ -14170,3 +14170,79 @@ def q_lang_kmv(sf_dir: str, k: int = 64):
     exact["kmv_est"] = exact["lang"].map(est).astype("int64")
     exact["n_exact"] = exact["n_exact"].astype("int64")
     return exact[["lang", "kmv_est", "n_exact"]].reset_index(drop=True)
+
+
+def q_events_attribution(sf_dir: str):
+    """Multi-touch conversion attribution: each 'purchase' event is
+    credited to the user's LAST non-purchase touch strictly before it
+    (last-touch) and to the FIRST touch at-or-before it (first-touch);
+    purchases with no prior touch are dropped on both sides. Output is
+    one bounded row per channel (n_last, n_first). ONE user-bucket
+    shuffle; the per-bucket kernel is a vectorized sorted scan
+    (groupby-ffill for last-so-far, cumsum-of-notna==1 + ffill for
+    first-so-far, shifted one row for strictness); channel counts are
+    additive partials driver-summed (channels x buckets rows)."""
+    from ..stages.join import add_bucket
+
+    def attrib(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df["ts"])
+        order = np.lexsort((df["event_id"].to_numpy(), ts, df["user_id"].to_numpy()))
+        uid = pd.Series(df["user_id"].to_numpy()[order])
+        et = pd.Series(df["event_type"].to_numpy()[order])
+        touch = et.where(et != "purchase")
+        last_so_far = touch.groupby(uid, sort=False).ffill()
+        last_before = last_so_far.groupby(uid, sort=False).shift(1)
+        c = touch.notna().groupby(uid, sort=False).cumsum()
+        v_first = touch.where(touch.notna() & (c == 1))
+        first_so_far = v_first.groupby(uid, sort=False).ffill()
+        first_before = first_so_far.groupby(uid, sort=False).shift(1)
+        conv = (et == "purchase") & last_before.notna()
+        l = last_before[conv].value_counts()
+        f = first_before[conv].value_counts()
+        out = pd.DataFrame({"n_last": l, "n_first": f}).fillna(0).astype("int64")
+        out.index.name = "channel"
+        return out.reset_index()
+
+    src = _table(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    nb = _scaled_buckets(sf_dir, "events")
+    s = (
+        _BMG(add_bucket(src, ["user_id"], nb), nb, attrib, "pandas")
+        .to_pandas()
+        .groupby("channel", as_index=False)[["n_last", "n_first"]]
+        .sum()
+    )
+    return s.astype({"n_last": "int64", "n_first": "int64"})
+
+
+def q_events_top_paths(sf_dir: str, k: int = 10):
+    """Top-k 3-step clickstream paths: consecutive event-type trigrams
+    within each user's (ts, event_id)-ordered timeline, ranked by
+    count (ties broken on the path string). The path alphabet is
+    types^3 (bounded), so per-bucket counts are additive partials and
+    the final rank is a driver step over <= types^3 rows. ONE
+    user-bucket shuffle, vectorized shift-compare inside the bucket."""
+    from ..stages.join import add_bucket
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df["ts"])
+        order = np.lexsort((df["event_id"].to_numpy(), ts, df["user_id"].to_numpy()))
+        uid = df["user_id"].to_numpy()[order]
+        et = df["event_type"].to_numpy()[order].astype(object)
+        if len(uid) < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        p = (et[:-2] + ">" + et[1:-1] + ">" + et[2:])[same]
+        g = pd.DataFrame({"path": p, "cnt": np.ones(len(p), np.int64)})
+        return g.groupby("path", as_index=False, sort=False).sum()
+
+    src = _table(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    nb = _scaled_buckets(sf_dir, "events")
+    s = (
+        _BMG(add_bucket(src, ["user_id"], nb), nb, paths, "pandas")
+        .to_pandas()
+        .groupby("path", as_index=False)["cnt"]
+        .sum()
+    )
+    s = s.sort_values(["cnt", "path"], ascending=[False, True]).head(k)
+    return s.astype({"cnt": "int64"}).reset_index(drop=True)
