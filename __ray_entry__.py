@@ -1590,6 +1590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_kmv": T.q_lang_kmv,
         "events_attribution": T.q_events_attribution,
         "events_top_paths": T.q_events_top_paths,
+        "graph_sparsify_pr": T.q_graph_sparsify_pr,
+        "doc_containment": T.q_doc_containment,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5263,6 +5265,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "doc_containment": (
+            # exhaustive trigram containment join over STRINGS (the
+            # engine groups by 64-bit shingle hash — identical groups
+            # barring collisions); same df window [2, 128], half-up
+            # e6 both directions, keep if either >= 0.9
+            # (testdata.q_doc_containment)
+            "WITH lists AS (SELECT doc_id, "
+            r"  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l "
+            "  FROM documents), "
+            "tri0 AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g "
+            "  FROM lists, LATERAL unnest(generate_series(1, "
+            "  greatest(len(l) - 2, 0))) t(i)), "
+            "tri AS (SELECT DISTINCT doc_id, g FROM tri0), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id), "
+            "dfs AS (SELECT g AS gg FROM tri GROUP BY g "
+            "  HAVING count(*) BETWEEN 2 AND 128), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i "
+            "  FROM tri x JOIN tri y ON x.g = y.g AND x.doc_id < y.doc_id "
+            "  JOIN dfs ON gg = x.g GROUP BY 1, 2) "
+            "SELECT a, b, "
+            "  ((2*i*1000000 + sa.n) // (2*sa.n))::BIGINT AS cont_ab_e6, "
+            "  ((2*i*1000000 + sb.n) // (2*sb.n))::BIGINT AS cont_ba_e6 "
+            "FROM inter JOIN sizes sa ON sa.doc_id = a "
+            "JOIN sizes sb ON sb.doc_id = b "
+            "WHERE greatest((2*i*1000000 + sa.n) // (2*sa.n), "
+            "               (2*i*1000000 + sb.n) // (2*sb.n)) >= 900000"
+        ),
+        "graph_sparsify_pr": (
+            # replay the mix64(777, src, dst) edge-priority sparsifier
+            # (QUALIFY per-src bottom-8, ties on dst), then the
+            # directed LEFT-JOIN PageRank recurrence over the
+            # sparsified graph (testdata.q_graph_sparsify_pr)
+            "WITH RECURSIVE ebd AS (SELECT DISTINCT l_orderkey % 200 AS src, "
+            "  l_partkey % 200 AS dst FROM lineitem "
+            "  WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "sp0 AS (SELECT src, dst, "
+            f"  xor({(777 * _FNV64) % _M64}::UBIGINT, src::UBIGINT) AS a1, "
+            f"  xor(((a1::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT, "
+            "      dst::UBIGINT) AS a2, "
+            f"  {_splitmix_cols('a2', 'h')} FROM ebd), "
+            "spa AS (SELECT src, dst FROM sp0 "
+            "  QUALIFY row_number() OVER (PARTITION BY src ORDER BY h, dst) <= 8), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM spa GROUP BY src), "
+            "v AS (SELECT DISTINCT id FROM "
+            "  (SELECT src AS id FROM spa UNION ALL SELECT dst FROM spa)), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.id, "
+            "         0.15/nn.n + 0.85 * COALESCE(SUM(q.val / dd.d), 0.0) "
+            "  FROM pr p CROSS JOIN nn "
+            "  LEFT JOIN spa e ON e.dst = p.id "
+            "  LEFT JOIN pr q ON q.id = e.src AND q.it = p.it "
+            "  LEFT JOIN deg dd ON dd.id = e.src "
+            "  WHERE p.it < 30 GROUP BY p.it, p.id, nn.n) "
+            "SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "FROM pr WHERE it = 30"
         ),
         "events_attribution": (
             # last/first non-purchase touch strictly before each

@@ -14246,3 +14246,74 @@ def q_events_top_paths(sf_dir: str, k: int = 10):
     )
     s = s.sort_values(["cnt", "path"], ascending=[False, True]).head(k)
     return s.astype({"cnt": "int64"}).reset_index(drop=True)
+
+
+def edges_lineitem_sparsified(sf_dir: str, k: int = 8, seed: int = 777):
+    """Degree-capped hash sparsification of the directed 200-id
+    lineitem graph: per source, keep only the k out-edges with the
+    smallest counter-based priority mix64(seed, src, dst) (ties on
+    dst) — the uniform-out-edge-sampling sparsifier used to bound
+    supernode fan-out before an expensive pass at web scale. The
+    priority is a pure function of the edge, so the sample is
+    deterministic, partition-independent, and SQL-reproducible. ONE
+    src-bucket shuffle; the per-bucket cap is a vectorized
+    sort + cumcount."""
+    from ..stages.join import add_bucket
+    from ..utils import mix64
+
+    eb = edges_lineitem_directed(sf_dir)
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        h = mix64(
+            np.uint64(seed),
+            df["src"].to_numpy().astype(np.uint64),
+            df["dst"].to_numpy().astype(np.uint64),
+        )
+        d = df.assign(h=h).sort_values(["src", "h", "dst"])
+        d["rk"] = d.groupby("src", sort=False).cumcount()
+        return d.loc[d["rk"] < k, ["src", "dst"]]
+
+    nb = _scaled_buckets(sf_dir, "lineitem")
+    return _BMG(add_bucket(eb, ["src"], nb), nb, cap, "pandas")
+
+
+_DERIVATIONS["lineitem_sparsified"] = (edges_lineitem_sparsified, False)
+
+
+def q_graph_sparsify_pr(sf_dir: str):
+    """PageRank-30 over the hash-sparsified directed graph
+    (edges_lineitem_sparsified): the standard scale move when hub
+    fan-out makes the exact graph too expensive — cap out-degree with
+    a deterministic edge sample, then run the same engine recurrence
+    unchanged. Scores integer-scaled e8; the oracle replays the
+    sparsifier (QUALIFY over the identical mix64 priority) and the
+    directed LEFT-JOIN recurrence."""
+    res = _run_cached(sf_dir, "lineitem_sparsified", "pagerank")
+    return _as_int_vertex(res, "score_e8", _score_e8)
+
+
+def q_doc_containment(sf_dir: str, threshold: float = 0.9):
+    """Asymmetric shingle-containment join over the corpus: every doc
+    pair (a < b) where either direction's containment
+    |S(a) & S(b)| / |S(side)| clears 0.9 — the quote/superset
+    detector that Jaccard dilutes when sizes differ (Broder 1997's
+    second resemblance measure). Same single-shuffle inverted-index
+    plan as the exhaustive Jaccard join (stages/dedup.py:
+    ngram_jaccard_join mode="containment"): postings grouped by
+    shingle hash with a GLOBAL df cap, per-group pair combiner,
+    exact integer half-up e6 on both directions. Docs with < 3 words
+    are excluded up front (they'd shingle to a sub-k stub on the
+    engine side; the oracle's trigram window gives them no rows)."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"])
+
+    def long_enough(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].astype(str).str.split().str.len()
+        return df[n >= 3]
+
+    return ngram_jaccard_join(
+        docs.map_batches(long_enough, batch_format="pandas"),
+        threshold=threshold,
+        mode="containment",
+    )

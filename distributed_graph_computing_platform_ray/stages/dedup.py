@@ -340,10 +340,17 @@ def ngram_jaccard_join(
     shingle_k: int = 3,
     df_cap: int = 128,
     n_buckets: int = 64,
+    mode: str = "jaccard",
 ) -> rd.Dataset:
     """EXHAUSTIVE n-gram similarity join: every (a < b) pair with word
     k-shingle Jaccard >= threshold, via an inverted-index join — no
     LSH, no recall loss, the exact-similarity counterpart to minhash.
+
+    ``mode="containment"`` scores ASYMMETRIC containment instead:
+    cont(a->b) = |S(a) & S(b)| / |S(a)| (how much of a is inside b) —
+    the signal for detecting quotes/supersets that Jaccard dilutes
+    when sizes differ; a pair is kept when EITHER direction clears
+    the threshold, and both directions are emitted.
 
     Scale shape: ONE shuffle groups postings by shingle hash (a
     shingle's full posting list lands in one group, so the df cap is
@@ -464,7 +471,26 @@ def ngram_jaccard_join(
             }
         )
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    def score_containment(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        i = t["inter"].to_numpy().astype(np.int64)
+        na = t["na"].to_numpy().astype(np.int64)
+        nb = t["nb"].to_numpy().astype(np.int64)
+        cab = (2 * i * 1_000_000 + na) // (2 * na)  # half-up inter/na
+        cba = (2 * i * 1_000_000 + nb) // (2 * nb)
+        keep = np.maximum(cab, cba) >= thr
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "cont_ab_e6": pa.array(cab[keep], pa.int64()),
+                "cont_ba_e6": pa.array(cba[keep], pa.int64()),
+            }
+        )
+
+    fn = score_containment if mode == "containment" else score
+    return inter.map_batches(fn, batch_format="pyarrow")
 
 
 class SimHashStage:
