@@ -1592,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": T.q_events_top_paths,
         "graph_sparsify_pr": T.q_graph_sparsify_pr,
         "doc_containment": T.q_doc_containment,
+        "host_neighbor_jaccard": T.q_host_neighbor_jaccard,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5265,6 +5266,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "host_neighbor_jaccard": (
+            # exact + minhash-estimated out-neighbor Jaccard per
+            # candidate host pair; slot value = splitmix64 of
+            # (i * FNVprime) xor fnv1a64(neighbor), min per (host,
+            # slot) (testdata.q_host_neighbor_jaccard)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "sizes AS (SELECT sh, count(*) AS n FROM he GROUP BY sh), "
+            "inter AS (SELECT x.sh AS a, y.sh AS b, count(*) AS i "
+            "  FROM he x JOIN he y ON x.dh = y.dh AND x.sh < y.sh GROUP BY 1, 2), "
+            "toks AS (SELECT DISTINCT dh AS tok FROM he), "
+            f"{_FNV_TOK}, "
+            "perm AS (SELECT t.i, tokh.tok, "
+            f"  xor(((t.i::HUGEINT * {_FNV64}) % {_M64}::HUGEINT)::UBIGINT, tokh.h) AS a1, "
+            f"  {_splitmix_cols('a1', 'pv')} "
+            "  FROM tokh, range(0, 16) t(i)), "
+            "sig AS (SELECT e.sh, p.i, min(p.pv) AS mn "
+            "  FROM he e JOIN perm p ON p.tok = e.dh GROUP BY 1, 2), "
+            "mm AS (SELECT ia.a, ia.b, ia.i, "
+            "  count(*) FILTER (WHERE sx.mn = sy.mn) AS eq "
+            "  FROM inter ia JOIN sig sx ON sx.sh = ia.a "
+            "  JOIN sig sy ON sy.sh = ia.b AND sy.i = sx.i GROUP BY 1, 2, 3) "
+            "SELECT m.a, m.b, "
+            "  ((2*m.i*1000000 + (sa.n + sb.n - m.i)) "
+            "   // (2*(sa.n + sb.n - m.i)))::BIGINT AS jaccard_e6, "
+            "  ((2*eq*1000000 + 16) // 32)::BIGINT AS minhash_e6 "
+            "FROM mm m JOIN sizes sa ON sa.sh = m.a JOIN sizes sb ON sb.sh = m.b"
         ),
         "doc_containment": (
             # exhaustive trigram containment join over STRINGS (the

@@ -14317,3 +14317,89 @@ def q_doc_containment(sf_dir: str, threshold: float = 0.9):
         threshold=threshold,
         mode="containment",
     )
+
+
+def q_host_neighbor_jaccard(
+    sf_dir: str, n_pages: int = 2000, k: int = 16, n_buckets: int = 16
+):
+    """MinHash-estimated vs EXACT Jaccard of host out-neighbor sets,
+    for every host pair sharing >= 1 out-neighbor — the sketch-accuracy
+    eval for neighborhood similarity (the related-site signal). Slot
+    i's permutation value for neighbor d is splitmix64-based
+    mix64(i, fnv1a64(d)) (counter-based, SQL-reproducible); a host's
+    signature is the per-slot MIN over its out-neighbors, built from
+    per-batch partial mins (<= hosts x k rows/block, merged on the
+    driver — the mergeable-sketch combiner). Exact intersections come
+    from ONE dst-bucket pair expansion + bucket_sum (each shared
+    neighbor lives in one bucket). Estimates and exact scores are
+    integer half-up e6; all driver structures are host-scale (bounded
+    by the contraction)."""
+    from ..functions.hashing import fnv1a64
+    from ..stages.join import add_bucket, bucket_sum, distinct
+    from ..utils import mix64
+
+    links = _pages_links(n_pages)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        tt = pa.table({"sh": sh, "dh": dh})
+        return tt.filter(pc.not_equal(tt["sh"], tt["dh"]))
+
+    he = distinct(links.map_batches(hosts, batch_format="pyarrow"), ["sh", "dh"], 16)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="dh")
+        m = m[m["sh_x"] < m["sh_y"]]
+        g = m.groupby(["sh_x", "sh_y"], as_index=False).size()
+        return g.rename(columns={"sh_x": "a", "sh_y": "b", "size": "i"})
+
+    inter = bucket_sum(
+        _BMG(add_bucket(he, ["dh"], n_buckets), n_buckets, pair_partial, "pandas"),
+        ["a", "b"],
+        ["i"],
+        n_buckets,
+    ).to_pandas()  # bounded by hosts^2
+
+    def size_ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"sh": t["sh"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    sizes = (
+        bucket_sum(he.map_batches(size_ones, batch_format="pyarrow"),
+                   ["sh"], ["one"], n_buckets)
+        .to_pandas()
+        .set_index("sh")["one"]
+    )
+
+    def sig_partial(df: pd.DataFrame) -> pd.DataFrame:
+        hd = fnv1a64(df["dh"].tolist())
+        out = []
+        for i in range(k):
+            pv = mix64(np.uint64(i), hd)
+            out.append(pd.DataFrame({"sh": df["sh"], "slot": i, "pv": pv.astype(np.uint64)}))
+        g = pd.concat(out).groupby(["sh", "slot"], as_index=False)["pv"].min()
+        return g
+
+    sig = (
+        he.map_batches(sig_partial, batch_format="pandas")
+        .to_pandas()  # bounded: hosts x k per block
+        .groupby(["sh", "slot"], as_index=False)["pv"]
+        .min()
+        .pivot(index="sh", columns="slot", values="pv")
+    )
+
+    a = inter["a"].to_numpy()
+    b = inter["b"].to_numpy()
+    i = inter["i"].to_numpy().astype(np.int64)
+    na = sizes.loc[a].to_numpy().astype(np.int64)
+    nb = sizes.loc[b].to_numpy().astype(np.int64)
+    u = na + nb - i
+    je = (2 * i * 1_000_000 + u) // (2 * u)
+    eq = (sig.loc[a].to_numpy() == sig.loc[b].to_numpy()).sum(axis=1).astype(np.int64)
+    me = (2 * eq * 1_000_000 + k) // (2 * k)
+    out = pd.DataFrame(
+        {"a": a, "b": b, "jaccard_e6": je, "minhash_e6": me}
+    ).sort_values(["a", "b"])
+    return out.reset_index(drop=True)
