@@ -1593,6 +1593,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sparsify_pr": T.q_graph_sparsify_pr,
         "doc_containment": T.q_doc_containment,
         "host_neighbor_jaccard": T.q_host_neighbor_jaccard,
+        "posting_list_bytes": T.q_posting_list_bytes,
+        "events_window_hll": T.q_events_window_hll,
+        "rank_spearman": T.q_rank_spearman,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
         "pages_linkgraph_pagerank": pages_linkgraph_pagerank,
         "doc_langid": T.q_doc_langid,
@@ -5266,6 +5269,72 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "posting_list_bytes": (
+            # varint gap encoding: first gap = doc_id + 1, then sorted
+            # deltas; bytes = (bitlength + 6) // 7 with bitlength =
+            # length(bin(gap)) (testdata.q_posting_list_bytes)
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            r"  unnest(regexp_split_to_array(trim(text), '\s+')) AS term "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT term, doc_id, "
+            "  COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), "
+            "           doc_id + 1) AS gap FROM pairs) "
+            "SELECT term, count(*)::BIGINT AS df, "
+            "SUM((length(bin(gap::UBIGINT)) + 6) // 7)::BIGINT AS bytes "
+            "FROM g GROUP BY term"
+        ),
+        "events_window_hll": (
+            # per-epoch-day HLL register table; register max is
+            # duplicate-insensitive so no DISTINCT on (win, user)
+            # (testdata.q_events_window_hll)
+            "WITH RECURSIVE "
+            "toks AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS tok FROM events), "
+            f"{_FNV_TOK}, "
+            f"mixed AS (SELECT tok, {_splitmix_cols('h', 'hs')} FROM tokh), "
+            "ev AS (SELECT (epoch_us(ts) // 86400000000)::BIGINT AS win, "
+            "  CAST(user_id AS VARCHAR) AS tok FROM events), "
+            "regs AS (SELECT ev.win, (hs >> 56)::BIGINT AS reg, "
+            "  (CASE WHEN (hs & ((1::UBIGINT << 56) - 1)) = 0 THEN 57 "
+            "   ELSE 56 - length(bin(hs & ((1::UBIGINT << 56) - 1))) + 1 "
+            "   END)::BIGINT AS rho "
+            "  FROM ev JOIN mixed USING (tok)) "
+            "SELECT win, reg, max(rho)::BIGINT AS rho FROM regs GROUP BY 1, 2"
+        ),
+        "rank_spearman": (
+            # directed-PR recurrence (pagerank_directed's oracle) +
+            # in-degree; row_number ranks tie-broken on vertex id;
+            # rho via the nonnegative (2D - 6S) form
+            # (testdata.q_rank_spearman)
+            "WITH RECURSIVE ebd AS (SELECT DISTINCT l_orderkey % 200 AS src, "
+            "  l_partkey % 200 AS dst FROM lineitem "
+            "  WHERE l_orderkey % 200 <> l_partkey % 200), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM ebd GROUP BY src), "
+            "v AS (SELECT DISTINCT id FROM "
+            "  (SELECT src AS id FROM ebd UNION ALL SELECT dst FROM ebd)), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val FROM v "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.id, "
+            "         0.15/nn.n + 0.85 * COALESCE(SUM(q.val / dd.d), 0.0) "
+            "  FROM pr p CROSS JOIN nn "
+            "  LEFT JOIN ebd e ON e.dst = p.id "
+            "  LEFT JOIN pr q ON q.id = e.src AND q.it = p.it "
+            "  LEFT JOIN deg dd ON dd.id = e.src "
+            "  WHERE p.it < 30 GROUP BY p.it, p.id, nn.n), "
+            "sc AS (SELECT id, CAST(ROUND(val * 1e8) AS BIGINT) AS score_e8 "
+            "  FROM pr WHERE it = 30), "
+            "indeg AS (SELECT dst AS id, count(*)::BIGINT AS dg FROM ebd GROUP BY dst), "
+            "rk AS (SELECT sc.id, "
+            "  row_number() OVER (ORDER BY sc.score_e8 DESC, sc.id) AS r_pr, "
+            "  row_number() OVER (ORDER BY COALESCE(indeg.dg, 0) DESC, sc.id) AS r_dg "
+            "  FROM sc LEFT JOIN indeg USING (id)), "
+            "st AS (SELECT count(*)::BIGINT AS n, "
+            "  SUM((r_pr - r_dg) * (r_pr - r_dg))::BIGINT AS s FROM rk) "
+            "SELECT n, s AS sum_d2, "
+            "((2 * (2 * n * (n*n - 1) - 6 * s) * 1000000 + n * (n*n - 1)) "
+            " // (2 * n * (n*n - 1)) - 1000000)::BIGINT AS rho_e6 FROM st"
         ),
         "host_neighbor_jaccard": (
             # exact + minhash-estimated out-neighbor Jaccard per

@@ -14403,3 +14403,143 @@ def q_host_neighbor_jaccard(
         {"a": a, "b": b, "jaccard_e6": je, "minhash_e6": me}
     ).sort_values(["a", "b"])
     return out.reset_index(drop=True)
+
+
+def q_posting_list_bytes(sf_dir: str, n_buckets: int = 16):
+    """Inverted-index size economics: per term, the document frequency
+    and the byte cost of the VARINT-ENCODED GAP posting list (first
+    gap = doc_id + 1, then sorted deltas; each gap costs
+    ceil(bitlength/7) bytes) — the planner statistic that decides
+    which terms get skip blocks vs bitmaps at index-build time.
+    Bitlength is exact via frexp (no float log near power-of-two
+    boundaries). Same single term-bucket shuffle as the index build
+    itself (a term's whole posting list lands in one group)."""
+    from ..stages.join import add_bucket
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.strip()
+        t = df.assign(text=s)[s != ""].set_index("doc_id")["text"].str.split().explode()
+        return pd.DataFrame(
+            {"doc_id": t.index.to_numpy(), "term": t.to_numpy()}
+        ).drop_duplicates()
+
+    def sizes(dfb: pd.DataFrame) -> pd.DataFrame:
+        s = dfb.sort_values(["term", "doc_id"])
+        doc = s["doc_id"].to_numpy().astype(np.int64)
+        term = s["term"].to_numpy()
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = term[1:] != term[:-1]
+        gaps = np.where(first, doc + 1, doc - np.concatenate([[0], doc[:-1]]))
+        bitlen = np.frexp(gaps.astype(np.float64))[1]  # exact for < 2^53
+        nbytes = (bitlen + 6) // 7
+        g = pd.DataFrame({"term": term, "df": 1, "bytes": nbytes})
+        out = g.groupby("term", as_index=False).agg(
+            df=("df", "sum"), bytes=("bytes", "sum")
+        )
+        return out.astype({"df": "int64", "bytes": "int64"})
+
+    src = _table(sf_dir, "documents", ["doc_id", "text"])
+    posts = src.map_batches(pairs, batch_format="pandas")
+    return _BMG(add_bucket(posts, ["term"], n_buckets), n_buckets, sizes, "pandas")
+
+
+def q_events_window_hll(sf_dir: str):
+    """Distinct-users-per-day HLL: the register table of a
+    HyperLogLog sketch per TUMBLING 1-day window (epoch-day) — the
+    mergeable per-window distinct sketch a streaming dashboard keeps.
+    Register max is duplicate-insensitive, so no distinct pass at all:
+    per-batch (win, reg, rho) partials (<= windows x 256 rows/block)
+    reduce through one groupby-max. Same FNV-1a + splitmix64 register
+    derivation as q_user_hll."""
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import fnv1a64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..utils import splitmix64
+
+        win = _ts_us(df["ts"]) // 86_400_000_000
+        ids = df["user_id"].astype("int64").to_numpy()
+        h = splitmix64(fnv1a64([str(i) for i in ids]))
+        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+        bl = np.zeros(len(rem), dtype=np.uint64)
+        for s in (32, 16, 8, 4, 2, 1):
+            m = rem >= np.left_shift(np.uint64(1), bl + np.uint64(s))
+            bl[m] += np.uint64(s)
+        bitlen = np.where(rem == 0, 0, bl + 1).astype(np.int64)
+        rho = np.where(rem == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+        g = (
+            pd.DataFrame({"win": win, "reg": reg, "rho": rho})
+            .groupby(["win", "reg"], as_index=False)
+            .max()
+        )
+        return g.astype("int64")
+
+    ds = _table(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = ds.groupby(["win", "reg"]).aggregate(Max("rho", alias_name="rho"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "win": t["win"].cast(pa.int64()),
+                "reg": t["reg"].cast(pa.int64()),
+                "rho": t["rho"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_rank_spearman(sf_dir: str):
+    """Spearman rank correlation between directed PageRank and
+    in-degree over the 200-id directed graph — "does degree predict
+    rank here?", the sanity statistic behind degree-based crawl
+    prioritization. Ranks are row_number ties broken on vertex id
+    (deterministic, SQL row_number parity); the correlation is exact
+    integer arithmetic: with D = n(n^2-1) and S = sum of squared rank
+    differences, 6S <= 2D always, so rho_e6 is computed as the
+    half-up NONNEGATIVE division of (2D - 6S)*1e6 by D, minus 1e6
+    (Python floor vs DuckDB truncation never diverges on negatives
+    because the division is nonnegative by construction). The score
+    side reuses the cached engine run; in-degree is one bucket_sum;
+    the correlate-and-rank step is a bounded driver table (200
+    vertices, the graph's fixed id universe)."""
+    from ..stages.join import bucket_sum
+
+    res = _run_cached(sf_dir, "lineitem_directed", "pagerank")
+    pr = _as_int_vertex(res, "score_e8", _score_e8).to_pandas()  # bounded: 200 ids
+
+    eb = edges_lineitem_directed(sf_dir)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"dst": t["dst"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    indeg = (
+        bucket_sum(eb.map_batches(ones, batch_format="pyarrow"), ["dst"], ["one"], 8)
+        .to_pandas()
+        .rename(columns={"dst": "vertex", "one": "indeg"})
+    )
+    m = pr.merge(indeg, on="vertex", how="left").fillna({"indeg": 0})
+    m = m.astype({"vertex": "int64", "indeg": "int64"})
+    # row_number ranks (ties on vertex id), via argsort inversion
+    order_pr = np.lexsort((m["vertex"].to_numpy(), -m["score_e8"].to_numpy()))
+    r_pr = np.empty(len(m), dtype=np.int64)
+    r_pr[order_pr] = np.arange(1, len(m) + 1)
+    order_dg = np.lexsort((m["vertex"].to_numpy(), -m["indeg"].to_numpy()))
+    r_dg = np.empty(len(m), dtype=np.int64)
+    r_dg[order_dg] = np.arange(1, len(m) + 1)
+    n = len(m)
+    s = int(((r_pr - r_dg) ** 2).sum())
+    d = n * (n * n - 1)
+    rho_e6 = (2 * (2 * d - 6 * s) * 1_000_000 + d) // (2 * d) - 1_000_000
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "sum_d2": pd.Series([s], dtype="int64"),
+            "rho_e6": pd.Series([rho_e6], dtype="int64"),
+        }
+    )
