@@ -1594,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment": T.q_doc_containment,
         "host_neighbor_jaccard": T.q_host_neighbor_jaccard,
         "posting_list_bytes": T.q_posting_list_bytes,
+        "host_betweenness": T.q_host_betweenness,
         "events_window_hll": T.q_events_window_hll,
         "rank_spearman": T.q_rank_spearman,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -5269,6 +5270,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "host_betweenness": (
+            # all-pairs dist via the capped Bellman-Ford, path counts
+            # via a level-indexed second recursion along BFS-DAG
+            # edges, then the pair-dependency sum with PER-TERM
+            # half-up e6 (testdata.q_host_betweenness)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "hs AS (SELECT DISTINCT sh AS h FROM he), "
+            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
+            "       UNION ALL SELECT dh FROM he)), "
+            "relax AS (SELECT sh, dh, 1 AS w FROM he "
+            "          UNION ALL SELECT h, h, 0 FROM vs), "
+            "bf AS ( "
+            "  SELECT 0 AS it, h AS s, h AS v, 0 AS dist FROM hs "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.s, r.dh, MIN(p.dist + r.w) FROM bf p "
+            "  JOIN relax r ON r.sh = p.v WHERE p.it < 20 "
+            "  GROUP BY p.it, p.s, r.dh), "
+            "dd AS (SELECT s, v, dist FROM bf WHERE it = 20), "
+            "sig AS ( "
+            "  SELECT h AS s, h AS v, 0 AS l, 1::BIGINT AS sigma FROM hs "
+            "  UNION ALL "
+            "  SELECT g.s, e2.dh, g.l + 1, SUM(g.sigma) "
+            "  FROM sig g JOIN he e2 ON e2.sh = g.v "
+            "  JOIN dd d2 ON d2.s = g.s AND d2.v = e2.dh AND d2.dist = g.l + 1 "
+            "  WHERE g.l < 20 GROUP BY g.s, e2.dh, g.l), "
+            "sv AS (SELECT s, v, l AS dist, sigma FROM sig), "
+            "tm AS ( "
+            "  SELECT d1.v AS v, "
+            "    (2 * d1.sigma * d2.sigma * 1000000 + d3.sigma) "
+            "    // (2 * d3.sigma) AS term "
+            "  FROM sv d1 "
+            "  JOIN sv d2 ON d2.s = d1.v "
+            "  JOIN sv d3 ON d3.s = d1.s AND d3.v = d2.v "
+            "  WHERE d1.dist > 0 AND d2.dist > 0 AND d3.dist > 0 "
+            "    AND d1.dist + d2.dist = d3.dist), "
+            "agg AS (SELECT v, SUM(term)::BIGINT AS bc_e6, "
+            "        count(*)::BIGINT AS n_terms FROM tm GROUP BY v) "
+            "SELECT h.h AS host, COALESCE(a.bc_e6, 0)::BIGINT AS bc_e6, "
+            "COALESCE(a.n_terms, 0)::BIGINT AS n_terms "
+            "FROM hs h LEFT JOIN agg a ON a.v = h.h"
         ),
         "posting_list_bytes": (
             # varint gap encoding: first gap = doc_id + 1, then sorted

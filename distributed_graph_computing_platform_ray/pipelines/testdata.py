@@ -14543,3 +14543,108 @@ def q_rank_spearman(sf_dir: str):
             "rho_e6": pd.Series([rho_e6], dtype="int64"),
         }
     )
+
+
+def q_host_betweenness(sf_dir: str, n_pages: int = 2000, max_rounds: int = 20):
+    """EXACT directed betweenness centrality over the contracted host
+    graph (Brandes' pair-dependency sum, NOT the all-integer stress
+    variant): bc(v) = sum over (s, t), s != v != t, with
+    dist(s,v) + dist(v,t) = dist(s,t), of sigma_sv * sigma_vt /
+    sigma_st — each fractional term integer half-up e6 BEFORE the sum
+    (sum of rounded terms, so a SQL oracle reproduces it term by term;
+    classic Brandes' backward accumulation aggregates fractions and
+    is not integer-replayable). Two phases, both over source batches:
+    (1) forward BFS + path counting emits (s, v, dist, sigma) rows
+    (bounded by the contraction's reachable pairs); (2) the assembled
+    dist/sigma matrices broadcast back and each source batch
+    vectorizes its own S x V x T dependency slab, emitting per-v
+    additive partials merged by ONE tiny bucket_sum. Intermediates
+    must have outlinks, so v ranges over source hosts only."""
+    from ..stages.join import bucket_sum
+
+    names, A, src_codes = _host_graph(n_pages)
+    n = len(names)
+    S = len(src_codes)
+    state = ray.put(A)
+
+    seeds = rd.from_arrow(pa.table({"s": pa.array(src_codes.astype(np.int64))}))
+
+    def fwd(t: pa.Table) -> pa.Table:
+        A_ = ray.get(state).astype(np.int64)
+        s = t["s"].to_numpy().astype(np.int64)
+        m = len(s)
+        dist = np.full((m, n), -1, np.int64)
+        sig = np.zeros((m, n), np.int64)
+        dist[np.arange(m), s] = 0
+        sig[np.arange(m), s] = 1
+        front = np.zeros((m, n), dtype=bool)
+        front[np.arange(m), s] = True
+        d = 0
+        while front.any() and d < max_rounds:
+            d += 1
+            contrib = (sig * front) @ A_
+            new = (contrib > 0) & (dist < 0)
+            sig = sig + np.where(new, contrib, 0)
+            dist[new] = d
+            front = new
+        rs, vs = np.nonzero(dist >= 0)
+        return pa.table(
+            {
+                "s": pa.array(s[rs]),
+                "v": pa.array(vs.astype(np.int64)),
+                "dist": pa.array(dist[rs, vs]),
+                "sigma": pa.array(sig[rs, vs]),
+            }
+        )
+
+    rows = seeds.map_batches(fwd, batch_format="pyarrow").to_pandas()
+    # assemble bounded matrices (reachable pairs of the contraction)
+    sidx = {int(c): i for i, c in enumerate(src_codes)}
+    D = np.full((S, n), -1, np.int64)
+    G = np.zeros((S, n), np.int64)
+    ri = np.array([sidx[int(x)] for x in rows["s"]], dtype=np.int64)
+    D[ri, rows["v"].to_numpy()] = rows["dist"].to_numpy()
+    G[ri, rows["v"].to_numpy()] = rows["sigma"].to_numpy()
+    assert G.max() < 1 << 30, "sigma too large for int64 term arithmetic"
+    mstate = ray.put((src_codes.astype(np.int64), D, G))
+
+    sbatch = rd.from_arrow(pa.table({"i": pa.array(np.arange(S, dtype=np.int64))}))
+
+    def dep(t: pa.Table) -> pa.Table:
+        codes, D_, G_ = ray.get(mstate)
+        bc = np.zeros(len(codes), np.int64)
+        cnt = np.zeros(len(codes), np.int64)
+        for i in t["i"].to_numpy():
+            ds = D_[i]  # dist s -> * (len n)
+            gs = G_[i]
+            dsv = ds[codes]  # dist s -> v for source-hosts v (len S)
+            sig_sv = gs[codes]
+            cond = (
+                (dsv[:, None] > 0)
+                & (D_ > 0)
+                & (ds[None, :] > 0)
+                & (dsv[:, None] + D_ == ds[None, :])
+            )
+            sig_st = gs[None, :]
+            term = np.where(
+                cond,
+                (2 * sig_sv[:, None] * G_ * 1_000_000 + sig_st)
+                // np.where(cond, 2 * sig_st, 1),
+                0,
+            )
+            bc += term.sum(axis=1)
+            cnt += cond.sum(axis=1)
+        return pa.table(
+            {
+                "v": pa.array(codes),
+                "bc_e6": pa.array(bc),
+                "n_terms": pa.array(cnt),
+            }
+        )
+
+    agg = bucket_sum(
+        sbatch.map_batches(dep, batch_format="pyarrow"), ["v"], ["bc_e6", "n_terms"], 8
+    ).to_pandas()  # bounded: one row per source host
+    agg["host"] = names[agg["v"].to_numpy()]
+    out = agg[["host", "bc_e6", "n_terms"]].sort_values("host").reset_index(drop=True)
+    return out.astype({"bc_e6": "int64", "n_terms": "int64"})
