@@ -1595,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_neighbor_jaccard": T.q_host_neighbor_jaccard,
         "posting_list_bytes": T.q_posting_list_bytes,
         "host_betweenness": T.q_host_betweenness,
+        "host_pagerank_push": T.q_host_pagerank_push,
         "events_window_hll": T.q_events_window_hll,
         "rank_spearman": T.q_rank_spearman,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -5270,6 +5271,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "host_pagerank_push": (
+            # synchronized integer forward push: self-loop rows carry
+            # the banked p, edge rows carry floor shares; sinks send
+            # nothing and drop their residual
+            # (testdata.q_host_pagerank_push)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
+            "       UNION ALL SELECT dh FROM he)), "
+            "deg AS (SELECT sh AS h, count(*)::BIGINT AS d FROM he GROUP BY sh), "
+            "relax AS (SELECT sh, dh, 1 AS w FROM he "
+            "          UNION ALL SELECT h, h, 0 FROM vs), "
+            "sd AS (SELECT min(sh) AS h FROM he), "
+            "st AS ( "
+            "  SELECT 0 AS it, v.h AS v, "
+            "    (CASE WHEN v.h = sd.h THEN 1000000000000 ELSE 0 END)::BIGINT AS r, "
+            "    0::BIGINT AS p "
+            "  FROM vs v CROSS JOIN sd "
+            "  UNION ALL "
+            "  SELECT s.it + 1, r2.dh, "
+            "    COALESCE(SUM(CASE WHEN r2.w = 1 THEN "
+            "      (85 * s.r) // (100 * dg.d) END), 0)::BIGINT, "
+            "    SUM(CASE WHEN r2.w = 0 THEN s.p + (15 * s.r) // 100 END)::BIGINT "
+            "  FROM st s JOIN relax r2 ON r2.sh = s.v "
+            "  LEFT JOIN deg dg ON dg.h = s.v "
+            "  WHERE s.it < 12 GROUP BY s.it, r2.dh) "
+            "SELECT v AS host, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
         ),
         "host_betweenness": (
             # all-pairs dist via the capped Bellman-Ford, path counts

@@ -14648,3 +14648,36 @@ def q_host_betweenness(sf_dir: str, n_pages: int = 2000, max_rounds: int = 20):
     agg["host"] = names[agg["v"].to_numpy()]
     out = agg[["host", "bc_e6", "n_terms"]].sort_values("host").reset_index(drop=True)
     return out.astype({"bc_e6": "int64", "n_terms": "int64"})
+
+
+def q_host_pagerank_push(sf_dir: str, n_pages: int = 2000, rounds: int = 12):
+    """ALL-INTEGER local PageRank by synchronized forward push over
+    the contracted host graph: fixed-point e12 mass starts on the
+    lexicographically smallest source host; each round every host
+    banks (15 * r) // 100 into p, sends (85 * r) // (100 * outdeg) to
+    each out-neighbor (integer floor — the truncated remainder is the
+    documented approximation error, which makes the recurrence
+    bit-exact and summation-order-free, unlike float PageRank), and
+    sinks drop their residual. Emits (host, p_e12, r_e12) after 12
+    rounds. The whole state is host-scale (bounded by the
+    contraction); scale path above the broadcast cap is the engine's
+    integer-message BSP program."""
+    names, A, src_codes = _host_graph(n_pages)
+    n = len(names)
+    seed = int(src_codes[np.argmin(names[src_codes])])
+    Ai = A.astype(np.int64)
+    deg = Ai.sum(axis=1)
+    r = np.zeros(n, np.int64)
+    p = np.zeros(n, np.int64)
+    r[seed] = 1_000_000_000_000
+    for _ in range(rounds):
+        p = p + (15 * r) // 100
+        share = np.where(deg > 0, (85 * r) // np.maximum(100 * deg, 1), 0)
+        r = share @ Ai
+    return pd.DataFrame(
+        {
+            "host": names,
+            "p_e12": pd.Series(p, dtype="int64"),
+            "r_e12": pd.Series(r, dtype="int64"),
+        }
+    ).sort_values("host").reset_index(drop=True)
