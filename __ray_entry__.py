@@ -1596,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_list_bytes": T.q_posting_list_bytes,
         "host_betweenness": T.q_host_betweenness,
         "host_pagerank_push": T.q_host_pagerank_push,
+        "host_edge_betweenness": T.q_host_edge_betweenness,
         "events_window_hll": T.q_events_window_hll,
         "rank_spearman": T.q_rank_spearman,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -5271,6 +5272,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "host_edge_betweenness": (
+            # sampled Girvan-Newman: per edge (u, w) and sampled s,
+            # sum over t of per-term half-up e6 of
+            # sigma_su * sigma_wt / sigma_st with
+            # dist(s,u) + 1 + dist(w,t) = dist(s,t); sinks contribute
+            # self targets via svx (testdata.q_host_edge_betweenness)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "hs AS (SELECT DISTINCT sh AS h FROM he), "
+            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
+            "       UNION ALL SELECT dh FROM he)), "
+            "hs10 AS (SELECT h FROM hs ORDER BY h LIMIT 10), "
+            "relax AS (SELECT sh, dh, 1 AS w FROM he "
+            "          UNION ALL SELECT h, h, 0 FROM vs), "
+            "bf AS ( "
+            "  SELECT 0 AS it, h AS s, h AS v, 0 AS dist FROM hs "
+            "  UNION ALL "
+            "  SELECT p.it + 1, p.s, r.dh, MIN(p.dist + r.w) FROM bf p "
+            "  JOIN relax r ON r.sh = p.v WHERE p.it < 20 "
+            "  GROUP BY p.it, p.s, r.dh), "
+            "dd AS (SELECT s, v, dist FROM bf WHERE it = 20), "
+            "sig AS ( "
+            "  SELECT h AS s, h AS v, 0 AS l, 1::BIGINT AS sigma FROM hs "
+            "  UNION ALL "
+            "  SELECT g.s, e2.dh, g.l + 1, SUM(g.sigma) "
+            "  FROM sig g JOIN he e2 ON e2.sh = g.v "
+            "  JOIN dd d2 ON d2.s = g.s AND d2.v = e2.dh AND d2.dist = g.l + 1 "
+            "  WHERE g.l < 20 GROUP BY g.s, e2.dh, g.l), "
+            "sv AS (SELECT s, v, l AS dist, sigma FROM sig), "
+            "svx AS (SELECT s, v, dist, sigma FROM sv "
+            "  UNION ALL SELECT h, h, 0, 1::BIGINT FROM vs "
+            "  WHERE h NOT IN (SELECT h FROM hs)), "
+            "tm AS ( "
+            "  SELECT e3.sh AS u, e3.dh AS w, "
+            "    (2 * d1.sigma * d2.sigma * 1000000 + d3.sigma) "
+            "    // (2 * d3.sigma) AS term "
+            "  FROM he e3 "
+            "  JOIN sv d1 ON d1.v = e3.sh "
+            "  JOIN hs10 ON hs10.h = d1.s "
+            "  JOIN svx d2 ON d2.s = e3.dh "
+            "  JOIN sv d3 ON d3.s = d1.s AND d3.v = d2.v "
+            "  WHERE d3.dist >= 1 AND d1.dist + 1 + d2.dist = d3.dist), "
+            "agg AS (SELECT u, w, SUM(term)::BIGINT AS bc_e6 FROM tm GROUP BY u, w) "
+            "SELECT e4.sh AS src_host, e4.dh AS dst_host, "
+            "COALESCE(a.bc_e6, 0)::BIGINT AS bc_e6 "
+            "FROM he e4 LEFT JOIN agg a ON a.u = e4.sh AND a.w = e4.dh"
         ),
         "host_pagerank_push": (
             # synchronized integer forward push: self-loop rows carry

@@ -14681,3 +14681,116 @@ def q_host_pagerank_push(sf_dir: str, n_pages: int = 2000, rounds: int = 12):
             "r_e12": pd.Series(r, dtype="int64"),
         }
     ).sort_values("host").reset_index(drop=True)
+
+
+def q_host_edge_betweenness(
+    sf_dir: str, n_pages: int = 2000, n_sources: int = 10, max_rounds: int = 20
+):
+    """SAMPLED Girvan-Newman edge betweenness over the contracted
+    host graph: for each directed host edge (u, w) and each of the
+    n_sources lexicographically smallest source hosts s, the
+    dependency sum over targets t of sigma_su * sigma_wt / sigma_st
+    where dist(s,u) + 1 + dist(w,t) = dist(s,t) — the
+    community-cutting signal of GN clustering, with each fractional
+    term integer half-up e6 (SQL-replayable, like
+    q_host_betweenness). Phase 1 reuses the forward BFS + path-count
+    sweep; phase 2 distributes the per-source edge x target slab
+    over source batches and merges per-edge partials with ONE
+    bucket_sum. Sink hosts contribute only their self target
+    (sigma = 1), mirrored by the oracle's sink self-rows."""
+    from ..stages.join import bucket_sum
+
+    names, A, src_codes = _host_graph(n_pages)
+    n = len(names)
+    S = len(src_codes)
+    state = ray.put(A)
+    sample = src_codes[np.argsort(names[src_codes])][:n_sources].astype(np.int64)
+
+    seeds = rd.from_arrow(pa.table({"s": pa.array(src_codes.astype(np.int64))}))
+
+    def fwd(t: pa.Table) -> pa.Table:
+        A_ = ray.get(state).astype(np.int64)
+        s = t["s"].to_numpy().astype(np.int64)
+        m = len(s)
+        dist = np.full((m, n), -1, np.int64)
+        sig = np.zeros((m, n), np.int64)
+        dist[np.arange(m), s] = 0
+        sig[np.arange(m), s] = 1
+        front = np.zeros((m, n), dtype=bool)
+        front[np.arange(m), s] = True
+        d = 0
+        while front.any() and d < max_rounds:
+            d += 1
+            contrib = (sig * front) @ A_
+            new = (contrib > 0) & (dist < 0)
+            sig = sig + np.where(new, contrib, 0)
+            dist[new] = d
+            front = new
+        rs, vs = np.nonzero(dist >= 0)
+        return pa.table(
+            {
+                "s": pa.array(s[rs]),
+                "v": pa.array(vs.astype(np.int64)),
+                "dist": pa.array(dist[rs, vs]),
+                "sigma": pa.array(sig[rs, vs]),
+            }
+        )
+
+    rows = seeds.map_batches(fwd, batch_format="pyarrow").to_pandas()
+    # full (n x n) dist/sigma: source-host rows from the sweep, sink
+    # rows are diagonal-only (a sink reaches nothing but itself)
+    Dx = np.full((n, n), -1, np.int64)
+    Gx = np.zeros((n, n), np.int64)
+    Dx[np.arange(n), np.arange(n)] = 0
+    Gx[np.arange(n), np.arange(n)] = 1
+    Dx[rows["s"].to_numpy(), rows["v"].to_numpy()] = rows["dist"].to_numpy()
+    Gx[rows["s"].to_numpy(), rows["v"].to_numpy()] = rows["sigma"].to_numpy()
+    assert Gx.max() < 1 << 30
+    eu, ew = np.nonzero(A)
+    mstate = ray.put((Dx, Gx, eu.astype(np.int64), ew.astype(np.int64)))
+
+    sbatch = rd.from_arrow(pa.table({"s": pa.array(sample)}))
+
+    def dep(t: pa.Table) -> pa.Table:
+        Dx_, Gx_, eu_, ew_ = ray.get(mstate)
+        bc = np.zeros(len(eu_), np.int64)
+        for s in t["s"].to_numpy():
+            ds = Dx_[s]  # dist s -> * (len n)
+            gs = Gx_[s]
+            dsu = ds[eu_]  # dist s -> u per edge
+            sig_su = gs[eu_]
+            dwt = Dx_[ew_, :]  # (edges, n) dist w -> t
+            sig_wt = Gx_[ew_, :]
+            cond = (
+                (dsu[:, None] >= 0)
+                & (dwt >= 0)
+                & (ds[None, :] >= 1)
+                & (dsu[:, None] + 1 + dwt == ds[None, :])
+            )
+            sig_st = gs[None, :]
+            term = np.where(
+                cond,
+                (2 * sig_su[:, None] * sig_wt * 1_000_000 + sig_st)
+                // np.where(cond, 2 * sig_st, 1),
+                0,
+            )
+            bc += term.sum(axis=1)
+        return pa.table(
+            {
+                "u": pa.array(eu_),
+                "w": pa.array(ew_),
+                "bc_e6": pa.array(bc),
+            }
+        )
+
+    agg = bucket_sum(
+        sbatch.map_batches(dep, batch_format="pyarrow"), ["u", "w"], ["bc_e6"], 8
+    ).to_pandas()  # bounded: one row per contracted edge
+    out = pd.DataFrame(
+        {
+            "src_host": names[agg["u"].to_numpy()],
+            "dst_host": names[agg["w"].to_numpy()],
+            "bc_e6": agg["bc_e6"].astype("int64"),
+        }
+    )
+    return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
