@@ -1597,6 +1597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_betweenness": T.q_host_betweenness,
         "host_pagerank_push": T.q_host_pagerank_push,
         "host_edge_betweenness": T.q_host_edge_betweenness,
+        "events_dedup_replay": T.q_events_dedup_replay,
+        "term_position_stats": T.q_term_position_stats,
         "events_window_hll": T.q_events_window_hll,
         "rank_spearman": T.q_rank_spearman,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -5272,6 +5274,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "events_dedup_replay": (
+            # planted retries (splitmix64(mix64(99, eid)) % 10 == 0),
+            # arrival keys ak1 = splitmix64(eid), ak2 =
+            # splitmix64(mix64(98, eid)); keep-first = min arrival
+            # key; survivor_sum pins which copy won
+            # (testdata.q_events_dedup_replay)
+            "WITH base AS (SELECT event_type, event_id::UBIGINT AS eid, "
+            f"  {_splitmix_cols('event_id::UBIGINT', 'ak1')}, "
+            f"  xor({(99 * _FNV64) % _M64}::UBIGINT, event_id::UBIGINT) AS a99, "
+            f"  {_splitmix_cols('a99', 'h99')}, "
+            f"  xor({(98 * _FNV64) % _M64}::UBIGINT, event_id::UBIGINT) AS a98, "
+            f"  {_splitmix_cols('a98', 'h98')} "
+            "  FROM events), "
+            "sv AS (SELECT event_type, "
+            "  CASE WHEN h99 % 10 = 0 THEN 2 ELSE 1 END AS ndel, "
+            "  CASE WHEN h99 % 10 = 0 THEN least(ak1, h98) ELSE ak1 END AS mak "
+            "  FROM base), "
+            "g AS (SELECT event_type, SUM(ndel)::BIGINT AS n_deliveries, "
+            "  count(*)::BIGINT AS n_unique, "
+            "  SUM((mak >> 32)::BIGINT)::BIGINT AS survivor_sum "
+            "  FROM sv GROUP BY 1) "
+            "SELECT event_type, n_deliveries, n_unique, survivor_sum, "
+            "((2 * (n_deliveries - n_unique) * 1000000 + n_deliveries) "
+            " // (2 * n_deliveries))::BIGINT AS dup_e6 FROM g"
+        ),
+        "term_position_stats": (
+            # 1-based first-occurrence positions via list_position
+            # (testdata.q_term_position_stats)
+            r"WITH lists AS (SELECT regexp_split_to_array(trim(text), '\s+') AS l "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "t AS (SELECT * FROM (VALUES ('hash'), ('join'), ('vector')) tt(term)), "
+            "hits AS (SELECT t.term, list_position(l, t.term) AS p "
+            "  FROM lists CROSS JOIN t WHERE list_position(l, t.term) > 0), "
+            "g AS (SELECT term, count(*)::BIGINT AS n_docs, "
+            "  SUM(p)::BIGINT AS sum_pos FROM hits GROUP BY term) "
+            "SELECT term, n_docs, sum_pos, "
+            "((2 * sum_pos * 1000000 + n_docs) // (2 * n_docs))::BIGINT AS avg_pos_e6 "
+            "FROM g"
         ),
         "host_edge_betweenness": (
             # sampled Girvan-Newman: per edge (u, w) and sampled s,

@@ -14794,3 +14794,93 @@ def q_host_edge_betweenness(
         }
     )
     return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def q_events_dedup_replay(sf_dir: str, n_buckets: int = 8):
+    """Exactly-once accounting under at-least-once delivery: 10% of
+    events are redelivered (retry iff splitmix64(mix64(99, event_id))
+    % 10 == 0 — the planted-duplicate harness, reproduced verbatim in
+    SQL), every delivery carries a counter-based arrival key
+    (splitmix64(event_id) for the original, splitmix64(mix64(98,
+    event_id)) for the retry), and the consumer keeps the FIRST
+    arrival per event_id. Per event type: deliveries, unique events,
+    the duplicate rate (half-up e6), and a survivor checksum
+    (sum of min-arrival-key >> 32) that pins WHICH copy won — the
+    keep-first semantics is hash-checked, not just the counts. A
+    delivery pair shares its input row, so survivors resolve locally
+    (zero shuffles); per-type partials driver-reduce."""
+    from ..utils import mix64, splitmix64
+
+    ds = _table(sf_dir, "events", ["event_id", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy().astype(np.uint64)
+        et = df["event_type"].astype(str).to_numpy()
+        ak1 = splitmix64(eid)
+        retried = mix64(np.uint64(99), eid) % np.uint64(10) == 0
+        ak2 = mix64(np.uint64(98), eid)
+        min_ak = np.where(retried, np.minimum(ak1, ak2), ak1)
+        g = pd.DataFrame(
+            {
+                "event_type": et,
+                "n_deliveries": 1 + retried.astype(np.int64),
+                "n_unique": np.ones(len(eid), np.int64),
+                "survivor_sum": (min_ak >> np.uint64(32)).astype(np.int64),
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    s = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    d = s["n_deliveries"].to_numpy().astype(np.int64)
+    u = s["n_unique"].to_numpy().astype(np.int64)
+    s["dup_e6"] = (2 * (d - u) * 1_000_000 + d) // (2 * d)
+    return s.astype(
+        {"n_deliveries": "int64", "n_unique": "int64",
+         "survivor_sum": "int64", "dup_e6": "int64"}
+    )
+
+
+def q_term_position_stats(sf_dir: str, terms: tuple = ("hash", "join", "vector")):
+    """Lead-bias statistics for a fixed query-term set: per term, how
+    many documents contain it and the average FIRST-occurrence
+    position (1-based token index, integer half-up e6) — whether a
+    term is headline material or buried. Vectorized explode +
+    per-doc min inside each batch; per-term (n_docs, sum_pos)
+    partials driver-reduce (bounded by |terms|)."""
+    terms_l = list(terms)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.strip()
+        keep = s != ""
+        toks = s[keep].str.split()
+        ex = toks.explode()
+        pos = ex.groupby(level=0).cumcount() + 1  # 1-based
+        rows = []
+        for t in terms_l:
+            hit = ex == t
+            if hit.any():
+                first = pos[hit].groupby(level=0).min()
+                rows.append((t, len(first), int(first.sum())))
+            else:
+                rows.append((t, 0, 0))
+        return pd.DataFrame(rows, columns=["term", "n_docs", "sum_pos"])
+
+    s = (
+        _table(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("term", as_index=False)
+        .sum()
+    )
+    s = s[s["n_docs"] > 0]
+    n = s["n_docs"].to_numpy().astype(np.int64)
+    sp = s["sum_pos"].to_numpy().astype(np.int64)
+    s["avg_pos_e6"] = (2 * sp * 1_000_000 + n) // (2 * n)
+    return s.astype(
+        {"n_docs": "int64", "sum_pos": "int64", "avg_pos_e6": "int64"}
+    ).sort_values("term").reset_index(drop=True)
