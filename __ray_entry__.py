@@ -1599,6 +1599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_edge_betweenness": T.q_host_edge_betweenness,
         "events_dedup_replay": T.q_events_dedup_replay,
         "term_position_stats": T.q_term_position_stats,
+        "lang_confusion": T.q_lang_confusion,
+        "cms_error": T.q_cms_error,
         "events_window_hll": T.q_events_window_hll,
         "rank_spearman": T.q_rank_spearman,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -5275,6 +5277,14 @@ def oracle_sql() -> dict[str, str]:
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
         ),
+        "lang_confusion": (
+            # the doc_langid oracle re-grouped against the true label
+            # (testdata.q_lang_confusion)
+            "SELECT d2.lang AS true_lang, p.lang_pred AS pred_lang, "
+            "count(*)::BIGINT AS n_docs "
+            f"FROM ({_langid_sql()}) p JOIN documents d2 USING (doc_id) "
+            "GROUP BY 1, 2"
+        ),
         "events_dedup_replay": (
             # planted retries (splitmix64(mix64(99, eid)) % 10 == 0),
             # arrival keys ak1 = splitmix64(eid), ak2 =
@@ -5655,4 +5665,23 @@ def oracle_sql() -> dict[str, str]:
     # Bloom prefilter + verify is EXACT (fps removed, fns impossible):
     # the plain anti-join oracle applies verbatim (testdata.q_antijoin_bloom).
     sql["antijoin_bloom"] = sql["lineitem_antijoin"]
+    # CMS point-estimate eval: probe the cms_user_counts register
+    # table (reused verbatim as a subquery) at the top-10 exact-count
+    # users' coordinates (testdata.q_cms_error)
+    sql["cms_error"] = (
+        "WITH ex AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1), "
+        "top AS (SELECT user_id, c FROM ex "
+        "  QUALIFY row_number() OVER (ORDER BY c DESC, user_id) <= 10), "
+        "co AS (SELECT t.user_id, t.c, rr.r, "
+        f"  {_wrap_mul('t.user_id::HUGEINT', _FNV64)} AS base, "
+        "  xor((base)::UBIGINT, rr.r::UBIGINT) AS x, "
+        f"  {_splitmix_cols('x', 'h')}, (h % 1024)::BIGINT AS reg "
+        "  FROM top t CROSS JOIN "
+        "  (SELECT r FROM unnest(generate_series(0, 3)) t2(r)) rr), "
+        f"regs AS (SELECT * FROM ({sql['cms_user_counts']})), "
+        "est AS (SELECT co.user_id, co.c, min(g.cnt) AS cms_est "
+        "  FROM co JOIN regs g ON g.r = co.r AND g.reg = co.reg GROUP BY 1, 2) "
+        "SELECT user_id::BIGINT AS user_id, c AS exact, cms_est::BIGINT AS cms_est, "
+        "(cms_est - c)::BIGINT AS overcount FROM est"
+    )
     return sql

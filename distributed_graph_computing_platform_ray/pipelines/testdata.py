@@ -14884,3 +14884,91 @@ def q_term_position_stats(sf_dir: str, terms: tuple = ("hash", "join", "vector")
     return s.astype(
         {"n_docs": "int64", "sum_pos": "int64", "avg_pos_e6": "int64"}
     ).sort_values("term").reset_index(drop=True)
+
+
+def q_lang_confusion(sf_dir: str):
+    """Confusion matrix of the n-gram language-ID heuristic against
+    the generator's true lang label: (true_lang, pred_lang, n_docs) —
+    the eval artifact that decides whether the cheap classifier is
+    good enough to gate a 100 TB corpus. Same stopword-hit kernel as
+    q_doc_langid (functions/text.py::lang_id_counts), regrouped per
+    batch into bounded langs^2 partials, driver-reduced."""
+    from ..functions.text import lang_id_counts
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        pred = [lang_id_counts(t)[0] for t in df["text"].astype(str)]
+        g = pd.DataFrame(
+            {"true_lang": df["lang"].astype(str).to_numpy(), "pred_lang": pred}
+        )
+        out = g.groupby(["true_lang", "pred_lang"], as_index=False).size()
+        return out.rename(columns={"size": "n_docs"})
+
+    s = (
+        _table(sf_dir, "documents", ["lang", "text"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby(["true_lang", "pred_lang"], as_index=False)["n_docs"]
+        .sum()
+    )
+    return s.astype({"n_docs": "int64"})
+
+
+def q_cms_error(sf_dir: str, k: int = 10):
+    """Count-Min sketch accuracy eval on the stream's heaviest keys:
+    the top-k users by EXACT event count (ties on user_id), each with
+    the CMS point estimate (min over the d=4 rows of the same
+    register table q_cms_user_counts builds) and the overcount
+    est - exact (>= 0 by the CMS guarantee — asserted). Exact counts
+    are one user-bucket_sum + a distributed sort-limit; the k probes
+    then read <= d*k registers via a broadcast coordinate filter —
+    the sketch is never materialized on the driver."""
+    from ..stages.join import bucket_sum
+    from ..utils import splitmix64
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "c": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    exact = bucket_sum(
+        _table(sf_dir, "events", ["user_id"]).map_batches(ones, batch_format="pyarrow"),
+        ["user_id"],
+        ["c"],
+        16,
+    )
+    top = (
+        exact.sort(["c", "user_id"], descending=[True, False]).limit(k).to_pandas()
+    )
+    uid = top["user_id"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        base = uid * np.uint64(1099511628211)
+    coords = set()
+    want = {}
+    for r in range(_CMS_D):
+        reg = (splitmix64(base ^ np.uint64(r)) % np.uint64(_CMS_W)).astype(np.int64)
+        for u, g in zip(top["user_id"], reg):
+            coords.add((r, int(g)))
+            want.setdefault(int(u), []).append((r, int(g)))
+    regs = q_cms_user_counts(sf_dir)
+    cset = ray.put(coords)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cset)
+        m = [(int(r), int(g)) in cs for r, g in zip(df["r"], df["reg"])]
+        return df[np.array(m, dtype=bool)] if len(df) else df
+
+    hit = regs.map_batches(pick, batch_format="pandas").to_pandas()  # <= d*k rows
+    table = {(int(r), int(g)): int(c) for r, g, c in zip(hit["r"], hit["reg"], hit["cnt"])}
+    est = np.array(
+        [min(table[c] for c in want[int(u)]) for u in top["user_id"]], dtype=np.int64
+    )
+    ex = top["c"].to_numpy().astype(np.int64)
+    assert (est >= ex).all(), "CMS underestimated — hash mismatch"
+    return pd.DataFrame(
+        {
+            "user_id": top["user_id"].astype("int64"),
+            "exact": ex,
+            "cms_est": est,
+            "overcount": est - ex,
+        }
+    )
