@@ -1601,6 +1601,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_position_stats": T.q_term_position_stats,
         "lang_confusion": T.q_lang_confusion,
         "cms_error": T.q_cms_error,
+        "customer_rfm": T.q_customer_rfm,
+        "shingle_df_curve": T.q_shingle_df_curve,
+        "events_state_violations": T.q_events_state_violations,
         "events_window_hll": T.q_events_window_hll,
         "rank_spearman": T.q_rank_spearman,
         # -- rows-only (no SQL oracle; pytest verifies vs oracles) ------
@@ -5276,6 +5279,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "customer_rfm": (
+            # per-nation NTILE(4) over (recency, frequency, monetary);
+            # R ordered ASC, F/M DESC, ties on custkey
+            # (testdata.q_customer_rfm)
+            "WITH mx AS (SELECT max(o_orderdate) AS m FROM orders), "
+            "agg AS (SELECT o_custkey, count(*)::BIGINT AS freq, "
+            "  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS monet_cents, "
+            "  ((epoch_us((SELECT m FROM mx)) - epoch_us(max(o_orderdate))) "
+            "   // 86400000000)::BIGINT AS r_days "
+            "  FROM orders GROUP BY 1), "
+            "j AS (SELECT a.o_custkey, a.r_days, a.freq, a.monet_cents, "
+            "  n.n_name AS nation FROM agg a "
+            "  JOIN customer c ON c.c_custkey = a.o_custkey "
+            "  JOIN nation n ON n.n_nationkey = c.c_nationkey) "
+            "SELECT o_custkey AS c_custkey, nation, r_days, freq, monet_cents, "
+            "(NTILE(4) OVER (PARTITION BY nation ORDER BY r_days, o_custkey) * 100 "
+            " + NTILE(4) OVER (PARTITION BY nation ORDER BY freq DESC, o_custkey) * 10 "
+            " + NTILE(4) OVER (PARTITION BY nation ORDER BY monet_cents DESC, o_custkey)"
+            ")::BIGINT AS rfm_code FROM j"
+        ),
+        "shingle_df_curve": (
+            # df histogram over trigram STRINGS (engine groups by
+            # 64-bit shingle hash) (testdata.q_shingle_df_curve)
+            "WITH lists AS (SELECT doc_id, "
+            r"  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l "
+            "  FROM documents), "
+            "tri0 AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g "
+            "  FROM lists, LATERAL unnest(generate_series(1, "
+            "  greatest(len(l) - 2, 0))) t(i)), "
+            "tri AS (SELECT DISTINCT doc_id, g FROM tri0), "
+            "dfs AS (SELECT g, count(*)::BIGINT AS df FROM tri GROUP BY g) "
+            "SELECT df, count(*)::BIGINT AS n_shingles FROM dfs GROUP BY df"
+        ),
+        "events_state_violations": (
+            # first purchase strictly before first signup, both firsts
+            # by (ts, event_id) (testdata.q_events_state_violations)
+            "WITH p AS (SELECT user_id, event_id, ts FROM events "
+            "  WHERE event_type = 'purchase' "
+            "  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1), "
+            "s AS (SELECT user_id, event_id, ts FROM events "
+            "  WHERE event_type = 'signup' "
+            "  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1) "
+            "SELECT p.user_id, p.event_id AS first_purchase_id, "
+            "COALESCE(s.event_id, -1)::BIGINT AS first_signup_id "
+            "FROM p LEFT JOIN s USING (user_id) "
+            "WHERE s.user_id IS NULL OR p.ts < s.ts "
+            "   OR (p.ts = s.ts AND p.event_id < s.event_id)"
         ),
         "lang_confusion": (
             # the doc_langid oracle re-grouped against the true label

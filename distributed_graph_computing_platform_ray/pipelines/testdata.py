@@ -14972,3 +14972,216 @@ def q_cms_error(sf_dir: str, k: int = 10):
             "overcount": est - ex,
         }
     )
+
+
+def q_customer_rfm(sf_dir: str, n_buckets: int = 16):
+    """RFM segmentation (recency / frequency / monetary) with
+    per-nation NTILE(4) quartile codes — the classic customer-scoring
+    mart. Per-customer aggregates come from ONE custkey-bucket
+    shuffle (a customer's orders land whole); the global max order
+    date is a per-batch max driver-reduce; nation attaches from the
+    broadcast dims; the three NTILEs run in ONE nation-bucket shuffle
+    with the bit-exact first-groups-get-the-remainder sizing
+    (q_order_quartiles' kernel), R ordered (r_days ASC, custkey), F/M
+    ordered (metric DESC, custkey). rfm_code = R*100 + F*10 + M."""
+    from ..stages.join import add_bucket
+
+    src = _table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    mx = int(
+        src.map_batches(
+            lambda df: pd.DataFrame({"m": [_ts_us(df["o_orderdate"]).max()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+
+    def cust_agg(g: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(g["o_orderdate"])
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        d = pd.DataFrame(
+            {"o_custkey": g["o_custkey"].to_numpy(), "cents": cents, "ts": ts}
+        )
+        out = d.groupby("o_custkey", as_index=False).agg(
+            freq=("cents", "size"), monet_cents=("cents", "sum"), mts=("ts", "max")
+        )
+        out["r_days"] = (mx - out["mts"]) // 86_400_000_000
+        return out[["o_custkey", "r_days", "freq", "monet_cents"]].astype("int64")
+
+    agg = _BMG(add_bucket(src, ["o_custkey"], n_buckets), n_buckets, cust_agg, "pandas")
+
+    cust_df = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat_df = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    c2n = pd.Series(cust_df["c_nationkey"].to_numpy(), index=cust_df["c_custkey"].to_numpy())
+    nk2name = dict(zip(nat_df["n_nationkey"].astype(int), nat_df["n_name"]))
+    c2n_ref = ray.put(c2n)
+    n2n_ref = ray.put(nk2name)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        c2n_l = ray.get(c2n_ref)
+        names = ray.get(n2n_ref)
+        nk = c2n_l.reindex(df["o_custkey"].to_numpy()).to_numpy()
+        keep = ~pd.isna(nk)
+        out = df[keep].copy()
+        out["nation"] = [names[int(x)] for x in nk[keep]]
+        return out
+
+    def _ntile4(r: np.ndarray, n: int) -> np.ndarray:
+        big = n % 4
+        sb = n // 4 + 1
+        q = np.where(
+            r <= big * sb,
+            (r - 1) // sb,
+            big + (r - big * sb - 1) // max(n // 4, 1),
+        )
+        return (q + 1).astype(np.int64)
+
+    def rfm_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("nation", sort=False):
+            n = len(grp)
+            ck = grp["o_custkey"].to_numpy()
+            rq = np.empty(n, np.int64)
+            rq[np.lexsort((ck, grp["r_days"].to_numpy()))] = _ntile4(
+                np.arange(1, n + 1), n
+            )
+            fq = np.empty(n, np.int64)
+            fq[np.lexsort((ck, -grp["freq"].to_numpy()))] = _ntile4(
+                np.arange(1, n + 1), n
+            )
+            mq = np.empty(n, np.int64)
+            mq[np.lexsort((ck, -grp["monet_cents"].to_numpy()))] = _ntile4(
+                np.arange(1, n + 1), n
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "c_custkey": ck,
+                        "nation": grp["nation"].to_numpy(),
+                        "r_days": grp["r_days"].to_numpy(),
+                        "freq": grp["freq"].to_numpy(),
+                        "monet_cents": grp["monet_cents"].to_numpy(),
+                        "rfm_code": rq * 100 + fq * 10 + mq,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "nation": pd.Series([], dtype=str),
+                    "r_days": pd.Series([], dtype="int64"),
+                    "freq": pd.Series([], dtype="int64"),
+                    "monet_cents": pd.Series([], dtype="int64"),
+                    "rfm_code": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    with_nat = agg.map_batches(attach, batch_format="pandas")
+    return _BMG(add_bucket(with_nat, ["nation"], 8), 8, rfm_kernel, "pandas")
+
+
+def q_shingle_df_curve(sf_dir: str, n_buckets: int = 16):
+    """Document-frequency histogram of word trigram shingles: how
+    many shingles occur in exactly df documents — the curve that sets
+    the dedup joins' df_cap (the [2, 128] window in doc_containment /
+    ngram_jaccard). Postings are (doc, shingle-hash) distinct; ONE
+    shingle-bucket shuffle computes df, one tiny df-bucket sum builds
+    the histogram. The oracle counts over trigram STRINGS — identical
+    groups barring 64-bit collisions."""
+    from ..functions.text import shingle_hashes
+    from ..stages.join import bucket_sum
+
+    def postings(t: pa.Table) -> pa.Table:
+        out_sh = []
+        for txt in t["text"].to_pylist():
+            sh = shingle_hashes(str(txt), 3)
+            out_sh.append(sh.astype(np.int64))
+        cat = np.concatenate(out_sh) if out_sh else np.empty(0, np.int64)
+        return pa.table(
+            {"sh": pa.array(cat), "one": pa.array(np.ones(len(cat), np.int64))}
+        )
+
+    dfs = bucket_sum(
+        _table(sf_dir, "documents", ["text"]).map_batches(
+            postings, batch_format="pyarrow"
+        ),
+        ["sh"],
+        ["one"],
+        n_buckets,
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "df": t["one"],
+                "n_shingles": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return bucket_sum(
+        dfs.map_batches(hist, batch_format="pyarrow"), ["df"], ["n_shingles"], 4
+    )
+
+
+def q_events_state_violations(sf_dir: str, n_buckets: int = 8):
+    """Protocol-order audit: users whose FIRST purchase precedes
+    their FIRST signup (or who purchase without ever signing up) —
+    the state-machine validity check a clickstream warehouse runs on
+    ingest. First-by-(ts, event_id) per type inside ONE user-bucket
+    shuffle; output one row per violating user with both event ids
+    (first_signup_id = -1 when absent)."""
+    from ..stages.join import add_bucket
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "first_purchase_id": pd.Series([], dtype="int64"),
+                "first_signup_id": pd.Series([], dtype="int64"),
+            }
+        )
+        ts = _ts_us(g["ts"])
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        d = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[order],
+                "event_id": g["event_id"].to_numpy()[order],
+                "ts_us": ts[order],
+                "et": g["event_type"].to_numpy()[order],
+            }
+        )
+        firsts = (
+            d[d["et"].isin(["purchase", "signup"])]
+            .groupby(["user_id", "et"], as_index=False)
+            .first()  # rows already in (ts, event_id) order per user
+            .pivot(index="user_id", columns="et", values=["event_id", "ts_us"])
+        )
+        if ("event_id", "purchase") not in firsts.columns:
+            return empty
+        p_id = firsts[("event_id", "purchase")]
+        p_ts = firsts[("ts_us", "purchase")]
+        if ("event_id", "signup") in firsts.columns:
+            s_id = firsts[("event_id", "signup")]
+            s_ts = firsts[("ts_us", "signup")]
+        else:
+            s_id = pd.Series(np.nan, index=firsts.index)
+            s_ts = pd.Series(np.nan, index=firsts.index)
+        # violation: purchased, and first purchase (ts, id) < first signup
+        bad = p_id.notna() & (
+            s_id.isna()
+            | (p_ts < s_ts)
+            | ((p_ts == s_ts) & (p_id < s_id))
+        )
+        return pd.DataFrame(
+            {
+                "user_id": firsts.index.to_numpy()[bad].astype(np.int64),
+                "first_purchase_id": p_id[bad].astype("int64").to_numpy(),
+                "first_signup_id": s_id[bad].fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+
+    src = _table(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    return _BMG(add_bucket(src, ["user_id"], n_buckets), n_buckets, kernel, "pandas")
