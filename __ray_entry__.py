@@ -369,6 +369,67 @@ def _PAGE_URL(x: str) -> str:
     return f"printf('https://site-%05d.example/p/%04d', ({x}) // 16, ({x}) % 16)"
 
 
+def _host_sv_ctes() -> str:
+    """Shared CTE chain ending at ``sv(s, v, dist, sigma)``: all-pairs
+    shortest-path distance AND path count over the contracted host
+    graph via ONE walk-count recursion (wk counts length-l walks; the
+    FIRST level with a nonzero count is the shortest-path distance and
+    its count the number of shortest paths). A single recursion
+    referencing only the cheap generator chain — the earlier
+    two-recursion form (Bellman-Ford dist + level-indexed sigma)
+    re-evaluated the full dist recursion at every sigma level, ~90 s.
+    Walk counts are capped at l < 8 (structural contraction diameter
+    is 3; max level-7 count measured 2.8e10, far inside HUGEINT)."""
+    return (
+        f"{_pages_edges_cte()}, "
+        "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+        "       split_part(dst, '/', 3) AS dh FROM e "
+        "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+        "hs AS (SELECT DISTINCT sh AS h FROM he), "
+        "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
+        "       UNION ALL SELECT dh FROM he)), "
+        "wk AS ( "
+        "  SELECT h AS s, h AS v, 0 AS l, 1::HUGEINT AS c FROM hs "
+        "  UNION ALL "
+        "  SELECT w.s, e2.dh, w.l + 1, SUM(w.c) "
+        "  FROM wk w JOIN he e2 ON e2.sh = w.v "
+        "  WHERE w.l < 7 GROUP BY w.s, e2.dh, w.l), "
+        "sv AS (SELECT s, v, l AS dist, c::BIGINT AS sigma FROM wk "
+        "  QUALIFY row_number() OVER (PARTITION BY s, v ORDER BY l) = 1)"
+    )
+
+
+def _host_ebt_ctes() -> str:
+    """Shared CTE chain ending at ``agg(u, w, bc_e6)``: dist/sigma via
+    _host_sv_ctes plus the sampled Girvan-Newman edge-dependency sums —
+    used by both host_edge_betweenness and gn_communities (which cuts
+    the top edges and then label-propagates)."""
+    return (
+        f"{_host_sv_ctes()}, "
+        "hs10 AS (SELECT h FROM hs ORDER BY h LIMIT 10), "
+        "svx AS (SELECT s, v, dist, sigma FROM sv "
+        "  UNION ALL SELECT h, h, 0, 1::BIGINT FROM vs "
+        "  WHERE h NOT IN (SELECT h FROM hs)), "
+        # sampled-source slices (10 x hosts rows) so the dependency
+        # join never touches the full sv x sv cross — the naive form
+        # let the optimizer build a 60M-row intermediate (~90 s)
+        "d1f AS (SELECT s, v, dist, sigma FROM sv "
+        "  WHERE s IN (SELECT h FROM hs10)), "
+        "d3f AS (SELECT s, v AS t, dist, sigma FROM sv "
+        "  WHERE s IN (SELECT h FROM hs10) AND dist >= 1), "
+        "tm AS ( "
+        "  SELECT e3.sh AS u, e3.dh AS w, "
+        "    (2 * d1.sigma * d2.sigma * 1000000 + d3.sigma) "
+        "    // (2 * d3.sigma) AS term "
+        "  FROM he e3 "
+        "  JOIN d1f d1 ON d1.v = e3.sh "
+        "  JOIN svx d2 ON d2.s = e3.dh "
+        "  JOIN d3f d3 ON d3.s = d1.s AND d3.t = d2.v "
+        "    AND d3.dist = d1.dist + 1 + d2.dist), "
+        "agg AS (SELECT u, w, SUM(term)::BIGINT AS bc_e6 FROM tm GROUP BY u, w)"
+    )
+
+
 def _pages_edges_cte(n: int = 2000, seed: int = 42, prefix: str = "") -> str:
     """Shared CTE chain ending at ``e(src, dst)``: the deterministic
     page generator's DISTINCT page-level link edges, rebuilt in SQL
@@ -1602,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": T.q_lang_confusion,
         "cms_error": T.q_cms_error,
         "customer_rfm": T.q_customer_rfm,
+        "gn_communities": T.q_gn_communities,
         "shingle_df_curve": T.q_shingle_df_curve,
         "events_state_violations": T.q_events_state_violations,
         "events_window_hll": T.q_events_window_hll,
@@ -5381,48 +5443,39 @@ def oracle_sql() -> dict[str, str]:
             # sigma_su * sigma_wt / sigma_st with
             # dist(s,u) + 1 + dist(w,t) = dist(s,t); sinks contribute
             # self targets via svx (testdata.q_host_edge_betweenness)
-            f"WITH RECURSIVE {_pages_edges_cte()}, "
-            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
-            "       split_part(dst, '/', 3) AS dh FROM e "
-            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
-            "hs AS (SELECT DISTINCT sh AS h FROM he), "
-            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
-            "       UNION ALL SELECT dh FROM he)), "
-            "hs10 AS (SELECT h FROM hs ORDER BY h LIMIT 10), "
-            "relax AS (SELECT sh, dh, 1 AS w FROM he "
-            "          UNION ALL SELECT h, h, 0 FROM vs), "
-            "bf AS ( "
-            "  SELECT 0 AS it, h AS s, h AS v, 0 AS dist FROM hs "
-            "  UNION ALL "
-            "  SELECT p.it + 1, p.s, r.dh, MIN(p.dist + r.w) FROM bf p "
-            "  JOIN relax r ON r.sh = p.v WHERE p.it < 20 "
-            "  GROUP BY p.it, p.s, r.dh), "
-            "dd AS (SELECT s, v, dist FROM bf WHERE it = 20), "
-            "sig AS ( "
-            "  SELECT h AS s, h AS v, 0 AS l, 1::BIGINT AS sigma FROM hs "
-            "  UNION ALL "
-            "  SELECT g.s, e2.dh, g.l + 1, SUM(g.sigma) "
-            "  FROM sig g JOIN he e2 ON e2.sh = g.v "
-            "  JOIN dd d2 ON d2.s = g.s AND d2.v = e2.dh AND d2.dist = g.l + 1 "
-            "  WHERE g.l < 20 GROUP BY g.s, e2.dh, g.l), "
-            "sv AS (SELECT s, v, l AS dist, sigma FROM sig), "
-            "svx AS (SELECT s, v, dist, sigma FROM sv "
-            "  UNION ALL SELECT h, h, 0, 1::BIGINT FROM vs "
-            "  WHERE h NOT IN (SELECT h FROM hs)), "
-            "tm AS ( "
-            "  SELECT e3.sh AS u, e3.dh AS w, "
-            "    (2 * d1.sigma * d2.sigma * 1000000 + d3.sigma) "
-            "    // (2 * d3.sigma) AS term "
-            "  FROM he e3 "
-            "  JOIN sv d1 ON d1.v = e3.sh "
-            "  JOIN hs10 ON hs10.h = d1.s "
-            "  JOIN svx d2 ON d2.s = e3.dh "
-            "  JOIN sv d3 ON d3.s = d1.s AND d3.v = d2.v "
-            "  WHERE d3.dist >= 1 AND d1.dist + 1 + d2.dist = d3.dist), "
-            "agg AS (SELECT u, w, SUM(term)::BIGINT AS bc_e6 FROM tm GROUP BY u, w) "
+            f"WITH RECURSIVE {_host_ebt_ctes()} "
             "SELECT e4.sh AS src_host, e4.dh AS dst_host, "
             "COALESCE(a.bc_e6, 0)::BIGINT AS bc_e6 "
             "FROM he e4 LEFT JOIN agg a ON a.u = e4.sh AND a.w = e4.dh"
+        ),
+        "gn_communities": (
+            # one GN step: cut the 20 highest-bc edges (ties bc DESC,
+            # src, dst), then 20 fixed rounds of undirected min-label
+            # propagation. The recursive term re-evaluates every CTE
+            # it references each round, so it touches ONLY the cheap
+            # generator chain (he/vs, ~0.1 s) — the expensive
+            # betweenness chain runs once in the ANCHOR, serialized
+            # into a carried `cut` string (testdata.q_gn_communities)
+            f"WITH RECURSIVE {_host_ebt_ctes()}, "
+            "ebt AS (SELECT e4.sh, e4.dh, COALESCE(a.bc_e6, 0) AS bc "
+            "  FROM he e4 LEFT JOIN agg a ON a.u = e4.sh AND a.w = e4.dh), "
+            "dropd AS (SELECT sh, dh FROM ebt "
+            "  QUALIFY row_number() OVER (ORDER BY bc DESC, sh, dh) <= 20), "
+            "lp AS ( "
+            "  SELECT 0 AS it, h AS v, h AS lab, "
+            "    (SELECT string_agg(';' || sh || '|' || dh || ';', '') "
+            "     FROM dropd) AS cut "
+            "  FROM vs "
+            "  UNION ALL "
+            "  SELECT p.it + 1, r2.b, MIN(p.lab), MAX(p.cut) "
+            "  FROM lp p JOIN ( "
+            "    SELECT sh AS a, dh AS b, sh || '|' || dh AS k FROM he "
+            "    UNION ALL SELECT dh, sh, sh || '|' || dh FROM he "
+            "    UNION ALL SELECT h, h, '' FROM vs) r2 ON r2.a = p.v "
+            "  WHERE p.it < 20 "
+            "    AND (r2.k = '' OR strpos(p.cut, ';' || r2.k || ';') = 0) "
+            "  GROUP BY p.it, r2.b) "
+            "SELECT v AS host, lab AS community FROM lp WHERE it = 20"
         ),
         "host_pagerank_push": (
             # synchronized integer forward push: self-loop rows carry
@@ -5455,34 +5508,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v AS host, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
         ),
         "host_betweenness": (
-            # all-pairs dist via the capped Bellman-Ford, path counts
-            # via a level-indexed second recursion along BFS-DAG
-            # edges, then the pair-dependency sum with PER-TERM
-            # half-up e6 (testdata.q_host_betweenness)
-            f"WITH RECURSIVE {_pages_edges_cte()}, "
-            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
-            "       split_part(dst, '/', 3) AS dh FROM e "
-            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
-            "hs AS (SELECT DISTINCT sh AS h FROM he), "
-            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
-            "       UNION ALL SELECT dh FROM he)), "
-            "relax AS (SELECT sh, dh, 1 AS w FROM he "
-            "          UNION ALL SELECT h, h, 0 FROM vs), "
-            "bf AS ( "
-            "  SELECT 0 AS it, h AS s, h AS v, 0 AS dist FROM hs "
-            "  UNION ALL "
-            "  SELECT p.it + 1, p.s, r.dh, MIN(p.dist + r.w) FROM bf p "
-            "  JOIN relax r ON r.sh = p.v WHERE p.it < 20 "
-            "  GROUP BY p.it, p.s, r.dh), "
-            "dd AS (SELECT s, v, dist FROM bf WHERE it = 20), "
-            "sig AS ( "
-            "  SELECT h AS s, h AS v, 0 AS l, 1::BIGINT AS sigma FROM hs "
-            "  UNION ALL "
-            "  SELECT g.s, e2.dh, g.l + 1, SUM(g.sigma) "
-            "  FROM sig g JOIN he e2 ON e2.sh = g.v "
-            "  JOIN dd d2 ON d2.s = g.s AND d2.v = e2.dh AND d2.dist = g.l + 1 "
-            "  WHERE g.l < 20 GROUP BY g.s, e2.dh, g.l), "
-            "sv AS (SELECT s, v, l AS dist, sigma FROM sig), "
+            # all-pairs dist + path counts via the single walk-count
+            # recursion (_host_sv_ctes), then the pair-dependency sum
+            # with PER-TERM half-up e6 (testdata.q_host_betweenness)
+            f"WITH RECURSIVE {_host_sv_ctes()}, "
             "tm AS ( "
             "  SELECT d1.v AS v, "
             "    (2 * d1.sigma * d2.sigma * 1000000 + d3.sigma) "

@@ -14545,7 +14545,7 @@ def q_rank_spearman(sf_dir: str):
     )
 
 
-def q_host_betweenness(sf_dir: str, n_pages: int = 2000, max_rounds: int = 20):
+def q_host_betweenness(sf_dir: str, n_pages: int = 2000, max_rounds: int = 7):
     """EXACT directed betweenness centrality over the contracted host
     graph (Brandes' pair-dependency sum, NOT the all-integer stress
     variant): bc(v) = sum over (s, t), s != v != t, with
@@ -14684,7 +14684,7 @@ def q_host_pagerank_push(sf_dir: str, n_pages: int = 2000, rounds: int = 12):
 
 
 def q_host_edge_betweenness(
-    sf_dir: str, n_pages: int = 2000, n_sources: int = 10, max_rounds: int = 20
+    sf_dir: str, n_pages: int = 2000, n_sources: int = 10, max_rounds: int = 7
 ):
     """SAMPLED Girvan-Newman edge betweenness over the contracted
     host graph: for each directed host edge (u, w) and each of the
@@ -15185,3 +15185,47 @@ def q_events_state_violations(sf_dir: str, n_buckets: int = 8):
 
     src = _table(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
     return _BMG(add_bucket(src, ["user_id"], n_buckets), n_buckets, kernel, "pandas")
+
+
+def q_gn_communities(
+    sf_dir: str, n_pages: int = 2000, n_cut: int = 20, rounds: int = 20
+):
+    """ONE Girvan-Newman step: delete the n_cut host edges with the
+    highest sampled edge betweenness (ties bc DESC, src, dst — the
+    community-cutting edges), then label the remaining UNDIRECTED
+    host graph by min-label propagation run a FIXED `rounds` rounds
+    (fixpoint-stable: both sides apply identical updates, so an
+    unconverged cap still matches; observed undirected diameter is
+    far below 20). community = lexicographically smallest reachable
+    host. Reuses the q_host_edge_betweenness pipeline for scores;
+    the cut + propagation run on the bounded contracted graph."""
+    ebt = q_host_edge_betweenness(sf_dir, n_pages=n_pages)
+    order = np.lexsort(
+        (ebt["dst_host"].to_numpy(), ebt["src_host"].to_numpy(),
+         -ebt["bc_e6"].to_numpy())
+    )
+    cut = set(
+        zip(
+            ebt["src_host"].to_numpy()[order[:n_cut]],
+            ebt["dst_host"].to_numpy()[order[:n_cut]],
+        )
+    )
+    keep = [
+        (s, d)
+        for s, d in zip(ebt["src_host"], ebt["dst_host"])
+        if (s, d) not in cut
+    ]
+    names, _, _ = _host_graph(n_pages)
+    code = {h: i for i, h in enumerate(names)}
+    n = len(names)
+    U = np.zeros((n, n), dtype=bool)
+    for s, d in keep:
+        U[code[s], code[d]] = True
+        U[code[d], code[s]] = True
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        m = np.where(U, lab[None, :], n).min(axis=1)
+        lab = np.minimum(lab, m)
+    return pd.DataFrame(
+        {"host": names, "community": names[lab]}
+    ).sort_values("host").reset_index(drop=True)
