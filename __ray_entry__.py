@@ -1664,6 +1664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_error": T.q_cms_error,
         "customer_rfm": T.q_customer_rfm,
         "gn_communities": T.q_gn_communities,
+        "orders_yoy": T.q_orders_yoy,
+        "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
         "events_state_violations": T.q_events_state_violations,
         "events_window_hll": T.q_events_window_hll,
@@ -5341,6 +5343,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "orders_yoy": (
+            # YoY self-join on (year-1, month); -1 when no prior year
+            # (testdata.q_orders_yoy)
+            "WITH s AS (SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS y, "
+            "  EXTRACT(month FROM o_orderdate)::BIGINT AS m, "
+            "  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents "
+            "  FROM orders GROUP BY 1, 2) "
+            "SELECT s.y, s.m, s.rev_cents, "
+            "COALESCE((2 * s.rev_cents * 1000000 + p.rev_cents) "
+            "  // (2 * p.rev_cents), -1)::BIGINT AS yoy_e6 "
+            "FROM s LEFT JOIN s p ON p.y = s.y - 1 AND p.m = s.m"
+        ),
+        "host_sim_topk": (
+            # per-host argmax of exact out-neighbor Jaccard over
+            # candidate pairs (ties j DESC, partner ASC)
+            # (testdata.q_host_sim_topk)
+            f"WITH {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "sizes AS (SELECT sh, count(*) AS n FROM he GROUP BY sh), "
+            "inter AS (SELECT x.sh AS a, y.sh AS b, count(*) AS i "
+            "  FROM he x JOIN he y ON x.dh = y.dh AND x.sh < y.sh GROUP BY 1, 2), "
+            "pj AS (SELECT a, b, "
+            "  (2*i*1000000 + (sa.n + sb.n - i)) // (2*(sa.n + sb.n - i)) AS j "
+            "  FROM inter JOIN sizes sa ON sa.sh = a JOIN sizes sb ON sb.sh = b), "
+            "sym AS (SELECT a AS host, b AS other, j FROM pj "
+            "  UNION ALL SELECT b, a, j FROM pj) "
+            "SELECT host, other AS best_match, j::BIGINT AS jaccard_e6 FROM sym "
+            "QUALIFY row_number() OVER (PARTITION BY host ORDER BY j DESC, other) = 1"
         ),
         "customer_rfm": (
             # per-nation NTILE(4) over (recency, frequency, monetary);

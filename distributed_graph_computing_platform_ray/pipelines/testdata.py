@@ -15229,3 +15229,64 @@ def q_gn_communities(
     return pd.DataFrame(
         {"host": names, "community": names[lab]}
     ).sort_values("host").reset_index(drop=True)
+
+
+def q_orders_yoy(sf_dir: str, n_buckets: int = 8):
+    """Year-over-year revenue growth per calendar month: revenue in
+    cents per (year, month) plus yoy_e6 = half-up rev * 1e6 /
+    same-month-previous-year revenue (rows without a prior year are
+    emitted with yoy_e6 = -1) — the seasonality-corrected trend
+    readout. ONE (year, month)-bucket sum; the YoY self-join runs on
+    the bounded month table."""
+    from ..stages.join import bucket_sum
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df["o_orderdate"])
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"y": d.dt.year.astype(np.int64),
+                          "m": d.dt.month.astype(np.int64), "rev_cents": cents})
+        return g.groupby(["y", "m"], as_index=False).sum()
+
+    s = bucket_sum(
+        _table(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            part, batch_format="pandas"
+        ),
+        ["y", "m"],
+        ["rev_cents"],
+        n_buckets,
+    ).to_pandas()  # bounded: one row per calendar month
+    prev = s.rename(columns={"rev_cents": "prev_cents"}).assign(y=s["y"] + 1)
+    m = s.merge(prev, on=["y", "m"], how="left")
+    rev = m["rev_cents"].to_numpy().astype(np.int64)
+    pv = m["prev_cents"].fillna(0).astype("int64").to_numpy()
+    yoy = np.where(pv > 0, (2 * rev * 1_000_000 + np.maximum(pv, 1)) // (2 * np.maximum(pv, 1)), -1)
+    out = pd.DataFrame(
+        {"y": m["y"].astype("int64"), "m": m["m"].astype("int64"),
+         "rev_cents": rev, "yoy_e6": yoy}
+    )
+    return out.sort_values(["y", "m"]).reset_index(drop=True)
+
+
+def q_host_sim_topk(sf_dir: str, n_pages: int = 2000):
+    """Related-site recommendation: for every host with >= 1 candidate
+    (a host sharing an out-neighbor), its MOST similar host by exact
+    out-neighbor Jaccard (ties: higher jaccard first, then
+    lexicographically smallest partner). Reuses the
+    q_host_neighbor_jaccard pair pipeline (one dst-bucket pair
+    expansion), symmetrizes the bounded pair table, and takes the
+    per-host argmax."""
+    pairs = q_host_neighbor_jaccard(sf_dir, n_pages=n_pages)
+    sym = pd.concat(
+        [
+            pairs.rename(columns={"a": "host", "b": "other"}),
+            pairs.rename(columns={"b": "host", "a": "other"}),
+        ],
+        ignore_index=True,
+    )[["host", "other", "jaccard_e6"]]
+    sym = sym.sort_values(
+        ["host", "jaccard_e6", "other"], ascending=[True, False, True]
+    )
+    best = sym.groupby("host", as_index=False).first()
+    return best.rename(columns={"other": "best_match"}).astype(
+        {"jaccard_e6": "int64"}
+    )
