@@ -1664,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_error": T.q_cms_error,
         "customer_rfm": T.q_customer_rfm,
         "gn_communities": T.q_gn_communities,
+        "events_hll_error": T.q_events_hll_error,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5781,6 +5782,24 @@ def oracle_sql() -> dict[str, str]:
     # CMS point-estimate eval: probe the cms_user_counts register
     # table (reused verbatim as a subquery) at the top-10 exact-count
     # users' coordinates (testdata.q_cms_error)
+    # all-integer HLL estimate vs exact distinct per day; reuses the
+    # events_window_hll register query verbatim as a subquery
+    # (testdata.q_events_hll_error)
+    _hll_a = 721_253 * 65_536 * (1 << 57)
+    sql["events_hll_error"] = (
+        "WITH regs AS (SELECT * FROM (" + sql["events_window_hll"] + ")), "
+        "ss AS (SELECT win, "
+        "  SUM((1::UBIGINT << (57 - rho))::HUGEINT)::HUGEINT "
+        "  + (256 - count(*))::HUGEINT * 144115188075855872::HUGEINT AS s "
+        "  FROM regs GROUP BY win), "
+        "ex AS (SELECT (epoch_us(ts) // 86400000000)::BIGINT AS win, "
+        "  count(DISTINCT user_id)::BIGINT AS exact_users FROM events GROUP BY 1), "
+        "sel AS (SELECT e.win, e.exact_users, "
+        f"  ({_hll_a}::HUGEINT // (1000000::HUGEINT * ss.s))::BIGINT AS hll_est "
+        "  FROM ex e JOIN ss USING (win)) "
+        "SELECT win, exact_users, hll_est, "
+        "(hll_est - exact_users)::BIGINT AS err FROM sel"
+    )
     sql["cms_error"] = (
         "WITH ex AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1), "
         "top AS (SELECT user_id, c FROM ex "

@@ -15290,3 +15290,69 @@ def q_host_sim_topk(sf_dir: str, n_pages: int = 2000):
     return best.rename(columns={"other": "best_match"}).astype(
         {"jaccard_e6": "int64"}
     )
+
+
+def q_events_hll_error(sf_dir: str):
+    """HyperLogLog accuracy eval per tumbling day: the ALL-INTEGER
+    HLL estimate vs the exact distinct-user count. The harmonic sum
+    is computed as the exact integer sum of 2^(57 - rho) (rho <= 57
+    for p=8), and the estimate as alpha_e6 * m^2 * 2^57 //
+    (1e6 * sum_scaled) with alpha_e6 = 721253 (the 0.7213/(1 +
+    1.079/m) constant fixed at e6) — float-free, so the SQL oracle
+    replays it bit-for-bit (a float harmonic mean would be
+    summation-order-sensitive: powers of two spanning 56 bits do not
+    sum exactly in doubles). Missing registers contribute rho = 0
+    (2^57 each). Registers reuse q_events_window_hll's partials;
+    exact counts are one (win, user) distinct + count."""
+    from ..stages.join import bucket_sum, distinct
+
+    regs = q_events_window_hll(sf_dir).to_pandas()  # bounded: days x 256
+    m = 1 << _HLL_P
+    sum_scaled = {}
+    for win, g in regs.groupby("win"):
+        s = int((1 << (57 - g["rho"].to_numpy().astype(np.int64))).sum())
+        s += (m - len(g)) * (1 << 57)  # absent registers: rho = 0
+        sum_scaled[int(win)] = s
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        win = _ts_us(df["ts"]) // 86_400_000_000
+        return pd.DataFrame(
+            {"win": win, "user_id": df["user_id"].astype("int64")}
+        ).drop_duplicates()
+
+    uniq = distinct(
+        _table(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            pairs, batch_format="pandas"
+        ),
+        ["win", "user_id"],
+        8,
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"win": t["win"], "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    exact = (
+        bucket_sum(uniq.map_batches(ones, batch_format="pyarrow"), ["win"], ["one"], 4)
+        .to_pandas()
+        .rename(columns={"one": "exact_users"})
+        .sort_values("win")
+    )
+    alpha_e6 = 721_253
+    est = np.array(
+        [
+            (alpha_e6 * m * m * (1 << 57)) // (1_000_000 * sum_scaled[int(w)])
+            for w in exact["win"]
+        ],
+        dtype=np.int64,
+    )
+    ex = exact["exact_users"].to_numpy().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "win": exact["win"].astype("int64"),
+            "exact_users": ex,
+            "hll_est": est,
+            "err": est - ex,
+        }
+    ).reset_index(drop=True)
