@@ -1665,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": T.q_customer_rfm,
         "gn_communities": T.q_gn_communities,
         "events_hll_error": T.q_events_hll_error,
+        "page_host_rank_corr": T.q_page_host_rank_corr,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5344,6 +5345,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, ((63::HUGEINT * 18446744073709551616::HUGEINT) "
             "  // hs::HUGEINT)::BIGINT AS kmv_est, nd::BIGINT AS n_exact "
             "FROM ranked WHERE rn = 64"
+        ),
+        "page_host_rank_corr": (
+            # page PR recursion (flagship's) + weighted domain PR
+            # recursion (domain_pagerank's) joined page -> host,
+            # row_number ranks tie-broken on the page url, integer
+            # Spearman via (2D - 6S) (testdata.q_page_host_rank_corr)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "es AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), "
+            "pr AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, d FROM deg "
+            "  UNION ALL "
+            "  SELECT p.it + 1, ee.dst, 0.15/nn.n + 0.85 * SUM(p.val / p.d), dd.d "
+            "  FROM pr p CROSS JOIN nn JOIN es ee ON ee.src = p.id "
+            "       JOIN deg dd ON dd.id = ee.dst "
+            "  WHERE p.it < 30 GROUP BY p.it, ee.dst, dd.d, nn.n), "
+            "psc AS (SELECT id AS vertex, CAST(ROUND(val * 1e8) AS BIGINT) AS ps "
+            "  FROM pr WHERE it = 30), "
+            "de AS (SELECT split_part(src, '/', 3) AS s, split_part(dst, '/', 3) AS d, "
+            "       count(*)::BIGINT AS w FROM e GROUP BY 1, 2), "
+            "esw AS (SELECT s AS src, d AS dst, w FROM de "
+            "  UNION ALL SELECT d, s, w FROM de), "
+            "dg2 AS (SELECT src AS id, sum(w) AS wd FROM esw GROUP BY src), "
+            "nn2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg2), "
+            "prd AS ( "
+            "  SELECT 0 AS it, id, CAST(0.0 AS DOUBLE) AS val, wd FROM dg2 "
+            "  UNION ALL "
+            "  SELECT p.it + 1, e2.dst, 0.15/nn2.n + 0.85 * SUM(p.val * e2.w / p.wd), "
+            "         dd.wd "
+            "  FROM prd p CROSS JOIN nn2 JOIN esw e2 ON e2.src = p.id "
+            "       JOIN dg2 dd ON dd.id = e2.dst "
+            "  WHERE p.it < 30 GROUP BY p.it, e2.dst, dd.wd, nn2.n), "
+            "dsc AS (SELECT id AS host, CAST(ROUND(val * 1e8) AS BIGINT) AS hs "
+            "  FROM prd WHERE it = 30), "
+            "j AS (SELECT p.vertex, p.ps, d2.hs FROM psc p "
+            "  JOIN dsc d2 ON d2.host = split_part(p.vertex, '/', 3)), "
+            "rk AS (SELECT vertex, "
+            "  row_number() OVER (ORDER BY ps DESC, vertex) AS r1, "
+            "  row_number() OVER (ORDER BY hs DESC, vertex) AS r2 FROM j), "
+            "st AS (SELECT count(*)::BIGINT AS n, "
+            "  SUM((r1 - r2) * (r1 - r2))::BIGINT AS s FROM rk) "
+            "SELECT n, s AS sum_d2, "
+            "((2 * (2 * n * (n*n - 1) - 6 * s) * 1000000 + n * (n*n - 1)) "
+            " // (2 * n * (n*n - 1)) - 1000000)::BIGINT AS rho_e6 FROM st"
         ),
         "orders_yoy": (
             # YoY self-join on (year-1, month); -1 when no prior year

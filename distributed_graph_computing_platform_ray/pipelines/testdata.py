@@ -15356,3 +15356,68 @@ def q_events_hll_error(sf_dir: str):
             "err": est - ex,
         }
     ).reset_index(drop=True)
+
+
+def q_page_host_rank_corr(sf_dir: str, n: int = 2000, n_buckets: int = 32):
+    """Does host-level PageRank approximate page-level rank? Spearman
+    rank correlation between every page's url-keyed PageRank (the
+    flagship pipeline's scores) and its HOST's weighted domain-graph
+    PageRank (q_domain_pagerank's scores), ranks tie-broken on the
+    page url — the web-science question behind crawling at host
+    granularity. Both engine runs are the existing cached pipelines;
+    the correlate step is a bounded driver table (the generator's
+    page universe). Integer Spearman via the nonnegative (2D - 6S)
+    form (q_rank_spearman)."""
+    import shutil
+
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .ingest import build_graph as _bg
+    from .pages import build_link_graph, contract_link_graph
+
+    root = f"/tmp/graft_pagehost_{n}"
+    shutil.rmtree(root, ignore_errors=True)
+    build_link_graph(generate_pages(n), f"{root}/pg", n_parts=8, n_buckets=16)
+    pres = run_algorithm(f"{root}/pg", f"{root}/ppr", "pagerank")
+
+    links = extract_links(generate_pages(n))
+    dom_edges = contract_link_graph(links, n_buckets)
+    _bg(
+        dom_edges,
+        f"{root}/dg",
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=True,
+        small_graph_edges=2_000_000,
+        source_info={"kind": "domain_graph_corr", "n": n},
+    )
+    dres = run_algorithm(f"{root}/dg", f"{root}/dpr", "pagerank_weighted")
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({"vertex": t["vertex"], "e8": _score_e8(t["value"])})
+
+    pages = pres.map_batches(conv, batch_format="pyarrow").to_pandas()
+    doms = (
+        dres.map_batches(conv, batch_format="pyarrow")
+        .to_pandas()
+        .rename(columns={"vertex": "host", "e8": "hs"})
+    )
+    pages["host"] = pages["vertex"].str.split("/").str[2]
+    j = pages.merge(doms, on="host", how="inner")
+    v = j["vertex"].to_numpy()
+    r1 = np.empty(len(j), np.int64)
+    r1[np.lexsort((v, -j["e8"].to_numpy()))] = np.arange(1, len(j) + 1)
+    r2 = np.empty(len(j), np.int64)
+    r2[np.lexsort((v, -j["hs"].to_numpy()))] = np.arange(1, len(j) + 1)
+    nn = len(j)
+    s = int(((r1 - r2) ** 2).sum())
+    d = nn * (nn * nn - 1)
+    rho_e6 = (2 * (2 * d - 6 * s) * 1_000_000 + d) // (2 * d) - 1_000_000
+    return pd.DataFrame(
+        {
+            "n": pd.Series([nn], dtype="int64"),
+            "sum_d2": pd.Series([s], dtype="int64"),
+            "rho_e6": pd.Series([rho_e6], dtype="int64"),
+        }
+    )
