@@ -1666,6 +1666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gn_communities": T.q_gn_communities,
         "events_hll_error": T.q_events_hll_error,
         "page_host_rank_corr": T.q_page_host_rank_corr,
+        "langid_calibration": T.q_langid_calibration,
+        "quality_deciles": T.q_quality_deciles,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5469,6 +5471,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM p LEFT JOIN s USING (user_id) "
             "WHERE s.user_id IS NULL OR p.ts < s.ts "
             "   OR (p.ts = s.ts AND p.event_id < s.event_id)"
+        ),
+        "langid_calibration": (
+            # fixed-width confidence deciles over the doc_langid
+            # oracle, accuracy half-up e6
+            # (testdata.q_langid_calibration)
+            f"WITH p AS (SELECT * FROM ({_langid_sql()})), "
+            "b AS (SELECT least(p.conf_e6 // 100000, 9)::BIGINT AS decile, "
+            "  count(*)::BIGINT AS n_docs, "
+            "  count(*) FILTER (WHERE p.lang_pred = d2.lang)::BIGINT AS n_correct "
+            "  FROM p JOIN documents d2 USING (doc_id) GROUP BY 1) "
+            "SELECT decile, n_docs, n_correct, "
+            "((2 * n_correct * 1000000 + n_docs) // (2 * n_docs))::BIGINT AS acc_e6 "
+            "FROM b"
+        ),
+        "quality_deciles": (
+            # fixed-width score deciles over the doc_quality oracle
+            # (testdata.q_quality_deciles)
+            f"WITH p AS (SELECT * FROM ({_quality_sql()})), "
+            "b AS (SELECT least(p.quality_e6 // 100000, 9)::BIGINT AS decile, "
+            "  count(*)::BIGINT AS n_docs, "
+            "  SUM(d2.n_chars)::BIGINT AS sum_chars "
+            "  FROM p JOIN documents d2 USING (doc_id) GROUP BY 1) "
+            "SELECT decile, n_docs, sum_chars, "
+            "((2 * sum_chars * 100 + n_docs) // (2 * n_docs))::BIGINT AS avg_chars_e2 "
+            "FROM b"
         ),
         "lang_confusion": (
             # the doc_langid oracle re-grouped against the true label

@@ -15421,3 +15421,72 @@ def q_page_host_rank_corr(sf_dir: str, n: int = 2000, n_buckets: int = 32):
             "rho_e6": pd.Series([rho_e6], dtype="int64"),
         }
     )
+
+
+def q_langid_calibration(sf_dir: str):
+    """Calibration curve of the language-ID heuristic: bucket the
+    classifier's confidence into fixed-width deciles (conf_e6 //
+    100000, top-capped at 9) and report per-decile volume and
+    accuracy against the generator's true label — is high confidence
+    actually right more often? Per-batch bounded partials (10 rows),
+    accuracy half-up e6 on the driver-reduced sums."""
+    from ..functions.text import lang_id_counts
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = [lang_id_counts(t) for t in df["text"].astype(str)]
+        conf = np.array(
+            [0 if (h == 0 or n == 0) else (h * 2_000_000 + n) // (2 * n)
+             for (_, h, n) in out],
+            dtype=np.int64,
+        )
+        pred = np.array([o[0] for o in out])
+        dec = np.minimum(conf // 100_000, 9)
+        ok = (pred == df["lang"].astype(str).to_numpy()).astype(np.int64)
+        g = pd.DataFrame({"decile": dec, "n_docs": 1, "n_correct": ok})
+        return g.groupby("decile", as_index=False).sum()
+
+    s = (
+        _table(sf_dir, "documents", ["lang", "text"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("decile", as_index=False)
+        .sum()
+    )
+    n = s["n_docs"].to_numpy().astype(np.int64)
+    c = s["n_correct"].to_numpy().astype(np.int64)
+    s["acc_e6"] = (2 * c * 1_000_000 + n) // (2 * n)
+    return s.astype({"decile": "int64", "n_docs": "int64",
+                     "n_correct": "int64", "acc_e6": "int64"})
+
+
+def q_quality_deciles(sf_dir: str):
+    """Quality-score profile: fixed-width score deciles (quality_e6
+    // 100000, capped at 9) x document volume and mean length — the
+    threshold-picking table for a quality-gated corpus filter.
+    Per-batch bounded partials; avg_chars_e2 half-up on the reduced
+    sums."""
+    from ..functions.text import quality_score
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(
+            [quality_score(t) * 1e6 for t in df["text"].astype(str)]
+        ).astype(np.int64)
+        dec = np.minimum(q // 100_000, 9)
+        g = pd.DataFrame(
+            {"decile": dec, "n_docs": 1,
+             "sum_chars": df["n_chars"].astype("int64").to_numpy()}
+        )
+        return g.groupby("decile", as_index=False).sum()
+
+    s = (
+        _table(sf_dir, "documents", ["text", "n_chars"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("decile", as_index=False)
+        .sum()
+    )
+    n = s["n_docs"].to_numpy().astype(np.int64)
+    sc = s["sum_chars"].to_numpy().astype(np.int64)
+    s["avg_chars_e2"] = (2 * sc * 100 + n) // (2 * n)
+    return s.astype({"decile": "int64", "n_docs": "int64",
+                     "sum_chars": "int64", "avg_chars_e2": "int64"})
