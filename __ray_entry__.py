@@ -1668,6 +1668,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_host_rank_corr": T.q_page_host_rank_corr,
         "langid_calibration": T.q_langid_calibration,
         "quality_deciles": T.q_quality_deciles,
+        "market_hhi": T.q_market_hhi,
+        "supplier_ship_lag": T.q_supplier_ship_lag,
+        "embedding_drift": T.q_embedding_drift,
+        "events_error_trend": T.q_events_error_trend,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5471,6 +5475,76 @@ def oracle_sql() -> dict[str, str]:
             "FROM p LEFT JOIN s USING (user_id) "
             "WHERE s.user_id IS NULL OR p.ts < s.ts "
             "   OR (p.ts = s.ts AND p.event_id < s.event_id)"
+        ),
+        "supplier_ship_lag": (
+            # lower-median ship lag via row_number over the bounded
+            # lag domain; late share half-up e6
+            # (testdata.q_supplier_ship_lag)
+            "WITH lg AS (SELECT l_suppkey AS s, "
+            "  ((epoch_us(l_shipdate) - epoch_us(o_orderdate)) "
+            "   // 86400000000)::BIGINT AS lag "
+            "  FROM lineitem JOIN orders ON o_orderkey = l_orderkey), "
+            "st AS (SELECT s, count(*)::BIGINT AS n_lines, "
+            "  SUM(CASE WHEN lag > 60 THEN 1 ELSE 0 END)::BIGINT AS late "
+            "  FROM lg GROUP BY s), "
+            "md AS (SELECT s, lag FROM ( "
+            "  SELECT s, lag, row_number() OVER (PARTITION BY s ORDER BY lag) AS rn, "
+            "  count(*) OVER (PARTITION BY s) AS n FROM lg) "
+            "  WHERE rn = (n + 1) // 2) "
+            "SELECT st.s AS s_suppkey, st.n_lines, md.lag AS median_lag_days, "
+            "((2 * late * 1000000 + n_lines) // (2 * n_lines))::BIGINT "
+            "AS late_share_e6 "
+            "FROM st JOIN md USING (s)"
+        ),
+        "embedding_drift": (
+            # cohort = vec_id parity; drift_num = sum_d of
+            # (sa_d*nb - sb_d*na)^2 over e3-floor-quantized sums
+            # (testdata.q_embedding_drift)
+            "WITH vexp AS (SELECT vec_id, label, d AS dim, "
+            "  CAST(FLOOR(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) AS q "
+            "  FROM embeddings, LATERAL unnest(generate_series(0, 63)) t(d)), "
+            "cnt AS (SELECT label::BIGINT AS label, (vec_id % 2)::BIGINT AS coh, "
+            "  count(*)::BIGINT AS n FROM embeddings GROUP BY 1, 2), "
+            "cs AS (SELECT label::BIGINT AS label, (vec_id % 2)::BIGINT AS coh, "
+            "  dim, SUM(q)::BIGINT AS sq FROM vexp GROUP BY 1, 2, 3) "
+            "SELECT a.label, ca.n AS n_even, cb.n AS n_odd, "
+            "SUM((a.sq * cb.n - b.sq * ca.n) * (a.sq * cb.n - b.sq * ca.n))::BIGINT "
+            "AS drift_num "
+            "FROM cs a JOIN cs b ON b.label = a.label AND b.dim = a.dim "
+            "  AND a.coh = 0 AND b.coh = 1 "
+            "JOIN cnt ca ON ca.label = a.label AND ca.coh = 0 "
+            "JOIN cnt cb ON cb.label = a.label AND cb.coh = 1 "
+            "GROUP BY 1, 2, 3"
+        ),
+        "events_error_trend": (
+            # (testdata.q_events_error_trend)
+            "WITH s AS (SELECT (epoch_us(ts) // 86400000000)::BIGINT AS win, "
+            "  count(*)::BIGINT AS n_events, "
+            "  count(*) FILTER (event_type = 'error')::BIGINT AS n_errors "
+            "  FROM events GROUP BY 1) "
+            "SELECT win, n_events, n_errors, "
+            "((2 * n_errors * 1000000 + n_events) // (2 * n_events))::BIGINT "
+            "AS err_share_e6 FROM s"
+        ),
+        "market_hhi": (
+            # per-nation Herfindahl over supplier revenue shares,
+            # each squared share half-up e6 in HUGEINT before the sum
+            # (testdata.q_market_hhi)
+            "WITH rev AS (SELECT l_suppkey AS s, "
+            "  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS r "
+            "  FROM lineitem GROUP BY 1), "
+            "j AS (SELECT n.n_name AS nation, rev.r FROM rev "
+            "  JOIN supplier su ON su.s_suppkey = rev.s "
+            "  JOIN nation n ON n.n_nationkey = su.s_nationkey), "
+            "tot AS (SELECT nation, count(*)::BIGINT AS n_suppliers, "
+            "  SUM(r)::BIGINT AS rev_cents FROM j GROUP BY 1) "
+            "SELECT t.nation, t.n_suppliers, t.rev_cents, "
+            "SUM((2000000::HUGEINT * j.r::HUGEINT * j.r::HUGEINT "
+            "  + t.rev_cents::HUGEINT * t.rev_cents::HUGEINT) "
+            "  // (2::HUGEINT * t.rev_cents::HUGEINT * t.rev_cents::HUGEINT)"
+            ")::BIGINT AS hhi_e6 "
+            "FROM j JOIN tot t USING (nation) "
+            "GROUP BY t.nation, t.n_suppliers, t.rev_cents"
         ),
         "langid_calibration": (
             # fixed-width confidence deciles over the doc_langid

@@ -15490,3 +15490,180 @@ def q_quality_deciles(sf_dir: str):
     s["avg_chars_e2"] = (2 * sc * 100 + n) // (2 * n)
     return s.astype({"decile": "int64", "n_docs": "int64",
                      "sum_chars": "int64", "avg_chars_e2": "int64"})
+
+
+def q_market_hhi(sf_dir: str, n_buckets: int = 16):
+    """Supplier-market concentration per nation: the Herfindahl index
+    HHI = sum over suppliers of (revenue share)^2, each squared share
+    integer half-up e6 BEFORE the sum (per-term rounding — the
+    SQL-replayable convention), over lineitem extended-price cents.
+    ONE suppkey-bucket revenue sum; nation attaches from the
+    broadcast supplier/nation dims; the share arithmetic runs on the
+    bounded supplier table in exact Python ints (rev^2 exceeds
+    int64)."""
+    from ..stages.join import bucket_sum
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"s": df["l_suppkey"].astype("int64"), "rev": cents})
+        return g.groupby("s", as_index=False).sum()
+
+    rev = bucket_sum(
+        _table(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"]).map_batches(
+            part, batch_format="pandas"
+        ),
+        ["s"],
+        ["rev"],
+        n_buckets,
+    ).to_pandas()  # bounded: one row per supplier (dim-scale)
+
+    sup = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    s2n = dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
+    nk2 = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rev["nation"] = [nk2[s2n[int(s)]] for s in rev["s"]]
+    rows = []
+    for nm, g in rev.groupby("nation"):
+        tot = int(g["rev"].sum())
+        hhi = sum(
+            (2 * 1_000_000 * int(r) * int(r) + tot * tot) // (2 * tot * tot)
+            for r in g["rev"]
+        )
+        rows.append((nm, len(g), int(tot), int(hhi)))
+    out = pd.DataFrame(rows, columns=["nation", "n_suppliers", "rev_cents", "hhi_e6"])
+    return out.sort_values("nation").reset_index(drop=True).astype(
+        {"n_suppliers": "int64", "rev_cents": "int64", "hhi_e6": "int64"}
+    )
+
+
+def q_supplier_ship_lag(sf_dir: str, late_days: int = 60, n_buckets: int = 16):
+    """Supplier fulfilment scorecard: per supplier, line count, the
+    EXACT median ship lag in days (l_shipdate minus the order's
+    o_orderdate — one orderkey bucket join), and the share of lines
+    later than `late_days` (half-up e6). Lag days live in a small
+    bounded domain (TPC-H ships within ~4 months), so the median is
+    exact bounded-domain histogram selection (lower median, the
+    row_number convention): per-(supplier, lag) counts are additive
+    partials, the select runs on the bounded (suppliers x lags)
+    table."""
+    from ..stages.join import bucket_join, bucket_sum
+
+    li = _table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["l_orderkey"].cast(pa.int64()),
+                "s": t["l_suppkey"].cast(pa.int64()),
+                "ship_us": pa.array(_ts_us(t["l_shipdate"].to_pandas())),
+            }
+        )
+
+    def od_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"].cast(pa.int64()),
+                "ord_us": pa.array(_ts_us(t["o_orderdate"].to_pandas())),
+            }
+        )
+
+    j = bucket_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        od.map_batches(od_prep, batch_format="pyarrow"),
+        "k",
+        "k",
+        n_buckets,
+    )
+
+    def lag_part(df: pd.DataFrame) -> pd.DataFrame:
+        lag = (df["ship_us"].to_numpy() - df["ord_us"].to_numpy()) // 86_400_000_000
+        g = pd.DataFrame({"s": df["s"].astype("int64"), "lag": lag.astype(np.int64),
+                          "n": np.ones(len(df), np.int64)})
+        return g.groupby(["s", "lag"], as_index=False).sum()
+
+    hist = bucket_sum(
+        j.map_batches(lag_part, batch_format="pandas"), ["s", "lag"], ["n"], n_buckets
+    ).to_pandas()  # bounded: suppliers x lag-days
+    rows = []
+    for s, g in hist.groupby("s"):
+        g = g.sort_values("lag")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        med = int(g["lag"].to_numpy()[np.searchsorted(cum, (n + 1) // 2)])
+        late = int(g.loc[g["lag"] > late_days, "n"].sum())
+        rows.append((int(s), n, med, (2 * late * 1_000_000 + n) // (2 * n)))
+    out = pd.DataFrame(
+        rows, columns=["s_suppkey", "n_lines", "median_lag_days", "late_share_e6"]
+    )
+    return out.sort_values("s_suppkey").reset_index(drop=True).astype("int64")
+
+
+def q_embedding_drift(sf_dir: str, q_scale: int = 1000):
+    """Training-data drift detector: split the embedding corpus into
+    two cohorts (vec_id parity), and per label report both cohort
+    sizes and the integer drift statistic sum_d (sa_d*nb - sb_d*na)^2
+    over e3-quantized (floor) coordinate sums — the exact numerator
+    of ||mean_a - mean_b||^2 * (na*nb)^2, float-free so the oracle
+    replays it. Per-batch (label, cohort) coordinate-sum partials
+    (bounded labels x dims rows) reduce once; the statistic runs on
+    the bounded label table."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["label"].astype("int64").to_numpy()
+        coh = (df["vec_id"].astype("int64").to_numpy() % 2).astype(np.int64)
+        E = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * q_scale
+        ).astype(np.int64)
+        g = pd.DataFrame({"label": lab, "coh": coh, "n": 1})
+        for d in range(E.shape[1]):
+            g[f"s{d}"] = E[:, d]
+        return g.groupby(["label", "coh"], as_index=False).sum()
+
+    s = (
+        _table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby(["label", "coh"], as_index=False)
+        .sum()
+    )  # bounded: labels x 2 rows
+    dims = [c for c in s.columns if c.startswith("s")]
+    rows = []
+    for lab, g in s.groupby("label"):
+        a = g[g["coh"] == 0]
+        b = g[g["coh"] == 1]
+        if not len(a) or not len(b):
+            continue
+        na, nb = int(a["n"].iloc[0]), int(b["n"].iloc[0])
+        drift = sum(
+            (int(a[d].iloc[0]) * nb - int(b[d].iloc[0]) * na) ** 2 for d in dims
+        )
+        rows.append((int(lab), na, nb, drift))
+    out = pd.DataFrame(rows, columns=["label", "n_even", "n_odd", "drift_num"])
+    return out.sort_values("label").reset_index(drop=True).astype("int64")
+
+
+def q_events_error_trend(sf_dir: str, n_buckets: int = 8):
+    """Error-rate trend per day: events, errors, and the error share
+    (half-up e6) per epoch-day — the on-call burn-down chart. One
+    (day)-bucket sum of per-batch partials."""
+    from ..stages.join import bucket_sum
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        win = _ts_us(df["ts"]) // 86_400_000_000
+        err = (df["event_type"].astype(str) == "error").astype(np.int64)
+        g = pd.DataFrame({"win": win, "n_events": 1, "n_errors": err.to_numpy()})
+        return g.groupby("win", as_index=False).sum()
+
+    s = bucket_sum(
+        _table(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            part, batch_format="pandas"
+        ),
+        ["win"],
+        ["n_events", "n_errors"],
+        n_buckets,
+    ).to_pandas()
+    n = s["n_events"].to_numpy().astype(np.int64)
+    e = s["n_errors"].to_numpy().astype(np.int64)
+    s["err_share_e6"] = (2 * e * 1_000_000 + n) // (2 * n)
+    return s.sort_values("win").reset_index(drop=True).astype("int64")
