@@ -1672,6 +1672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_ship_lag": T.q_supplier_ship_lag,
         "embedding_drift": T.q_embedding_drift,
         "events_error_trend": T.q_events_error_trend,
+        "spam_exposure": T.q_spam_exposure,
+        "host_spectral_radius": T.q_host_spectral_radius,
+        "events_weekday_profile": T.q_events_weekday_profile,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5476,6 +5479,35 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.user_id IS NULL OR p.ts < s.ts "
             "   OR (p.ts = s.ts AND p.event_id < s.event_id)"
         ),
+        "host_spectral_radius": (
+            # trace(A^4)/trace(A^5) via aggregated matrix-product
+            # CTEs (m2 = A^2 as a sparse count table)
+            # (testdata.q_host_spectral_radius)
+            f"WITH {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "m2 AS (SELECT a.sh AS s, b.dh AS d, count(*)::BIGINT AS c "
+            "  FROM he a JOIN he b ON b.sh = a.dh GROUP BY 1, 2), "
+            "m4 AS (SELECT x.s, y.d, SUM(x.c * y.c)::BIGINT AS c "
+            "  FROM m2 x JOIN m2 y ON y.s = x.d GROUP BY 1, 2), "
+            "w4 AS (SELECT SUM(c)::BIGINT AS c FROM m4 WHERE s = d), "
+            "w5 AS (SELECT SUM(m4.c)::BIGINT AS c FROM m4 "
+            "  JOIN he e5 ON e5.sh = m4.d AND e5.dh = m4.s) "
+            "SELECT w4.c AS w4, w5.c AS w5, "
+            "((2 * w5.c * 1000000 + w4.c) // (2 * w4.c))::BIGINT AS radius_e6 "
+            "FROM w4, w5"
+        ),
+        "events_weekday_profile": (
+            # ISO weekday from epoch day (+3: 1970-01-01 = Thursday)
+            # (testdata.q_events_weekday_profile)
+            "WITH s AS (SELECT ((epoch_us(ts) // 86400000000 + 3) % 7)::BIGINT "
+            "  AS weekday, event_type, count(*)::BIGINT AS n "
+            "  FROM events GROUP BY 1, 2) "
+            "SELECT weekday, event_type, n, "
+            "((2 * n * 1000000 + t) // (2 * t))::BIGINT AS share_e6 "
+            "FROM (SELECT *, SUM(n) OVER (PARTITION BY weekday) AS t FROM s)"
+        ),
         "supplier_ship_lag": (
             # lower-median ship lag via row_number over the bounded
             # lag domain; late share half-up e6
@@ -5929,6 +5961,25 @@ def oracle_sql() -> dict[str, str]:
     # CMS point-estimate eval: probe the cms_user_counts register
     # table (reused verbatim as a subquery) at the top-10 exact-count
     # users' coordinates (testdata.q_cms_error)
+    # spam flags from the host_spam_heuristic oracle (subquery),
+    # exposure over the contracted distinct host edges
+    # (testdata.q_spam_exposure)
+    sql["spam_exposure"] = (
+        "WITH sp AS (SELECT host FROM (" + sql["host_spam_heuristic"] + ") "
+        "  WHERE spam_score_e6 >= 405000), "
+        f"{_pages_edges_cte()}, "
+        "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+        "       split_part(dst, '/', 3) AS dh FROM e "
+        "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+        "cnt AS (SELECT e2.sh AS host, count(*)::BIGINT AS n_out, "
+        "  count(*) FILTER (e2.dh IN (SELECT host FROM sp))::BIGINT AS n_to_spam "
+        "  FROM he e2 GROUP BY 1) "
+        "SELECT c.host, "
+        "(CASE WHEN c.host IN (SELECT host FROM sp) THEN 1 ELSE 0 END)::BIGINT "
+        "  AS is_spam, n_out, n_to_spam, "
+        "((2 * n_to_spam * 1000000 + n_out) // (2 * n_out))::BIGINT AS exposure_e6 "
+        "FROM cnt c"
+    )
     # all-integer HLL estimate vs exact distinct per day; reuses the
     # events_window_hll register query verbatim as a subquery
     # (testdata.q_events_hll_error)

@@ -15667,3 +15667,106 @@ def q_events_error_trend(sf_dir: str, n_buckets: int = 8):
     e = s["n_errors"].to_numpy().astype(np.int64)
     s["err_share_e6"] = (2 * e * 1_000_000 + n) // (2 * n)
     return s.sort_values("win").reset_index(drop=True).astype("int64")
+
+
+def q_spam_exposure(sf_dir: str, n_pages: int = 2000, thr: int = 405_000):
+    """Spam-neighborhood exposure: for every host with cross-host
+    outlinks, the share of its distinct out-edges that point at
+    SPAM-FLAGGED hosts (q_host_spam_heuristic composite >= thr) —
+    the guilt-by-association feature TrustRank seeds from. The flag
+    table is host-scale and broadcasts; exposure is one host-keyed
+    count over the contracted edge table, half-up e6."""
+    from ..stages.join import bucket_sum, distinct
+
+    flags = q_host_spam_heuristic(sf_dir, n_pages=n_pages)
+    if not isinstance(flags, pd.DataFrame):
+        flags = flags.to_pandas()
+    spam = set(flags.loc[flags["spam_score_e6"] >= thr, "host"])
+    sref = ray.put(spam)
+
+    links = _pages_links(n_pages)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        tt = pa.table({"sh": sh, "dh": dh})
+        return tt.filter(pc.not_equal(tt["sh"], tt["dh"]))
+
+    he = distinct(links.map_batches(hosts, batch_format="pyarrow"), ["sh", "dh"], 16)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(sref)
+        to_spam = df["dh"].isin(sp).astype(np.int64)
+        g = pd.DataFrame(
+            {"host": df["sh"], "n_out": 1, "n_to_spam": to_spam.to_numpy()}
+        )
+        return g.groupby("host", as_index=False).sum()
+
+    s = bucket_sum(
+        he.map_batches(part, batch_format="pandas"), ["host"], ["n_out", "n_to_spam"], 8
+    ).to_pandas()
+    n = s["n_out"].to_numpy().astype(np.int64)
+    ts_ = s["n_to_spam"].to_numpy().astype(np.int64)
+    s["exposure_e6"] = (2 * ts_ * 1_000_000 + n) // (2 * n)
+    s["is_spam"] = s["host"].isin(spam).astype("int64")
+    return (
+        s[["host", "is_spam", "n_out", "n_to_spam", "exposure_e6"]]
+        .sort_values("host")
+        .reset_index(drop=True)
+        .astype({"is_spam": "int64", "n_out": "int64",
+                 "n_to_spam": "int64", "exposure_e6": "int64"})
+    )
+
+
+def q_host_spectral_radius(sf_dir: str, n_pages: int = 2000):
+    """Spectral-radius estimate of the host adjacency via the
+    closed-walk ratio trace(A^5) / trace(A^4) (the power-method
+    Rayleigh quotient on traces, exact integers; ratio half-up e6) —
+    the connectivity temperature of the host web. Reuses the
+    closed-walk census sweep with ks=(4, 5)."""
+    w = q_host_closed_walks(sf_dir, n_pages=n_pages, ks=(4, 5)).to_pandas()
+    w4 = int(w.loc[w["k"] == 4, "n_walks"].iloc[0])
+    w5 = int(w.loc[w["k"] == 5, "n_walks"].iloc[0])
+    return pd.DataFrame(
+        {
+            "w4": pd.Series([w4], dtype="int64"),
+            "w5": pd.Series([w5], dtype="int64"),
+            "radius_e6": pd.Series(
+                [(2 * w5 * 1_000_000 + w4) // (2 * w4)], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_events_weekday_profile(sf_dir: str, n_buckets: int = 8):
+    """Traffic calendar: events per (ISO weekday 0=Mon..6=Sun, event
+    type) plus each cell's share of its weekday (half-up e6) — the
+    staffing/capacity heatmap. One (weekday, type)-bucket sum of
+    per-batch partials; the share normalization runs on the bounded
+    7 x types table."""
+    from ..stages.join import bucket_sum
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = _ts_us(df["ts"]) // 86_400_000_000
+        wd = (day + 3) % 7  # 1970-01-01 was a Thursday -> Mon=0
+        g = pd.DataFrame(
+            {"weekday": wd, "event_type": df["event_type"].astype(str), "n": 1}
+        )
+        return g.groupby(["weekday", "event_type"], as_index=False).sum()
+
+    s = bucket_sum(
+        _table(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            part, batch_format="pandas"
+        ),
+        ["weekday", "event_type"],
+        ["n"],
+        n_buckets,
+    ).to_pandas()
+    tot = s.groupby("weekday")["n"].transform("sum").to_numpy().astype(np.int64)
+    n = s["n"].to_numpy().astype(np.int64)
+    s["share_e6"] = (2 * n * 1_000_000 + tot) // (2 * tot)
+    return (
+        s.sort_values(["weekday", "event_type"])
+        .reset_index(drop=True)
+        .astype({"weekday": "int64", "n": "int64", "share_e6": "int64"})
+    )
