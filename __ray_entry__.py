@@ -1675,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spam_exposure": T.q_spam_exposure,
         "host_spectral_radius": T.q_host_spectral_radius,
         "events_weekday_profile": T.q_events_weekday_profile,
+        "ab_test_lift": T.q_ab_test_lift,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5497,6 +5498,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w4.c AS w4, w5.c AS w5, "
             "((2 * w5.c * 1000000 + w4.c) // (2 * w4.c))::BIGINT AS radius_e6 "
             "FROM w4, w5"
+        ),
+        "ab_test_lift": (
+            # arm = user_id parity; conversion = any purchase; lift =
+            # rate_b / rate_a half-up e6 on both rows
+            # (testdata.q_ab_test_lift)
+            "WITH conv AS (SELECT user_id, (user_id % 2)::BIGINT AS arm, "
+            "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p "
+            "  FROM events GROUP BY 1), "
+            "s AS (SELECT arm, count(*)::BIGINT AS n_users, "
+            "  SUM(p)::BIGINT AS n_converted FROM conv GROUP BY 1), "
+            "r AS (SELECT arm, n_users, n_converted, "
+            "  ((2 * n_converted * 1000000 + n_users) // (2 * n_users))::BIGINT "
+            "  AS rate_e6 FROM s), "
+            "l AS (SELECT (2 * (SELECT rate_e6 FROM r WHERE arm = 1) * 1000000 "
+            "  + (SELECT rate_e6 FROM r WHERE arm = 0)) "
+            "  // (2 * (SELECT rate_e6 FROM r WHERE arm = 0)) AS lift) "
+            "SELECT r.arm, r.n_users, r.n_converted, r.rate_e6, "
+            "l.lift::BIGINT AS lift_e6 FROM r CROSS JOIN l"
         ),
         "events_weekday_profile": (
             # ISO weekday from epoch day (+3: 1970-01-01 = Thursday)

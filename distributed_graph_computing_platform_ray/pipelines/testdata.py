@@ -15770,3 +15770,43 @@ def q_events_weekday_profile(sf_dir: str, n_buckets: int = 8):
         .reset_index(drop=True)
         .astype({"weekday": "int64", "n": "int64", "share_e6": "int64"})
     )
+
+
+def q_ab_test_lift(sf_dir: str, n_buckets: int = 8):
+    """Deterministic A/B readout: users assigned to arms by user_id
+    parity, conversion = user has >= 1 purchase; per arm the user
+    count, converters, and conversion rate (half-up e6), plus the
+    B-over-A lift ratio (half-up e6) replicated on both rows for a
+    fixed schema. Per-user conversion folds inside ONE user-bucket
+    shuffle; the lift runs on the bounded 2-row arm table."""
+    from ..stages.join import add_bucket
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        conv = (
+            g.assign(p=(g["event_type"].astype(str) == "purchase").astype(np.int64))
+            .groupby("user_id", as_index=False)["p"]
+            .max()
+        )
+        conv["arm"] = (conv["user_id"].astype("int64") % 2).astype(np.int64)
+        out = conv.groupby("arm", as_index=False).agg(
+            n_users=("p", "size"), n_converted=("p", "sum")
+        )
+        return out.astype("int64")
+
+    src = _table(sf_dir, "events", ["user_id", "event_type"])
+    s = (
+        _BMG(add_bucket(src, ["user_id"], n_buckets), n_buckets, kernel, "pandas")
+        .to_pandas()
+        .groupby("arm", as_index=False)
+        .sum()
+    )
+    n = s["n_users"].to_numpy().astype(np.int64)
+    c = s["n_converted"].to_numpy().astype(np.int64)
+    s["rate_e6"] = (2 * c * 1_000_000 + n) // (2 * n)
+    ra = int(s.loc[s["arm"] == 0, "rate_e6"].iloc[0])
+    rb = int(s.loc[s["arm"] == 1, "rate_e6"].iloc[0])
+    s["lift_e6"] = (2 * rb * 1_000_000 + ra) // (2 * ra)
+    return s.astype(
+        {"arm": "int64", "n_users": "int64", "n_converted": "int64",
+         "rate_e6": "int64", "lift_e6": "int64"}
+    )
