@@ -1676,6 +1676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_spectral_radius": T.q_host_spectral_radius,
         "events_weekday_profile": T.q_events_weekday_profile,
         "ab_test_lift": T.q_ab_test_lift,
+        "nation_top_customers": T.q_nation_top_customers,
+        "events_user_lifespan": T.q_events_user_lifespan,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5498,6 +5500,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w4.c AS w4, w5.c AS w5, "
             "((2 * w5.c * 1000000 + w4.c) // (2 * w4.c))::BIGINT AS radius_e6 "
             "FROM w4, w5"
+        ),
+        "nation_top_customers": (
+            # grouped top-k after join: per nation top-3 customers by
+            # order revenue (ties custkey)
+            # (testdata.q_nation_top_customers)
+            "WITH rev AS (SELECT o_custkey AS c, "
+            "  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents "
+            "  FROM orders GROUP BY 1), "
+            "j AS (SELECT n.n_name AS nation, rev.c, rev.rev_cents FROM rev "
+            "  JOIN customer cu ON cu.c_custkey = rev.c "
+            "  JOIN nation n ON n.n_nationkey = cu.c_nationkey) "
+            "SELECT nation, "
+            "row_number() OVER (PARTITION BY nation "
+            "  ORDER BY rev_cents DESC, c)::BIGINT AS rk, "
+            "c AS c_custkey, rev_cents FROM j "
+            "QUALIFY rk <= 3"
+        ),
+        "events_user_lifespan": (
+            # (testdata.q_events_user_lifespan)
+            "WITH mm AS (SELECT user_id, "
+            "  ((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000)::BIGINT "
+            "  AS span_days FROM events GROUP BY 1) "
+            "SELECT span_days, count(*)::BIGINT AS n_users FROM mm GROUP BY 1"
         ),
         "ab_test_lift": (
             # arm = user_id parity; conversion = any purchase; lift =

@@ -15810,3 +15810,82 @@ def q_ab_test_lift(sf_dir: str, n_buckets: int = 8):
         {"arm": "int64", "n_users": "int64", "n_converted": "int64",
          "rate_e6": "int64", "lift_e6": "int64"}
     )
+
+
+def q_nation_top_customers(sf_dir: str, k: int = 3, n_buckets: int = 16):
+    """Grouped top-k join: per nation the k highest-revenue customers
+    (revenue = order totalprice cents; ties broken on custkey) — the
+    per-group-rank-after-join relational shape (QUALIFY over a join).
+    Revenue folds in ONE custkey-bucket sum; nation attaches from the
+    broadcast dims; the per-nation top-k runs inside ONE nation-bucket
+    kernel (a nation's customers land whole)."""
+    from ..stages.join import add_bucket, bucket_sum
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"c": df["o_custkey"].astype("int64"), "rev": cents})
+        return g.groupby("c", as_index=False).sum()
+
+    rev = bucket_sum(
+        _table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            part, batch_format="pandas"
+        ),
+        ["c"],
+        ["rev"],
+        n_buckets,
+    )
+
+    cust_df = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat_df = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    c2n = pd.Series(cust_df["c_nationkey"].to_numpy(), index=cust_df["c_custkey"].to_numpy())
+    nk2 = dict(zip(nat_df["n_nationkey"].astype(int), nat_df["n_name"]))
+    c2n_ref = ray.put(c2n)
+    n2n_ref = ray.put(nk2)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        nk = ray.get(c2n_ref).reindex(df["c"].to_numpy()).to_numpy()
+        keep = ~pd.isna(nk)
+        out = df[keep].copy()
+        names = ray.get(n2n_ref)
+        out["nation"] = [names[int(x)] for x in nk[keep]]
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["nation", "rev", "c"], ascending=[True, False, True])
+        s["rk"] = s.groupby("nation", sort=False).cumcount() + 1
+        s = s[s["rk"] <= k]
+        return pd.DataFrame(
+            {
+                "nation": s["nation"].to_numpy(),
+                "rk": s["rk"].astype("int64").to_numpy(),
+                "c_custkey": s["c"].astype("int64").to_numpy(),
+                "rev_cents": s["rev"].astype("int64").to_numpy(),
+            }
+        )
+
+    with_nat = rev.map_batches(attach, batch_format="pandas")
+    return _BMG(add_bucket(with_nat, ["nation"], 8), 8, topk, "pandas")
+
+
+def q_events_user_lifespan(sf_dir: str, n_buckets: int = 8):
+    """User lifespan histogram: days between a user's first and last
+    event (floor of the microsecond span), bucketed -> how long users
+    stay active. Per-user min/max fold inside ONE user-bucket shuffle;
+    the histogram is a bounded second reduce."""
+    from ..stages.join import add_bucket, bucket_sum
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(g["ts"])
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(), "ts": ts})
+        mm = d.groupby("u").agg(lo=("ts", "min"), hi=("ts", "max"))
+        span = ((mm["hi"] - mm["lo"]) // 86_400_000_000).astype(np.int64)
+        out = pd.DataFrame({"span_days": span, "n_users": 1})
+        return out.groupby("span_days", as_index=False).sum()
+
+    src = _table(sf_dir, "events", ["user_id", "ts"])
+    return bucket_sum(
+        _BMG(add_bucket(src, ["user_id"], n_buckets), n_buckets, kernel, "pandas"),
+        ["span_days"],
+        ["n_users"],
+        4,
+    )
