@@ -1678,6 +1678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_lift": T.q_ab_test_lift,
         "nation_top_customers": T.q_nation_top_customers,
         "events_user_lifespan": T.q_events_user_lifespan,
+        "host_resource_allocation": T.q_host_resource_allocation,
+        "user_concentration": T.q_user_concentration,
         "orders_yoy": T.q_orders_yoy,
         "host_sim_topk": T.q_host_sim_topk,
         "shingle_df_curve": T.q_shingle_df_curve,
@@ -5500,6 +5502,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w4.c AS w4, w5.c AS w5, "
             "((2 * w5.c * 1000000 + w4.c) // (2 * w4.c))::BIGINT AS radius_e6 "
             "FROM w4, w5"
+        ),
+        "host_resource_allocation": (
+            # RA index: per common out-neighbor z, term half-up
+            # 1e6/indeg(z); top-50 by (ra DESC, a, b)
+            # (testdata.q_host_resource_allocation)
+            f"WITH {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "ind AS (SELECT dh, count(*)::BIGINT AS d FROM he GROUP BY dh), "
+            "tm AS (SELECT x.sh AS a, y.sh AS b, "
+            "  SUM((2 * 1000000 + i.d) // (2 * i.d))::BIGINT AS ra_e6, "
+            "  count(*)::BIGINT AS n_common "
+            "  FROM he x JOIN he y ON x.dh = y.dh AND x.sh < y.sh "
+            "  JOIN ind i ON i.dh = x.dh GROUP BY 1, 2) "
+            "SELECT a, b, ra_e6, n_common FROM tm "
+            "QUALIFY row_number() OVER (ORDER BY ra_e6 DESC, a, b) <= 50"
+        ),
+        "user_concentration": (
+            # top-ceil(10%) users' share of all events
+            # (testdata.q_user_concentration)
+            "WITH cnt AS (SELECT user_id, count(*)::BIGINT AS c "
+            "  FROM events GROUP BY 1), "
+            "tot AS (SELECT count(*)::BIGINT AS n_users, "
+            "  SUM(c)::BIGINT AS n_events FROM cnt), "
+            "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn "
+            "  FROM cnt), "
+            "tv AS (SELECT SUM(c)::BIGINT AS top_events FROM rk, tot "
+            "  WHERE rn <= (n_users * 10 + 99) // 100) "
+            "SELECT t.n_users, ((t.n_users * 10 + 99) // 100)::BIGINT AS n_top, "
+            "t.n_events, tv.top_events, "
+            "((2 * tv.top_events * 1000000 + t.n_events) "
+            " // (2 * t.n_events))::BIGINT AS share_e6 "
+            "FROM tot t CROSS JOIN tv"
         ),
         "nation_top_customers": (
             # grouped top-k after join: per nation top-3 customers by

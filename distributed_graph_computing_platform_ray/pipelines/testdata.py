@@ -15889,3 +15889,89 @@ def q_events_user_lifespan(sf_dir: str, n_buckets: int = 8):
         ["n_users"],
         4,
     )
+
+
+def q_host_resource_allocation(sf_dir: str, n_pages: int = 2000, k: int = 50):
+    """Link prediction by the RESOURCE-ALLOCATION index (Zhou, Lü,
+    Zhang 2009 — the rational cousin of Adamic-Adar, no logarithm):
+    for host pairs (a < b) sharing >= 1 common out-neighbor, RA =
+    sum over common neighbors z of 1/indeg(z), each term integer
+    half-up e6 (per-term rounding, SQL-replayable); top-k pairs by
+    (ra DESC, a, b). Terms are ADDITIVE per (pair, z), so ONE
+    dst-bucket pair expansion emits per-z-weighted partials and ONE
+    pair-keyed bucket_sum reduces them — same plan as cocitation,
+    weights riding along."""
+    from ..stages.join import add_bucket, bucket_sum, distinct
+
+    links = _pages_links(n_pages)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
+        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
+        tt = pa.table({"sh": sh, "dh": dh})
+        return tt.filter(pc.not_equal(tt["sh"], tt["dh"]))
+
+    he = distinct(links.map_batches(hosts, batch_format="pyarrow"), ["sh", "dh"], 16)
+
+    def pair_terms(df: pd.DataFrame) -> pd.DataFrame:
+        # within a dst bucket, each z carries its FULL in-list (dh
+        # is the bucket key), so indeg(z) is exact here
+        indeg = df.groupby("dh")["sh"].transform("size").to_numpy().astype(np.int64)
+        term = (2 * 1_000_000 + indeg) // (2 * indeg)
+        d = df.assign(term=term)
+        m = d.merge(d, on="dh")
+        m = m[m["sh_x"] < m["sh_y"]]
+        g = (
+            m.groupby(["sh_x", "sh_y"], as_index=False)
+            .agg(ra_e6=("term_x", "sum"), n_common=("term_x", "size"))
+        )
+        return g.rename(columns={"sh_x": "a", "sh_y": "b"}).astype(
+            {"ra_e6": "int64", "n_common": "int64"}
+        )
+
+    agg = bucket_sum(
+        _BMG(add_bucket(he, ["dh"], 16), 16, pair_terms, "pandas"),
+        ["a", "b"],
+        ["ra_e6", "n_common"],
+        16,
+    ).to_pandas()  # bounded by hosts^2
+    agg = agg.sort_values(["ra_e6", "a", "b"], ascending=[False, True, True]).head(k)
+    return agg.reset_index(drop=True).astype({"ra_e6": "int64", "n_common": "int64"})
+
+
+def q_user_concentration(sf_dir: str, pct: int = 10, n_buckets: int = 16):
+    """Traffic concentration: what share of all events do the top
+    pct% most active users generate (users ranked by event count,
+    ties on user_id; n_top = ceil(pct% of users))? One user-bucket
+    count; the rank step runs on the bounded per-user table (users
+    are dim-scale here; at web scale this becomes the pareto
+    prefix-sum pattern of q_customer_pareto). share half-up e6."""
+    from ..stages.join import bucket_sum
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "c": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    cnt = bucket_sum(
+        _table(sf_dir, "events", ["user_id"]).map_batches(ones, batch_format="pyarrow"),
+        ["user_id"],
+        ["c"],
+        n_buckets,
+    ).to_pandas()
+    cnt = cnt.sort_values(["c", "user_id"], ascending=[False, True])
+    n_users = len(cnt)
+    n_top = -(-n_users * pct // 100)  # ceil
+    total = int(cnt["c"].sum())
+    top = int(cnt["c"].head(n_top).sum())
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n_users], dtype="int64"),
+            "n_top": pd.Series([n_top], dtype="int64"),
+            "n_events": pd.Series([total], dtype="int64"),
+            "top_events": pd.Series([top], dtype="int64"),
+            "share_e6": pd.Series(
+                [(2 * top * 1_000_000 + total) // (2 * total)], dtype="int64"
+            ),
+        }
+    )
