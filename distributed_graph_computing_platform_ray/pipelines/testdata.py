@@ -2106,7 +2106,9 @@ def q_kcore(sf_dir: str, k: int = 20):
     return distinct(cur.map_batches(verts, batch_format="pyarrow"), ["vertex"])
 
 
-def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
+def q_kcore_rounds(
+    sf_dir: str, k: int = 20, max_rounds: int = 60, max_broadcast=None
+):
     """Peeling-round observability for the k-core (onion-style): per
     vertex, the round its last incident edge vanished (``peel_round``;
     0 = still in the core at fixpoint) plus the ``in_core`` flag.
@@ -2136,6 +2138,14 @@ def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
         )
 
     cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    if max_broadcast is None:
+        from ..stages.coreness import MAX_BROADCAST_VERTICES as max_broadcast
+    if cur.count() and int(cur.max("u")) + 1 > max_broadcast:
+        # web scale: per-round anti-join peel, no O(V) driver dict or
+        # broadcast removal set (stages/peel.py; bit-equal, parity-tested)
+        from ..stages.peel import kcore_rounds_distributed
+
+        return kcore_rounds_distributed(cur, k, max_rounds)
     last_seen: dict[int, int] = {}
     in_core: set[int] = set()
     r = 0
@@ -2197,12 +2207,22 @@ def q_kcore_rounds(sf_dir: str, k: int = 20, max_rounds: int = 60):
     )
 
 
-def _onion_layers_from(edges: rd.Dataset, max_rounds: int = 200):
-    """Shared onion-peel kernel over a BOUNDED undirected pair
-    Dataset[(src, dst)] — see q_onion_layers."""
+def _onion_layers_from(edges: rd.Dataset, max_rounds: int = 200, max_edges=None):
+    """Shared onion-peel kernel over an undirected pair
+    Dataset[(src, dst)] — see q_onion_layers. Under ``max_edges``
+    (default stages/walks.py's broadcast cap) the inherently
+    layer-sequential peel runs as ONE vectorized task over the
+    ray.put edge arrays; above it, the per-wave distributed anti-join
+    peel (stages/peel.py, bit-equal, parity-tested) runs instead."""
     import ray as _ray
 
-    adj = edges.to_pandas()  # caller guarantees a bounded pair universe
+    if max_edges is None:
+        from ..stages.walks import MAX_BROADCAST_EDGES as max_edges
+    if edges.count() > max_edges:
+        from ..stages.peel import onion_layers_distributed
+
+        return rd.from_pandas(onion_layers_distributed(edges, max_rounds))
+    adj = edges.to_pandas()  # bounded pair universe under the cap
     a = adj["src"].to_numpy().astype(np.int64)
     b = adj["dst"].to_numpy().astype(np.int64)
     state = _ray.put((a, b))
@@ -2236,7 +2256,7 @@ def _onion_layers_from(edges: rd.Dataset, max_rounds: int = 200):
     return rd.from_items([{"go": 1}]).map_batches(peel, batch_format="pyarrow")
 
 
-def q_onion_layers(sf_dir: str, max_rounds: int = 200):
+def q_onion_layers(sf_dir: str, max_rounds: int = 200, max_edges=None):
     """ONION DECOMPOSITION (Hébert-Dufresne et al. 2016): the layer
     index refines coreness — each wave removes the current
     minimum-degree class, and a vertex's layer is the wave at which it
@@ -2253,10 +2273,14 @@ def q_onion_layers(sf_dir: str, max_rounds: int = 200):
     oracle runs the identical recurrence as a recursive CTE capped at
     ``max_rounds`` (both sides mirror the cap: survivors at the cap
     report layer cap+1)."""
-    return _onion_layers_from(edges_orders(sf_dir).materialize(), max_rounds)
+    return _onion_layers_from(
+        edges_orders(sf_dir).materialize(), max_rounds, max_edges
+    )
 
 
-def q_web_onion_layers(sf_dir: str, n_pages: int = 2000, max_rounds: int = 200):
+def q_web_onion_layers(
+    sf_dir: str, n_pages: int = 2000, max_rounds: int = 200, max_edges=None
+):
     """Onion layers of the onsite web link graph (same canonical page
     index mapping as q_web_coreness; distinct undirected pairs are
     bounded by the generator's page universe). Periphery pages = early
@@ -2288,79 +2312,28 @@ def q_web_onion_layers(sf_dir: str, n_pages: int = 2000, max_rounds: int = 200):
     pairs = distinct(
         links.map_batches(to_pairs, batch_format="pyarrow"), ["src", "dst"]
     ).materialize()
-    return _onion_layers_from(pairs, max_rounds)
+    return _onion_layers_from(pairs, max_rounds, max_edges)
 
 
-def _hindex_coreness(es: rd.Dataset, n_buckets: int = 8, max_rounds: int = 40):
+def _hindex_coreness(
+    es: rd.Dataset, n_buckets: int = 8, max_rounds: int = 40, max_broadcast=None
+):
     """Shared h-index-fixpoint coreness kernel over a symmetric
-    directed edge Dataset[(u:int64, v:int64)] with a dense-ish int id
-    universe (values vector is O(max id)). See q_coreness for the
-    algorithm and oracle-parity notes."""
-    import ray as _ray
+    directed edge Dataset[(u:int64, v:int64)] — delegates to
+    stages/coreness.py, which auto-selects the broadcast value-vector
+    path (id universe under the cap) or the per-round dst-bucket
+    value-join path (web scale; no O(V) broadcast). See q_coreness
+    for the algorithm and oracle-parity notes."""
+    from ..stages.coreness import MAX_BROADCAST_VERTICES, hindex_coreness
 
-    from ..stages.join import add_bucket, bucket_map_groups, bucket_sum
-
-    es = add_bucket(es, ["u"], n_buckets).materialize()
-
-    def _ones(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"u": t["u"], "one": pa.array(np.ones(t.num_rows, np.int64))}
-        )
-
-    # h^0 = degree; the per-vertex value vector is a BOUNDED driver
-    # partial (O(vertex universe), like q_kcore's peel frontier)
-    deg_rows = bucket_sum(
-        es.map_batches(_ones, batch_format="pyarrow"), ["u"], ["one"], n_buckets
-    ).take_all()
-    verts = np.sort(np.array([r["u"] for r in deg_rows], dtype=np.int64))
-    univ = int(verts.max()) + 1 if len(verts) else 0
-    val = np.zeros(univ, np.int64)
-    for r in deg_rows:
-        val[int(r["u"])] = int(r["one"])
-
-    def h_kernel(vref):
-        def kern(g: pd.DataFrame) -> pd.DataFrame:
-            cur = _ray.get(vref)
-            u = g["u"].to_numpy()
-            nv = cur[g["v"].to_numpy()]
-            order = np.lexsort((-nv, u))
-            us, vs = u[order], nv[order]
-            new_grp = np.ones(len(us), dtype=bool)
-            new_grp[1:] = us[1:] != us[:-1]
-            starts = np.flatnonzero(new_grp)
-            # rank within group (1-based), groups contiguous after sort
-            rn = np.arange(len(us), dtype=np.int64) - np.repeat(
-                starts, np.diff(np.concatenate([starts, [len(us)]]))
-            ) + 1
-            h = np.maximum.reduceat(np.minimum(vs, rn), starts)
-            return pd.DataFrame(
-                {
-                    "vertex": pd.Series(us[starts], dtype="int64"),
-                    "h": pd.Series(h, dtype="int64"),
-                }
-            )
-
-        return kern
-
-    for _ in range(max_rounds):
-        vref = _ray.put(val)
-        rows = bucket_map_groups(es, n_buckets, h_kernel(vref), "pandas").take_all()
-        new_val = np.zeros_like(val)
-        for r in rows:
-            new_val[int(r["vertex"])] = int(r["h"])
-        if (new_val == val).all():
-            break
-        val = new_val
-
-    return pd.DataFrame(
-        {
-            "vertex": pd.Series(verts, dtype="int64"),
-            "coreness": pd.Series(val[verts], dtype="int64"),
-        }
-    )
+    if max_broadcast is None:
+        max_broadcast = MAX_BROADCAST_VERTICES
+    return hindex_coreness(es, n_buckets, max_rounds, max_broadcast)
 
 
-def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
+def q_coreness(
+    sf_dir: str, n_buckets: int = 8, max_rounds: int = 40, max_broadcast=None
+):
     """FULL k-core decomposition — every vertex's core number in one
     job — via the iterated neighborhood h-index (Lü et al. 2016,
     Nature Communications 7:10168): h0 = degree, h_{t+1}(v) =
@@ -2369,10 +2342,11 @@ def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
     here is one embarrassingly parallel exchange — the web-scale
     shape. The symmetrized edge table is bucketed by src once and
     pinned across rounds (the kmeans input-pinning pattern); each
-    round broadcasts the O(V) value vector (ray.put once, read per
-    task; at 10^12 vertices swap the broadcast for a dst-bucket value
-    join) and exact per-vertex h-indexes come out of one vectorized
-    lexsort + reduceat per bucket. Early exit at the fixpoint is
+    round either broadcasts the O(V) value vector (ray.put once, read
+    per task — under the id-universe cap) or, above the cap, runs the
+    per-round dst-bucket value join (stages/coreness.py, bit-equal,
+    parity-tested); exact per-vertex h-indexes come out of one
+    vectorized lexsort + reduceat per bucket either way. Early exit at the fixpoint is
     oracle-safe: the SQL recursion runs a fixed ``max_rounds`` and a
     fixpoint is invariant under extra rounds; if the cap is hit
     unconverged, both sides have applied exactly ``max_rounds``
@@ -2387,11 +2361,16 @@ def q_coreness(sf_dir: str, n_buckets: int = 8, max_rounds: int = 40):
         )
 
     return _hindex_coreness(
-        edges.map_batches(sym, batch_format="pyarrow"), n_buckets, max_rounds
+        edges.map_batches(sym, batch_format="pyarrow"),
+        n_buckets,
+        max_rounds,
+        max_broadcast,
     )
 
 
-def q_web_coreness(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
+def q_web_coreness(
+    sf_dir: str, n_pages: int = 2000, n_buckets: int = 8, max_broadcast=None
+):
     """Coreness of the WEB LINK GRAPH (onsite pages only): the same
     h-index fixpoint (q_coreness) over the generator's distinct
     page-level links, symmetrized, with endpoints mapped to the
@@ -2420,7 +2399,9 @@ def q_web_coreness(sf_dir: str, n_pages: int = 2000, n_buckets: int = 8):
         return pa.concat_tables(out)
 
     return _hindex_coreness(
-        links.map_batches(to_ids, batch_format="pyarrow"), n_buckets
+        links.map_batches(to_ids, batch_format="pyarrow"),
+        n_buckets,
+        max_broadcast=max_broadcast,
     )
 
 
@@ -6742,7 +6723,7 @@ def q_ktruss(sf_dir: str, k: int = 4, max_rounds: int = 40):
     return cur.map_batches(rename, batch_format="pyarrow")
 
 
-def q_msf_boruvka(sf_dir: str, max_rounds: int = 96):
+def q_msf_boruvka(sf_dir: str, max_rounds: int = 96, max_label_broadcast=None):
     """Boruvka MINIMUM SPANNING FOREST over the planted-block graph
     with deterministic weights w = 1 + (37a + 61b) % 97 and the strict
     total edge order (w, a, b) — so the forest is UNIQUE and both this
@@ -6758,10 +6739,11 @@ def q_msf_boruvka(sf_dir: str, max_rounds: int = 96):
     label per batch crosses the wire), the driver min-reduces the
     bounded partials (#labels rows, halving every round) and contracts
     with union-find relabelled to per-group min vertex id. Component
-    labels are an O(V) int array broadcast via ray.put once per round
-    — the documented scale path above driver memory is labels as a
+    labels are an O(V) int array broadcast via ray.put once per round;
+    above the broadcast cap the kernel AUTO-SELECTS labels as a
     Dataset + bucket-join relabel with contraction via the engine's
-    own CC (the minhash-dedup pattern). Rounds are O(log V) because
+    own distributed CC (stages/msf.py, the minhash-dedup pattern;
+    bit-equal forest, parity-tested). Rounds are O(log V) because
     contraction is full each round."""
     edges = edges_cliquey(sf_dir)
 
@@ -6778,6 +6760,21 @@ def q_msf_boruvka(sf_dir: str, max_rounds: int = 96):
 
     ewk = edges.map_batches(weigh, batch_format="pyarrow").materialize()
     n_ids = 1024  # ids < 1024 asserted in weigh; labels are an O(V) array
+    if max_label_broadcast is None:
+        from ..stages.coreness import MAX_BROADCAST_VERTICES as max_label_broadcast
+    if n_ids > max_label_broadcast:
+        # web scale: labels live in a Dataset, contraction via the
+        # engine's own distributed CC (stages/msf.py; bit-equal forest)
+        import shutil as _sh
+        import tempfile
+
+        from ..stages.msf import msf_boruvka_distributed
+
+        work = tempfile.mkdtemp(prefix="msf_", dir="/tmp")
+        try:
+            return msf_boruvka_distributed(ewk, work, max_rounds)
+        finally:
+            _sh.rmtree(work, ignore_errors=True)
     comp = np.arange(n_ids, dtype=np.int64)
 
     taken_keys: set[int] = set()
@@ -8070,16 +8067,16 @@ def _rank_int_keys(ds, lo: int, hi: int, nb: int, base_offset: int):
     )
 
 
-def q_dict_upsert(sf_dir: str):
+def q_dict_upsert(sf_dir: str, max_broadcast=None):
     """Incremental dictionary upsert with STABLE ids — the core of
     resumable web-crawl ingestion: the existing dictionary (the
     "previous crawl": customer keys with key % 3 != 0, ids = dense
     rank by key) keeps its ids unchanged; incoming keys (distinct
     orders custkeys) not already present are appended with ids
     n_old + rank-among-new. Old-key membership is a
-    broadcast set at this scale (ray.put once, np.isin per batch);
-    above the broadcast limit the anti-join runs as the hash-bucket
-    join the dictionary encoder already uses. Ranking never sorts
+    broadcast set under the dimension cap (ray.put once, np.isin per
+    batch); above it the kernel AUTO-SELECTS the hash-bucket ANTI-join
+    the dictionary encoder already uses (bit-equal, parity-tested). Ranking never sorts
     globally (range-bucket histogram offsets)."""
     from ..stages.join import distinct
 
@@ -8095,20 +8092,50 @@ def q_dict_upsert(sf_dir: str):
     old_ranked = _rank_int_keys(old_keys, lo, hi, nb, base_offset=0).materialize()
     n_old = old_ranked.count()
 
-    old_set_ref = ray.put(np.sort(old_ranked.to_pandas()["key"].to_numpy()))
+    if max_broadcast is None:
+        max_broadcast = BROADCAST_DIM_ROWS
+    if n_old > max_broadcast:
+        # web scale: old-key membership never leaves the cluster — the
+        # anti-join runs hash-bucketed (stages/join.py how="anti"),
+        # the same shuffle the dictionary encoder already uses
+        from ..stages.join import bucket_join
 
-    def filter_new(t: pa.Table) -> pa.Table:
-        k = t["o_custkey"].to_numpy().astype(np.int64)
-        old = ray.get(old_set_ref)
-        keep = ~np.isin(k, old)
-        return pa.table({"k": pa.array(np.unique(k[keep]))})
+        cand = distinct(
+            _table(sf_dir, "orders", ["o_custkey"]).map_batches(
+                lambda t: pa.table(
+                    {"k": t["o_custkey"].cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["k"],
+        )
+        new_keys = bucket_join(
+            cand,
+            old_ranked.map_batches(
+                lambda t: pa.table({"k": t["key"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            left_on="k",
+            right_on="k",
+            how="anti",
+            left_schema=pa.schema([("k", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64())]),
+        )
+    else:
+        old_set_ref = ray.put(np.sort(old_ranked.to_pandas()["key"].to_numpy()))
 
-    new_keys = distinct(
-        _table(sf_dir, "orders", ["o_custkey"]).map_batches(
-            filter_new, batch_format="pyarrow"
-        ),
-        ["k"],
-    )
+        def filter_new(t: pa.Table) -> pa.Table:
+            k = t["o_custkey"].to_numpy().astype(np.int64)
+            old = ray.get(old_set_ref)
+            keep = ~np.isin(k, old)
+            return pa.table({"k": pa.array(np.unique(k[keep]))})
+
+        new_keys = distinct(
+            _table(sf_dir, "orders", ["o_custkey"]).map_batches(
+                filter_new, batch_format="pyarrow"
+            ),
+            ["k"],
+        )
     new_ranked = _rank_int_keys(new_keys, lo, hi, nb, base_offset=n_old)
 
     def tag(status: str):

@@ -247,6 +247,15 @@ def bucket_join(
             .to_pandas()
             .rename(columns={left_on: right_on})
         )
+        if how == "anti":
+            # left rows whose key has NO match on the right — the
+            # hash-partitioned form of the broadcast np.isin filter
+            # (exact for any scale: a key's rows all share a bucket)
+            keep = ~l[left_on].isin(r[right_on].drop_duplicates())
+            out = l[keep]
+            return pa.Table.from_pandas(
+                out.reset_index(drop=True), preserve_index=False
+            )
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         if right_on != left_on and right_on in out.columns:
             out = out.drop(columns=[right_on])

@@ -94,3 +94,89 @@ def test_random_walks_cap_autoselect_synthetic_above_cap():
     a = a.sort_values(["walker", "step"]).reset_index(drop=True)
     b = b.sort_values(["walker", "step"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- round-5 fallbacks: every per-round O(V) ray.put broadcast now has a
+# dst-bucket value-join / anti-join distributed variant behind the same
+# auto-select cap (VERDICT r4 next-round item #1) ----
+
+
+def test_coreness_value_join_parity():
+    from distributed_graph_computing_platform_ray.pipelines.testdata import q_coreness
+
+    a = q_coreness(SF).reset_index(drop=True)
+    b = q_coreness(SF, max_broadcast=0).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_coreness_autoselect_nonzero_cap():
+    """A real (non-zero) cap below the id universe takes the
+    distributed path and matches the broadcast kernel."""
+    from distributed_graph_computing_platform_ray.pipelines.testdata import q_coreness
+
+    a = q_coreness(SF).reset_index(drop=True)
+    b = q_coreness(SF, max_broadcast=100).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_kcore_rounds_anti_join_parity():
+    from distributed_graph_computing_platform_ray.pipelines.testdata import (
+        q_kcore_rounds,
+    )
+
+    a = q_kcore_rounds(SF).reset_index(drop=True)
+    b = q_kcore_rounds(SF, max_broadcast=0).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_onion_layers_distributed_parity_synthetic():
+    """Small synthetic nucleus+periphery graph (few waves) so the
+    wave-sequential distributed path stays fast in CI; parity is
+    wave-for-wave bit-equality of (vertex, layer)."""
+    from distributed_graph_computing_platform_ray.pipelines.testdata import (
+        _onion_layers_from,
+    )
+
+    # K6 nucleus (vertices 0-5) + a 4-path periphery hanging off it
+    core = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    path = [(5, 6), (6, 7), (7, 8)]
+    df = pd.DataFrame(core + path, columns=["src", "dst"]).astype("int64")
+    pairs = rd.from_pandas(df)
+    a = _onion_layers_from(pairs).to_pandas().sort_values("vertex").reset_index(drop=True)
+    b = (
+        _onion_layers_from(pairs, max_edges=0)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert len(a) == 9
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_msf_boruvka_dataset_labels_parity():
+    from distributed_graph_computing_platform_ray.pipelines.testdata import (
+        q_msf_boruvka,
+    )
+
+    a = q_msf_boruvka(SF).reset_index(drop=True)
+    b = q_msf_boruvka(SF, max_label_broadcast=0).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dict_upsert_anti_join_parity():
+    from distributed_graph_computing_platform_ray.pipelines.testdata import (
+        q_dict_upsert,
+    )
+
+    def norm(x):
+        if not isinstance(x, pd.DataFrame):
+            x = x.to_pandas()
+        return x.sort_values("key").reset_index(drop=True)
+
+    a = norm(q_dict_upsert(SF))
+    b = norm(q_dict_upsert(SF, max_broadcast=0))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
