@@ -1390,7 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = res.map_batches(conv, batch_format="pyarrow")
         return ds.sort(["score_e8", "vertex"], descending=[True, False]).limit(25)
 
-    return {
+    reg = {
         # -- graph engine over derived edge tables (SQL-checked) --------
         "edges_lineitem": T.q_edges_lineitem,
         "degrees": T.q_degrees,
@@ -1701,6 +1701,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": T.q_ann_ivf,
         "multimodal_decode": T.q_multimodal_decode,
     }
+
+    # Driver-gate ordering (VERDICT r4 item #2): CORRECTNESS_rNN.json
+    # checks the FIRST 50 registry entries, so make them a
+    # representative cross-family sample — engine/graph, graph
+    # analytics, text, dedup, ANN/embeddings, windows/sessionize,
+    # incremental/patch, relational, sketches, tokenizer/curation,
+    # web/host — instead of the static round-2 prefix. Relative order
+    # within the remainder is unchanged.
+    gate_first = [
+        # engine ingest + BSP algorithms
+        "edges_lineitem", "degrees", "pagerank", "pagerank_top25",
+        "sssp", "connected_components", "label_propagation",
+        # graph analytics
+        "triangle_count", "kcore_rounds", "coreness", "msf_boruvka",
+        "scc", "stress_centrality", "two_hop_size",
+        # text analysis
+        "doc_stats", "top_terms", "page_text_stats", "doc_readability",
+        "zipf_heaps",
+        # dedup family
+        "doc_exact_dedup", "doc_minhash_dedup", "doc_ngram_jaccard",
+        "doc_simhash_pairs", "doc_dup_ngrams",
+        # ANN / embeddings
+        "ann_topk", "ann_recall", "kmeans_embeddings", "pq_codebook",
+        "embedding_neardup",
+        # windows / sessionize / as-of
+        "events_sessionize", "events_asof_orders", "events_funnel",
+        "events_retention", "events_sliding",
+        # incremental / patch
+        "graph_patch_pr", "cc_incremental", "dict_upsert",
+        "patch_warm_pagerank",
+        # relational
+        "revenue_by_nation", "orders_left_join", "lineitem_antijoin",
+        "orders_cube",
+        # sketches
+        "user_distinct_hll", "cms_user_counts", "quantiles_sketch",
+        # tokenizer / curation ops
+        "bpe_merges", "term_heavy_hitters", "doc_decontaminate",
+        "doc_pii_scrub",
+        # web / host graph
+        "domain_pagerank",
+    ]
+    assert len(gate_first) == 50, len(gate_first)
+    missing = [k for k in gate_first if k not in reg]
+    assert not missing, f"gate_first names not in registry: {missing}"
+    ordered = {k: reg[k] for k in gate_first}
+    ordered.update((k, v) for k, v in reg.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
