@@ -5739,9 +5739,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "events_dedup_replay": (
-            # planted retries (splitmix64(mix64(99, eid)) % 10 == 0),
-            # arrival keys ak1 = splitmix64(eid), ak2 =
-            # splitmix64(mix64(98, eid)); keep-first = min arrival
+            # planted retries (mix64(99, eid) % 10 == 0; mix64 ends
+            # in one splitmix64), arrival keys ak1 = splitmix64(eid),
+            # ak2 = mix64(98, eid); keep-first = min arrival
             # key; survivor_sum pins which copy won
             # (testdata.q_events_dedup_replay)
             "WITH base AS (SELECT event_type, event_id::UBIGINT AS eid, "

@@ -13949,26 +13949,9 @@ def q_host_hopplot(
     iteration-indexed Bellman-Ford recursion caps identically). Scale
     path above the broadcast cap: the engine's ANF-style bitmask BSP
     over the contracted graph."""
-    from ..stages.join import bucket_sum, distinct
+    from ..stages.join import bucket_sum
 
-    links = _pages_links(n_pages)
-
-    def hosts(t: pa.Table) -> pa.Table:
-        sh = pc.list_element(pc.split_pattern(t["src_key"], "/"), 2)
-        dh = pc.list_element(pc.split_pattern(t["dst_key"], "/"), 2)
-        tt = pa.table({"sh": sh, "dh": dh})
-        return tt.filter(pc.not_equal(tt["sh"], tt["dh"]))
-
-    he = distinct(
-        links.map_batches(hosts, batch_format="pyarrow"), ["sh", "dh"], 16
-    ).to_pandas()  # contracted host-pair table — bounded by hosts^2 << pages
-    names, codes = np.unique(
-        np.concatenate([he["sh"].to_numpy(), he["dh"].to_numpy()]), return_inverse=True
-    )
-    n = len(names)
-    A = np.zeros((n, n), dtype=np.uint8)
-    A[codes[: len(he)], codes[len(he):]] = 1
-    src_codes = np.unique(codes[: len(he)])
+    names, A, src_codes = _host_graph(n_pages)
     state = ray.put(A)
 
     seeds = rd.from_arrow(pa.table({"s": pa.array(src_codes.astype(np.int64))}))
@@ -14001,6 +13984,9 @@ def q_host_hopplot(
     )
 
 
+MAX_DENSE_HOSTS = 4096  # dense uint8 A is n^2 bytes: 4096^2 = 16 MB
+
+
 def _host_graph(n_pages: int = 2000):
     """Contracted host digraph of the page link graph as a dense
     boolean matrix: (names, A, src_codes) with A[i, j] = 1 iff host i
@@ -14027,6 +14013,16 @@ def _host_graph(n_pages: int = 2000):
         np.concatenate([he["sh"].to_numpy(), he["dh"].to_numpy()]), return_inverse=True
     )
     n = len(names)
+    if n > MAX_DENSE_HOSTS:
+        # make the by-construction bound EXPLICIT (VERDICT r4 item #3):
+        # a bigger corpus must fail loudly, not allocate O(n^2)
+        raise ValueError(
+            f"host graph has {n} hosts > MAX_DENSE_HOSTS={MAX_DENSE_HOSTS}; "
+            "the dense-matrix kernels (hopplot/harmonic/betweenness/"
+            "closed-walks/GN) need the sparse path instead: keep the "
+            "host edge list as a Dataset and run the engine's BSP "
+            "frontier joins (see q_host_hopplot docstring)"
+        )
     A = np.zeros((n, n), dtype=np.uint8)
     A[codes[: len(he)], codes[len(he):]] = 1
     src_codes = np.unique(codes[: len(he)])
@@ -14572,32 +14568,15 @@ def q_rank_spearman(sf_dir: str):
     )
 
 
-def q_host_betweenness(sf_dir: str, n_pages: int = 2000, max_rounds: int = 7):
-    """EXACT directed betweenness centrality over the contracted host
-    graph (Brandes' pair-dependency sum, NOT the all-integer stress
-    variant): bc(v) = sum over (s, t), s != v != t, with
-    dist(s,v) + dist(v,t) = dist(s,t), of sigma_sv * sigma_vt /
-    sigma_st — each fractional term integer half-up e6 BEFORE the sum
-    (sum of rounded terms, so a SQL oracle reproduces it term by term;
-    classic Brandes' backward accumulation aggregates fractions and
-    is not integer-replayable). Two phases, both over source batches:
-    (1) forward BFS + path counting emits (s, v, dist, sigma) rows
-    (bounded by the contraction's reachable pairs); (2) the assembled
-    dist/sigma matrices broadcast back and each source batch
-    vectorizes its own S x V x T dependency slab, emitting per-v
-    additive partials merged by ONE tiny bucket_sum. Intermediates
-    must have outlinks, so v ranges over source hosts only."""
-    from ..stages.join import bucket_sum
-
-    names, A, src_codes = _host_graph(n_pages)
-    n = len(names)
-    S = len(src_codes)
-    state = ray.put(A)
-
-    seeds = rd.from_arrow(pa.table({"s": pa.array(src_codes.astype(np.int64))}))
+def _host_fwd_sweep(state_ref, n: int, max_rounds: int):
+    """Shared Brandes forward kernel over the dense host adjacency:
+    per source batch, BFS layers + path counting, emitting
+    (s, v, dist, sigma) rows for every reached vertex. Used by both
+    q_host_betweenness and q_host_edge_betweenness (ADVICE r4: one
+    kernel, no drift)."""
 
     def fwd(t: pa.Table) -> pa.Table:
-        A_ = ray.get(state).astype(np.int64)
+        A_ = ray.get(state_ref).astype(np.int64)
         s = t["s"].to_numpy().astype(np.int64)
         m = len(s)
         dist = np.full((m, n), -1, np.int64)
@@ -14624,7 +14603,36 @@ def q_host_betweenness(sf_dir: str, n_pages: int = 2000, max_rounds: int = 7):
             }
         )
 
-    rows = seeds.map_batches(fwd, batch_format="pyarrow").to_pandas()
+    return fwd
+
+
+def q_host_betweenness(sf_dir: str, n_pages: int = 2000, max_rounds: int = 7):
+    """EXACT directed betweenness centrality over the contracted host
+    graph (Brandes' pair-dependency sum, NOT the all-integer stress
+    variant): bc(v) = sum over (s, t), s != v != t, with
+    dist(s,v) + dist(v,t) = dist(s,t), of sigma_sv * sigma_vt /
+    sigma_st — each fractional term integer half-up e6 BEFORE the sum
+    (sum of rounded terms, so a SQL oracle reproduces it term by term;
+    classic Brandes' backward accumulation aggregates fractions and
+    is not integer-replayable). Two phases, both over source batches:
+    (1) forward BFS + path counting emits (s, v, dist, sigma) rows
+    (bounded by the contraction's reachable pairs); (2) the assembled
+    dist/sigma matrices broadcast back and each source batch
+    vectorizes its own S x V x T dependency slab, emitting per-v
+    additive partials merged by ONE tiny bucket_sum. Intermediates
+    must have outlinks, so v ranges over source hosts only."""
+    from ..stages.join import bucket_sum
+
+    names, A, src_codes = _host_graph(n_pages)
+    n = len(names)
+    S = len(src_codes)
+    state = ray.put(A)
+
+    seeds = rd.from_arrow(pa.table({"s": pa.array(src_codes.astype(np.int64))}))
+
+    rows = seeds.map_batches(
+        _host_fwd_sweep(state, n, max_rounds), batch_format="pyarrow"
+    ).to_pandas()
     # assemble bounded matrices (reachable pairs of the contraction)
     sidx = {int(c): i for i, c in enumerate(src_codes)}
     D = np.full((S, n), -1, np.int64)
@@ -14735,35 +14743,9 @@ def q_host_edge_betweenness(
 
     seeds = rd.from_arrow(pa.table({"s": pa.array(src_codes.astype(np.int64))}))
 
-    def fwd(t: pa.Table) -> pa.Table:
-        A_ = ray.get(state).astype(np.int64)
-        s = t["s"].to_numpy().astype(np.int64)
-        m = len(s)
-        dist = np.full((m, n), -1, np.int64)
-        sig = np.zeros((m, n), np.int64)
-        dist[np.arange(m), s] = 0
-        sig[np.arange(m), s] = 1
-        front = np.zeros((m, n), dtype=bool)
-        front[np.arange(m), s] = True
-        d = 0
-        while front.any() and d < max_rounds:
-            d += 1
-            contrib = (sig * front) @ A_
-            new = (contrib > 0) & (dist < 0)
-            sig = sig + np.where(new, contrib, 0)
-            dist[new] = d
-            front = new
-        rs, vs = np.nonzero(dist >= 0)
-        return pa.table(
-            {
-                "s": pa.array(s[rs]),
-                "v": pa.array(vs.astype(np.int64)),
-                "dist": pa.array(dist[rs, vs]),
-                "sigma": pa.array(sig[rs, vs]),
-            }
-        )
-
-    rows = seeds.map_batches(fwd, batch_format="pyarrow").to_pandas()
+    rows = seeds.map_batches(
+        _host_fwd_sweep(state, n, max_rounds), batch_format="pyarrow"
+    ).to_pandas()
     # full (n x n) dist/sigma: source-host rows from the sweep, sink
     # rows are diagonal-only (a sink reaches nothing but itself)
     Dx = np.full((n, n), -1, np.int64)
@@ -14825,11 +14807,11 @@ def q_host_edge_betweenness(
 
 def q_events_dedup_replay(sf_dir: str, n_buckets: int = 8):
     """Exactly-once accounting under at-least-once delivery: 10% of
-    events are redelivered (retry iff splitmix64(mix64(99, event_id))
-    % 10 == 0 — the planted-duplicate harness, reproduced verbatim in
-    SQL), every delivery carries a counter-based arrival key
-    (splitmix64(event_id) for the original, splitmix64(mix64(98,
-    event_id)) for the retry), and the consumer keeps the FIRST
+    events are redelivered (retry iff mix64(99, event_id) % 10 == 0 —
+    the planted-duplicate harness, reproduced verbatim in SQL), every delivery carries a counter-based arrival key
+    (splitmix64(event_id) for the original, mix64(98, event_id) —
+    which itself ends in one splitmix64 — for the retry), and the
+    consumer keeps the FIRST
     arrival per event_id. Per event type: deliveries, unique events,
     the duplicate rate (half-up e6), and a survivor checksum
     (sum of min-arrival-key >> 32) that pins WHICH copy won — the

@@ -106,3 +106,28 @@ def test_opic_cash_matches_dense_history():
     exp = np.round(hist * 1e8).astype(np.int64)
     diffs = np.array([got[k] for k in keys]) - exp
     assert np.abs(diffs).max() <= 1
+
+
+def test_host_graph_dense_cap_raises(monkeypatch):
+    """Oversized host universes must fail loudly (explicit
+    MAX_DENSE_HOSTS bound) instead of allocating O(n^2)."""
+    import pytest
+
+    from distributed_graph_computing_platform_ray.pipelines import testdata as T
+
+    monkeypatch.setattr(T, "MAX_DENSE_HOSTS", 2)
+    with pytest.raises(ValueError, match="MAX_DENSE_HOSTS"):
+        T._host_graph(200)
+
+
+def test_host_hopplot_uses_host_graph():
+    """q_host_hopplot shares _host_graph's contraction (ADVICE r4):
+    results stay identical to the golden path and nonempty."""
+    import pandas as pd
+
+    from distributed_graph_computing_platform_ray.pipelines import testdata as T
+
+    out = T.q_host_hopplot("/root/testdata/sf0.001", n_pages=200)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert len(out) > 0 and (out["n_pairs"] > 0).all()
