@@ -1435,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": T.q_doc_fingerprint,
         "top_terms": T.q_top_terms,
         "inverted_index": T.q_inverted_index,
+        "inverted_index_blocked": T.q_inverted_index_blocked,
         "doc_repetition": T.q_doc_repetition,
         "dedup_report": T.q_dedup_report,
         "source_overlap": T.q_source_overlap,
@@ -2313,6 +2314,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, count(*)::BIGINT AS df, "
             "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
             "FROM pairs GROUP BY term"
+        ),
+        "inverted_index_blocked": (
+            # hot-term split: fixed 8-posting blocks per term, df = the
+            # term's TOTAL df on every block row (skip metadata); block
+            # concatenation in block_id order == the unblocked postings
+            # (testdata.q_inverted_index_blocked)
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "FROM documents WHERE trim(text) <> ''), "
+            "rn AS (SELECT term, doc_id, "
+            "  (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 8 "
+            "    AS block_id, "
+            "  count(*) OVER (PARTITION BY term)::BIGINT AS df FROM pairs) "
+            "SELECT term, block_id::BIGINT AS block_id, any_value(df) AS df, "
+            "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
+            "FROM rn GROUP BY term, block_id"
         ),
         "source_overlap": (
             "WITH toks AS (SELECT source, trim(text) AS tx FROM documents WHERE trim(text) <> ''), "

@@ -1372,15 +1372,22 @@ def q_top_terms(sf_dir: str):
     return top
 
 
-def q_inverted_index(sf_dir: str):
+def q_inverted_index(sf_dir: str, block_size: int | None = None):
     """Search-index build: the full posting list (sorted doc ids) per
     term. The (doc_id, term) pairs a batch emits are already globally
     distinct — a document lives in exactly one row — so ONE
     term-bucket shuffle assembles every posting list (a term's whole
-    list lands in one group; at web scale a hot term's postings would
-    additionally split into fixed-size blocks with skip pointers).
-    Postings serialize as a comma-joined string, the hash-comparable
-    stand-in for a list<int64> column."""
+    list lands in one group). Postings serialize as a comma-joined
+    string, the hash-comparable stand-in for a list<int64> column.
+
+    ``block_size`` set = the web-scale HOT-TERM path (q_inverted
+    _index_blocked registry row): a term whose df exceeds the cap
+    emits FIXED-SIZE posting blocks (term, block_id, df, postings)
+    instead of one unbounded string row — the block/skip-pointer
+    split of a production index. block_id orders doc-id ranges, df is
+    the term's TOTAL df on every block row (the skip metadata), and
+    concatenating a term's blocks in block_id order reproduces the
+    unblocked postings bit-for-bit (parity-tested)."""
     from ..stages.join import _BUCKET, add_bucket
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -1400,11 +1407,34 @@ def q_inverted_index(sf_dir: str):
             }
         )
 
+    def build_blocked(dfb: pd.DataFrame) -> pd.DataFrame:
+        s = dfb.sort_values(["term", "doc_id"])
+        s = s.assign(
+            block_id=(s.groupby("term", sort=False).cumcount() // block_size).astype(
+                "int64"
+            ),
+            df=s.groupby("term", sort=False)["doc_id"].transform("size").astype(
+                "int64"
+            ),
+        )
+        g = s.groupby(["term", "block_id"], sort=False)
+        out = g.agg(
+            df=("df", "first"),
+            postings=("doc_id", lambda ids: ",".join(map(str, ids))),
+        ).reset_index()
+        return out[["term", "block_id", "df", "postings"]]
+
     src = _table(sf_dir, "documents", ["doc_id", "text"])
     nb = _scaled_buckets(sf_dir, "documents", rows_per_bucket=50_000, floor=16)
-    return (
-        _BMG(add_bucket(src.map_batches(pairs, batch_format="pandas"), ["term"], nb), nb, build, "pandas")
-    )
+    keyed = add_bucket(src.map_batches(pairs, batch_format="pandas"), ["term"], nb)
+    return _BMG(keyed, nb, build_blocked if block_size else build, "pandas")
+
+
+def q_inverted_index_blocked(sf_dir: str, block_size: int = 8):
+    """Hot-term posting-list split (SURVEY §2 "block/skip split
+    documented as the web-scale path" — now implemented): fixed
+    ``block_size`` posting blocks per term; see q_inverted_index."""
+    return q_inverted_index(sf_dir, block_size=block_size)
 
 
 def q_doc_repetition(sf_dir: str):

@@ -394,3 +394,31 @@ def test_heavy_hitters_exact_vs_counter():
     tru = np.array([exact[t] for t in kt])
     assert (kc <= tru).all()
     assert ((tru - kc) <= n // 11 + 1).all()
+
+
+def test_inverted_index_blocked_parity():
+    """Hot-term split: concatenating a term's posting blocks in
+    block_id order reproduces the unblocked postings bit-for-bit,
+    with df = total term df on every block row."""
+    import pandas as pd
+
+    from distributed_graph_computing_platform_ray.pipelines.testdata import (
+        q_inverted_index,
+        q_inverted_index_blocked,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = q_inverted_index(sf).to_pandas().set_index("term").sort_index()
+    blk = q_inverted_index_blocked(sf, block_size=8).to_pandas()
+    assert (blk["block_id"] > 0).any()  # the split actually fires
+    rebuilt = (
+        blk.sort_values(["term", "block_id"])
+        .groupby("term")
+        .agg(df=("df", "first"), postings=("postings", ",".join))
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(full, rebuilt)
+    # every non-final block is exactly block_size postings
+    sizes = blk["postings"].str.count(",") + 1
+    last = blk.groupby("term")["block_id"].transform("max") == blk["block_id"]
+    assert (sizes[~last] == 8).all()
