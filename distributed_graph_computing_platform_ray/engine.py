@@ -502,6 +502,25 @@ def _apply_core(manifest, algo, superstep, ids, values, msg_chunks):
     return new_values, new_active.astype(bool)
 
 
+def _chunks_wire_rows(chunks) -> int:
+    """Inbox WIRE volume of one apply task, in payload rows: dense
+    chunks count their vector length, sparse chunks their triple
+    length. This is the per-superstep object-store churn the
+    10x-scale boundedness runs record (run.json history.msg_rows) —
+    the metric that shows the combiner keeping message volume at
+    O(parts x part_size), not O(edges)."""
+    rows = 0
+    for m in chunks:
+        if m is None:
+            continue
+        if isinstance(m, tuple) and len(m) == 2 and not isinstance(m[0], str):
+            m = m[0]  # aggregator channel: (payload, global_partial)
+            if m is None:
+                continue
+        rows += len(m[1])
+    return rows
+
+
 def _core_tasks():
     """Lazily-defined Ray remote wrappers (module import must not
     require an initialized Ray)."""
@@ -533,7 +552,7 @@ def _core_tasks():
         lo, hi = man.part_bounds(part)
         ids = np.arange(lo, hi, dtype=np.int64)
         nv, na = _apply_core(man, algo, superstep, ids, values, chunks)
-        return (nv, na), int(na.sum())
+        return (nv, na), (int(na.sum()), _chunks_wire_rows(chunks))
 
     @ray.remote
     def load_task(iter_dir, man, part):
@@ -806,7 +825,9 @@ class BSPEngine:
                     nact_refs.append(aref)
                 state_refs = new_refs
             s += k_steps
-            nact = [int(x) for x in ray.get(nact_refs)]
+            stats = ray.get(nact_refs)
+            nact = [int(a) for a, _m in stats]
+            msg_rows = int(sum(m for _a, m in stats))
             n_active = int(sum(nact))
             d = self.iter_dir(s)
             shutil.rmtree(d, ignore_errors=True)
@@ -823,6 +844,9 @@ class BSPEngine:
             history.append(
                 {"superstep": s, "n_active": n_active,
                  "sec": round(time.time() - t_chunk, 3),
+                 # inbox wire rows at the chunk-final superstep (see
+                 # _chunks_wire_rows): combiner-boundedness evidence
+                 "msg_rows": msg_rows,
                  # per-PARTITION lineage metric: where the frontier lives
                  "active_per_part": nact if len(nact) <= 256 else None}
             )
