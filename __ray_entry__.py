@@ -1436,6 +1436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": T.q_top_terms,
         "inverted_index": T.q_inverted_index,
         "inverted_index_blocked": T.q_inverted_index_blocked,
+        "mixture_weights": T.q_mixture_weights,
+        "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
         "dedup_report": T.q_dedup_report,
         "source_overlap": T.q_source_overlap,
@@ -2314,6 +2316,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, count(*)::BIGINT AS df, "
             "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
             "FROM pairs GROUP BY term"
+        ),
+        "mixture_weights": (
+            # capped-proportional mixture rule, cap = 2*total//n_src;
+            # half-up e6 divisions (testdata.q_mixture_weights)
+            "WITH per AS (SELECT source, SUM(CASE WHEN trim(text) = '' THEN 0 "
+            "  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT "
+            "  AS tokens FROM documents GROUP BY source), "
+            "tot AS (SELECT SUM(tokens)::BIGINT AS total, COUNT(*)::BIGINT AS n "
+            "  FROM per), "
+            "cp AS (SELECT source, tokens, "
+            "  LEAST(tokens, 2 * total // n)::BIGINT AS capped_tokens "
+            "  FROM per, tot), "
+            "ct AS (SELECT SUM(capped_tokens)::BIGINT AS cap_total FROM cp) "
+            "SELECT source, tokens, capped_tokens, "
+            "((2 * capped_tokens * 1000000 + cap_total) // (2 * cap_total))"
+            "::BIGINT AS weight_e6, "
+            "((2 * capped_tokens * 1000000 + tokens) // (2 * tokens))::BIGINT "
+            "AS epochs_e6 FROM cp, ct"
+        ),
+        "term_and_query": (
+            # query = two lexicographically smallest terms with df >= 10;
+            # hits = docs containing both (testdata.q_term_and_query)
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+            "FROM documents WHERE trim(text) <> ''), "
+            "q AS (SELECT term FROM pairs GROUP BY term "
+            "  HAVING count(*) >= 10 ORDER BY term LIMIT 2), "
+            "qq AS (SELECT min(term) AS ta, max(term) AS tb FROM q) "
+            "SELECT p.doc_id, qq.ta AS term_a, qq.tb AS term_b "
+            "FROM pairs p, qq WHERE p.term IN (qq.ta, qq.tb) "
+            "GROUP BY p.doc_id, qq.ta, qq.tb HAVING count(*) = 2"
         ),
         "inverted_index_blocked": (
             # hot-term split: fixed 8-posting blocks per term, df = the

@@ -16014,3 +16014,108 @@ def q_user_concentration(sf_dir: str, pct: int = 10, n_buckets: int = 16):
             ),
         }
     )
+
+
+def q_mixture_weights(sf_dir: str, cap_mult: int = 2, n_buckets: int = 8):
+    """TRAINING-MIXTURE PLANNER (capped-proportional rule): per
+    source, whitespace token counts -> sampling weight under a
+    per-source token CAP of ``cap_mult * total // n_sources`` — the
+    "cap oversampled sources" mixture rule of LLM data recipes
+    (oversampling temperature without float pow, so the arithmetic is
+    exact integers on both sides). Outputs per source: raw tokens,
+    capped tokens, weight_e6 = capped share of the capped total, and
+    epochs_e6 = capped/raw (how much of the source one epoch of the
+    mixture consumes). Token counting is one per-batch combiner +
+    a source-bucket sum; the planner itself runs on the bounded
+    per-source table. All divisions half-up integer e6."""
+    from ..stages.join import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split().str.len().astype("int64")
+        g = pd.DataFrame({"source": df["source"].astype(str), "tokens": toks})
+        return g.groupby("source", as_index=False).sum()
+
+    per_src = bucket_sum(
+        _table(sf_dir, "documents", ["source", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["source"],
+        ["tokens"],
+        n_buckets,
+    ).to_pandas()  # bounded: one row per source
+    per_src = per_src.sort_values("source").reset_index(drop=True)
+    total = int(per_src["tokens"].sum())
+    n_src = len(per_src)
+    cap = cap_mult * total // n_src
+    raw = per_src["tokens"].to_numpy().astype(np.int64)
+    capped = np.minimum(raw, cap)
+    cap_total = int(capped.sum())
+    return pd.DataFrame(
+        {
+            "source": per_src["source"],
+            "tokens": pd.Series(raw, dtype="int64"),
+            "capped_tokens": pd.Series(capped, dtype="int64"),
+            "weight_e6": pd.Series(
+                (2 * capped * 1_000_000 + cap_total) // (2 * cap_total),
+                dtype="int64",
+            ),
+            "epochs_e6": pd.Series(
+                (2 * capped * 1_000_000 + raw) // (2 * raw), dtype="int64"
+            ),
+        }
+    )
+
+
+def q_term_and_query(sf_dir: str, min_df: int = 10, n_buckets: int = 16):
+    """CONJUNCTIVE (AND) POSTING-LIST INTERSECTION — the lookup side
+    of the inverted index: the two lexicographically smallest terms
+    with df >= ``min_df`` are the query (both engines derive the same
+    pair deterministically from the corpus), and the answer is every
+    doc containing BOTH. The distinct (doc, term) pair table streams
+    through ONE doc-bucket shuffle where per-doc term counts == 2
+    select the hits — the bucketed form of a posting-list merge; the
+    2-term query itself is a broadcast-scale constant."""
+    from ..stages.join import bucket_sum
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.set_index("doc_id")["text"].astype(str).str.split().explode().dropna()
+        return pd.DataFrame(
+            {"doc_id": t.index.to_numpy(), "term": t.to_numpy()}
+        ).drop_duplicates()
+
+    src = _table(sf_dir, "documents", ["doc_id", "text"])
+    pr = src.map_batches(pairs, batch_format="pandas").materialize()
+    df_tbl = bucket_sum(
+        pr.map_batches(
+            lambda d: d.assign(one=np.ones(len(d), np.int64))[["term", "one"]],
+            batch_format="pandas",
+        ),
+        ["term"],
+        ["one"],
+        n_buckets,
+    ).to_pandas()
+    elig = df_tbl.loc[df_tbl["one"] >= min_df, "term"].sort_values()
+    qa, qb = str(elig.iloc[0]), str(elig.iloc[1])
+    qref = ray.put((qa, qb))
+
+    def hit_partial(d: pd.DataFrame) -> pd.DataFrame:
+        a, b = ray.get(qref)
+        sel = d[d["term"].isin((a, b))]
+        return pd.DataFrame(
+            {"doc_id": sel["doc_id"].astype("int64"), "one": 1}
+        )
+
+    hits = bucket_sum(
+        pr.map_batches(hit_partial, batch_format="pandas"),
+        ["doc_id"],
+        ["one"],
+        n_buckets,
+    ).to_pandas()
+    docs = np.sort(hits.loc[hits["one"] == 2, "doc_id"].to_numpy().astype(np.int64))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "term_a": pd.Series([qa] * len(docs), dtype="object"),
+            "term_b": pd.Series([qb] * len(docs), dtype="object"),
+        }
+    )
