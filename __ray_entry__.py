@@ -1437,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": T.q_inverted_index,
         "inverted_index_blocked": T.q_inverted_index_blocked,
         "mixture_weights": T.q_mixture_weights,
+        "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
         "dedup_report": T.q_dedup_report,
@@ -2316,6 +2317,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, count(*)::BIGINT AS df, "
             "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
             "FROM pairs GROUP BY term"
+        ),
+        "textrank_terms": (
+            # all-integer synchronized push over the distinct
+            # within-window-2 term pair graph, uniform e12 init, 12
+            # rounds (testdata.q_textrank_terms; arithmetic identical
+            # to host_pagerank_push)
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE trim(text) <> ''), "
+            "pos AS (SELECT doc_id, i, t[i] AS w FROM toks, "
+            "unnest(range(1, len(t) + 1)) AS r(i)), "
+            "pr AS (SELECT DISTINCT a.w AS s, b.w AS d FROM pos a "
+            "JOIN pos b ON b.doc_id = a.doc_id AND b.i <> a.i "
+            "AND abs(b.i - a.i) <= 2 AND a.w <> b.w), "
+            "vs AS (SELECT DISTINCT s AS h FROM pr), "
+            "deg AS (SELECT s AS h, count(*)::BIGINT AS dd FROM pr GROUP BY s), "
+            "relax AS (SELECT s, d, 1 AS w FROM pr "
+            "          UNION ALL SELECT h, h, 0 FROM vs), "
+            "nv AS (SELECT count(*)::BIGINT AS c FROM vs), "
+            "st AS ( "
+            "  SELECT 0 AS it, v.h AS v, "
+            "    (1000000000000 // nv.c)::BIGINT AS r, 0::BIGINT AS p "
+            "  FROM vs v CROSS JOIN nv "
+            "  UNION ALL "
+            "  SELECT s2.it + 1, r2.d, "
+            "    COALESCE(SUM(CASE WHEN r2.w = 1 THEN "
+            "      (85 * s2.r) // (100 * dg.dd) END), 0)::BIGINT, "
+            "    SUM(CASE WHEN r2.w = 0 THEN s2.p + (15 * s2.r) // 100 END)"
+            "::BIGINT "
+            "  FROM st s2 JOIN relax r2 ON r2.s = s2.v "
+            "  LEFT JOIN deg dg ON dg.h = s2.v "
+            "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
+            "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
         ),
         "mixture_weights": (
             # capped-proportional mixture rule, cap = 2*total//n_src;

@@ -16119,3 +16119,75 @@ def q_term_and_query(sf_dir: str, min_df: int = 10, n_buckets: int = 16):
             "term_b": pd.Series([qb] * len(docs), dtype="object"),
         }
     )
+
+
+def q_textrank_terms(
+    sf_dir: str, rounds: int = 12, window: int = 2, max_terms: int = 200_000
+):
+    """TEXTRANK KEYWORD SCORES (Mihalcea & Tarau 2004) as ALL-INTEGER
+    synchronized forward-push PageRank over the corpus-wide term
+    co-occurrence graph: vertices = terms, edges = DISTINCT ordered
+    term pairs within +-``window`` positions inside a document
+    (self-pairs dropped; symmetric by construction, so no sinks).
+    Fixed-point e12 mass starts uniform (1e12 // n per term); each
+    round every term banks (15 * r) // 100 and sends
+    (85 * r) // (100 * outdeg) to each out-neighbor — integer floor,
+    so the recurrence is bit-exact and summation-order-free (the
+    q_host_pagerank_push arithmetic on a corpus-derived graph).
+    Emits (term, p_e12, r_e12) after ``rounds``. The pair extraction
+    is the skipgram combiner + one bucket distinct; the push runs as
+    one vectorized task over the vocabulary-bounded edge list
+    (asserted <= ``max_terms`` vertices — above it, the scale path is
+    the engine's integer-message BSP program over the same edges)."""
+    from ..stages.join import distinct
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sa, sb = [], []
+        for text in df["text"].astype(str):
+            toks = np.array(text.split(), dtype=object)
+            for d in range(1, window + 1):
+                if len(toks) <= d:
+                    continue
+                sa.append(toks[:-d])
+                sb.append(toks[d:])
+                sa.append(toks[d:])
+                sb.append(toks[:-d])
+        if not sa:
+            return pd.DataFrame(
+                {"s": pd.Series([], dtype=str), "d": pd.Series([], dtype=str)}
+            )
+        g = pd.DataFrame({"s": np.concatenate(sa), "d": np.concatenate(sb)})
+        g = g[g["s"] != g["d"]]
+        return g.drop_duplicates()
+
+    src = _table(sf_dir, "documents", ["text"])
+    ep = distinct(
+        src.map_batches(pairs, batch_format="pandas"), ["s", "d"], 16
+    ).to_pandas()  # vocabulary-bounded co-occurrence edge list
+    terms, codes = np.unique(
+        np.concatenate([ep["s"].to_numpy(), ep["d"].to_numpy()]), return_inverse=True
+    )
+    n = len(terms)
+    if n > max_terms:
+        raise ValueError(
+            f"textrank vocabulary {n} > max_terms={max_terms}; run the "
+            "engine's integer-message BSP program over the pair edges "
+            "instead of the vocabulary-bounded kernel"
+        )
+    es = codes[: len(ep)].astype(np.int64)
+    ed = codes[len(ep):].astype(np.int64)
+    deg = np.bincount(es, minlength=n).astype(np.int64)
+    r = np.full(n, 1_000_000_000_000 // n, dtype=np.int64)
+    p = np.zeros(n, np.int64)
+    for _ in range(rounds):
+        p = p + (15 * r) // 100
+        share = (85 * r) // (100 * deg)  # symmetric graph: deg >= 1
+        r = np.zeros(n, np.int64)
+        np.add.at(r, ed, share[es])
+    return pd.DataFrame(
+        {
+            "term": pd.Series(terms, dtype="object"),
+            "p_e12": pd.Series(p, dtype="int64"),
+            "r_e12": pd.Series(r, dtype="int64"),
+        }
+    )
