@@ -141,6 +141,20 @@ def _simhash_sql() -> str:
     )
 
 
+def _minhash_clusters_wrap(outer: str) -> str:
+    """Reuse the minhash-dedup oracle's full CTE chain with its final
+    (doc_id, cluster_id) select folded into a ``dd`` CTE, then run
+    ``outer`` over it (observability oracles: cluster sizes,
+    per-source retention)."""
+    base = _minhash_dedup_sql()
+    final = (
+        "SELECT id::BIGINT AS doc_id, lab::BIGINT AS cluster_id "
+        "FROM c WHERE it = 60"
+    )
+    assert base.endswith(final)
+    return base[: -len(final)].rstrip() + ", dd AS (" + final + ") " + outer
+
+
 def _minhash_dedup_sql() -> str:
     """Oracle for stages.dedup.minhash_dedup: all (a < b) pairs whose
     EXACT word-3-shingle Jaccard (the engine's own verify step) clears
@@ -1697,6 +1711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_bpe": T.q_doc_token_bpe,
         "doc_rolling_fingerprint": T.q_doc_rolling_fingerprint,
         "doc_minhash_dedup": T.q_doc_minhash_dedup,
+        "neardup_cluster_sizes": T.q_neardup_cluster_sizes,
+        "neardup_retention_by_source": T.q_neardup_retention_by_source,
         "doc_ngram_jaccard": T.q_doc_ngram_jaccard,
         "media_features": T.q_media_features,
         "media_framesample": T.q_media_framesample,
@@ -2498,6 +2514,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_sql(),
         "doc_simhash_pairs": _simhash_sql(),
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "neardup_cluster_sizes": _minhash_clusters_wrap(
+            "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM "
+            "(SELECT cluster_id, count(*)::BIGINT AS cluster_size "
+            "FROM dd GROUP BY cluster_id) GROUP BY cluster_size"
+        ),
+        "neardup_retention_by_source": _minhash_clusters_wrap(
+            "SELECT d.source, count(*)::BIGINT AS n_docs, "
+            "COALESCE(SUM(CASE WHEN dd.doc_id IS NOT NULL "
+            "AND dd.doc_id <> dd.cluster_id THEN 1 END), 0)::BIGINT "
+            "AS n_dropped, "
+            "((2 * (count(*) - COALESCE(SUM(CASE WHEN dd.doc_id IS NOT "
+            "NULL AND dd.doc_id <> dd.cluster_id THEN 1 END), 0)) "
+            "* 1000000 + count(*)) // (2 * count(*)))::BIGINT "
+            "AS retained_e6 "
+            "FROM documents d LEFT JOIN dd ON dd.doc_id = d.doc_id "
+            "GROUP BY d.source"
+        ),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_split": _doc_split_sql(),
         "mis": _mis_sql(),

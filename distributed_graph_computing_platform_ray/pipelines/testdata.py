@@ -16191,3 +16191,91 @@ def q_textrank_terms(
             "r_e12": pd.Series(r, dtype="int64"),
         }
     )
+
+
+def q_neardup_cluster_sizes(sf_dir: str):
+    """Dedup observability: the near-dup CLUSTER-SIZE HISTOGRAM
+    (cluster_size, n_clusters) over the MinHash-LSH + exact-verify +
+    distributed-CC pipeline's output — the first chart a dedup tuning
+    pass reads (a fat tail = boilerplate families, all-2s = true
+    pairs). The clustering streams through the full distributed
+    pipeline (stages/dedup.py); the histogram itself reduces the
+    bounded (doc_id, cluster_id) result."""
+    cl = q_doc_minhash_dedup(sf_dir)
+    if not isinstance(cl, pd.DataFrame):
+        cl = cl.to_pandas()
+    sizes = cl.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame(
+        {
+            "cluster_size": pd.Series(hist.index.to_numpy(), dtype="int64"),
+            "n_clusters": pd.Series(hist.to_numpy(), dtype="int64"),
+        }
+    )
+
+
+def q_neardup_retention_by_source(sf_dir: str, n_buckets: int = 8):
+    """Dedup survivorship per SOURCE: total docs, docs dropped by
+    near-dup collapse (cluster members that are not their cluster's
+    min-id winner), and the retention rate (half-up e6) — the
+    per-snapshot yield report a corpus-curation run publishes.
+    Dropped ids come out of the distributed dedup pipeline; the
+    per-source counts are one doc-bucket join + bucket_sum each; the
+    final arithmetic runs on the bounded per-source table."""
+    from ..stages.join import bucket_join, bucket_sum
+
+    cl = q_doc_minhash_dedup(sf_dir)
+    if not isinstance(cl, pd.DataFrame):
+        cl = cl.to_pandas()
+    dropped_ids = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy()
+    dropped = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.sort(dropped_ids).astype(np.int64))})
+    )
+
+    docs = _table(sf_dir, "documents", ["doc_id", "source"])
+    totals = bucket_sum(
+        docs.map_batches(
+            lambda d: pd.DataFrame(
+                {"source": d["source"].astype(str), "n_docs": np.int64(1)}
+            ).groupby("source", as_index=False).sum(),
+            batch_format="pandas",
+        ),
+        ["source"],
+        ["n_docs"],
+        n_buckets,
+    ).to_pandas()
+
+    joined = bucket_join(
+        docs,
+        dropped,
+        left_on="doc_id",
+        right_on="doc_id",
+        n_buckets=n_buckets,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    drops = bucket_sum(
+        joined.map_batches(
+            lambda d: pd.DataFrame(
+                {"source": d["source"].astype(str), "n_dropped": np.int64(1)}
+            ).groupby("source", as_index=False).sum(),
+            batch_format="pandas",
+        ),
+        ["source"],
+        ["n_dropped"],
+        n_buckets,
+    ).to_pandas()
+
+    out = totals.merge(drops, on="source", how="left").fillna({"n_dropped": 0})
+    nd = out["n_docs"].to_numpy().astype(np.int64)
+    dr = out["n_dropped"].to_numpy().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "source": out["source"],
+            "n_docs": pd.Series(nd, dtype="int64"),
+            "n_dropped": pd.Series(dr, dtype="int64"),
+            "retained_e6": pd.Series(
+                (2 * (nd - dr) * 1_000_000 + nd) // (2 * nd), dtype="int64"
+            ),
+        }
+    ).sort_values("source").reset_index(drop=True)
