@@ -16279,3 +16279,86 @@ def q_neardup_retention_by_source(sf_dir: str, n_buckets: int = 8):
             ),
         }
     ).sort_values("source").reset_index(drop=True)
+
+
+def q_filter_funnel(
+    sf_dir: str,
+    min_words: int = 20,
+    lang: str = "en",
+    max_rep_e6: int = 200_000,
+    min_quality_e6: int = 700_000,
+):
+    """QUALITY-FILTER FUNNEL (C4/Gopher-style cleaning observability):
+    how many documents survive each CUMULATIVE stage of the standard
+    cleaning cascade — (0) all, (1) >= ``min_words`` words, (2)
+    language == ``lang``, (3) trigram-duplicate share <=
+    ``max_rep_e6`` (the q_doc_repetition signal), (4) quality score >=
+    ``min_quality_e6`` (functions/text.quality_score). One streaming
+    pass computes every per-doc predicate vectorized and emits a
+    5-number partial per batch; the funnel is the driver sum. Rates
+    are half-up e6 against the TOTAL (yield curve, not step rate)."""
+    from ..functions.text import quality_score
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype(str)
+        nw = texts.str.split().str.len().fillna(0).astype(np.int64).to_numpy()
+        s1 = nw >= min_words
+        s2 = s1 & (df["lang"].astype(str).to_numpy() == lang)
+        rep_ok = np.zeros(len(df), dtype=bool)
+        for i, t in enumerate(texts):
+            if not s2[i]:
+                continue
+            toks = t.split()
+            n = len(toks) - 2
+            if n <= 0:
+                rep_ok[i] = True
+                continue
+            tri = pd.Series(
+                [" ".join(toks[j : j + 3]) for j in range(n)], dtype="object"
+            )
+            dup = n - tri.nunique()
+            rep_ok[i] = (2 * dup * 1_000_000 + n) // (2 * n) <= max_rep_e6
+        s3 = s2 & rep_ok
+        q = np.array(
+            [
+                int(round(quality_score(t) * 1e6)) if s3[i] else 0
+                for i, t in enumerate(texts)
+            ],
+            dtype=np.int64,
+        )
+        s4 = s3 & (q >= min_quality_e6)
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(df)], dtype="int64"),
+                "p1": pd.Series([int(s1.sum())], dtype="int64"),
+                "p2": pd.Series([int(s2.sum())], dtype="int64"),
+                "p3": pd.Series([int(s3.sum())], dtype="int64"),
+                "p4": pd.Series([int(s4.sum())], dtype="int64"),
+            }
+        )
+
+    parts = (
+        _table(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: one 5-int row per batch
+    tot = parts.sum()
+    n = int(tot["n"])
+    stages = [
+        (0, "all", n),
+        (1, "min_words", int(tot["p1"])),
+        (2, "lang", int(tot["p2"])),
+        (3, "low_repetition", int(tot["p3"])),
+        (4, "quality", int(tot["p4"])),
+    ]
+    return pd.DataFrame(
+        {
+            "stage": pd.Series([s for s, _, _ in stages], dtype="int64"),
+            "name": pd.Series([m for _, m, _ in stages], dtype="object"),
+            "n_pass": pd.Series([c for _, _, c in stages], dtype="int64"),
+            "yield_e6": pd.Series(
+                [(2 * c * 1_000_000 + n) // (2 * n) for _, _, c in stages],
+                dtype="int64",
+            ),
+        }
+    )

@@ -367,29 +367,27 @@ def embedding_neardup(
             X = _norm_rows(np.stack(g[emb_col].to_numpy()).astype(np.float64))
             n = len(ids)
             if n * (n - 1) // 2 > MAX_BUCKET_PAIRS:
-                # hot-bucket cap (degenerate LSH bucket, e.g. near-
-                # constant embeddings): emit only the first cap pairs
-                # in triu order WITHOUT materializing the O(n^2) index
-                # set or gram matrix. Same policy as dedup.py's
-                # minhash cap.
+                # hot bucket (degenerate LSH bucket, e.g. near-constant
+                # embeddings): EXACT chunked sweep — per-block row-wise
+                # dots bound memory without materializing the O(n^2)
+                # gram matrix OR dropping pairs (dedup.py
+                # iter_triu_blocks; the old truncating cap lost
+                # qualifying pairs at scale)
                 print(
-                    f"embedding_neardup: capping bucket of {n} "
-                    f"vecs to {MAX_BUCKET_PAIRS} pairs"
+                    f"embedding_neardup: hot bucket of {n} vecs -> "
+                    "chunked exact sweep"
                 )
-                ii, jj, need = [], [], MAX_BUCKET_PAIRS
-                for r in range(n - 1):
-                    m = min(n - 1 - r, need)
-                    ii.append(np.full(m, r, np.int64))
-                    jj.append(r + 1 + np.arange(m, dtype=np.int64))
-                    need -= m
-                    if need == 0:
-                        break
-                i = np.concatenate(ii)
-                j = np.concatenate(jj)
-                s = np.einsum("ij,ij->i", X[i], X[j])
-            else:
-                i, j = np.triu_indices(n, k=1)
-                s = (X @ X.T)[i, j]
+                from ..stages.dedup import iter_triu_blocks
+
+                for i, j in iter_triu_blocks(n):
+                    s = np.einsum("ij,ij->i", X[i], X[j])
+                    keep = s >= threshold
+                    out_a.extend(ids[i][keep])
+                    out_b.extend(ids[j][keep])
+                    out_c.extend(np.round(s[keep] * 1e6).astype(np.int64))
+                continue
+            i, j = np.triu_indices(n, k=1)
+            s = (X @ X.T)[i, j]
             keep = s >= threshold
             out_a.extend(ids[i][keep])
             out_b.extend(ids[j][keep])

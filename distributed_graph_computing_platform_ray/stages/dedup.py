@@ -34,7 +34,28 @@ from ..functions.hashing import band_hashes, fnv1a64, hamming64, minhash_params,
 from ..functions.text import jaccard, shingle_hashes
 from ..stages.join import _BUCKET, add_bucket, bucket_join, bucket_map_groups
 
-MAX_BUCKET_PAIRS = 2000  # cap pairs generated per LSH bucket (logged)
+MAX_BUCKET_PAIRS = 2000  # per-ALLOCATION pair-block bound for hot LSH buckets
+
+
+def iter_triu_blocks(n: int, max_pairs: int | None = None):
+    """Yield (i, j) index blocks covering ALL n*(n-1)/2 unordered
+    pairs of range(n), each block bounded near ``max_pairs`` — the
+    memory-bounded EXACT replacement for the old truncating
+    hot-bucket cap. The cap bounds ALLOCATIONS, never the result:
+    truncation silently dropped qualifying pairs once a bucket grew
+    past ~64 docs, caught by the round-5 sf0.1 oracle sweep
+    (doc_simhash_pairs 388 vs 416 rows). Work stays O(n^2) — that is
+    inherent to exact verification of a fully-colliding bucket — but
+    memory is O(block) and every pair is emitted exactly once."""
+    cap = MAX_BUCKET_PAIRS if max_pairs is None else max_pairs
+    block = max(1, cap // max(1, n - 1))
+    for r0 in range(0, n - 1, block):
+        rows = np.arange(r0, min(r0 + block, n - 1))
+        cols = np.arange(r0 + 1, n)
+        grid_i = np.repeat(rows, len(cols)).reshape(len(rows), len(cols))
+        grid_j = np.tile(cols, (len(rows), 1))
+        m = grid_j > grid_i
+        yield grid_i[m], grid_j[m]
 
 # per-worker-process caches for the stateless-task stage variants
 _MINHASH_STAGES: dict = {}
@@ -132,12 +153,11 @@ def minhash_candidates(
             n = len(ids)
             if n < 2:
                 continue
-            i, j = np.triu_indices(n, k=1)
-            if len(i) > MAX_BUCKET_PAIRS:  # hot-bucket cap — log, don't hang
-                print(f"minhash_lsh: capping bucket of {n} docs to {MAX_BUCKET_PAIRS} pairs")
-                i, j = i[:MAX_BUCKET_PAIRS], j[:MAX_BUCKET_PAIRS]
-            out_a.extend(ids[i])
-            out_b.extend(ids[j])
+            if n * (n - 1) // 2 > MAX_BUCKET_PAIRS:
+                print(f"minhash_lsh: hot bucket of {n} docs -> chunked exact sweep")
+            for i, j in iter_triu_blocks(n):
+                out_a.extend(ids[i])
+                out_b.extend(ids[j])
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")})
 
     cand = bucket_map_groups(
@@ -537,15 +557,14 @@ def simhash_dedup(ds: rd.Dataset, id_col="doc_id", text_col="text", max_hamming=
                 n = len(ids)
                 if n < 2:
                     continue
-                i, j = np.triu_indices(n, k=1)
-                if len(i) > MAX_BUCKET_PAIRS:
-                    print(f"simhash: capping bucket of {n} docs")
-                    i, j = i[:MAX_BUCKET_PAIRS], j[:MAX_BUCKET_PAIRS]
-                hd = hamming64(sh[i], sh[j])
-                keep = hd <= max_hamming
-                out_a.extend(ids[i][keep])
-                out_b.extend(ids[j][keep])
-                out_h.extend(hd[keep])
+                if n * (n - 1) // 2 > MAX_BUCKET_PAIRS:
+                    print(f"simhash: hot bucket of {n} docs -> chunked exact sweep")
+                for i, j in iter_triu_blocks(n):
+                    hd = hamming64(sh[i], sh[j])
+                    keep = hd <= max_hamming
+                    out_a.extend(ids[i][keep])
+                    out_b.extend(ids[j][keep])
+                    out_h.extend(hd[keep])
             return pd.DataFrame(
                 {
                     "a": pd.Series(out_a, dtype="int64"),

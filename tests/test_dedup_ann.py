@@ -309,12 +309,12 @@ def test_embedding_neardup_finds_planted():
     assert found >= 8  # LSH recall; planted pairs are ~identical
 
 
-def test_embedding_neardup_degenerate_bucket_capped():
+def test_embedding_neardup_degenerate_bucket_exact_chunked():
     """Near-constant embeddings collapse into ONE LSH bucket; the
-    hot-bucket cap must bound output (and memory) instead of emitting
-    all C(n,2) pairs."""
-    from distributed_graph_computing_platform_ray.stages.dedup import MAX_BUCKET_PAIRS
-
+    chunked exact sweep must bound MEMORY (per-block allocations)
+    while emitting EVERY qualifying pair — the round-5 semantics
+    replacing the truncating cap, which silently dropped qualifying
+    pairs (caught by the sf0.1 simhash oracle row)."""
     rng = np.random.default_rng(3)
     base = rng.normal(size=32)
     X = base + rng.normal(scale=1e-4, size=(300, 32))  # all ~identical
@@ -322,8 +322,7 @@ def test_embedding_neardup_degenerate_bucket_capped():
     out = embedding_neardup(
         rd.from_pandas(df), threshold=0.9, n_planes=8, n_buckets=8
     ).to_pandas()
-    assert 0 < len(out) <= MAX_BUCKET_PAIRS
-    # capped pairs are still real near-dups
+    assert len(out) == 300 * 299 // 2  # ALL pairs, none dropped
     assert (out["cos_e6"] >= 900_000).all()
 
 
@@ -447,3 +446,39 @@ def test_strip_dup_spans_removes_planted_spans():
     assert out.loc[2, "n_removed"] == 0
     assert out.loc[3, "clean_text"] == "tiny doc"
     assert out.loc[4, "clean_text"] == "" and out.loc[4, "n_tokens"] == 0
+
+
+def test_iter_triu_blocks_exact_cover():
+    """Chunked pair sweep covers EVERY unordered pair exactly once at
+    any bucket size (the old truncating cap dropped pairs past ~64
+    docs — caught by the round-5 sf0.1 sweep: simhash 388 vs 416)."""
+    import numpy as np
+
+    from distributed_graph_computing_platform_ray.stages.dedup import iter_triu_blocks
+
+    for n in (2, 3, 64, 65, 155, 301):
+        seen = set()
+        for i, j in iter_triu_blocks(n, max_pairs=500):
+            assert len(i) <= 500 + n  # block-bounded allocation
+            assert (j > i).all()
+            for a, b in zip(i.tolist(), j.tolist()):
+                assert (a, b) not in seen
+                seen.add((a, b))
+        assert len(seen) == n * (n - 1) // 2
+
+
+def test_simhash_hot_bucket_no_pair_loss():
+    """A fully-colliding 80-doc bucket (identical text => identical
+    simhash => every band collides) must emit all C(80,2) pairs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_graph_computing_platform_ray.stages.dedup import simhash_dedup
+
+    n = 80
+    df = pd.DataFrame(
+        {"doc_id": range(n), "text": ["same exact text content here"] * n}
+    )
+    out = simhash_dedup(rd.from_pandas(df)).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out["hamming"] == 0).all()
