@@ -1451,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": T.q_inverted_index,
         "inverted_index_blocked": T.q_inverted_index_blocked,
         "mixture_weights": T.q_mixture_weights,
+        "filter_funnel": T.q_filter_funnel,
         "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
@@ -2366,6 +2367,48 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN deg dg ON dg.h = s2.v "
             "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
             "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
+        ),
+        "filter_funnel": (
+            # cumulative C4-style cleaning funnel; stages mirror
+            # testdata.q_filter_funnel (>=20 words -> lang='en' ->
+            # trigram-dup share <= 0.2 -> quality >= 0.7); quality_e6
+            # reuses the exact _quality_sql mirror
+            "WITH q AS (" + _quality_sql() + "), "
+            "dw AS (SELECT doc_id, lang, (CASE WHEN trim(text) = '' THEN 0 "
+            "  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END)"
+            "::BIGINT AS n_words FROM documents), "
+            "dtoks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "  WHERE trim(text) <> ''), "
+            "tri AS (SELECT doc_id, count(*)::BIGINT AS n_tri, "
+            "  (count(*) - count(DISTINCT g))::BIGINT AS dup FROM "
+            "  (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g "
+            "   FROM dtoks, unnest(range(1, len(t) - 1)) AS r(i) "
+            "   WHERE len(t) >= 3) GROUP BY doc_id), "
+            "fl AS (SELECT dw.doc_id, "
+            "  (dw.n_words >= 20) AS s1, "
+            "  (dw.n_words >= 20 AND dw.lang = 'en') AS s2, "
+            "  (dw.n_words >= 20 AND dw.lang = 'en' AND "
+            "   (COALESCE(tri.n_tri, 0) <= 0 OR "
+            "    (2 * COALESCE(tri.dup, 0) * 1000000 + tri.n_tri) "
+            "    // (2 * tri.n_tri) <= 200000)) AS s3, "
+            "  q.quality_e6 "
+            "  FROM dw LEFT JOIN tri ON tri.doc_id = dw.doc_id "
+            "  JOIN q ON q.doc_id = dw.doc_id), "
+            "tot AS (SELECT count(*)::BIGINT AS n, "
+            "  count(*) FILTER (s1)::BIGINT AS p1, "
+            "  count(*) FILTER (s2)::BIGINT AS p2, "
+            "  count(*) FILTER (s3)::BIGINT AS p3, "
+            "  count(*) FILTER (s3 AND quality_e6 >= 700000)::BIGINT AS p4 "
+            "  FROM fl) "
+            "SELECT stage, name, n_pass, "
+            "((2 * n_pass * 1000000 + n) // (2 * n))::BIGINT AS yield_e6 "
+            "FROM (SELECT 0::BIGINT AS stage, 'all' AS name, n AS n_pass, n "
+            "        FROM tot "
+            "      UNION ALL SELECT 1, 'min_words', p1, n FROM tot "
+            "      UNION ALL SELECT 2, 'lang', p2, n FROM tot "
+            "      UNION ALL SELECT 3, 'low_repetition', p3, n FROM tot "
+            "      UNION ALL SELECT 4, 'quality', p4, n FROM tot)"
         ),
         "mixture_weights": (
             # capped-proportional mixture rule, cap = 2*total//n_src;
