@@ -1452,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_blocked": T.q_inverted_index_blocked,
         "mixture_weights": T.q_mixture_weights,
         "filter_funnel": T.q_filter_funnel,
+        "mixture_sample": T.q_mixture_sample,
         "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
@@ -2367,6 +2368,29 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN deg dg ON dg.h = s2.v "
             "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
             "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
+        ),
+        "mixture_sample": (
+            # execute the capped-proportional plan: keep doc iff
+            # mix64(71, doc_id) % 1e6 < its source's epochs_e6
+            # (testdata.q_mixture_sample; 71 * FNVprime = 78065325602981)
+            "WITH per AS (SELECT source, SUM(CASE WHEN trim(text) = '' THEN 0 "
+            "  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT "
+            "  AS tokens FROM documents GROUP BY source), "
+            "tot AS (SELECT SUM(tokens)::BIGINT AS total, COUNT(*)::BIGINT AS n "
+            "  FROM per), "
+            "cp AS (SELECT source, tokens, "
+            "  LEAST(tokens, 2 * total // (3 * n))::BIGINT AS capped_tokens "
+            "  FROM per, tot), "
+            "mw AS (SELECT source, "
+            "  ((2 * capped_tokens * 1000000 + tokens) // (2 * tokens))::BIGINT "
+            "  AS epochs_e6 FROM cp), "
+            "s AS (SELECT d.doc_id, d.source, "
+            + _splitmix_cols(
+                "xor(78065325602981::UBIGINT, d.doc_id::UBIGINT)", "h"
+            )
+            + " FROM documents d) "
+            "SELECT s.doc_id, s.source FROM s JOIN mw ON mw.source = s.source "
+            "WHERE (s.h % 1000000)::BIGINT < mw.epochs_e6"
         ),
         "filter_funnel": (
             # cumulative C4-style cleaning funnel; stages mirror

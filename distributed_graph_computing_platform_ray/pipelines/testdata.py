@@ -16016,7 +16016,9 @@ def q_user_concentration(sf_dir: str, pct: int = 10, n_buckets: int = 16):
     )
 
 
-def q_mixture_weights(sf_dir: str, cap_mult: int = 2, n_buckets: int = 8):
+def q_mixture_weights(
+    sf_dir: str, cap_mult: int = 2, n_buckets: int = 8, cap_den: int = 1
+):
     """TRAINING-MIXTURE PLANNER (capped-proportional rule): per
     source, whitespace token counts -> sampling weight under a
     per-source token CAP of ``cap_mult * total // n_sources`` — the
@@ -16046,7 +16048,7 @@ def q_mixture_weights(sf_dir: str, cap_mult: int = 2, n_buckets: int = 8):
     per_src = per_src.sort_values("source").reset_index(drop=True)
     total = int(per_src["tokens"].sum())
     n_src = len(per_src)
-    cap = cap_mult * total // n_src
+    cap = cap_mult * total // (cap_den * n_src)
     raw = per_src["tokens"].to_numpy().astype(np.int64)
     capped = np.minimum(raw, cap)
     cap_total = int(capped.sum())
@@ -16361,4 +16363,43 @@ def q_filter_funnel(
                 dtype="int64",
             ),
         }
+    )
+
+
+def q_mixture_sample(sf_dir: str, cap_mult: int = 2, cap_den: int = 3):
+    """EXECUTE the training-mixture plan (q_mixture_weights) as a
+    deterministic counter-based Bernoulli sample: a document survives
+    iff mix64(71, doc_id) % 1e6 < its source's epochs_e6 — so
+    oversized sources are downsampled to their cap and everything
+    else passes whole, bit-reproducibly at any parallelism (the
+    counter-based sampling discipline of events_sample, and
+    SQL-replayable through the HUGEINT splitmix64 mirror). The
+    per-source rate table is bounded (broadcast via ray.put); the
+    sample is one streaming filter pass."""
+    from ..utils import mix64
+
+    # cap at 2/3 of the average source size so the downsampling
+    # actually bites on a balanced corpus (every source trims to
+    # ~2/3, rate varying per source with its exact token count)
+    plan = q_mixture_weights(sf_dir, cap_mult=cap_mult, cap_den=cap_den)
+    rates = dict(zip(plan["source"], plan["epochs_e6"].astype(np.int64)))
+    rref = ray.put(rates)
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = mix64(np.uint64(71), ids) % np.uint64(1_000_000)
+        thr = np.array(
+            [r[s] for s in t["source"].to_pylist()], dtype=np.uint64
+        )
+        m = h < thr
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(m)),
+                "source": t["source"].filter(pa.array(m)),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        keep, batch_format="pyarrow"
     )
