@@ -343,6 +343,23 @@ def full_bench(tmp: str) -> dict:
     t0 = time.time()
     T.q_bpe_merges(SF_DIR)  # 6 merge rounds: count + argmax + rewrite
     out["bpe_merges"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # simhash near-dup pairs — exercises the round-5 chunked exact
+    # hot-bucket sweep (sf0.1 band buckets reach 155 docs)
+    n_sh = T.q_doc_simhash_pairs(SF_DIR).count()
+    out["simhash_pairs"] = round(time.time() - t0, 3)
+    out["_n_simhash_pairs"] = int(n_sh)
+
+    t0 = time.time()
+    # C4-style cleaning funnel: full-corpus per-doc quality predicates
+    T.q_filter_funnel(SF_DIR)
+    out["filter_funnel"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # TextRank keywords: term co-occurrence graph + integer push PR
+    T.q_textrank_terms(SF_DIR)
+    out["textrank_terms"] = round(time.time() - t0, 3)
     return out
 
 
