@@ -1453,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": T.q_mixture_weights,
         "filter_funnel": T.q_filter_funnel,
         "mixture_sample": T.q_mixture_sample,
+        "span_corruption": T.q_span_corruption,
         "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
@@ -2368,6 +2369,33 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN deg dg ON dg.h = s2.v "
             "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
             "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
+        ),
+        "span_corruption": (
+            # token i masked iff mix64(29, doc_id, i) % 100 < 15;
+            # spans = contiguous masked runs found via window lag
+            # (testdata.q_span_corruption; 29 * FNVprime = 31885837218119)
+            "WITH stoks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "  WHERE trim(text) <> ''), "
+            "pos AS (SELECT doc_id, r.i - 1 AS i FROM stoks, "
+            "  unnest(range(1, len(t) + 1)) AS r(i)), "
+            "hx AS (SELECT doc_id, i, "
+            + _wrap_mul(
+                "xor(31885837218119::UBIGINT, doc_id::UBIGINT)::HUGEINT",
+                1099511628211,
+            )
+            + " AS a2 FROM pos), "
+            "h3 AS (SELECT doc_id, i, "
+            + _splitmix_cols("xor((a2)::UBIGINT, i::UBIGINT)", "h")
+            + " FROM hx), "
+            "m AS (SELECT doc_id, i, ((h % 100)::BIGINT < 15) AS mk FROM h3), "
+            "sp AS (SELECT doc_id, mk, (mk AND NOT coalesce("
+            "  lag(mk) OVER (PARTITION BY doc_id ORDER BY i), FALSE)) AS st "
+            "  FROM m) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "count(*) FILTER (mk)::BIGINT AS n_masked, "
+            "count(*) FILTER (st)::BIGINT AS n_spans "
+            "FROM sp GROUP BY doc_id"
         ),
         "mixture_sample": (
             # execute the capped-proportional plan: keep doc iff

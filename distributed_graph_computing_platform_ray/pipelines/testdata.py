@@ -16403,3 +16403,45 @@ def q_mixture_sample(sf_dir: str, cap_mult: int = 2, cap_den: int = 3):
     return _table(sf_dir, "documents", ["doc_id", "source"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+def q_span_corruption(sf_dir: str, mask_pct: int = 15):
+    """T5-STYLE SPAN-CORRUPTION PLAN: per document, token i is masked
+    iff mix64(29, doc_id, i) % 100 < ``mask_pct`` (counter-based, so
+    the plan is bit-reproducible at any parallelism and batch size —
+    the pretraining-data masking pass without materializing masked
+    text). Contiguous masked runs form SPANS (what the denoiser
+    predicts); output per doc: n_tokens, n_masked, n_spans — the
+    audit a span-corruption pipeline publishes (mask rate ~ pct,
+    span-length geometry). One streaming pass, vectorized per doc;
+    the oracle replays the hash via the HUGEINT splitmix mirror and
+    finds span starts with a window lag."""
+    from ..utils import mix64
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, nt, nm, ns = [], [], [], []
+        for doc_id, text in zip(df["doc_id"].astype(np.int64), df["text"].astype(str)):
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            i = np.arange(n, dtype=np.uint64)
+            h = mix64(np.uint64(29), np.uint64(doc_id), i)
+            masked = (h % np.uint64(100)) < np.uint64(mask_pct)
+            starts = masked & ~np.concatenate([[False], masked[:-1]])
+            ids_out.append(doc_id)
+            nt.append(n)
+            nm.append(int(masked.sum()))
+            ns.append(int(starts.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "n_tokens": pd.Series(nt, dtype="int64"),
+                "n_masked": pd.Series(nm, dtype="int64"),
+                "n_spans": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plan, batch_format="pandas"
+    )
