@@ -1454,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": T.q_filter_funnel,
         "mixture_sample": T.q_mixture_sample,
         "span_corruption": T.q_span_corruption,
+        "dict_frontcoding": T.q_dict_frontcoding,
         "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
@@ -2369,6 +2370,27 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN deg dg ON dg.h = s2.v "
             "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
             "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
+        ),
+        "dict_frontcoding": (
+            # sorted distinct p_name strings; per entry the longest
+            # common prefix with its lag() predecessor via the
+            # substr-equality range scan (testdata.q_dict_frontcoding;
+            # p_name is ASCII so bytes == chars)
+            "WITH t AS (SELECT DISTINCT p_name AS s FROM part), "
+            "o AS (SELECT s, lag(s) OVER (ORDER BY s) AS prev FROM t), "
+            "cp AS (SELECT s, prev, CASE WHEN prev IS NULL THEN 0 ELSE "
+            "  COALESCE((SELECT max(r.i) FROM "
+            "    unnest(range(1, least(length(o.s), length(o.prev)) + 1)) "
+            "    AS r(i) "
+            "    WHERE substr(o.s, 1, r.i) = substr(o.prev, 1, r.i)), 0) "
+            "  END::BIGINT AS c FROM o) "
+            "SELECT count(*)::BIGINT AS n_terms, "
+            "SUM(length(s))::BIGINT AS raw_bytes, "
+            "SUM(c)::BIGINT AS prefix_saved, "
+            "(SUM(length(s)) - SUM(c))::BIGINT AS fc_bytes, "
+            "((2 * SUM(c) * 1000000 + SUM(length(s))) "
+            " // (2 * SUM(length(s))))::BIGINT AS savings_e6 "
+            "FROM cp"
         ),
         "span_corruption": (
             # token i masked iff mix64(29, doc_id, i) % 100 < 15;

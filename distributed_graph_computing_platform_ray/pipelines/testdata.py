@@ -16445,3 +16445,62 @@ def q_span_corruption(sf_dir: str, mask_pct: int = 15):
     return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         plan, batch_format="pandas"
     )
+
+
+def q_dict_frontcoding(sf_dir: str, max_vocab: int = 2_000_000):
+    """TERM-DICTIONARY FRONT-CODING AUDIT (the index-compression
+    sibling of posting_list_bytes): over the globally sorted distinct
+    part-name strings, each entry stores only its suffix after the
+    longest common prefix with its predecessor (the first entry is
+    stored whole). Output: one summary row (n_terms, raw_bytes,
+    prefix_saved, fc_bytes, savings_e6 half-up). The distinct + the
+    byte accounting partials are distributed (hash-bucket distinct);
+    the sorted prefix scan runs on the vocabulary-bounded term list
+    (asserted <= ``max_vocab``; above it, front-code per sorted
+    range partition with full first-entry-per-block semantics — the
+    standard block boundary rule). Prefix lengths are computed
+    vectorized over a padded byte matrix, not a per-pair loop."""
+    from ..stages.join import distinct
+
+    names = distinct(
+        _table(sf_dir, "part", ["p_name"]).map_batches(
+            lambda t: pa.table({"s": t["p_name"].cast(pa.string())}),
+            batch_format="pyarrow",
+        ),
+        ["s"],
+    ).to_pandas()["s"]
+    if len(names) > max_vocab:
+        raise ValueError(
+            f"dictionary of {len(names)} terms > max_vocab={max_vocab}; "
+            "front-code per sorted range partition instead"
+        )
+    s = np.sort(names.to_numpy().astype(str))
+    n = len(s)
+    bs = [x.encode("utf-8") for x in s]
+    raw = sum(len(b) for b in bs)
+    if n < 2:
+        saved = 0
+    else:
+        maxlen = max(len(b) for b in bs)
+        M = np.zeros((n, maxlen), dtype=np.uint8)
+        for i, b in enumerate(bs):
+            M[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens = np.array([len(b) for b in bs], dtype=np.int64)
+        eq = M[1:] == M[:-1]
+        # common prefix: run of equal NON-PAD bytes from position 0
+        limit = np.minimum(lens[1:], lens[:-1])
+        pos = np.arange(maxlen)[None, :]
+        run = np.cumprod(eq & (pos < limit[:, None]), axis=1, dtype=bool)
+        saved = int(run.sum())
+    fc = raw - saved
+    return pd.DataFrame(
+        {
+            "n_terms": pd.Series([n], dtype="int64"),
+            "raw_bytes": pd.Series([raw], dtype="int64"),
+            "prefix_saved": pd.Series([saved], dtype="int64"),
+            "fc_bytes": pd.Series([fc], dtype="int64"),
+            "savings_e6": pd.Series(
+                [(2 * saved * 1_000_000 + raw) // (2 * raw)], dtype="int64"
+            ),
+        }
+    )
