@@ -1679,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_list_bytes": T.q_posting_list_bytes,
         "host_betweenness": T.q_host_betweenness,
         "host_pagerank_push": T.q_host_pagerank_push,
+        "host_ppr_sweepcut": T.q_host_ppr_sweepcut,
         "host_edge_betweenness": T.q_host_edge_betweenness,
         "events_dedup_replay": T.q_events_dedup_replay,
         "term_position_stats": T.q_term_position_stats,
@@ -6050,6 +6051,62 @@ def oracle_sql() -> dict[str, str]:
             "    AND (r2.k = '' OR strpos(p.cut, ';' || r2.k || ';') = 0) "
             "  GROUP BY p.it, r2.b) "
             "SELECT v AS host, lab AS community FROM lp WHERE it = 20"
+        ),
+        "host_ppr_sweepcut": (
+            # push-PR ranking (identical recursion to
+            # host_pagerank_push) -> prefix conductance curve via the
+            # +1/-1 rank-event running sum
+            # (testdata.q_host_ppr_sweepcut)
+            f"WITH RECURSIVE {_pages_edges_cte()}, "
+            "he AS (SELECT DISTINCT split_part(src, '/', 3) AS sh, "
+            "       split_part(dst, '/', 3) AS dh FROM e "
+            "       WHERE split_part(src, '/', 3) <> split_part(dst, '/', 3)), "
+            "vs AS (SELECT DISTINCT h FROM (SELECT sh AS h FROM he "
+            "       UNION ALL SELECT dh FROM he)), "
+            "deg AS (SELECT sh AS h, count(*)::BIGINT AS d FROM he GROUP BY sh), "
+            "relax AS (SELECT sh, dh, 1 AS w FROM he "
+            "          UNION ALL SELECT h, h, 0 FROM vs), "
+            "sd AS (SELECT min(sh) AS h FROM he), "
+            "st AS ( "
+            "  SELECT 0 AS it, v.h AS v, "
+            "    (CASE WHEN v.h = sd.h THEN 1000000000000 ELSE 0 END)::BIGINT AS r, "
+            "    0::BIGINT AS p "
+            "  FROM vs v CROSS JOIN sd "
+            "  UNION ALL "
+            "  SELECT s.it + 1, r2.dh, "
+            "    COALESCE(SUM(CASE WHEN r2.w = 1 THEN "
+            "      (85 * s.r) // (100 * dg.d) END), 0)::BIGINT, "
+            "    SUM(CASE WHEN r2.w = 0 THEN s.p + (15 * s.r) // 100 END)::BIGINT "
+            "  FROM st s JOIN relax r2 ON r2.sh = s.v "
+            "  LEFT JOIN deg dg ON dg.h = s.v "
+            "  WHERE s.it < 12 GROUP BY s.it, r2.dh), "
+            "rk AS (SELECT v AS host, "
+            "  row_number() OVER (ORDER BY p DESC, v) AS r "
+            "  FROM st WHERE it = 12), "
+            "und AS (SELECT DISTINCT least(sh, dh) AS a, "
+            "  greatest(sh, dh) AS b FROM he), "
+            "ud AS (SELECT h, count(*)::BIGINT AS d FROM "
+            "  (SELECT a AS h FROM und UNION ALL SELECT b FROM und) "
+            "  GROUP BY h), "
+            "ev AS (SELECT least(ra.r, rb.r) AS lo, "
+            "  greatest(ra.r, rb.r) AS hi FROM und "
+            "  JOIN rk ra ON ra.host = und.a "
+            "  JOIN rk rb ON rb.host = und.b), "
+            "evagg AS (SELECT r, SUM(x)::BIGINT AS dx FROM "
+            "  (SELECT lo AS r, 1 AS x FROM ev "
+            "   UNION ALL SELECT hi, -1 FROM ev) GROUP BY r), "
+            "grid AS (SELECT rk.r, rk.host, ud.d FROM rk "
+            "  JOIN ud ON ud.h = rk.host), "
+            "curve AS (SELECT g.r, g.host, "
+            "  SUM(g.d) OVER (ORDER BY g.r)::BIGINT AS vol, "
+            "  SUM(COALESCE(e.dx, 0)) OVER (ORDER BY g.r)::BIGINT AS cut "
+            "  FROM grid g LEFT JOIN evagg e ON e.r = g.r), "
+            "tot AS (SELECT SUM(d)::BIGINT AS te FROM ud) "
+            "SELECT r, host, cut, vol, "
+            "((2 * cut * 1000000 + least(vol, te - vol)) "
+            " // (2 * least(vol, te - vol)))::BIGINT AS conductance_e6 "
+            "FROM curve, tot "
+            "WHERE least(vol, te - vol) > 0"
         ),
         "host_pagerank_push": (
             # synchronized integer forward push: self-loop rows carry

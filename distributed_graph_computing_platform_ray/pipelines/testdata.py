@@ -16504,3 +16504,61 @@ def q_dict_frontcoding(sf_dir: str, max_vocab: int = 2_000_000):
             ),
         }
     )
+
+
+def q_host_ppr_sweepcut(sf_dir: str, n_pages: int = 2000, rounds: int = 12):
+    """SWEEP-CUT LOCAL COMMUNITY DETECTION (the Andersen-Chung-Lang
+    finishing step) over the contracted host graph: rank hosts by the
+    all-integer push-PageRank mass from the lexicographically
+    smallest source host (the q_host_pagerank_push recurrence,
+    identical arithmetic), then for every prefix S_r of the ranking
+    report the UNDIRECTED cut size, volume, and conductance
+    cut/min(vol, 2E - vol) (half-up e6) — argmin row = the seed's
+    local community. The cut curve is computed with the +1/-1 event
+    trick (one cumsum, no per-prefix edge scan); everything is exact
+    integers so the oracle replays rank ties and divisions bit-for-
+    bit. Bounded by the host contraction (MAX_DENSE_HOSTS)."""
+    names, A, src_codes = _host_graph(n_pages)
+    n = len(names)
+    seed = int(src_codes[np.argmin(names[src_codes])])
+    Ai = A.astype(np.int64)
+    deg_out = Ai.sum(axis=1)
+    r = np.zeros(n, np.int64)
+    p = np.zeros(n, np.int64)
+    r[seed] = 1_000_000_000_000
+    for _ in range(rounds):
+        p = p + (15 * r) // 100
+        share = np.where(deg_out > 0, (85 * r) // np.maximum(100 * deg_out, 1), 0)
+        r = share @ Ai
+
+    # rank by (p desc, name asc); ranks 1-based
+    order = np.lexsort((names, -p))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(1, n + 1)
+
+    U = ((A | A.T) != 0)
+    iu, ju = np.nonzero(np.triu(U, k=1))
+    udeg = U.sum(axis=1).astype(np.int64)
+    two_e = int(udeg.sum())
+
+    lo = np.minimum(rank[iu], rank[ju])
+    hi = np.maximum(rank[iu], rank[ju])
+    starts = np.bincount(lo, minlength=n + 1)
+    ends = np.bincount(hi, minlength=n + 1)
+    cut = np.cumsum(starts - ends)[1:]  # cut[r-1] = cut size of prefix r
+    vol = np.cumsum(udeg[order])
+    rr = np.arange(1, n, dtype=np.int64)  # skip r = n (denominator 0)
+    denom = np.minimum(vol[:-1], two_e - vol[:-1])
+    keep = denom > 0
+    rr, c, v, d = rr[keep], cut[:-1][keep], vol[:-1][keep], denom[keep]
+    return pd.DataFrame(
+        {
+            "r": pd.Series(rr, dtype="int64"),
+            "host": pd.Series(names[order][: n - 1][keep], dtype="object"),
+            "cut": pd.Series(c, dtype="int64"),
+            "vol": pd.Series(v, dtype="int64"),
+            "conductance_e6": pd.Series(
+                (2 * c * 1_000_000 + d) // (2 * d), dtype="int64"
+            ),
+        }
+    )
