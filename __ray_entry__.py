@@ -1455,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": T.q_mixture_sample,
         "span_corruption": T.q_span_corruption,
         "dict_frontcoding": T.q_dict_frontcoding,
+        "dataset_card": T.q_dataset_card,
         "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
@@ -2371,6 +2372,33 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN deg dg ON dg.h = s2.v "
             "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
             "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
+        ),
+        "dataset_card": (
+            # per-source datasheet; dominant lang = mode with lexical
+            # tie-break; quality via the exact _quality_sql mirror
+            # (testdata.q_dataset_card)
+            "WITH q AS (" + _quality_sql() + "), "
+            "base AS (SELECT d.source, d.lang, "
+            "  (CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+            "   length(regexp_split_to_array(trim(d.text), '\\s+')) END)"
+            "::BIGINT AS toks, q.quality_e6 "
+            "  FROM documents d JOIN q ON q.doc_id = d.doc_id), "
+            "per AS (SELECT source, count(*)::BIGINT AS n_docs, "
+            "  SUM(toks)::BIGINT AS n_tokens, "
+            "  count(DISTINCT lang)::BIGINT AS n_langs, "
+            "  SUM(quality_e6)::BIGINT AS q_sum FROM base GROUP BY source), "
+            "lc AS (SELECT source, lang, count(*)::BIGINT AS c FROM base "
+            "  GROUP BY source, lang), "
+            "top AS (SELECT source, lang AS top_lang, c FROM lc "
+            "  QUALIFY row_number() OVER (PARTITION BY source "
+            "  ORDER BY c DESC, lang) = 1) "
+            "SELECT per.source, per.n_docs, per.n_tokens, per.n_langs, "
+            "top.top_lang, "
+            "((2 * top.c * 1000000 + per.n_docs) // (2 * per.n_docs))"
+            "::BIGINT AS top_lang_share_e6, "
+            "((2 * per.q_sum + per.n_docs) // (2 * per.n_docs))"
+            "::BIGINT AS mean_quality_e6 "
+            "FROM per JOIN top ON top.source = per.source"
         ),
         "dict_frontcoding": (
             # sorted distinct p_name strings; per entry the longest

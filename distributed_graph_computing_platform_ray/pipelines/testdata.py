@@ -16562,3 +16562,74 @@ def q_host_ppr_sweepcut(sf_dir: str, n_pages: int = 2000, rounds: int = 12):
             ),
         }
     )
+
+
+def q_dataset_card(sf_dir: str, n_buckets: int = 8):
+    """DATASET CARD / DATASHEET ROLLUP per source — the summary table
+    a corpus release publishes: docs, whitespace tokens, distinct
+    languages, dominant language (mode, ties to the lexicographically
+    smallest), its share (half-up e6), and mean quality score
+    (half-up e6 of the quality_e6 sum — functions/text.quality_score,
+    the SQL-mirrored scorer). One streaming pass emits per-batch
+    (source, lang) partials with token + quality sums; two bounded
+    bucket_sums and the final arithmetic on the per-source table."""
+    from ..functions.text import quality_score
+    from ..stages.join import bucket_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype(str)
+        toks = texts.str.split().str.len().fillna(0).astype("int64")
+        q = pd.Series(
+            [int(round(quality_score(t) * 1e6)) for t in texts], dtype="int64"
+        )
+        g = pd.DataFrame(
+            {
+                "source": df["source"].astype(str),
+                "lang": df["lang"].astype(str),
+                "n_docs": np.int64(1),
+                "n_tokens": toks.to_numpy(),
+                "q_sum": q.to_numpy(),
+            }
+        )
+        return g.groupby(["source", "lang"], as_index=False).sum()
+
+    sl = bucket_sum(
+        _table(sf_dir, "documents", ["doc_id", "text", "source", "lang"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["source", "lang"],
+        ["n_docs", "n_tokens", "q_sum"],
+        n_buckets,
+    ).to_pandas()  # bounded: sources x langs
+
+    rows = []
+    for src_name, g in sl.groupby("source"):
+        nd = int(g["n_docs"].sum())
+        nt = int(g["n_tokens"].sum())
+        qs = int(g["q_sum"].sum())
+        g2 = g.sort_values(["n_docs", "lang"], ascending=[False, True])
+        top_lang = str(g2["lang"].iloc[0])
+        top_n = int(g2["n_docs"].iloc[0])
+        rows.append(
+            (
+                src_name,
+                nd,
+                nt,
+                int(g["lang"].nunique()),
+                top_lang,
+                (2 * top_n * 1_000_000 + nd) // (2 * nd),
+                (2 * qs + nd) // (2 * nd),
+            )
+        )
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "source": pd.Series([r[0] for r in rows], dtype="object"),
+            "n_docs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n_tokens": pd.Series([r[2] for r in rows], dtype="int64"),
+            "n_langs": pd.Series([r[3] for r in rows], dtype="int64"),
+            "top_lang": pd.Series([r[4] for r in rows], dtype="object"),
+            "top_lang_share_e6": pd.Series([r[5] for r in rows], dtype="int64"),
+            "mean_quality_e6": pd.Series([r[6] for r in rows], dtype="int64"),
+        }
+    )
