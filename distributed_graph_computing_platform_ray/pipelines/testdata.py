@@ -2073,12 +2073,7 @@ def q_kcore(sf_dir: str, k: int = 20):
 
     edges = edges_lineitem(sf_dir)
 
-    def sym(t: pa.Table) -> pa.Table:
-        s = t["src"].combine_chunks()
-        d = t["dst"].combine_chunks()
-        return pa.table(
-            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
-        )
+    sym = _sym_uv
 
     from ..stages.join import bucket_sum as _bsum
 
@@ -2136,6 +2131,15 @@ def q_kcore(sf_dir: str, k: int = 20):
     return distinct(cur.map_batches(verts, batch_format="pyarrow"), ["vertex"])
 
 
+def _sym_uv(t: pa.Table) -> pa.Table:
+    """Symmetrize a directed (src, dst) batch into (u, v) rows with
+    both orientations — the shared peel/coreness/densest input shape
+    (ADVICE r4 item #8: one kernel, no drift)."""
+    s = t["src"].combine_chunks()
+    d = t["dst"].combine_chunks()
+    return pa.table({"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])})
+
+
 def q_kcore_rounds(
     sf_dir: str, k: int = 20, max_rounds: int = 60, max_broadcast=None
 ):
@@ -2153,12 +2157,7 @@ def q_kcore_rounds(
 
     edges = edges_lineitem(sf_dir)
 
-    def sym(t: pa.Table) -> pa.Table:
-        s = t["src"].combine_chunks()
-        d = t["dst"].combine_chunks()
-        return pa.table(
-            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
-        )
+    sym = _sym_uv
 
     from ..stages.join import bucket_sum as _bsum
 
@@ -2383,12 +2382,7 @@ def q_coreness(
     identical updates and still agree."""
     edges = edges_orders(sf_dir)
 
-    def sym(t: pa.Table) -> pa.Table:
-        s = t["src"].combine_chunks()
-        d = t["dst"].combine_chunks()
-        return pa.table(
-            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
-        )
+    sym = _sym_uv
 
     return _hindex_coreness(
         edges.map_batches(sym, batch_format="pyarrow"),
@@ -8203,12 +8197,7 @@ def q_densest_subgraph(sf_dir: str, max_rounds: int = 60):
 
     edges = edges_cliquey(sf_dir)
 
-    def sym(t: pa.Table) -> pa.Table:
-        s = t["src"].combine_chunks()
-        d = t["dst"].combine_chunks()
-        return pa.table(
-            {"u": pa.chunked_array([s, d]), "v": pa.chunked_array([d, s])}
-        )
+    sym = _sym_uv
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         c = df["u"].value_counts()
