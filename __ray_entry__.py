@@ -1456,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": T.q_span_corruption,
         "dict_frontcoding": T.q_dict_frontcoding,
         "dataset_card": T.q_dataset_card,
+        "ngram_novelty_curve": T.q_ngram_novelty_curve,
         "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
@@ -2372,6 +2373,19 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN deg dg ON dg.h = s2.v "
             "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
             "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
+        ),
+        "ngram_novelty_curve": (
+            # per n in 1..5: total vs distinct word n-grams corpus-wide
+            # (testdata.q_ngram_novelty_curve)
+            "WITH ntoks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE trim(text) <> ''), "
+            "g AS (SELECT 1 AS n, t[i] AS gram FROM ntoks, unnest(range(1, len(t) - 1 + 2)) AS r(i) WHERE len(t) >= 1 UNION ALL SELECT 2 AS n, t[i + 0] || ' ' || t[i + 1] AS gram FROM ntoks, unnest(range(1, len(t) - 2 + 2)) AS r(i) WHERE len(t) >= 2 UNION ALL SELECT 3 AS n, t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram FROM ntoks, unnest(range(1, len(t) - 3 + 2)) AS r(i) WHERE len(t) >= 3 UNION ALL SELECT 4 AS n, t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS gram FROM ntoks, unnest(range(1, len(t) - 4 + 2)) AS r(i) WHERE len(t) >= 4 UNION ALL SELECT 5 AS n, t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS gram FROM ntoks, unnest(range(1, len(t) - 5 + 2)) AS r(i) WHERE len(t) >= 5) "
+            "SELECT n::BIGINT AS n, count(*)::BIGINT AS total, "
+            "count(DISTINCT gram)::BIGINT AS n_distinct, "
+            "((2 * (count(*) - count(DISTINCT gram)) * 1000000 + count(*)) "
+            " // (2 * count(*)))::BIGINT AS dup_share_e6 "
+            "FROM g GROUP BY n"
         ),
         "dataset_card": (
             # per-source datasheet; dominant lang = mode with lexical

@@ -16622,3 +16622,85 @@ def q_dataset_card(sf_dir: str, n_buckets: int = 8):
             "mean_quality_e6": pd.Series([r[6] for r in rows], dtype="int64"),
         }
     )
+
+
+def q_ngram_novelty_curve(sf_dir: str, max_n: int = 5, n_buckets: int = 16):
+    """CORPUS N-GRAM NOVELTY CURVE: for each n in 1..``max_n``, total
+    word n-gram occurrences vs distinct n-grams corpus-wide and the
+    duplicate share (half-up e6) — the repetition profile that decides
+    how aggressive span-level dedup should be (a corpus whose 5-gram
+    dup share is high is boilerplate-heavy even if doc-level dedup is
+    clean). Totals are per-batch combiner sums; distinct counts are
+    ONE hash-bucket distinct over (n, gram) pairs — gram strings
+    shuffle once, pre-deduped per batch."""
+    from ..stages.join import bucket_sum, distinct
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        out_n, out_g = [], []
+        for text in df["text"].astype(str):
+            toks = text.split()
+            for n in range(1, max_n + 1):
+                if len(toks) < n:
+                    continue
+                s = pd.Series(toks, dtype="object")
+                if n == 1:
+                    g = s
+                else:
+                    g = s[: len(toks) - n + 1].reset_index(drop=True).str.cat(
+                        [
+                            s[j : len(toks) - n + 1 + j].reset_index(drop=True)
+                            for j in range(1, n)
+                        ],
+                        sep=" ",
+                    )
+                out_n.append(np.full(len(g), n, dtype=np.int64))
+                out_g.append(g.to_numpy())
+        if not out_n:
+            return pd.DataFrame(
+                {"n": pd.Series([], dtype="int64"), "gram": pd.Series([], dtype=str)}
+            )
+        return pd.DataFrame(
+            {"n": np.concatenate(out_n), "gram": np.concatenate(out_g)}
+        )
+
+    occ = _table(sf_dir, "documents", ["text"]).map_batches(
+        grams, batch_format="pandas"
+    ).materialize()
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(total=np.int64(1))[["n", "total"]]
+        return g.groupby("n", as_index=False).sum()
+
+    totals = bucket_sum(
+        occ.map_batches(tot_partial, batch_format="pandas"), ["n"], ["total"], 4
+    ).to_pandas()
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = distinct_grams = df[["n", "gram"]].drop_duplicates()
+        return distinct_grams
+
+    uniq = distinct(
+        occ.map_batches(dist_partial, batch_format="pandas"), ["n", "gram"], n_buckets
+    )
+
+    def uniq_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(n_distinct=np.int64(1))[["n", "n_distinct"]]
+        return g.groupby("n", as_index=False).sum()
+
+    uniq_n = bucket_sum(
+        uniq.map_batches(uniq_partial, batch_format="pandas"), ["n"], ["n_distinct"], 4
+    ).to_pandas()
+
+    out = totals.merge(uniq_n, on="n").sort_values("n").reset_index(drop=True)
+    t = out["total"].to_numpy().astype(np.int64)
+    u = out["n_distinct"].to_numpy().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "n": out["n"].astype("int64"),
+            "total": pd.Series(t, dtype="int64"),
+            "n_distinct": pd.Series(u, dtype="int64"),
+            "dup_share_e6": pd.Series(
+                (2 * (t - u) * 1_000_000 + t) // (2 * t), dtype="int64"
+            ),
+        }
+    )
