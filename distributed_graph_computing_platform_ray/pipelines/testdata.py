@@ -16676,8 +16676,7 @@ def q_ngram_novelty_curve(sf_dir: str, max_n: int = 5, n_buckets: int = 16):
     ).to_pandas()
 
     def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = distinct_grams = df[["n", "gram"]].drop_duplicates()
-        return distinct_grams
+        return df[["n", "gram"]].drop_duplicates()
 
     uniq = distinct(
         occ.map_batches(dist_partial, batch_format="pandas"), ["n", "gram"], n_buckets
