@@ -1457,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_frontcoding": T.q_dict_frontcoding,
         "dataset_card": T.q_dataset_card,
         "ngram_novelty_curve": T.q_ngram_novelty_curve,
+        "term_branching": T.q_term_branching,
         "textrank_terms": T.q_textrank_terms,
         "term_and_query": T.q_term_and_query,
         "doc_repetition": T.q_doc_repetition,
@@ -2373,6 +2374,27 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN deg dg ON dg.h = s2.v "
             "  WHERE s2.it < 12 GROUP BY s2.it, r2.d) "
             "SELECT v AS term, p AS p_e12, r AS r_e12 FROM st WHERE it = 12"
+        ),
+        "term_branching": (
+            # per term: occurrences + distinct left/right neighbors
+            # over adjacent in-document pairs
+            # (testdata.q_term_branching)
+            "WITH btoks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE trim(text) <> ''), "
+            "occ AS (SELECT t[i] AS term, count(*)::BIGINT AS n_occur "
+            "  FROM btoks, unnest(range(1, len(t) + 1)) AS r(i) GROUP BY t[i]), "
+            "bp AS (SELECT DISTINCT t[i] AS l, t[i + 1] AS r FROM btoks, "
+            "  unnest(range(1, len(t))) AS g(i) WHERE len(t) >= 2), "
+            "nright AS (SELECT l AS term, count(*)::BIGINT AS n_right "
+            "  FROM bp GROUP BY l), "
+            "nleft AS (SELECT r AS term, count(*)::BIGINT AS n_left "
+            "  FROM bp GROUP BY r) "
+            "SELECT occ.term, occ.n_occur, "
+            "COALESCE(nleft.n_left, 0)::BIGINT AS n_left, "
+            "COALESCE(nright.n_right, 0)::BIGINT AS n_right "
+            "FROM occ LEFT JOIN nleft ON nleft.term = occ.term "
+            "LEFT JOIN nright ON nright.term = occ.term"
         ),
         "ngram_novelty_curve": (
             # per n in 1..5: total vs distinct word n-grams corpus-wide

@@ -16703,3 +16703,78 @@ def q_ngram_novelty_curve(sf_dir: str, max_n: int = 5, n_buckets: int = 16):
             ),
         }
     )
+
+
+def q_term_branching(sf_dir: str, n_buckets: int = 16):
+    """TERM CONTEXT-BRANCHING PROFILE (the integer core of branching-
+    entropy segmentation / template detection): per term, total
+    occurrences, distinct LEFT-neighbor terms and distinct RIGHT-
+    neighbor terms within documents — templated/boilerplate text shows
+    high frequency with low branching; natural text branches. Adjacent
+    (prev, next) pairs come from one vectorized shift per batch;
+    distinct-neighbor counts are one hash-bucket distinct + sum per
+    direction; occurrences are a per-batch combiner + bucket sum."""
+    from ..stages.join import bucket_sum, distinct
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ls, rs = [], []
+        for text in df["text"].astype(str):
+            toks = np.array(text.split(), dtype=object)
+            if len(toks) >= 2:
+                ls.append(toks[:-1])
+                rs.append(toks[1:])
+        if not ls:
+            return pd.DataFrame(
+                {"l": pd.Series([], dtype=str), "r": pd.Series([], dtype=str)}
+            )
+        return pd.DataFrame(
+            {"l": np.concatenate(ls), "r": np.concatenate(rs)}
+        ).drop_duplicates()
+
+    def occ(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["text"].astype(str).str.split().explode().value_counts()
+        return pd.DataFrame(
+            {"term": c.index.astype(str), "n_occur": c.to_numpy().astype("int64")}
+        )
+
+    src = _table(sf_dir, "documents", ["text"]).materialize()
+    up = distinct(src.map_batches(pairs, batch_format="pandas"), ["l", "r"], n_buckets)
+    up = up.materialize()
+
+    occs = bucket_sum(
+        src.map_batches(occ, batch_format="pandas"), ["term"], ["n_occur"], n_buckets
+    ).to_pandas()
+
+    nr = bucket_sum(
+        up.map_batches(
+            lambda d: pd.DataFrame({"term": d["l"].astype(str), "n_right": np.int64(1)})
+            .groupby("term", as_index=False)
+            .sum(),
+            batch_format="pandas",
+        ),
+        ["term"],
+        ["n_right"],
+        n_buckets,
+    ).to_pandas()
+    nl = bucket_sum(
+        up.map_batches(
+            lambda d: pd.DataFrame({"term": d["r"].astype(str), "n_left": np.int64(1)})
+            .groupby("term", as_index=False)
+            .sum(),
+            batch_format="pandas",
+        ),
+        ["term"],
+        ["n_left"],
+        n_buckets,
+    ).to_pandas()
+
+    out = occs.merge(nl, on="term", how="left").merge(nr, on="term", how="left")
+    out = out.fillna({"n_left": 0, "n_right": 0}).sort_values("term")
+    return pd.DataFrame(
+        {
+            "term": out["term"].astype(str),
+            "n_occur": out["n_occur"].astype("int64"),
+            "n_left": out["n_left"].astype("int64"),
+            "n_right": out["n_right"].astype("int64"),
+        }
+    ).reset_index(drop=True)
