@@ -1721,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": T.q_doc_minhash_dedup,
         "neardup_cluster_sizes": T.q_neardup_cluster_sizes,
         "neardup_retention_by_source": T.q_neardup_retention_by_source,
+        "incremental_neardup": T.q_incremental_neardup,
         "doc_ngram_jaccard": T.q_doc_ngram_jaccard,
         "media_features": T.q_media_features,
         "media_framesample": T.q_media_framesample,
@@ -2696,6 +2697,16 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_sql(),
         "doc_simhash_pairs": _simhash_sql(),
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "incremental_neardup": (
+            # exact-Jaccard >= 0.8 pairs touching a "new" doc
+            # (doc_id % 5 == 0) — the incremental-probe subset of the
+            # minhash oracle's pair CTEs (testdata.q_incremental_neardup)
+            _minhash_dedup_sql().split("verts AS")[0]
+            + "sel AS (SELECT a, b FROM pairs "
+            "WHERE a % 5 = 0 OR b % 5 = 0) "
+            "SELECT a, b, (a % 5 = 0)::BIGINT AS a_is_new, "
+            "(b % 5 = 0)::BIGINT AS b_is_new FROM sel"
+        ),
         "neardup_cluster_sizes": _minhash_clusters_wrap(
             "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM "
             "(SELECT cluster_id, count(*)::BIGINT AS cluster_size "

@@ -16778,3 +16778,79 @@ def q_term_branching(sf_dir: str, n_buckets: int = 16):
             "n_right": out["n_right"].astype("int64"),
         }
     ).reset_index(drop=True)
+
+
+def q_incremental_neardup(sf_dir: str, mod: int = 5, n_buckets: int = 32):
+    """INCREMENTAL NEAR-DUP CHECK — the production shape of dedup on
+    a growing corpus: "new" documents (doc_id % ``mod`` == 0, the
+    fresh-crawl stand-in) probe the band-hash buckets of the WHOLE
+    corpus, and only pairs touching a new doc are generated and
+    verified (exact 3-shingle Jaccard >= 0.8) — the old corpus is
+    never re-paired against itself, so per-increment work is
+    O(new x bucket neighbors), not O(corpus^2). Same MinHash bands +
+    exact verify as doc_minhash_dedup (recall at J >= 0.8 covered by
+    the banding, checked there); hot buckets use the chunked exact
+    sweep. Output: the qualifying (a < b) pairs with new-side flags."""
+    from ..stages.dedup import (
+        MAX_BUCKET_PAIRS,
+        _MINHASH_STAGES,
+        MinHashStage,
+        iter_triu_blocks,
+        verify_jaccard,
+    )
+    from ..stages.join import add_bucket, bucket_map_groups, distinct
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    mh_key = ("doc_id", "text", 128, 16, 3)
+
+    def mh_batch(t: pa.Table) -> pa.Table:
+        st = _MINHASH_STAGES.get(mh_key)
+        if st is None:
+            st = _MINHASH_STAGES[mh_key] = MinHashStage()
+        return st(t)
+
+    bands = docs.map_batches(mh_batch, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame, _mod=mod) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), g in df.groupby(["band_id", "band_hash"]):
+            ids = np.sort(g["doc_id"].unique())
+            n = len(ids)
+            if n < 2:
+                continue
+            newm = (ids % _mod) == 0
+            if not newm.any():
+                continue
+            if n * (n - 1) // 2 > MAX_BUCKET_PAIRS:
+                print(f"incremental_neardup: hot bucket of {n} docs -> chunked sweep")
+            for i, j in iter_triu_blocks(n):
+                keep = newm[i] | newm[j]
+                out_a.extend(ids[i][keep])
+                out_b.extend(ids[j][keep])
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+        )
+
+    cand = distinct(
+        bucket_map_groups(
+            add_bucket(bands, ["band_id", "band_hash"], n_buckets), n_buckets, pairs
+        ),
+        ["a", "b"],
+        n_buckets,
+    )
+    ver = verify_jaccard(cand, docs)
+
+    def finish(t: pa.Table, _mod=mod) -> pa.Table:
+        keep = t["jaccard_e6"].to_numpy() >= 800_000
+        a = t["a"].to_numpy()[keep]
+        b = t["b"].to_numpy()[keep]
+        return pa.table(
+            {
+                "a": pa.array(a.astype(np.int64)),
+                "b": pa.array(b.astype(np.int64)),
+                "a_is_new": pa.array((a % _mod == 0).astype(np.int64)),
+                "b_is_new": pa.array((b % _mod == 0).astype(np.int64)),
+            }
+        )
+
+    return ver.map_batches(finish, batch_format="pyarrow")
