@@ -66,6 +66,97 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return h.min(axis=1)
 
 
+def unique_segments(vals: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment ``np.unique`` in one vectorized pass.
+
+    ``vals`` is the concatenation of n segments delimited by ``offs``
+    (len n+1). Returns (unique_vals, new_offs) where each segment's
+    slice is sorted-unique — elementwise identical to calling
+    ``np.unique`` per segment (the batched path of the fused analyze
+    stage relies on this; parity-tested in tests/test_analyze.py)."""
+    n = len(offs) - 1
+    if len(vals) == 0:
+        return vals, np.zeros(n + 1, dtype=np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    order = np.lexsort((vals, seg))
+    sv, ss = vals[order], seg[order]
+    keep = np.ones(len(sv), dtype=bool)
+    keep[1:] = (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])
+    uv, us = sv[keep], ss[keep]
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(us, minlength=n), out=new_offs[1:])
+    return uv, new_offs
+
+
+def minhash_signatures_segments(
+    shingles: np.ndarray, offs: np.ndarray, a: np.ndarray, b: np.ndarray, perm_chunk: int = 16
+) -> np.ndarray:
+    """(n_segments, n_perm) MinHash signatures — one vectorized pass
+    over the concatenated shingle sets instead of a Python call per
+    document. Identical arithmetic to ``minhash_signature`` (same
+    uint64 wraparound multiply + mod M61, same empty-set fill);
+    ``np.minimum.reduceat`` over segment starts replaces the per-doc
+    min. Permutations are chunked so the (n_shingles, chunk)
+    intermediate stays small regardless of batch size."""
+    n = len(offs) - 1
+    n_perm = len(a)
+    out = np.full((n, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0 or len(shingles) == 0:
+        return out
+    nonempty = offs[1:] > offs[:-1]
+    if not nonempty.any():
+        return out
+    starts = np.asarray(offs[:-1])[nonempty]
+    x = shingles.astype(np.uint64) % _MERSENNE
+    with np.errstate(over="ignore"):
+        for c0 in range(0, n_perm, perm_chunk):
+            ac = a[c0 : c0 + perm_chunk]
+            bc = b[c0 : c0 + perm_chunk]
+            h = (ac[None, :] * x[:, None] + bc[None, :]) % _MERSENNE
+            out[nonempty, c0 : c0 + perm_chunk] = np.minimum.reduceat(h, starts, axis=0)
+    return out
+
+
+def simhash64_segments(feature_hashes: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """int64[n_segments] SimHash — vectorized over the concatenated
+    per-doc feature-hash arrays. Bit-identical to ``simhash64`` per
+    segment (the ±1 accumulation is exact in both int and float;
+    empty segments hash to 0). Bits are processed 16 at a time to
+    bound the (n_features, 16) int64 intermediate."""
+    n = len(offs) - 1
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0 or len(feature_hashes) == 0:
+        return out
+    nonempty = offs[1:] > offs[:-1]
+    if not nonempty.any():
+        return out
+    starts = np.asarray(offs[:-1])[nonempty]
+    acc = np.empty((len(starts), 64), dtype=np.int64)
+    for j0 in range(0, 64, 16):
+        shifts = np.arange(j0, j0 + 16, dtype=np.uint64)[None, :]
+        bits = ((feature_hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+        acc[:, j0 : j0 + 16] = np.add.reduceat(bits, starts, axis=0)
+    pos = acc > 0
+    vals = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(64):
+        vals |= pos[:, j].astype(np.uint64) << np.uint64(j)
+    out[nonempty] = vals.view(np.int64)
+    return out
+
+
+def band_hashes_batch(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, n_bands) band hashes from (n_docs, n_perm) signatures —
+    the batched twin of ``band_hashes`` (identical FNV-style fold)."""
+    n, n_perm = sigs.shape
+    rows = n_perm // n_bands
+    view = sigs[:, : rows * n_bands].reshape(n, n_bands, rows)
+    out = np.zeros((n, n_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            out = out * np.uint64(0x100000001B3) ^ view[:, :, r]
+    return out
+
+
 def band_hashes(sig: np.ndarray, n_bands: int) -> np.ndarray:
     """Collapse a signature into n_bands band-hashes (LSH buckets)."""
     rows = len(sig) // n_bands

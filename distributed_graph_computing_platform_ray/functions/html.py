@@ -28,6 +28,75 @@ _TAG = re.compile(r"<[^>]*>")
 _KEEP_SCHEMES = ("http", "https")
 
 
+def _resolve_href_slow(base_url: str, raw: str) -> str | None:
+    """The specification path: urljoin -> urldefrag -> http(s) filter.
+    Kept verbatim as the semantic ground truth; `_resolve_href` below
+    must return byte-identical results (parity-fuzzed in
+    tests/test_analyze.py)."""
+    try:
+        resolved = urljoin(base_url, raw)
+        resolved, _frag = urldefrag(resolved)
+        scheme = urlsplit(resolved).scheme.lower()
+    except ValueError:
+        # urlsplit raises on malformed IPv6 brackets ("http://[x") —
+        # a real-web crawl WILL contain such hrefs; drop the link
+        # rather than poisoning the whole batch.
+        return None
+    if scheme not in _KEEP_SCHEMES:
+        return None
+    return resolved
+
+
+def _resolve_href(base_url: str, raw: str) -> str | None:
+    """Resolve one href against base_url, drop the fragment, keep only
+    http(s) — byte-identical to ``_resolve_href_slow`` (fuzz-tested).
+
+    Fast paths skip urllib's triple parse (urljoin + urldefrag +
+    urlsplit each re-parse the url) for the two shapes that dominate
+    real link corpora: absolute lowercase http(s) urls and
+    root-relative paths. The gates below exclude exactly the inputs
+    where urllib's parse/unparse round-trip is NOT the identity
+    (empty query ``?`` at end, empty trailing ``;`` params, dot
+    segments, empty netloc, non-lowercase scheme, WHATWG-stripped
+    tab/CR/LF or edge control chars) — those fall back.
+    """
+    if "\t" in raw or "\n" in raw or "\r" in raw or raw[-1] <= " " or raw[0] <= " ":
+        return _resolve_href_slow(base_url, raw)
+    if raw.startswith("http://") or raw.startswith("https://"):
+        # absolute, lowercase scheme. urljoin either returns raw
+        # unchanged (scheme != base's) or parse/unparses it; the
+        # round trip is the identity given the gates below.
+        sep = raw.index("//") + 2
+        rest = raw[sep:]
+        end = len(rest)
+        for ch in "/?#":
+            j = rest.find(ch)
+            if j != -1 and j < end:
+                end = j
+        netloc = rest[:end]
+        if end > 0 and "[" not in netloc and "]" not in netloc:  # non-empty, no IPv6 brackets
+            pre, _, _ = raw.partition("#")
+            q = pre.find("?")
+            path_part = pre if q == -1 else pre[:q]
+            if (q == -1 or q != len(pre) - 1) and not path_part.endswith(";"):
+                return pre
+        return _resolve_href_slow(base_url, raw)
+    if raw.startswith("/") and not raw.startswith("//"):
+        bs = urlsplit(base_url)
+        if bs.scheme in _KEEP_SCHEMES and bs.netloc:
+            pre, _, _ = raw.partition("#")
+            q = pre.find("?")
+            path_part = pre if q == -1 else pre[:q]
+            if (
+                (q == -1 or q != len(pre) - 1)
+                and not path_part.endswith(";")
+                and "/." not in path_part
+            ):
+                return f"{bs.scheme}://{bs.netloc}{pre}"
+        return _resolve_href_slow(base_url, raw)
+    return _resolve_href_slow(base_url, raw)
+
+
 def decode_html(html_bytes: bytes) -> str:
     """Pages are bytes on the wire (input_hint: html:binary); decode
     utf-8 with replacement so one bad byte can't poison a page."""
@@ -52,12 +121,9 @@ def extract_links(html_text: str, base_url: str) -> list[str]:
         raw = _htmlmod.unescape(raw).strip()
         if not raw:
             continue
-        resolved = urljoin(base_url, raw)
-        resolved, _frag = urldefrag(resolved)
-        scheme = urlsplit(resolved).scheme.lower()
-        if scheme not in _KEEP_SCHEMES:
-            continue
-        out.append(resolved)
+        resolved = _resolve_href(base_url, raw)
+        if resolved is not None:
+            out.append(resolved)
     return out
 
 
@@ -80,10 +146,9 @@ def extract_hrefs_raw(html_text: str, base_url: str) -> list[tuple[str, str]]:
         raw = _htmlmod.unescape(m.group(1) or m.group(2) or m.group(3) or "").strip()
         if not raw:
             continue
-        resolved, _frag = urldefrag(urljoin(base_url, raw))
-        if urlsplit(resolved).scheme.lower() not in _KEEP_SCHEMES:
-            continue
-        out.append((raw, resolved))
+        resolved = _resolve_href(base_url, raw)
+        if resolved is not None:
+            out.append((raw, resolved))
     return out
 
 
@@ -104,8 +169,8 @@ def extract_links_with_anchors(html_text: str, base_url: str) -> list[tuple[str,
         raw = _htmlmod.unescape(hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
         if not raw:
             continue
-        resolved, _frag = urldefrag(urljoin(base_url, raw))
-        if urlsplit(resolved).scheme.lower() not in _KEEP_SCHEMES:
+        resolved = _resolve_href(base_url, raw)
+        if resolved is None:
             continue
         anchor = " ".join(_htmlmod.unescape(_TAG.sub(" ", m.group(2))).split())
         out.append((resolved, anchor))

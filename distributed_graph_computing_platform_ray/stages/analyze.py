@@ -21,12 +21,19 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions import html as H
-from ..functions.hashing import band_hashes, minhash_params, minhash_signature, simhash64
+from ..functions.hashing import (
+    band_hashes_batch,
+    fnv1a64,
+    minhash_params,
+    minhash_signatures_segments,
+    simhash64_segments,
+    unique_segments,
+)
 from ..functions.text import (
     lang_id_counts_lwords,
     quality_score_words,
-    shingle_hashes_lwords,
     token_count_bpe_ish,
+    word_ngrams,
 )
 from ..utils import stable_hash_array
 from .extract import _pool_size
@@ -39,50 +46,69 @@ class PageAnalyze:
         self.k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """Batched kernel: the per-doc Python loop does only the work
+        that is inherently per-document (decode, extract, split,
+        lang/quality counts); every hash — token SipHash, shingle
+        FNV, MinHash, SimHash, band fold — runs ONCE per batch over
+        the concatenated token/gram arrays with segment offsets.
+        Bit-identical to the per-doc composition of the public
+        functions (tests/test_analyze.py parity test); ~2x fewer
+        small allocations per doc, which is what limits per-core
+        throughput at high concurrency on one socket (BASELINE.md
+        scaling analysis)."""
         urls = t["url"].to_pylist()
         htmls = t["html"].to_pylist()
         n = len(urls)
-        out = {
-            "url": urls,
-            "n_links": np.zeros(n, dtype=np.int64),
-            "lang_pred": [""] * n,
-            "quality_e6": np.zeros(n, dtype=np.int64),
-            "n_tokens": np.zeros(n, dtype=np.int64),
-            "n_bpe_tokens": np.zeros(n, dtype=np.int64),
-            "simhash": np.zeros(n, dtype=np.int64),
-            "band_hashes": [None] * n,
-        }
+        n_links = np.zeros(n, dtype=np.int64)
+        lang_pred = [""] * n
+        quality_e6 = np.zeros(n, dtype=np.int64)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        n_bpe_tokens = np.zeros(n, dtype=np.int64)
+        flat_words: list[str] = []
+        woff = np.zeros(n + 1, dtype=np.int64)
+        flat_grams: list[str] = []
+        goff = np.zeros(n + 1, dtype=np.int64)
         for i in range(n):
             html = H.decode_html(htmls[i])
             text = H.extract_text(html)
             links = H.extract_links(html, urls[i])
-            # split/lowercase ONCE per doc and feed every consumer the
-            # precomputed lists: identical outputs (conformance-tested),
-            # ~5x fewer token-list allocations — allocation/store
-            # bandwidth is what limits per-core throughput at high
-            # concurrency on one socket (BASELINE.md scaling analysis)
+            # split/lowercase ONCE per doc; all consumers share the
+            # precomputed lists (identical outputs, conformance-tested)
             words = text.split()
             lwords = [w.lower() for w in words]
-            out["n_links"][i] = len(links)
-            out["lang_pred"][i] = lang_id_counts_lwords(lwords)[0]
-            out["quality_e6"][i] = int(quality_score_words(text, words, lwords) * 1e6)
-            out["n_tokens"][i] = len(words)
-            out["n_bpe_tokens"][i] = token_count_bpe_ish(text)
-            toks = np.array(lwords, dtype=object)
-            th = stable_hash_array(toks) if len(toks) else np.empty(0, dtype=np.uint64)
-            out["simhash"][i] = np.int64(np.uint64(simhash64(th)).astype(np.int64))
-            sig = minhash_signature(shingle_hashes_lwords(lwords, self.k), self.a, self.b)
-            out["band_hashes"][i] = band_hashes(sig, self.n_bands).astype(np.int64)
+            n_links[i] = len(links)
+            lang_pred[i] = lang_id_counts_lwords(lwords)[0]
+            quality_e6[i] = int(quality_score_words(text, words, lwords) * 1e6)
+            n_tokens[i] = len(words)
+            n_bpe_tokens[i] = token_count_bpe_ish(text)
+            flat_words.extend(lwords)
+            woff[i + 1] = len(flat_words)
+            flat_grams.extend(word_ngrams(lwords, self.k))
+            goff[i + 1] = len(flat_grams)
+        th_all = (
+            stable_hash_array(np.array(flat_words, dtype=object))
+            if flat_words
+            else np.empty(0, dtype=np.uint64)
+        )
+        simhash = simhash64_segments(th_all, woff)
+        gh_all = fnv1a64(flat_grams)
+        sh_all, soff = unique_segments(gh_all, goff)
+        sigs = minhash_signatures_segments(sh_all, soff, self.a, self.b)
+        bands = band_hashes_batch(sigs, self.n_bands).view(np.int64)
+        band_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * self.n_bands, pa.int32()),
+            pa.array(bands.ravel()),
+        )
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
-                "n_links": pa.array(out["n_links"]),
-                "lang_pred": pa.array(out["lang_pred"], pa.string()),
-                "quality_e6": pa.array(out["quality_e6"]),
-                "n_tokens": pa.array(out["n_tokens"]),
-                "n_bpe_tokens": pa.array(out["n_bpe_tokens"]),
-                "simhash": pa.array(out["simhash"]),
-                "band_hashes": pa.array([list(b) for b in out["band_hashes"]], pa.list_(pa.int64())),
+                "url": pa.array(urls, pa.string()),
+                "n_links": pa.array(n_links),
+                "lang_pred": pa.array(lang_pred, pa.string()),
+                "quality_e6": pa.array(quality_e6),
+                "n_tokens": pa.array(n_tokens),
+                "n_bpe_tokens": pa.array(n_bpe_tokens),
+                "simhash": pa.array(simhash),
+                "band_hashes": band_col,
             }
         )
 
