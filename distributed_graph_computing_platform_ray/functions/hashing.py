@@ -66,6 +66,75 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return h.min(axis=1)
 
 
+def fnv1a64_gram_segments(
+    words: "pa.Array | list[str]", woff: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """FNV-1a 64 hashes of word k-shingles for MANY documents in one
+    vectorized pass — WITHOUT materializing the gram strings.
+
+    ``words`` is the concatenation of every document's (lowercased)
+    tokens, ``woff`` (len n_docs+1) the per-doc offsets. Returns
+    (gram_hashes, gram_offs): per doc, the hashes of
+    ``fnv1a64(word_ngrams(doc_words, k))`` in the same order —
+    bit-identical (parity-tested) because FNV is folded over exactly
+    the bytes of ``" ".join(words[i:i+k])``: the j-th word's UTF-8
+    bytes, then a 0x20 separator, word by word, straight from the
+    Arrow string buffer. Docs with 0 < len < k produce the single
+    all-words gram (word_ngrams semantics); empty docs produce none.
+
+    This replaces per-doc ``" ".join`` gram construction + a second
+    Arrow conversion of ~3x the word bytes — the dominant allocation
+    churn of the fused analyze kernel (BASELINE.md scaling analysis).
+    """
+    arr = words if isinstance(words, (pa.Array, pa.ChunkedArray)) else pa.array(
+        words, pa.large_string()
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    n_words = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n_words + 1]
+    data = arr.buffers()[2]
+    buf = np.frombuffer(data, dtype=np.uint8) if data is not None else np.empty(0, np.uint8)
+    lens = off[1:] - off[:-1]
+    starts = off[:-1]
+
+    n_docs = len(woff) - 1
+    W = np.diff(np.asarray(woff, dtype=np.int64))
+    cnt = np.where(W == 0, 0, np.maximum(W - k + 1, 1))
+    goff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(cnt, out=goff[1:])
+    total = int(goff[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), goff
+    gdoc = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(goff[:-1], cnt)
+    g0 = np.asarray(woff[:-1], dtype=np.int64)[gdoc] + within
+    glen = np.minimum(W[gdoc], k)  # short docs: one gram of all words
+
+    h = np.full(total, _FNV_BASIS, dtype=np.uint64)
+    space = np.uint64(0x20)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            wm = glen > j
+            if not wm.any():
+                break
+            wi = g0[wm] + j
+            lj = lens[wi]
+            sj = starts[wi]
+            hj = h[wm]
+            max_l = int(lj.max()) if len(lj) else 0
+            for t in range(max_l):
+                alive = lj > t
+                c = buf[sj[alive] + t].astype(np.uint64)
+                hj[alive] = (hj[alive] ^ c) * _FNV_PRIME
+            h[wm] = hj
+            sm = glen > j + 1
+            if sm.any():
+                h[sm] = (h[sm] ^ space) * _FNV_PRIME
+    return h, goff
+
+
 def unique_segments(vals: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-segment ``np.unique`` in one vectorized pass.
 

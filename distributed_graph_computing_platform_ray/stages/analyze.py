@@ -23,7 +23,7 @@ import ray.data as rd
 from ..functions import html as H
 from ..functions.hashing import (
     band_hashes_batch,
-    fnv1a64,
+    fnv1a64_gram_segments,
     minhash_params,
     minhash_signatures_segments,
     simhash64_segments,
@@ -33,7 +33,6 @@ from ..functions.text import (
     lang_id_counts_lwords,
     quality_score_words,
     token_count_bpe_ish,
-    word_ngrams,
 )
 from ..utils import stable_hash_array
 from .extract import _pool_size
@@ -66,8 +65,6 @@ class PageAnalyze:
         n_bpe_tokens = np.zeros(n, dtype=np.int64)
         flat_words: list[str] = []
         woff = np.zeros(n + 1, dtype=np.int64)
-        flat_grams: list[str] = []
-        goff = np.zeros(n + 1, dtype=np.int64)
         for i in range(n):
             html = H.decode_html(htmls[i])
             text = H.extract_text(html)
@@ -83,15 +80,13 @@ class PageAnalyze:
             n_bpe_tokens[i] = token_count_bpe_ish(text)
             flat_words.extend(lwords)
             woff[i + 1] = len(flat_words)
-            flat_grams.extend(word_ngrams(lwords, self.k))
-            goff[i + 1] = len(flat_grams)
         th_all = (
             stable_hash_array(np.array(flat_words, dtype=object))
             if flat_words
             else np.empty(0, dtype=np.uint64)
         )
         simhash = simhash64_segments(th_all, woff)
-        gh_all = fnv1a64(flat_grams)
+        gh_all, goff = fnv1a64_gram_segments(flat_words, woff, self.k)
         sh_all, soff = unique_segments(gh_all, goff)
         sigs = minhash_signatures_segments(sh_all, soff, self.a, self.b)
         bands = band_hashes_batch(sigs, self.n_bands).view(np.int64)

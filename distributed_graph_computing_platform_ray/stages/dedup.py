@@ -30,8 +30,38 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.hashing import band_hashes, fnv1a64, hamming64, minhash_params, minhash_signature, simhash64
-from ..functions.text import jaccard, shingle_hashes
+from ..functions.hashing import (
+    band_hashes_batch,
+    fnv1a64,
+    fnv1a64_gram_segments,
+    hamming64,
+    minhash_params,
+    minhash_signatures_segments,
+    simhash64_segments,
+    unique_segments,
+)
+from ..functions.text import jaccard
+
+
+def _flat_lower_words(texts: list) -> tuple[list[str], np.ndarray]:
+    """Concatenated lowercased whitespace tokens of every doc + per-doc
+    offsets — the input shape of the segment-batched hash kernels."""
+    flat: list[str] = []
+    woff = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, txt in enumerate(texts):
+        flat.extend(w.lower() for w in str(txt).split())
+        woff[i + 1] = len(flat)
+    return flat, woff
+
+
+def _shingle_segments(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique shingle FNV hashes (uint64) + offsets —
+    elementwise identical to ``shingle_hashes(str(t), k)`` per doc
+    (segment-kernel parity tests in tests/test_analyze.py), computed
+    in one vectorized pass per batch."""
+    flat, woff = _flat_lower_words(texts)
+    gh, goff = fnv1a64_gram_segments(flat, woff, k)
+    return unique_segments(gh, goff)
 from ..stages.join import _BUCKET, add_bucket, bucket_join, bucket_map_groups
 
 MAX_BUCKET_PAIRS = 2000  # per-ALLOCATION pair-block bound for hot LSH buckets
@@ -96,18 +126,15 @@ class MinHashStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_numpy()
         texts = t[self.text_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, txt in zip(ids, texts):
-            sig = minhash_signature(shingle_hashes(txt, self.k), self.a, self.b)
-            bh = band_hashes(sig, self.n_bands)
-            out_id.extend([int(i)] * self.n_bands)
-            out_band.extend(range(self.n_bands))
-            out_hash.extend(int(x) for x in bh)
+        n = len(texts)
+        sh, soff = _shingle_segments(texts, self.k)
+        sigs = minhash_signatures_segments(sh, soff, self.a, self.b)
+        bh = band_hashes_batch(sigs, self.n_bands).view(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band_id": pa.array(out_band, pa.int64()),
-                "band_hash": pa.array(np.array(out_hash, dtype=np.uint64).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(ids.astype(np.int64), self.n_bands)),
+                "band_id": pa.array(np.tile(np.arange(self.n_bands, dtype=np.int64), n)),
+                "band_hash": pa.array(bh.ravel()),
             }
         )
 
@@ -211,12 +238,11 @@ def verify_jaccard(
             keep = np.isin(ids, want)
             ids = ids[keep]
             texts = t.filter(pa.array(keep))[text_col].to_pylist()
-            sets = [
-                shingle_hashes(str(x), shingle_k).astype(np.int64) for x in texts
-            ]
-            return pa.table(
-                {"jid": pa.array(ids), "sh": pa.array(sets, pa.list_(pa.int64()))}
+            sh, soff = _shingle_segments(texts, shingle_k)
+            sh_col = pa.ListArray.from_arrays(
+                pa.array(soff, pa.int32()), pa.array(sh.view(np.int64))
             )
+            return pa.table({"jid": pa.array(ids), "sh": sh_col})
 
         lookup: dict[int, np.ndarray] = {}
         if len(cand_ids):
@@ -247,7 +273,12 @@ def verify_jaccard(
         return pairs.map_batches(score_pairs, batch_format="pyarrow")
 
     texts = docs.map_batches(
-        lambda t: pa.table({"jid": t[id_col].cast(pa.int64()), "jtext": t[text_col]}),
+        # cast to large_string so the declared join schemas hold for
+        # string-typed corpora too (from_pandas gives string; parquet
+        # gives large_string — the exchange merge needs one type)
+        lambda t: pa.table(
+            {"jid": t[id_col].cast(pa.int64()), "jtext": t[text_col].cast(pa.large_string())}
+        ),
         batch_format="pyarrow",
     )
     # explicit schemas: both join inputs are lazy shuffle outputs, and
@@ -266,14 +297,27 @@ def verify_jaccard(
         right_schema=txt_schema("text_b"))
 
     def score(t: pa.Table) -> pa.Table:
+        # batched: shingle both sides once per batch, then per-pair
+        # |A∩B| = |A|+|B|-|A∪B| via one more segment-unique over the
+        # per-pair concatenations — identical values to per-pair
+        # jaccard(shingle_hashes(x), shingle_hashes(y)) (same int
+        # counts, same float division/rounding)
         a = t["a"].to_numpy().astype(np.int64)
         b = t["b"].to_numpy().astype(np.int64)
-        ta = t["text_a"].to_pylist()
-        tb = t["text_b"].to_pylist()
-        js = [
-            int(round(jaccard(shingle_hashes(x, shingle_k), shingle_hashes(y, shingle_k)) * 1e6))
-            for x, y in zip(ta, tb)
-        ]
+        sha, offa = _shingle_segments(t["text_a"].to_pylist(), shingle_k)
+        shb, offb = _shingle_segments(t["text_b"].to_pylist(), shingle_k)
+        ca, cb = np.diff(offa), np.diff(offb)
+        coff = np.zeros(len(a) + 1, dtype=np.int64)
+        np.cumsum(ca + cb, out=coff[1:])
+        comb = np.empty(len(sha) + len(shb), dtype=np.uint64)
+        comb[np.arange(len(sha)) + np.repeat(coff[:-1] - offa[:-1], ca)] = sha
+        comb[np.arange(len(shb)) + np.repeat(coff[:-1] + ca - offb[:-1], cb)] = shb
+        _, uoff = unique_segments(comb, coff)
+        union = np.diff(uoff)
+        inter = ca + cb - union
+        with np.errstate(invalid="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        js = np.round(j * 1e6).astype(np.int64)
         return pa.table(
             {"a": pa.array(a), "b": pa.array(b), "jaccard_e6": pa.array(js, pa.int64())}
         )
@@ -387,12 +431,11 @@ def ngram_jaccard_join(
 
     def postings(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
-        out_id, out_sh, out_n = [], [], []
-        for i, txt in zip(ids, t[text_col].to_pylist()):
-            sh = shingle_hashes(str(txt), shingle_k)
-            out_id.append(np.full(len(sh), int(i), dtype=np.int64))
-            out_sh.append(sh.astype(np.int64))
-            out_n.append(np.full(len(sh), len(sh), dtype=np.int64))
+        sh_all, soff = _shingle_segments(t[text_col].to_pylist(), shingle_k)
+        counts = np.diff(soff)
+        out_id = [np.repeat(ids.astype(np.int64), counts)]
+        out_sh = [sh_all.view(np.int64)]
+        out_n = [np.repeat(counts.astype(np.int64), counts)]
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
         return pa.table(
             {
@@ -521,12 +564,9 @@ class SimHashStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_numpy()
-        sigs = []
-        for txt in t[self.text_col].to_pylist():
-            toks = [w.lower() for w in str(txt).split()]
-            h = fnv1a64(toks) if toks else np.empty(0, dtype=np.uint64)
-            sigs.append(simhash64(h))
-        sig = np.array(sigs, dtype=np.uint64)
+        flat, woff = _flat_lower_words(t[self.text_col].to_pylist())
+        h = fnv1a64(flat) if flat else np.empty(0, dtype=np.uint64)
+        sig = simhash64_segments(h, woff).view(np.uint64)
         cols = {"doc_id": pa.array(ids.astype(np.int64)), "simhash": pa.array(sig.astype(np.int64))}
         for band in range(4):  # Hamming<=3 => some 16-bit band matches exactly
             cols[f"sb{band}"] = pa.array(((sig >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64))

@@ -230,6 +230,25 @@ def bucket_join(
         right.map_batches(tag(1, right_on), batch_format="pyarrow")
     )
 
+    def _restore_types(tbl: pa.Table) -> pa.Table:
+        # pa.Table.from_pandas re-infers object columns as string/
+        # binary, silently dropping a declared large_string/large_binary
+        # — downstream exchanges then fail to concat joined blocks with
+        # schema-padded empty blocks. Cast those families back.
+        for idx, c in enumerate(tbl.column_names):
+            want = _SCHEMA_TYPES.get(c)
+            got = tbl.column(idx).type
+            if want is None or got == want:
+                continue
+            if (
+                pa.types.is_string(got)
+                or pa.types.is_large_string(got)
+                or pa.types.is_binary(got)
+                or pa.types.is_large_binary(got)
+            ):
+                tbl = tbl.set_column(idx, c, tbl.column(idx).cast(want))
+        return tbl
+
     def join_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -253,13 +272,15 @@ def bucket_join(
             # (exact for any scale: a key's rows all share a bucket)
             keep = ~l[left_on].isin(r[right_on].drop_duplicates())
             out = l[keep]
-            return pa.Table.from_pandas(
-                out.reset_index(drop=True), preserve_index=False
+            return _restore_types(
+                pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
             )
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         if right_on != left_on and right_on in out.columns:
             out = out.drop(columns=[right_on])
-        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+        return _restore_types(
+            pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+        )
 
     return _bucket_groups(
         add_bucket(tagged, [left_on], n_buckets), n_buckets, join_bucket, "pyarrow"

@@ -245,6 +245,41 @@ def test_unique_segments_property(segs):
         assert np.array_equal(got, want)
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters=" \t\n\r"),
+                min_size=1,
+                max_size=12,
+            ),
+            min_size=0,
+            max_size=15,
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_fnv_gram_segments_property(docs, k):
+    from distributed_graph_computing_platform_ray.functions.hashing import (
+        fnv1a64,
+        fnv1a64_gram_segments,
+    )
+    from distributed_graph_computing_platform_ray.functions.text import word_ngrams
+
+    flat = [w for d in docs for w in d]
+    woff = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=woff[1:])
+    gh, goff = fnv1a64_gram_segments(flat, woff, k)
+    for i, d in enumerate(docs):
+        grams = word_ngrams(d, k)
+        want = fnv1a64(grams) if grams else np.empty(0, np.uint64)
+        got = gh[goff[i] : goff[i + 1]]
+        assert np.array_equal(got, want), (i, d, k)
+
+
 def test_sketch_segment_kernels_match_perdoc():
     rng = np.random.default_rng(5)
     a, b = minhash_params(128)

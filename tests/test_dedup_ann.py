@@ -482,3 +482,76 @@ def test_simhash_hot_bucket_no_pair_loss():
     out = simhash_dedup(rd.from_pandas(df)).to_pandas()
     assert len(out) == n * (n - 1) // 2
     assert (out["hamming"] == 0).all()
+
+
+def test_batched_pair_jaccard_matches_perdoc_spec():
+    """The vectorized verify_jaccard score kernel (|A∩B| via one
+    segment-unique over per-pair concatenations) must equal per-pair
+    jaccard(shingle_hashes(x), shingle_hashes(y)) exactly."""
+    import random
+
+    import numpy as np
+
+    from distributed_graph_computing_platform_ray.functions.text import jaccard, shingle_hashes
+    from distributed_graph_computing_platform_ray.stages.dedup import (
+        _shingle_segments,
+        unique_segments,
+    )
+
+    random.seed(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+    def mk(n):
+        return " ".join(random.choice(vocab) for _ in range(n))
+
+    ta = [mk(random.randint(0, 30)) for _ in range(150)] + ["", "", "one two three"]
+    tb = [mk(random.randint(0, 30)) for _ in range(150)] + ["", "x y z", ""]
+    want = [
+        int(round(jaccard(shingle_hashes(x, 3), shingle_hashes(y, 3)) * 1e6))
+        for x, y in zip(ta, tb)
+    ]
+    sha, offa = _shingle_segments(ta, 3)
+    shb, offb = _shingle_segments(tb, 3)
+    ca, cb = np.diff(offa), np.diff(offb)
+    coff = np.zeros(len(ta) + 1, np.int64)
+    np.cumsum(ca + cb, out=coff[1:])
+    comb = np.empty(len(sha) + len(shb), np.uint64)
+    comb[np.arange(len(sha)) + np.repeat(coff[:-1] - offa[:-1], ca)] = sha
+    comb[np.arange(len(shb)) + np.repeat(coff[:-1] + ca - offb[:-1], cb)] = shb
+    _, uoff = unique_segments(comb, coff)
+    union = np.diff(uoff)
+    inter = ca + cb - union
+    j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    got = list(np.round(j * 1e6).astype(np.int64))
+    assert got == want
+
+
+def test_verify_jaccard_distributed_matches_broadcast():
+    """broadcast_limit=0 forces the two-bucket-join + batched score
+    path; results must equal the broadcast fast path exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_graph_computing_platform_ray.stages.dedup import verify_jaccard
+
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                " ".join(vocab[(i + j) % len(vocab)] for j in range(3 + i % 7))
+                for i in range(40)
+            ],
+        }
+    )
+    prs = pd.DataFrame({"a": [0, 1, 2, 5, 8, 0], "b": [6, 7, 8, 11, 14, 39]})
+    got_b = (
+        verify_jaccard(rd.from_pandas(prs), rd.from_pandas(docs))
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    got_d = (
+        verify_jaccard(rd.from_pandas(prs), rd.from_pandas(docs), broadcast_limit=0)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_b, got_d)
+    assert (got_b["jaccard_e6"] > 0).any()
