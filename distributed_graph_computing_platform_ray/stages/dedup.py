@@ -584,39 +584,57 @@ def simhash_dedup(ds: rd.Dataset, id_col="doc_id", text_col="text", max_hamming=
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         concurrency=(1, 8),
-    ).materialize()
+    )
 
-    outs = []
-    for band in range(4):
-        def pairs(df: pd.DataFrame, band=band) -> pd.DataFrame:
-            out_a, out_b, out_h = [], [], []
-            for _, g in df.groupby(f"sb{band}"):
-                sub = g.drop_duplicates("doc_id").sort_values("doc_id")
-                ids = sub["doc_id"].to_numpy()
-                sh = sub["simhash"].to_numpy().astype(np.uint64)
-                n = len(ids)
-                if n < 2:
-                    continue
-                if n * (n - 1) // 2 > MAX_BUCKET_PAIRS:
-                    print(f"simhash: hot bucket of {n} docs -> chunked exact sweep")
-                for i, j in iter_triu_blocks(n):
-                    hd = hamming64(sh[i], sh[j])
-                    keep = hd <= max_hamming
-                    out_a.extend(ids[i][keep])
-                    out_b.extend(ids[j][keep])
-                    out_h.extend(hd[keep])
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(out_a, dtype="int64"),
-                    "b": pd.Series(out_b, dtype="int64"),
-                    "hamming": pd.Series(out_h, dtype="int64"),
-                }
-            )
-
-        outs.append(
-            bucket_map_groups(add_bucket(sigs, [f"sb{band}"], n_buckets), n_buckets, pairs)
+    # ONE exchange for all 4 bands: explode each doc into
+    # (band, key=its 16-bit sub-band, doc_id, simhash) rows and bucket
+    # on (band, key) — identical groups to the old per-band shuffles
+    # (same key => same group), but 1 shuffle + 1 distinct instead of
+    # 4 shuffles + union + distinct (each Dataset execution costs ~1 s
+    # fixed — NOTES.md; at 100 TB it is 3 fewer full passes).
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t["doc_id"].to_numpy()
+        sh = t["simhash"].to_numpy()
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "key": pa.array(np.concatenate([t[f"sb{b}"].to_numpy() for b in range(4)])),
+                "doc_id": pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(np.tile(sh, 4)),
+            }
         )
-    allpairs = outs[0].union(*outs[1:])
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, g in df.groupby(["band", "key"]):
+            sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            sh = sub["simhash"].to_numpy().astype(np.uint64)
+            n = len(ids)
+            if n < 2:
+                continue
+            if n * (n - 1) // 2 > MAX_BUCKET_PAIRS:
+                print(f"simhash: hot bucket of {n} docs -> chunked exact sweep")
+            for i, j in iter_triu_blocks(n):
+                hd = hamming64(sh[i], sh[j])
+                keep = hd <= max_hamming
+                out_a.extend(ids[i][keep])
+                out_b.extend(ids[j][keep])
+                out_h.extend(hd[keep])
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "hamming": pd.Series(out_h, dtype="int64"),
+            }
+        )
+
+    allpairs = bucket_map_groups(
+        add_bucket(rows, ["band", "key"], n_buckets), n_buckets, pairs
+    )
     from ..stages.join import distinct
 
     return distinct(allpairs, ["a", "b", "hamming"], n_buckets)
