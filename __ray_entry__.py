@@ -1722,6 +1722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cluster_sizes": T.q_neardup_cluster_sizes,
         "neardup_retention_by_source": T.q_neardup_retention_by_source,
         "incremental_neardup": T.q_incremental_neardup,
+        "neardup_threshold_curve": T.q_neardup_threshold_curve,
+        "lsh_bucket_stats": T.q_lsh_bucket_stats,
         "doc_ngram_jaccard": T.q_doc_ngram_jaccard,
         "media_features": T.q_media_features,
         "media_framesample": T.q_media_framesample,
@@ -2706,6 +2708,55 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a % 5 = 0 OR b % 5 = 0) "
             "SELECT a, b, (a % 5 = 0)::BIGINT AS a_is_new, "
             "(b % 5 = 0)::BIGINT AS b_is_new FROM sel"
+        ),
+        "neardup_threshold_curve": (
+            # exact-Jaccard pair CTEs (through inter/sizes) from the
+            # minhash oracle, re-thresholded at {0.80,0.85,0.90}; CC
+            # per threshold via min-label propagation keyed by (thr,v)
+            _minhash_dedup_sql().split("pairs AS")[0]
+            + "scored AS ( "
+            "  SELECT a, b, CAST(ROUND(i * 1000000.0 / (sa.n + sb.n - i)) AS BIGINT) AS je "
+            "  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b), "
+            "thr AS (SELECT unnest([800000, 850000, 900000]) AS t), "
+            "tpairs AS (SELECT thr.t AS thr, s.a, s.b FROM scored s, thr WHERE s.je >= thr.t), "
+            "verts AS (SELECT DISTINCT thr, v FROM "
+            "  (SELECT thr, a AS v FROM tpairs UNION ALL SELECT thr, b AS v FROM tpairs)), "
+            "relax AS (SELECT thr, a AS s, b AS d FROM tpairs "
+            "  UNION ALL SELECT thr, b, a FROM tpairs "
+            "  UNION ALL SELECT thr, v, v FROM verts), "
+            "c AS ( "
+            "  SELECT 0 AS it, thr, v AS id, v AS lab FROM verts "
+            "  UNION ALL "
+            "  SELECT c.it + 1, c.thr, r.d, MIN(c.lab) FROM c "
+            "  JOIN relax r ON r.thr = c.thr AND r.s = c.id "
+            "  WHERE c.it < 60 GROUP BY c.it, c.thr, r.d), "
+            "fin AS (SELECT thr, id, lab FROM c WHERE it = 60), "
+            "tot AS (SELECT count(*)::BIGINT AS n FROM documents), "
+            "ps AS (SELECT thr, count(*)::BIGINT AS n_pairs FROM tpairs GROUP BY thr), "
+            "cs AS (SELECT thr, count(*)::BIGINT AS n_docs, "
+            "       count(DISTINCT lab)::BIGINT AS n_cl FROM fin GROUP BY thr) "
+            "SELECT thr.t::BIGINT AS threshold_e6, "
+            "  COALESCE(ps.n_pairs, 0)::BIGINT AS n_pairs, "
+            "  COALESCE(cs.n_docs, 0)::BIGINT AS n_docs_in_pairs, "
+            "  COALESCE(cs.n_cl, 0)::BIGINT AS n_clusters, "
+            "  ((SELECT n FROM tot) - COALESCE(cs.n_docs, 0) + COALESCE(cs.n_cl, 0))::BIGINT AS n_retained "
+            "FROM thr LEFT JOIN ps ON ps.thr = thr.t LEFT JOIN cs ON cs.thr = thr.t "
+            "ORDER BY threshold_e6"
+        ),
+        "lsh_bucket_stats": (
+            # simhash chain (docs -> token FNV -> signed bit sums -> u)
+            # from the simhash oracle; then per-band 16-bit keys,
+            # bucket sizes, and the size histogram with pair counts
+            _simhash_sql().split("SELECT x.doc_id")[0]
+            + ", bnd AS (SELECT b.b AS band, "
+            "    ((u::UBIGINT >> (16 * b.b)) & 65535)::BIGINT AS key, doc_id "
+            "  FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b), "
+            "sizes AS (SELECT band, key, count(*)::BIGINT AS bucket_size "
+            "  FROM bnd GROUP BY band, key) "
+            "SELECT band::BIGINT AS band, bucket_size, "
+            "  count(*)::BIGINT AS n_buckets, "
+            "  (count(*) * (bucket_size * (bucket_size - 1) // 2))::BIGINT AS n_cand_pairs "
+            "FROM sizes GROUP BY band, bucket_size"
         ),
         "neardup_cluster_sizes": _minhash_clusters_wrap(
             "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM "

@@ -16854,3 +16854,145 @@ def q_incremental_neardup(sf_dir: str, mod: int = 5, n_buckets: int = 32):
         )
 
     return ver.map_batches(finish, batch_format="pyarrow")
+
+
+def q_neardup_threshold_curve(sf_dir: str):
+    """Dedup tuning curve: for Jaccard thresholds {0.80, 0.85, 0.90},
+    the verified near-dup pair count, docs touched, cluster count and
+    retained corpus size (total - touched + one representative per
+    cluster) — the numbers a pipeline owner reads before picking the
+    dedup threshold. Pair generation is the SAME banded-LSH + exact
+    verify as doc_minhash_dedup (its recall at J >= 0.8 is checked
+    there; higher thresholds are subsets, so no extra recall
+    assumption); clustering per threshold runs the ENGINE'S OWN
+    distributed CC on each thresholded pair graph (pair graphs are
+    collapse residue — bounded, but never driver-side). Scalars leave
+    the cluster table via Dataset count()s, not take_all."""
+    import shutil as _sh
+
+    from ..stages.dedup import minhash_candidates, verify_jaccard
+    from ..stages.join import distinct
+    from .graph import run_algorithm
+    from .ingest import build_graph
+
+    ds = _table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    n_total = ds.count()
+    cand = minhash_candidates(ds)
+    ver = verify_jaccard(cand, ds).materialize()
+    rows = []
+    for thr in (800_000, 850_000, 900_000):
+        edges = ver.map_batches(
+            lambda t, thr=thr: t.filter(pa.compute.greater_equal(t["jaccard_e6"], thr)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_pairs = edges.count()
+        if n_pairs == 0:
+            rows.append((thr, 0, 0, 0, n_total))
+            continue
+        gdir = _cache(sf_dir, f"ndtc_graph_{thr}")
+        _sh.rmtree(gdir, ignore_errors=True)
+        build_graph(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src_key": t["a"].cast(pa.string()),
+                        "dst_key": t["b"].cast(pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            gdir,
+            n_parts=2,
+            n_buckets=4,
+            dedup=True,
+            small_graph_edges=2_000_000,
+        )
+        cc = run_algorithm(gdir, _cache(sf_dir, f"ndtc_cc_{thr}"), "cc").materialize()
+        n_docs = cc.count()
+        n_clusters = distinct(
+            cc.map_batches(
+                lambda t: pa.table({"lab": t["value"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            ["lab"],
+            4,
+        ).count()
+        rows.append((thr, n_pairs, n_docs, n_clusters, n_total - n_docs + n_clusters))
+    return pa.table(
+        {
+            "threshold_e6": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_docs_in_pairs": pa.array([r[2] for r in rows], pa.int64()),
+            "n_clusters": pa.array([r[3] for r in rows], pa.int64()),
+            "n_retained": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_lsh_bucket_stats(sf_dir: str, n_buckets: int = 16):
+    """LSH candidate-generation cost model over the simhash 4x16-bit
+    sub-bands: per band, the bucket-size histogram and the candidate
+    pair count each size class contributes (n_buckets_of_size *
+    C(size, 2)) — what you read to predict verify-stage cost and spot
+    degenerate bands before running the full pair sweep. One bucketed
+    shuffle on (band, key) for sizes, one tiny histogram sum."""
+    from ..stages.dedup import SimHashStage
+    from ..stages.join import add_bucket, bucket_sum
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "key": pa.array(
+                    np.concatenate([t[f"sb{b}"].to_numpy() for b in range(4)])
+                ),
+                "one": pa.array(np.ones(4 * n, dtype=np.int64)),
+            }
+        )
+
+    sizes = bucket_sum(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["band", "key"],
+        ["one"],
+        n_buckets,
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": t["band"],
+                "bucket_size": t["one"],
+                "n_buckets": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    out = bucket_sum(
+        sizes.map_batches(hist, batch_format="pyarrow"),
+        ["band", "bucket_size"],
+        ["n_buckets"],
+        4,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "band": t["band"],
+                "bucket_size": t["bucket_size"],
+                "n_buckets": t["n_buckets"],
+                "n_cand_pairs": pa.array(
+                    t["n_buckets"].to_numpy()
+                    * (
+                        t["bucket_size"].to_numpy()
+                        * (t["bucket_size"].to_numpy() - 1)
+                        // 2
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
