@@ -69,14 +69,24 @@ def lang_id(text: str) -> tuple[str, float]:
     return lang, round(hits / n, 6)
 
 
+def _count_upper(text: str) -> int:
+    """Exact count of ``c.isupper()`` chars: for ASCII text (the
+    common case) a vectorized byte-range test — for ASCII, isupper()
+    is true exactly for A-Z — else the per-char loop."""
+    if text.isascii():
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        return int(((b >= 65) & (b <= 90)).sum())
+    return sum(1 for c in text if c.isupper())
+
+
 def quality_features_words(text: str, words: list[str], lwords: list[str]) -> dict:
     """``quality_features`` over a pre-split (and pre-lowercased)
     token list — identical outputs, no re-splitting (fused stages)."""
     n_chars = len(text)
     n_words = len(words)
-    mean_wlen = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    mean_wlen = (sum(map(len, words)) / n_words) if n_words else 0.0
     n_punct = len(_PUNCT.findall(text))
-    n_upper = sum(1 for c in text if c.isupper())
+    n_upper = _count_upper(text)
     stop_hits = sum(1 for w in lwords if w in _LANG_STOPS["en"])
     return {
         "n_chars": n_chars,
