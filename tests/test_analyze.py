@@ -302,3 +302,22 @@ def test_sketch_segment_kernels_match_perdoc():
     for i, s in enumerate(segs):
         want = np.int64(np.uint64(simhash64(s)).astype(np.int64))
         assert sh[i] == want, i
+
+
+def test_fnv_gram_segments_chunked_array_input():
+    """The kernel accepts a pyarrow ChunkedArray (combine_chunks path)
+    and matches the list-input result."""
+    import pyarrow as pa
+
+    from distributed_graph_computing_platform_ray.functions.hashing import (
+        fnv1a64_gram_segments,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    woff = np.array([0, 3, 3, 5], dtype=np.int64)
+    want_h, want_o = fnv1a64_gram_segments(words, woff, 3)
+    chunked = pa.chunked_array(
+        [pa.array(words[:2], pa.large_string()), pa.array(words[2:], pa.large_string())]
+    )
+    got_h, got_o = fnv1a64_gram_segments(chunked, woff, 3)
+    assert np.array_equal(got_h, want_h) and np.array_equal(got_o, want_o)
