@@ -162,11 +162,25 @@ def scaling_job(tmp: str) -> dict:
 
 def flagship(tmp: str) -> dict:
     """pages parquet -> extract links -> CSR graph -> PageRank 30 -> top25."""
+    import ray.data as rd
+
     from distributed_graph_computing_platform_ray.pipelines.graph import run_algorithm, top_k
     from distributed_graph_computing_platform_ray.pipelines.pages import build_link_graph
+    from distributed_graph_computing_platform_ray.stages.analyze import analyze_pages
     from distributed_graph_computing_platform_ray.state.manifest import GraphManifest
 
     out = {}
+    # fused per-doc analysis over the same pages (extract + langid +
+    # quality + token counts + MinHash/SimHash) — the training-data
+    # flagship; the scaling criterion times this same stage at 1.2 M
+    # pages (round-5 batched kernel)
+    t0 = time.time()
+    n = analyze_pages(
+        rd.read_parquet(PAGES_CACHE, columns=["url", "html"], override_num_blocks=NCPU * 2)
+    ).count()
+    out["analyze_pages_20k"] = round(time.time() - t0, 3)
+    out["_analyze_pages_per_sec"] = round(n / max(out["analyze_pages_20k"], 1e-9))
+
     t0 = time.time()
     # size partitions to the job: ~2500 pages (~40k directed links) per
     # part keeps superstep task count proportional to real work —
