@@ -181,8 +181,14 @@ def minhash_signatures_segments(
         for c0 in range(0, n_perm, perm_chunk):
             ac = a[c0 : c0 + perm_chunk]
             bc = b[c0 : c0 + perm_chunk]
-            h = (ac[None, :] * x[:, None] + bc[None, :]) % _MERSENNE
-            out[nonempty, c0 : c0 + perm_chunk] = np.minimum.reduceat(h, starts, axis=0)
+            y = ac[None, :] * x[:, None] + bc[None, :]
+            # y % M61 without the 64-bit modulo: y = q*2^61 + low with
+            # 2^61 ≡ 1 (mod M61), so y ≡ q + low; the sum is < 2^61+8,
+            # one conditional subtract finishes (identical values to
+            # np.mod — parity-tested)
+            y = (y >> np.uint64(61)) + (y & _MERSENNE)
+            y -= np.where(y >= _MERSENNE, _MERSENNE, np.uint64(0))
+            out[nonempty, c0 : c0 + perm_chunk] = np.minimum.reduceat(y, starts, axis=0)
     return out
 
 

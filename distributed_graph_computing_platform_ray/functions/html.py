@@ -97,9 +97,13 @@ def _resolve_href(base_url: str, raw: str) -> str | None:
     return _resolve_href_slow(base_url, raw)
 
 
-def decode_html(html_bytes: bytes) -> str:
+def decode_html(html_bytes: bytes | None) -> str:
     """Pages are bytes on the wire (input_hint: html:binary); decode
-    utf-8 with replacement so one bad byte can't poison a page."""
+    utf-8 with replacement so one bad byte can't poison a page. A null
+    cell (a real-web crawl WILL have some) decodes to the empty page
+    rather than crashing the batch."""
+    if html_bytes is None:
+        return ""
     return html_bytes.decode("utf-8", errors="replace")
 
 

@@ -321,3 +321,17 @@ def test_fnv_gram_segments_chunked_array_input():
     )
     got_h, got_o = fnv1a64_gram_segments(chunked, woff, 3)
     assert np.array_equal(got_h, want_h) and np.array_equal(got_o, want_o)
+
+
+def test_null_html_cell_analyzes_as_empty_page():
+    t = pa.table(
+        {
+            "url": pa.array(["https://a.example/x", "https://a.example/y"], pa.string()),
+            "html": pa.array([None, b"<p>ok words here</p>"], pa.binary()),
+        }
+    )
+    got = PageAnalyze()(t)
+    assert got.num_rows == 2
+    assert got["n_tokens"].to_pylist()[0] == 0
+    assert got["simhash"].to_pylist()[0] == 0
+    assert got["n_tokens"].to_pylist()[1] == 3
