@@ -2018,6 +2018,23 @@ def q_collocation_lift(sf_dir: str):
 _HLL_P = 8  # 2^8 = 256 registers
 
 
+def _hll_reg_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) per 64-bit hash — the shared HLL partial kernel
+    (user/host/window HLL queries). Exact bit length via vectorized
+    binary search (log2 on float64 is wrong above 2^53); rho follows
+    the standard HLL rank-of-leading-zeros-plus-one over the low
+    64-_HLL_P bits. SQL oracles reproduce the same formula."""
+    reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    bl = np.zeros(len(rem), dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = rem >= np.left_shift(np.uint64(1), bl + np.uint64(s))
+        bl[m] += np.uint64(s)
+    bitlen = np.where(rem == 0, 0, bl + 1).astype(np.int64)
+    rho = np.where(rem == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+    return reg, rho
+
+
 def q_user_hll(sf_dir: str):
     """HyperLogLog registers for distinct-user counting: FNV-1a hash of
     the decimal user_id, top-8 bits pick the register, rho = leading
@@ -2039,16 +2056,7 @@ def q_user_hll(sf_dir: str):
         # the TOP bits on short strings (register selection would
         # collapse); the mix is reproduced in SQL too
         h = splitmix64(fnv1a64([str(i) for i in ids]))
-        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
-        # exact bit length via vectorized binary search (log2 on
-        # float64 is wrong above 2^53)
-        bl = np.zeros(len(rem), dtype=np.uint64)
-        for s in (32, 16, 8, 4, 2, 1):
-            m = rem >= np.left_shift(np.uint64(1), bl + np.uint64(s))
-            bl[m] += np.uint64(s)
-        bitlen = np.where(rem == 0, 0, bl + 1).astype(np.int64)
-        rho = np.where(rem == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+        reg, rho = _hll_reg_rho(h)
         g = pd.DataFrame({"reg": reg, "rho": rho}).groupby("reg", as_index=False).max()
         return g.astype("int64")
 
@@ -10719,14 +10727,7 @@ def q_domain_inlink_hll(sf_dir: str, n_pages: int = 2000, n_buckets: int = 16):
                  "rho": pd.Series(dtype="int64")}
             )
         h = splitmix64(fnv1a64(t["tok"].tolist()))
-        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
-        bl = np.zeros(len(rem), dtype=np.uint64)
-        for s in (32, 16, 8, 4, 2, 1):
-            m = rem >= np.left_shift(np.uint64(1), bl + np.uint64(s))
-            bl[m] += np.uint64(s)
-        bitlen = np.where(rem == 0, 0, bl + 1).astype(np.int64)
-        rho = np.where(rem == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+        reg, rho = _hll_reg_rho(h)
         out = pd.DataFrame({"host": t["host"].to_numpy(), "reg": reg, "rho": rho})
         return out.groupby(["host", "reg"], as_index=False).max().astype(
             {"reg": "int64", "rho": "int64"}
@@ -14503,14 +14504,7 @@ def q_events_window_hll(sf_dir: str):
         win = _ts_us(df["ts"]) // 86_400_000_000
         ids = df["user_id"].astype("int64").to_numpy()
         h = splitmix64(fnv1a64([str(i) for i in ids]))
-        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
-        bl = np.zeros(len(rem), dtype=np.uint64)
-        for s in (32, 16, 8, 4, 2, 1):
-            m = rem >= np.left_shift(np.uint64(1), bl + np.uint64(s))
-            bl[m] += np.uint64(s)
-        bitlen = np.where(rem == 0, 0, bl + 1).astype(np.int64)
-        rho = np.where(rem == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+        reg, rho = _hll_reg_rho(h)
         g = (
             pd.DataFrame({"win": win, "reg": reg, "rho": rho})
             .groupby(["win", "reg"], as_index=False)
