@@ -64,6 +64,29 @@ def _scaled_buckets(sf_dir: str, name: str, rows_per_bucket: int = 250_000, floo
     return max(floor, -(-n // rows_per_bucket))
 
 
+def _build_domain_graph(n: int, gdir: str, kind: str, n_buckets: int) -> "GraphManifest":
+    """pages -> extracted links -> host-contracted edge table -> CSR
+    graph at gdir — the shared scaffold of the domain-graph queries
+    (domain_pagerank, trustrank, spam_mass, widest_path, rank corr).
+    Returns the manifest."""
+    from ..sources.pages import generate_pages
+    from ..stages.extract import extract_links
+    from .pages import contract_link_graph
+
+    links = extract_links(generate_pages(n))
+    dom_edges = contract_link_graph(links, n_buckets)
+    return build_graph(
+        dom_edges,
+        gdir,
+        n_parts=8,
+        n_buckets=16,
+        dedup=False,
+        symmetrize_edges=True,
+        small_graph_edges=2_000_000,
+        source_info={"kind": kind, "n": n},
+    )
+
+
 def _dim_table(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
     """Driver-side pyarrow read of a SMALL dimension table (region /
     nation / supplier / customer-at-test-scale): no Ray execution —
@@ -5104,25 +5127,10 @@ def q_domain_pagerank(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     contraction itself stays distributed."""
     import shutil
 
-    from ..sources.pages import generate_pages
-    from ..stages.extract import extract_links
-    from .ingest import build_graph as _bg
-    from .pages import contract_link_graph
 
     root = f"/tmp/graft_domains_{n}"
     shutil.rmtree(root, ignore_errors=True)
-    links = extract_links(generate_pages(n))
-    dom_edges = contract_link_graph(links, n_buckets)
-    _bg(
-        dom_edges,
-        f"{root}/graph",
-        n_parts=8,
-        n_buckets=16,
-        dedup=False,
-        symmetrize_edges=True,
-        small_graph_edges=2_000_000,
-        source_info={"kind": "domain_graph", "n": n},
-    )
+    _build_domain_graph(n, f"{root}/graph", "domain_graph", n_buckets)
     res = run_algorithm(f"{root}/graph", f"{root}/pr", "pagerank_weighted")
 
     def conv(t: pa.Table) -> pa.Table:
@@ -9094,27 +9102,12 @@ def q_trustrank_domains(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     graph are dropped on both sides. Top-25 hosts by score."""
     import shutil
 
-    from ..sources.pages import generate_pages
-    from ..stages.extract import extract_links
     from .graph import lookup_vertex_id
-    from .ingest import build_graph as _bg
-    from .pages import contract_link_graph
 
     seeds_hosts = [f"site-{i:05d}.example" for i in range(3)]
     root = f"/tmp/graft_trustrank_{n}"
     shutil.rmtree(root, ignore_errors=True)
-    links = extract_links(generate_pages(n))
-    dom_edges = contract_link_graph(links, n_buckets)
-    man = _bg(
-        dom_edges,
-        f"{root}/graph",
-        n_parts=8,
-        n_buckets=16,
-        dedup=False,
-        symmetrize_edges=True,
-        small_graph_edges=2_000_000,
-        source_info={"kind": "domain_graph_trust", "n": n},
-    )
+    man = _build_domain_graph(n, f"{root}/graph", "domain_graph_trust", n_buckets)
     seeds = []
     for h in seeds_hosts:
         try:
@@ -10026,28 +10019,13 @@ def q_spam_mass(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     convention is needed; spam candidates rank by mass_e8 DESC."""
     import shutil as _sh
 
-    from ..sources.pages import generate_pages
-    from ..stages.extract import extract_links
     from ..stages.join import bucket_join
     from .graph import lookup_vertex_id
-    from .ingest import build_graph as _bg
-    from .pages import contract_link_graph
 
     seeds_hosts = [f"site-{i:05d}.example" for i in range(3)]
     root = f"/tmp/graft_spam_mass_{n}"
     _sh.rmtree(root, ignore_errors=True)
-    links = extract_links(generate_pages(n))
-    dom_edges = contract_link_graph(links, n_buckets)
-    man = _bg(
-        dom_edges,
-        f"{root}/graph",
-        n_parts=8,
-        n_buckets=16,
-        dedup=False,
-        symmetrize_edges=True,
-        small_graph_edges=2_000_000,
-        source_info={"kind": "domain_graph_spam_mass", "n": n},
-    )
+    man = _build_domain_graph(n, f"{root}/graph", "domain_graph_spam_mass", n_buckets)
     pr = run_algorithm(f"{root}/graph", f"{root}/pr", "pagerank_weighted")
     seeds = []
     for h in seeds_hosts:
@@ -10447,27 +10425,12 @@ def q_widest_path(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     2000 (same contraction as q_trustrank_domains)."""
     import shutil
 
-    from ..sources.pages import generate_pages
-    from ..stages.extract import extract_links
     from .graph import lookup_vertex_id
-    from .ingest import build_graph as _bg
-    from .pages import contract_link_graph
 
     seed_host = "site-00000.example"
     root = f"/tmp/graft_widest_{n}"
     shutil.rmtree(root, ignore_errors=True)
-    links = extract_links(generate_pages(n))
-    dom_edges = contract_link_graph(links, n_buckets)
-    man = _bg(
-        dom_edges,
-        f"{root}/graph",
-        n_parts=8,
-        n_buckets=16,
-        dedup=False,
-        symmetrize_edges=True,
-        small_graph_edges=2_000_000,
-        source_info={"kind": "domain_graph_widest", "n": n},
-    )
+    man = _build_domain_graph(n, f"{root}/graph", "domain_graph_widest", n_buckets)
     sid = lookup_vertex_id(man, seed_host)
     res = run_algorithm(f"{root}/graph", f"{root}/widest", "widest", source_id=sid)
 
@@ -15393,27 +15356,14 @@ def q_page_host_rank_corr(sf_dir: str, n: int = 2000, n_buckets: int = 32):
     import shutil
 
     from ..sources.pages import generate_pages
-    from ..stages.extract import extract_links
-    from .ingest import build_graph as _bg
-    from .pages import build_link_graph, contract_link_graph
+    from .pages import build_link_graph
 
     root = f"/tmp/graft_pagehost_{n}"
     shutil.rmtree(root, ignore_errors=True)
     build_link_graph(generate_pages(n), f"{root}/pg", n_parts=8, n_buckets=16)
     pres = run_algorithm(f"{root}/pg", f"{root}/ppr", "pagerank")
 
-    links = extract_links(generate_pages(n))
-    dom_edges = contract_link_graph(links, n_buckets)
-    _bg(
-        dom_edges,
-        f"{root}/dg",
-        n_parts=8,
-        n_buckets=16,
-        dedup=False,
-        symmetrize_edges=True,
-        small_graph_edges=2_000_000,
-        source_info={"kind": "domain_graph_corr", "n": n},
-    )
+    _build_domain_graph(n, f"{root}/dg", "domain_graph_corr", n_buckets)
     dres = run_algorithm(f"{root}/dg", f"{root}/dpr", "pagerank_weighted")
 
     def conv(t: pa.Table) -> pa.Table:
