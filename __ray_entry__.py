@@ -342,6 +342,61 @@ def _page_text_cte(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+def _page_analyze_rollup_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for testdata.q_page_analyze_rollup: the fused analyze
+    stage per-language rollup, rebuilt fully independently — text from
+    the generator recurrence (_page_text_cte, byte-identical to the
+    extractor), language id / quality composite / BPE token count /
+    link count recomputed in SQL (the same mirrors the doc_langid /
+    doc_quality / doc_token_bpe gates use, applied to the page text)."""
+    hits = ", ".join(
+        f"count(*) FILTER (word IN {_stops_sql(lg)}) AS h_{lg}"
+        for lg in ("en", "de", "fr", "es")
+    )
+    best = "greatest(h_en, h_de, h_fr, h_es)"
+    en = _stops_sql("en")
+    return (
+        f"WITH {_page_text_cte(n, seed)}, "
+        "w AS (SELECT i, lower(word) AS word FROM ( "
+        "  SELECT i, unnest(regexp_split_to_array(text, '\\s+')[1:200]) AS word FROM txt)), "
+        f"h AS (SELECT i, count(*)::BIGINT AS n, {hits} FROM w GROUP BY i), "
+        "lang AS (SELECT t.i, "
+        f"  CASE WHEN h.i IS NULL OR {best} = 0 THEN 'und' "
+        "       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+        "       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
+        "       WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred "
+        "  FROM txt t LEFT JOIN h ON h.i = t.i), "
+        "f AS (SELECT i, length(text)::BIGINT AS n_chars, "
+        "  length(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_words, "
+        "  length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS sum_wlen, "
+        "  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct "
+        "  FROM txt), "
+        "sw AS (SELECT i, count(*) FILTER ( "
+        f"   lower(word) IN {en}) AS stop_hits "
+        "  FROM (SELECT i, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM txt) "
+        "  GROUP BY i), "
+        "g AS (SELECT f.i, "
+        "  CASE WHEN n_words < 5 THEN 2 WHEN n_words < 20 THEN 7 ELSE 10 END AS f1, "
+        "  CASE WHEN n_words = 0 OR NOT (ROUND(sum_wlen / n_words::DOUBLE, 6) "
+        "       BETWEEN 2.0 AND 12.0) THEN 5 ELSE 10 END AS f2, "
+        "  CASE WHEN ROUND(n_punct / greatest(1, n_chars)::DOUBLE, 6) > 0.2 THEN 4 ELSE 10 END AS f3, "
+        "  CASE WHEN ROUND(coalesce(stop_hits, 0) / greatest(1, n_words)::DOUBLE, 6) < 0.01 "
+        "       THEN 8 ELSE 10 END AS f4 "
+        "  FROM f LEFT JOIN sw ON sw.i = f.i), "
+        "q AS (SELECT i, (1000000::BIGINT * f1 * f2 * f3 * f4 // 10000)::BIGINT AS quality_e6 FROM g), "
+        "tok AS (SELECT i, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens, "
+        "  length(regexp_extract_all(text, "
+        "  '[A-Za-z]+(?:''[a-z]+)?|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT AS n_bpe FROM txt), "
+        "lnk AS (SELECT i::BIGINT AS i, (4 + h0 % 12)::BIGINT AS n_links FROM th0) "
+        "SELECT lang.lang_pred, lnk.n_links, count(*)::BIGINT AS n_pages, "
+        "  sum(tok.n_tokens)::BIGINT AS sum_tokens, "
+        "  sum(tok.n_bpe)::BIGINT AS sum_bpe_tokens, "
+        "  sum(q.quality_e6)::BIGINT AS sum_quality_e6 "
+        "FROM lang JOIN tok ON tok.i = lang.i JOIN q ON q.i = lang.i "
+        "JOIN lnk ON lnk.i = lang.i GROUP BY lang.lang_pred, lnk.n_links"
+    )
+
+
 def _coverage_greedy_sql(n: int = 2000, seed: int = 42, k: int = 5) -> str:
     """Oracle for greedy max-coverage seed selection: FIXED-k unrolled
     chained CTEs (s_r -> w_r -> c_r), the robust form for iterated
@@ -1724,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_neardup": T.q_incremental_neardup,
         "neardup_threshold_curve": T.q_neardup_threshold_curve,
         "lsh_bucket_stats": T.q_lsh_bucket_stats,
+        "page_analyze_rollup": T.q_page_analyze_rollup,
         "doc_ngram_jaccard": T.q_doc_ngram_jaccard,
         "media_features": T.q_media_features,
         "media_framesample": T.q_media_framesample,
@@ -2758,6 +2814,7 @@ def oracle_sql() -> dict[str, str]:
             "  (count(*) * (bucket_size * (bucket_size - 1) // 2))::BIGINT AS n_cand_pairs "
             "FROM sizes GROUP BY band, bucket_size"
         ),
+        "page_analyze_rollup": _page_analyze_rollup_sql(),
         "neardup_cluster_sizes": _minhash_clusters_wrap(
             "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM "
             "(SELECT cluster_id, count(*)::BIGINT AS cluster_size "

@@ -16940,3 +16940,43 @@ def q_lsh_bucket_stats(sf_dir: str, n_buckets: int = 16):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_page_analyze_rollup(sf_dir: str, n_pages: int = 2000):
+    """The FUSED page-analysis stage (stages/analyze.py — the scaling
+    benchmark's flagship kernel), SQL-gated END-TO-END for the first
+    time: html -> extracted text -> langid/quality/token counts/link
+    counts, rolled up per predicted language. The oracle reconstructs
+    the extracted text byte-identically from the generator recurrence
+    (the same _page_text_cte the page_text_stats gate uses) and
+    recomputes language id, the quality composite, BPE-ish token
+    counts and per-page link counts independently in SQL — so a
+    regression anywhere in decode -> extract -> tokenize -> score now
+    trips a hash gate, not just the per-doc parity test."""
+    from ..sources.pages import generate_pages
+    from ..stages.analyze import analyze_pages
+    from ..stages.join import bucket_sum
+
+    res = analyze_pages(generate_pages(n_pages))
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang_pred": t["lang_pred"],
+                "n_links": t["n_links"],
+                "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_tokens": t["n_tokens"],
+                "sum_bpe_tokens": t["n_bpe_tokens"],
+                "sum_quality_e6": t["quality_e6"],
+            }
+        )
+
+    # (lang, link-count) grid: 12 distinct link counts in the corpus,
+    # so the gate checks the full per-page link distribution alongside
+    # the token/quality sums, not one collapsed row
+    return bucket_sum(
+        res.map_batches(pre, batch_format="pyarrow"),
+        ["lang_pred", "n_links"],
+        ["n_pages", "sum_tokens", "sum_bpe_tokens", "sum_quality_e6"],
+        4,
+    )
