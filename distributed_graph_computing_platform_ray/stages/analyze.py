@@ -23,6 +23,7 @@ import ray.data as rd
 from ..functions import html as H
 from ..functions.hashing import (
     band_hashes_batch,
+    fnv1a64,
     fnv1a64_gram_segments,
     minhash_params,
     minhash_signatures_segments,
@@ -34,7 +35,6 @@ from ..functions.text import (
     quality_score_words,
     token_count_bpe_ish,
 )
-from ..utils import stable_hash_array
 from .extract import _pool_size
 
 
@@ -47,14 +47,17 @@ class PageAnalyze:
     def __call__(self, t: pa.Table) -> pa.Table:
         """Batched kernel: the per-doc Python loop does only the work
         that is inherently per-document (decode, extract, split,
-        lang/quality counts); every hash — token SipHash, shingle
-        FNV, MinHash, SimHash, band fold — runs ONCE per batch over
-        the concatenated token/gram arrays with segment offsets.
+        lang/quality counts); every hash — token FNV, shingle FNV,
+        MinHash, SimHash, band fold — runs ONCE per batch over the
+        concatenated token/gram arrays with segment offsets.
         Bit-identical to the per-doc composition of the public
         functions (tests/test_analyze.py parity test); ~2x fewer
         small allocations per doc, which is what limits per-core
         throughput at high concurrency on one socket (BASELINE.md
-        scaling analysis)."""
+        scaling analysis). The simhash column uses the SAME FNV token
+        hashing as stages/dedup.py::SimHashStage, so near-dup keys
+        computed here agree with the dedup pipeline's (and stay
+        SQL-reproducible)."""
         urls = t["url"].to_pylist()
         htmls = t["html"].to_pylist()
         n = len(urls)
@@ -80,11 +83,7 @@ class PageAnalyze:
             n_bpe_tokens[i] = token_count_bpe_ish(text)
             flat_words.extend(lwords)
             woff[i + 1] = len(flat_words)
-        th_all = (
-            stable_hash_array(np.array(flat_words, dtype=object))
-            if flat_words
-            else np.empty(0, dtype=np.uint64)
-        )
+        th_all = fnv1a64(flat_words) if flat_words else np.empty(0, dtype=np.uint64)
         simhash = simhash64_segments(th_all, woff)
         gh_all, goff = fnv1a64_gram_segments(flat_words, woff, self.k)
         sh_all, soff = unique_segments(gh_all, goff)

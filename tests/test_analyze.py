@@ -65,8 +65,9 @@ def _analyze_perdoc_spec(t: pa.Table, n_perm=128, n_bands=16, k=3) -> pa.Table:
         out["quality_e6"][i] = int(quality_score_words(text, words, lwords) * 1e6)
         out["n_tokens"][i] = len(words)
         out["n_bpe_tokens"][i] = token_count_bpe_ish(text)
-        toks = np.array(lwords, dtype=object)
-        th = stable_hash_array(toks) if len(toks) else np.empty(0, dtype=np.uint64)
+        from distributed_graph_computing_platform_ray.functions.hashing import fnv1a64
+
+        th = fnv1a64(lwords) if lwords else np.empty(0, dtype=np.uint64)
         out["simhash"][i] = np.int64(np.uint64(simhash64(th)).astype(np.int64))
         sig = minhash_signature(shingle_hashes_lwords(lwords, k), a, b)
         out["band_hashes"][i] = band_hashes(sig, n_bands).astype(np.int64)
@@ -335,3 +336,25 @@ def test_null_html_cell_analyzes_as_empty_page():
     assert got["n_tokens"].to_pylist()[0] == 0
     assert got["simhash"].to_pylist()[0] == 0
     assert got["n_tokens"].to_pylist()[1] == 3
+
+
+def test_analyze_simhash_agrees_with_dedup_simhash_stage():
+    """The fused analyze stage and the dedup SimHashStage must produce
+    the SAME simhash for the same text — near-dup keys computed on
+    either surface agree."""
+    from distributed_graph_computing_platform_ray.stages.dedup import SimHashStage
+
+    texts = ["the quick brown Fox jumps", "", "one two three four five six seven"]
+    t_docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    want = SimHashStage()(t_docs)["simhash"].to_pylist()
+    htmls = [f"<p>{x}</p>".encode() for x in texts]
+    t_pages = pa.table(
+        {
+            "url": pa.array([f"https://h.example/{i}" for i in range(len(texts))]),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+    got = PageAnalyze()(t_pages)["simhash"].to_pylist()
+    assert got == want
