@@ -397,6 +397,38 @@ def _page_analyze_rollup_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+def _page_simhash_bands_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for testdata.q_page_simhash_bands: page text rebuilt
+    from the generator recurrence, FNV-token simhash recomputed
+    bit-for-bit (the _simhash_sql chain over the page tokens), then
+    the per-sub-band bucket-size histogram."""
+    return (
+        f"WITH RECURSIVE {_page_text_cte(n, seed)}, "
+        "toks AS ( "
+        "  SELECT i AS doc_id, lower(word) AS tok, count(*)::BIGINT AS cnt FROM ( "
+        "    SELECT i, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM txt) "
+        "  GROUP BY i, lower(word)), "
+        f"{_FNV_TOK}, "
+        "acc AS ( "
+        "  SELECT t.doc_id, j.j, "
+        "    sum(t.cnt * CASE WHEN (th.h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "  FROM toks t JOIN tokh th ON th.tok = t.tok, "
+        "       LATERAL (SELECT unnest(generate_series(0, 63)) AS j) j "
+        "  GROUP BY t.doc_id, j.j), "
+        "sh AS ( "
+        "  SELECT doc_id, "
+        "    sum(CASE WHEN s > 0 THEN (1::UBIGINT << j)::HUGEINT ELSE 0::HUGEINT END) AS u "
+        "  FROM acc GROUP BY doc_id), "
+        "bnd AS (SELECT b.b AS band, "
+        "    ((u::UBIGINT >> (16 * b.b)) & 65535)::BIGINT AS key, doc_id "
+        "  FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b), "
+        "sizes AS (SELECT band, key, count(*)::BIGINT AS bucket_size "
+        "  FROM bnd GROUP BY band, key) "
+        "SELECT band::BIGINT AS band, bucket_size, count(*)::BIGINT AS n_buckets "
+        "FROM sizes GROUP BY band, bucket_size"
+    )
+
+
 def _coverage_greedy_sql(n: int = 2000, seed: int = 42, k: int = 5) -> str:
     """Oracle for greedy max-coverage seed selection: FIXED-k unrolled
     chained CTEs (s_r -> w_r -> c_r), the robust form for iterated
@@ -1780,6 +1812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_threshold_curve": T.q_neardup_threshold_curve,
         "lsh_bucket_stats": T.q_lsh_bucket_stats,
         "page_analyze_rollup": T.q_page_analyze_rollup,
+        "page_simhash_bands": T.q_page_simhash_bands,
         "doc_ngram_jaccard": T.q_doc_ngram_jaccard,
         "media_features": T.q_media_features,
         "media_framesample": T.q_media_framesample,
@@ -2815,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM sizes GROUP BY band, bucket_size"
         ),
         "page_analyze_rollup": _page_analyze_rollup_sql(),
+        "page_simhash_bands": _page_simhash_bands_sql(),
         "neardup_cluster_sizes": _minhash_clusters_wrap(
             "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM "
             "(SELECT cluster_id, count(*)::BIGINT AS cluster_size "

@@ -16980,3 +16980,54 @@ def q_page_analyze_rollup(sf_dir: str, n_pages: int = 2000):
         ["n_pages", "sum_tokens", "sum_bpe_tokens", "sum_quality_e6"],
         4,
     )
+
+
+def q_page_simhash_bands(sf_dir: str, n_pages: int = 2000):
+    """The fused analyze stage's SIMHASH column, SQL-gated: per
+    16-bit sub-band, the bucket-size histogram over every page's
+    simhash (the exact near-dup banding surface the flagship kernel
+    emits). The oracle rebuilds page text from the generator
+    recurrence and recomputes the FNV-token simhash bit-for-bit in
+    SQL (same chain the doc_simhash_pairs gate uses) — combined with
+    page_analyze_rollup this puts every analyze output column except
+    the 128-perm MinHash bands behind a hash gate."""
+    from ..sources.pages import generate_pages
+    from ..stages.analyze import analyze_pages
+    from ..stages.join import bucket_sum
+
+    res = analyze_pages(generate_pages(n_pages))
+
+    def explode(t: pa.Table) -> pa.Table:
+        sig = t["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        n = len(sig)
+        keys = [
+            ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            for b in range(4)
+        ]
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "key": pa.array(np.concatenate(keys)),
+                "one": pa.array(np.ones(4 * n, dtype=np.int64)),
+            }
+        )
+
+    sizes = bucket_sum(
+        res.map_batches(explode, batch_format="pyarrow"), ["band", "key"], ["one"], 8
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": t["band"],
+                "bucket_size": t["one"],
+                "n_buckets": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return bucket_sum(
+        sizes.map_batches(hist, batch_format="pyarrow"),
+        ["band", "bucket_size"],
+        ["n_buckets"],
+        4,
+    )
