@@ -429,6 +429,71 @@ def _page_simhash_bands_sql(n: int = 2000, seed: int = 42) -> str:
     )
 
 
+_M61 = (1 << 61) - 1
+
+
+def _page_minhash_bands_sql(n: int = 2000, seed: int = 42) -> str:
+    """Oracle for testdata.q_page_minhash_bands: per page, all 16
+    MinHash LSH band keys recomputed fully in SQL — generator text,
+    word-3-shingle FNV (recursive CTE), 128 permutations
+    ((a*x mod 2^64 + b) mod 2^64 mod M61; HUGEINT holds the 122-bit
+    products, mirroring the engine's uint64 wraparound), per-perm min,
+    and the 8-step band fold (wraparound multiply by 0x100000001B3 +
+    xor). Permutation constants come from the engine's own
+    minhash_params so oracle and engine can never drift (same policy
+    as the stopword lists)."""
+    from distributed_graph_computing_platform_ray.functions.hashing import minhash_params
+
+    a, b = minhash_params(128)
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(128)
+    )
+    fold_p = 0x100000001B3
+    # 8-step fold as chained lateral column aliases: o0 = s0,
+    # o_{r+1} = wrapmul(o_r) xor s_{r+1}
+    fold_cols = ["s0 AS o0"]
+    for r in range(1, 8):
+        fold_cols.append(
+            f"xor(({_wrap_mul(f'(o{r-1})::HUGEINT', fold_p)})::UBIGINT, s{r}::UBIGINT) AS o{r}"
+        )
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN p % 8 = {r} THEN sig END) AS s{r}" for r in range(8)
+    )
+    return (
+        f"WITH RECURSIVE {_page_text_cte(n, seed)}, "
+        "arrs AS (SELECT i AS doc_id, "
+        "  regexp_split_to_array(lower(text), ' ') AS arr FROM txt), "
+        "grams AS (SELECT DISTINCT doc_id, "
+        "  arr[gi] || ' ' || arr[gi+1] || ' ' || arr[gi+2] AS g "
+        "  FROM arrs, LATERAL unnest(generate_series(1, len(arr) - 2)) t(gi)), "
+        "gramd AS (SELECT DISTINCT g FROM grams), "
+        "gfnv AS ( "
+        "  SELECT g, 0 AS ci, CAST(14695981039346656037 AS HUGEINT) AS h FROM gramd "
+        "  UNION ALL "
+        "  SELECT g, ci + 1, "
+        "    (xor(h::UBIGINT, ord(substr(g, ci + 1, 1))::UBIGINT)::HUGEINT "
+        f"     * 1099511628211) % {_M64}::HUGEINT "
+        "  FROM gfnv WHERE ci < length(g)), "
+        "gh AS (SELECT g, h FROM gfnv WHERE ci = length(g)), "
+        f"gx AS (SELECT g, (h % {_M61}::HUGEINT) AS x FROM gh), "
+        f"perms(p, pa, pb) AS (VALUES {perm_rows}), "
+        "minh AS ( "
+        "  SELECT gr.doc_id, perms.p, "
+        f"  min((((perms.pa * gx.x) % {_M64}::HUGEINT + perms.pb) % {_M64}::HUGEINT) "
+        f"      % {_M61}::HUGEINT) AS sig "
+        "  FROM grams gr JOIN gx ON gx.g = gr.g CROSS JOIN perms "
+        "  GROUP BY gr.doc_id, perms.p), "
+        f"piv AS (SELECT doc_id, (p // 8)::BIGINT AS band_id, {piv_cols} "
+        "  FROM minh GROUP BY doc_id, p // 8), "
+        f"fold AS (SELECT doc_id, band_id, {', '.join(fold_cols)} FROM piv) "
+        "SELECT printf('https://site-%05d.example/p/%04d', doc_id // 16, doc_id % 16) AS url, "
+        "  band_id, "
+        f"  (CASE WHEN o7::HUGEINT >= {1 << 63}::HUGEINT "
+        f"        THEN o7::HUGEINT - {_M64}::HUGEINT ELSE o7::HUGEINT END)::BIGINT AS band_hash "
+        "FROM fold"
+    )
+
+
 def _coverage_greedy_sql(n: int = 2000, seed: int = 42, k: int = 5) -> str:
     """Oracle for greedy max-coverage seed selection: FIXED-k unrolled
     chained CTEs (s_r -> w_r -> c_r), the robust form for iterated
@@ -1813,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_stats": T.q_lsh_bucket_stats,
         "page_analyze_rollup": T.q_page_analyze_rollup,
         "page_simhash_bands": T.q_page_simhash_bands,
+        "page_minhash_bands": T.q_page_minhash_bands,
         "doc_ngram_jaccard": T.q_doc_ngram_jaccard,
         "media_features": T.q_media_features,
         "media_framesample": T.q_media_framesample,
@@ -2849,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "page_analyze_rollup": _page_analyze_rollup_sql(),
         "page_simhash_bands": _page_simhash_bands_sql(),
+        "page_minhash_bands": _page_minhash_bands_sql(),
         "neardup_cluster_sizes": _minhash_clusters_wrap(
             "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM "
             "(SELECT cluster_id, count(*)::BIGINT AS cluster_size "

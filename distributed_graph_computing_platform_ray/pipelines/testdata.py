@@ -17031,3 +17031,35 @@ def q_page_simhash_bands(sf_dir: str, n_pages: int = 2000):
         ["n_buckets"],
         4,
     )
+
+
+def q_page_minhash_bands(sf_dir: str, n_pages: int = 2000):
+    """The fused analyze stage's MinHash BAND HASHES, SQL-gated
+    bit-for-bit: every page's 16 LSH band keys (128-perm MinHash over
+    word-3-shingle FNV hashes, 8 rows folded per band) — the exact
+    candidate-generation surface the near-dup pipeline consumes. The
+    oracle rebuilds page text from the generator recurrence, recomputes
+    shingle FNV, all 128 permutations ((a*x mod 2^64 + b) mod 2^64
+    mod M61 — HUGEINT holds the 122-bit products), the per-perm min,
+    and the band fold (wraparound-multiply chain) in SQL. Completes
+    end-to-end hash-gate coverage of every analyze output column."""
+    from ..sources.pages import generate_pages
+    from ..stages.analyze import analyze_pages
+
+    res = analyze_pages(generate_pages(n_pages))
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        urls = t["url"]
+        bh = t["band_hashes"]
+        flat = pc.list_flatten(bh)
+        n_bands = len(flat) // max(n, 1) if n else 16
+        return pa.table(
+            {
+                "url": pa.array(np.repeat(urls.to_numpy(zero_copy_only=False), n_bands)),
+                "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+                "band_hash": flat,
+            }
+        )
+
+    return res.map_batches(explode, batch_format="pyarrow")

@@ -28,7 +28,7 @@ def test_every_query_has_an_oracle_and_vice_versa():
     o = set(m.oracle_sql().keys())
     assert o - q == set(), f"orphaned oracles: {sorted(o - q)}"
     assert q - o == set(), f"queries without an oracle: {sorted(q - o)}"
-    assert len(q) >= 324  # ratchet: coverage must never shrink
+    assert len(q) >= 325  # ratchet: coverage must never shrink
 
 
 def test_oracle_sql_strings_are_nonempty_select_statements():
