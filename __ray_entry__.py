@@ -1919,14 +1919,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "patch_warm_pagerank",
         # relational
         "revenue_by_nation", "orders_left_join", "lineitem_antijoin",
-        "orders_cube",
         # sketches
         "user_distinct_hll", "cms_user_counts", "quantiles_sketch",
         # tokenizer / curation ops
         "bpe_merges", "term_heavy_hitters", "doc_decontaminate",
-        "doc_pii_scrub",
         # web / host graph
         "domain_pagerank",
+        # fused analyze flagship (round-5 session-2 end-to-end gates)
+        "page_analyze_rollup", "page_minhash_bands",
     ]
     assert len(gate_first) == 50, len(gate_first)
     missing = [k for k in gate_first if k not in reg]
