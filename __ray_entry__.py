@@ -119,7 +119,11 @@ def _simhash_sql() -> str:
         "toks AS ( "
         "  SELECT doc_id, lower(word) AS tok, count(*)::BIGINT AS cnt FROM ( "
         "    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
-        "    FROM documents WHERE trim(text) <> '') GROUP BY doc_id, lower(word)), "
+        "    FROM documents WHERE trim(text) <> '') "
+        # the engine's str.split() never yields empty tokens; regexp
+        # split does for e.g. tab-leading text — exclude them so both
+        # sides tokenize identically on whitespace edge cases
+        "  WHERE word <> '' GROUP BY doc_id, lower(word)), "
         f"{_FNV_TOK}, "
         "acc AS ( "
         "  SELECT t.doc_id, j.j, "
@@ -463,9 +467,16 @@ def _page_minhash_bands_sql(n: int = 2000, seed: int = 42) -> str:
         f"WITH RECURSIVE {_page_text_cte(n, seed)}, "
         "arrs AS (SELECT i AS doc_id, "
         "  regexp_split_to_array(lower(text), ' ') AS arr FROM txt), "
-        "grams AS (SELECT DISTINCT doc_id, "
-        "  arr[gi] || ' ' || arr[gi+1] || ' ' || arr[gi+2] AS g "
-        "  FROM arrs, LATERAL unnest(generate_series(1, len(arr) - 2)) t(gi)), "
+        "grams AS (SELECT DISTINCT doc_id, g FROM ( "
+        "  SELECT doc_id, arr[gi] || ' ' || arr[gi+1] || ' ' || arr[gi+2] AS g "
+        "  FROM arrs, LATERAL unnest(generate_series(1, len(arr) - 2)) t(gi) "
+        "  WHERE len(arr) >= 3 "
+        "  UNION ALL "
+        # word_ngrams short-doc semantics: 0 < len < k emits the single
+        # all-words gram (page text always has >=3 words today; this
+        # keeps the gate correct if that ever changes)
+        "  SELECT doc_id, array_to_string(arr, ' ') AS g FROM arrs "
+        "  WHERE len(arr) BETWEEN 1 AND 2)), "
         "gramd AS (SELECT DISTINCT g FROM grams), "
         "gfnv AS ( "
         "  SELECT g, 0 AS ci, CAST(14695981039346656037 AS HUGEINT) AS h FROM gramd "
@@ -2900,12 +2911,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_bucket_stats": (
             # simhash chain (docs -> token FNV -> signed bit sums -> u)
-            # from the simhash oracle; then per-band 16-bit keys,
-            # bucket sizes, and the size histogram with pair counts
+            # from the simhash oracle, then EVERY document bucketed —
+            # token-less docs (null/whitespace-only text) get u=0 via
+            # the base LEFT JOIN, matching the engine's empty-doc
+            # simhash of 0 (the engine histograms every row; the
+            # inherited trim-filter would silently drop such docs from
+            # the oracle only)
             _simhash_sql().split("SELECT x.doc_id")[0]
-            + ", bnd AS (SELECT b.b AS band, "
+            + ", base AS (SELECT doc_id FROM documents), "
+            "shu AS (SELECT b.doc_id, COALESCE(sh.u, 0::HUGEINT) AS u "
+            "  FROM base b LEFT JOIN sh ON sh.doc_id = b.doc_id), "
+            "bnd AS (SELECT b.b AS band, "
             "    ((u::UBIGINT >> (16 * b.b)) & 65535)::BIGINT AS key, doc_id "
-            "  FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b), "
+            "  FROM shu, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b), "
             "sizes AS (SELECT band, key, count(*)::BIGINT AS bucket_size "
             "  FROM bnd GROUP BY band, key) "
             "SELECT band::BIGINT AS band, bucket_size, "

@@ -93,7 +93,11 @@ def fnv1a64_gram_segments(
         arr = arr.combine_chunks()
     arr = arr.cast(pa.large_binary())
     n_words = len(arr)
-    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n_words + 1]
+    # honor arr.offset: a zero-copy slice shares the parent's offsets
+    # buffer, with this array's window starting at position arr.offset
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n_words + 1
+    ]
     data = arr.buffers()[2]
     buf = np.frombuffer(data, dtype=np.uint8) if data is not None else np.empty(0, np.uint8)
     lens = off[1:] - off[:-1]

@@ -62,6 +62,14 @@ def _resolve_href(base_url: str, raw: str) -> str | None:
     """
     if "\t" in raw or "\n" in raw or "\r" in raw or raw[-1] <= " " or raw[0] <= " ":
         return _resolve_href_slow(base_url, raw)
+    try:
+        # a malformed BASE url (e.g. unbalanced IPv6 brackets) makes
+        # the slow path drop every link on the page — take that path
+        # so fast and slow stay byte-identical; urlsplit's internal
+        # parse cache makes the repeated base parse ~free per link
+        bs = urlsplit(base_url)
+    except ValueError:
+        return _resolve_href_slow(base_url, raw)
     if raw.startswith("http://") or raw.startswith("https://"):
         # absolute, lowercase scheme. urljoin either returns raw
         # unchanged (scheme != base's) or parse/unparses it; the
@@ -82,7 +90,6 @@ def _resolve_href(base_url: str, raw: str) -> str | None:
                 return pre
         return _resolve_href_slow(base_url, raw)
     if raw.startswith("/") and not raw.startswith("//"):
-        bs = urlsplit(base_url)
         if bs.scheme in _KEEP_SCHEMES and bs.netloc:
             pre, _, _ = raw.partition("#")
             q = pre.find("?")

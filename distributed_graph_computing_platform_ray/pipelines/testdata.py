@@ -16998,16 +16998,14 @@ def q_page_simhash_bands(sf_dir: str, n_pages: int = 2000):
     res = analyze_pages(generate_pages(n_pages))
 
     def explode(t: pa.Table) -> pa.Table:
+        from ..stages.dedup import simhash_band_keys
+
         sig = t["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         n = len(sig)
-        keys = [
-            ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            for b in range(4)
-        ]
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
-                "key": pa.array(np.concatenate(keys)),
+                "key": pa.array(simhash_band_keys(sig).ravel()),
                 "one": pa.array(np.ones(4 * n, dtype=np.int64)),
             }
         )

@@ -40,18 +40,47 @@ from ..functions.hashing import (
     simhash64_segments,
     unique_segments,
 )
-from ..functions.text import jaccard
+from ..stages.join import _BUCKET, add_bucket, bucket_join, bucket_map_groups
 
 
 def _flat_lower_words(texts: list) -> tuple[list[str], np.ndarray]:
     """Concatenated lowercased whitespace tokens of every doc + per-doc
-    offsets — the input shape of the segment-batched hash kernels."""
+    offsets — the input shape of the segment-batched hash kernels.
+    A null text is an EMPTY doc (no tokens): the old str(None) path
+    hashed the literal token 'none', which would cluster every
+    null-text row as mutual near-dups at web scale."""
     flat: list[str] = []
     woff = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, txt in enumerate(texts):
-        flat.extend(w.lower() for w in str(txt).split())
+        if txt is not None:
+            flat.extend(w.lower() for w in str(txt).split())
         woff[i + 1] = len(flat)
     return flat, woff
+
+
+def simhash_band_keys(sig: np.ndarray) -> np.ndarray:
+    """(4, n) int64 16-bit sub-band keys of uint64 simhashes — THE
+    banding layout (exact for Hamming <= 3 by pigeonhole) shared by
+    SimHashStage, simhash_dedup's exchange and the band-bucket-stats
+    queries; change it here and every consumer moves together."""
+    return np.stack(
+        [
+            ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            for b in range(4)
+        ]
+    )
+
+
+def _jaccard_e6(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact integer half-up of |A∩B|/|A∪B| * 1e6 over sorted-unique
+    hash sets — matches DuckDB ROUND (half-away on nonnegatives);
+    float rounding is half-even (CLAUDE.md hard rule). Both-empty
+    pairs score 1e6 (jaccard of two empty sets is 1)."""
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    if union == 0:
+        return 1_000_000
+    return (2 * inter * 1_000_000 + union) // (2 * union)
 
 
 def _shingle_segments(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -62,7 +91,7 @@ def _shingle_segments(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     flat, woff = _flat_lower_words(texts)
     gh, goff = fnv1a64_gram_segments(flat, woff, k)
     return unique_segments(gh, goff)
-from ..stages.join import _BUCKET, add_bucket, bucket_join, bucket_map_groups
+
 
 MAX_BUCKET_PAIRS = 2000  # per-ALLOCATION pair-block bound for hot LSH buckets
 
@@ -262,10 +291,7 @@ def verify_jaccard(
                 sets = _SHINGLE_SETS[key] = ray.get(ref)
             a = t["a"].to_numpy().astype(np.int64)
             b2 = t["b"].to_numpy().astype(np.int64)
-            js = [
-                int(round(jaccard(sets[int(x)], sets[int(y)]) * 1e6))
-                for x, y in zip(a, b2)
-            ]
+            js = [_jaccard_e6(sets[int(x)], sets[int(y)]) for x, y in zip(a, b2)]
             return pa.table(
                 {"a": pa.array(a), "b": pa.array(b2), "jaccard_e6": pa.array(js, pa.int64())}
             )
@@ -299,9 +325,9 @@ def verify_jaccard(
     def score(t: pa.Table) -> pa.Table:
         # batched: shingle both sides once per batch, then per-pair
         # |A∩B| = |A|+|B|-|A∪B| via one more segment-unique over the
-        # per-pair concatenations — identical values to per-pair
-        # jaccard(shingle_hashes(x), shingle_hashes(y)) (same int
-        # counts, same float division/rounding)
+        # per-pair concatenations — same integer counts as per-pair
+        # shingle_hashes(x)/shingle_hashes(y), scored with the exact
+        # half-up integer formula (_jaccard_e6 semantics)
         a = t["a"].to_numpy().astype(np.int64)
         b = t["b"].to_numpy().astype(np.int64)
         sha, offa = _shingle_segments(t["text_a"].to_pylist(), shingle_k)
@@ -315,9 +341,13 @@ def verify_jaccard(
         _, uoff = unique_segments(comb, coff)
         union = np.diff(uoff)
         inter = ca + cb - union
-        with np.errstate(invalid="ignore"):
-            j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-        js = np.round(j * 1e6).astype(np.int64)
+        # exact integer half-up of inter/union * 1e6 (matches DuckDB
+        # ROUND; numpy float round is half-even — CLAUDE.md hard rule)
+        js = np.where(
+            union > 0,
+            (2 * inter * 1_000_000 + union) // (2 * np.maximum(union, 1)),
+            1_000_000,
+        ).astype(np.int64)
         return pa.table(
             {"a": pa.array(a), "b": pa.array(b), "jaccard_e6": pa.array(js, pa.int64())}
         )
@@ -568,8 +598,9 @@ class SimHashStage:
         h = fnv1a64(flat) if flat else np.empty(0, dtype=np.uint64)
         sig = simhash64_segments(h, woff).view(np.uint64)
         cols = {"doc_id": pa.array(ids.astype(np.int64)), "simhash": pa.array(sig.astype(np.int64))}
-        for band in range(4):  # Hamming<=3 => some 16-bit band matches exactly
-            cols[f"sb{band}"] = pa.array(((sig >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64))
+        keys = simhash_band_keys(sig)  # Hamming<=3 => some band matches exactly
+        for band in range(4):
+            cols[f"sb{band}"] = pa.array(keys[band])
         return pa.table(cols)
 
 

@@ -150,6 +150,9 @@ BASES = [
     "HTTPS://upper.example/x",
     "ftp://nope.example/x",
     "http:/no-netloc-path",
+    "http://[badhost/page",
+    "http://[::1/x",
+    "https://[::1]/ok",
 ]
 
 HREFS = [
@@ -358,3 +361,19 @@ def test_analyze_simhash_agrees_with_dedup_simhash_stage():
     )
     got = PageAnalyze()(t_pages)["simhash"].to_pylist()
     assert got == want
+
+
+def test_fnv_gram_segments_sliced_array_input():
+    """A zero-copy slice of an Arrow array (non-zero arr.offset) must
+    hash the sliced window, not the parent's first elements."""
+    from distributed_graph_computing_platform_ray.functions.hashing import (
+        fnv1a64,
+        fnv1a64_gram_segments,
+    )
+
+    parent = pa.array(["xx", "aa", "bb", "cc"], pa.large_string())
+    sliced = parent.slice(1)
+    woff = np.array([0, 3], dtype=np.int64)
+    got_h, got_o = fnv1a64_gram_segments(sliced, woff, 3)
+    want = fnv1a64(["aa bb cc"])
+    assert np.array_equal(got_h, want), (got_h, want)

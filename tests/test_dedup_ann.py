@@ -486,14 +486,16 @@ def test_simhash_hot_bucket_no_pair_loss():
 
 def test_batched_pair_jaccard_matches_perdoc_spec():
     """The vectorized verify_jaccard score kernel (|A∩B| via one
-    segment-unique over per-pair concatenations) must equal per-pair
-    jaccard(shingle_hashes(x), shingle_hashes(y)) exactly."""
+    segment-unique over per-pair concatenations) must equal the
+    per-pair exact integer half-up spec (_jaccard_e6 over
+    shingle_hashes of each side)."""
     import random
 
     import numpy as np
 
-    from distributed_graph_computing_platform_ray.functions.text import jaccard, shingle_hashes
+    from distributed_graph_computing_platform_ray.functions.text import shingle_hashes
     from distributed_graph_computing_platform_ray.stages.dedup import (
+        _jaccard_e6,
         _shingle_segments,
         unique_segments,
     )
@@ -507,8 +509,7 @@ def test_batched_pair_jaccard_matches_perdoc_spec():
     ta = [mk(random.randint(0, 30)) for _ in range(150)] + ["", "", "one two three"]
     tb = [mk(random.randint(0, 30)) for _ in range(150)] + ["", "x y z", ""]
     want = [
-        int(round(jaccard(shingle_hashes(x, 3), shingle_hashes(y, 3)) * 1e6))
-        for x, y in zip(ta, tb)
+        _jaccard_e6(shingle_hashes(x, 3), shingle_hashes(y, 3)) for x, y in zip(ta, tb)
     ]
     sha, offa = _shingle_segments(ta, 3)
     shb, offb = _shingle_segments(tb, 3)
@@ -521,9 +522,16 @@ def test_batched_pair_jaccard_matches_perdoc_spec():
     _, uoff = unique_segments(comb, coff)
     union = np.diff(uoff)
     inter = ca + cb - union
-    j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-    got = list(np.round(j * 1e6).astype(np.int64))
+    got = list(
+        np.where(
+            union > 0,
+            (2 * inter * 1_000_000 + union) // (2 * np.maximum(union, 1)),
+            1_000_000,
+        ).astype(np.int64)
+    )
     assert got == want
+    # half-up at an exact tie: inter=5, union=128 -> 39062.5 -> 39063
+    assert _jaccard_e6(np.arange(5, dtype=np.uint64), np.arange(128, dtype=np.uint64)) == 39063
 
 
 def test_verify_jaccard_distributed_matches_broadcast():
