@@ -47,7 +47,21 @@ def _resolve_href_slow(base_url: str, raw: str) -> str | None:
     return resolved
 
 
-def _resolve_href(base_url: str, raw: str) -> str | None:
+_BAD_BASE = object()  # sentinel: base_url failed to parse
+
+
+def _split_base(base_url: str):
+    """Parse the page's base url ONCE per page (callers hoist this out
+    of the per-link loop); a malformed base (unbalanced IPv6 brackets)
+    returns the sentinel so every link takes the slow path — which
+    drops them all, byte-identical to urljoin raising."""
+    try:
+        return urlsplit(base_url)
+    except ValueError:
+        return _BAD_BASE
+
+
+def _resolve_href(base_url: str, raw: str, bs=None) -> str | None:
     """Resolve one href against base_url, drop the fragment, keep only
     http(s) — byte-identical to ``_resolve_href_slow`` (fuzz-tested).
 
@@ -58,17 +72,15 @@ def _resolve_href(base_url: str, raw: str) -> str | None:
     where urllib's parse/unparse round-trip is NOT the identity
     (empty query ``?`` at end, empty trailing ``;`` params, dot
     segments, empty netloc, non-lowercase scheme, WHATWG-stripped
-    tab/CR/LF or edge control chars) — those fall back.
+    tab/CR/LF or edge control chars, malformed base) — those fall
+    back. ``bs`` is ``_split_base(base_url)``, hoisted by per-page
+    callers; computed here when omitted.
     """
     if "\t" in raw or "\n" in raw or "\r" in raw or raw[-1] <= " " or raw[0] <= " ":
         return _resolve_href_slow(base_url, raw)
-    try:
-        # a malformed BASE url (e.g. unbalanced IPv6 brackets) makes
-        # the slow path drop every link on the page — take that path
-        # so fast and slow stay byte-identical; urlsplit's internal
-        # parse cache makes the repeated base parse ~free per link
-        bs = urlsplit(base_url)
-    except ValueError:
+    if bs is None:
+        bs = _split_base(base_url)
+    if bs is _BAD_BASE:
         return _resolve_href_slow(base_url, raw)
     if raw.startswith("http://") or raw.startswith("https://"):
         # absolute, lowercase scheme. urljoin either returns raw
@@ -124,6 +136,7 @@ def extract_links(html_text: str, base_url: str) -> list[str]:
     by the pipeline's exact-distinct stage (SURVEY.md §2.7).
     """
     out: list[str] = []
+    bs = _split_base(base_url)
     for tag in _A_TAG.findall(html_text):
         m = _HREF.search(tag)
         if not m:
@@ -132,7 +145,7 @@ def extract_links(html_text: str, base_url: str) -> list[str]:
         raw = _htmlmod.unescape(raw).strip()
         if not raw:
             continue
-        resolved = _resolve_href(base_url, raw)
+        resolved = _resolve_href(base_url, raw, bs)
         if resolved is not None:
             out.append(resolved)
     return out
@@ -150,6 +163,7 @@ def extract_hrefs_raw(html_text: str, base_url: str) -> list[tuple[str, str]]:
     collapse into each canonical url (dedup leverage of url
     normalization before any crawl/store happens)."""
     out: list[tuple[str, str]] = []
+    bs = _split_base(base_url)
     for tag in _A_TAG.findall(html_text):
         m = _HREF.search(tag)
         if not m:
@@ -157,7 +171,7 @@ def extract_hrefs_raw(html_text: str, base_url: str) -> list[tuple[str, str]]:
         raw = _htmlmod.unescape(m.group(1) or m.group(2) or m.group(3) or "").strip()
         if not raw:
             continue
-        resolved = _resolve_href(base_url, raw)
+        resolved = _resolve_href(base_url, raw, bs)
         if resolved is not None:
             out.append((raw, resolved))
     return out
@@ -173,6 +187,7 @@ def extract_links_with_anchors(html_text: str, base_url: str) -> list[tuple[str,
     unescaped, whitespace-collapsed. Instances (duplicates,
     self-links) are KEPT — anchor aggregation wants them."""
     out: list[tuple[str, str]] = []
+    bs = _split_base(base_url)
     for m in _A_FULL.finditer(html_text):
         hm = _HREF.search(m.group(1))
         if not hm:
@@ -180,7 +195,7 @@ def extract_links_with_anchors(html_text: str, base_url: str) -> list[tuple[str,
         raw = _htmlmod.unescape(hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
         if not raw:
             continue
-        resolved = _resolve_href(base_url, raw)
+        resolved = _resolve_href(base_url, raw, bs)
         if resolved is None:
             continue
         anchor = " ".join(_htmlmod.unescape(_TAG.sub(" ", m.group(2))).split())
