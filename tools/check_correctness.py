@@ -62,6 +62,14 @@ def main():
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    if only:
+        # fail LOUDLY on unknown names: a typo or an unregistered query
+        # used to print "all queries match" vacuously (round-5 footgun:
+        # a new query's oracle existed but its queries() entry didn't)
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            print(f"UNKNOWN query names (not in queries()): {unknown}")
+            sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
